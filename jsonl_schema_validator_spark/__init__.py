@@ -1,0 +1,41 @@
+"""pyspark-schema-validator: a PySpark-native schema + constraint validation engine.
+
+Built from scratch with the capabilities of d1manson/jsonl-schema-validator
+(reference at /root/reference, studied for semantics only — see SURVEY.md):
+BigQuery-style declarative schemas (NULLABLE/REQUIRED/REPEATED; STRING, BOOL,
+INT64, FLOAT64, DECIMAL_29_9, DATE, TIME, DATETIME, TIMESTAMP, BYTES, STRUCT,
+ANY) compiled into pure pyspark.sql expression rules, plus table-level rules
+(uniqueness, referential integrity, stats, enum, distribution drift),
+dedup/similarity/text-analysis operators for training-data pipelines,
+checkpoint/resume, skew handling and metrics.
+
+Everything in the hot path is Catalyst expressions (whole-stage codegen);
+Python appears only at plan-build time, except clearly-marked Arrow-batched
+pandas UDF operators where expressions genuinely cannot express the semantics
+(byte-offset JSON verdict parity).
+"""
+
+from jsonl_schema_validator_spark.schema import (
+    Field,
+    FieldType,
+    Mode,
+    Schema,
+    load_schema,
+    schema_from_json,
+)
+from jsonl_schema_validator_spark.compiler import RuleCompiler, ValidationPlan
+from jsonl_schema_validator_spark.session import get_spark
+
+__all__ = [
+    "Field",
+    "FieldType",
+    "Mode",
+    "Schema",
+    "load_schema",
+    "schema_from_json",
+    "RuleCompiler",
+    "ValidationPlan",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

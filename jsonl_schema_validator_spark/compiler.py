@@ -1,0 +1,508 @@
+"""Rule compiler: declarative Schema -> one Catalyst expression bundle.
+
+This is the engine's analog of the reference's ``validate()`` driver
+(/root/reference/src/validate.rs:85-301). Where the reference walks each
+record's bytes at run time, we walk the *schema* once at plan time (recursion
+happens at compile time; execution stays flat — SURVEY.md §3) and emit, per
+rule, a ``when(<violation-cond>, struct(ord, rule_id, column, value))``
+expression. All rules for a table collapse into a single projection
+
+    violations = array_compact(array(rule_1, ..., rule_n))
+
+which Catalyst fuses into one whole-stage-codegen pass over the scan — the
+same "fused single-pass evaluation" the reference hand-writes (SURVEY.md §4).
+No shuffle, no UDF, embarrassingly parallel across partitions.
+
+Rule ids reuse the reference's ValidationResult variant names
+(src/validate.rs:64-74) where a direct counterpart exists:
+
+    REQUIRED_FIELD_IS_NULL   REQUIRED value null (typed tables cannot
+                             distinguish absent-vs-null; JSON mode can and
+                             additionally emits REQUIRED_FIELD_ABSENT)
+    FIELD_VALUE_INVALID      scalar value fails its type rule
+    ARRAY_CONTENTS_INVALID   REPEATED element null or fails element rule
+    REPEATED_FIELD_IS_NOT_ARRAY  REPEATED value not an array (JSON/text mode)
+
+plus engine extensions: ENUM_VIOLATION, REGEX_VIOLATION, LENGTH_VIOLATION,
+RANGE_VIOLATION.
+
+First-error parity: the reference short-circuits at the first violation in
+byte order (every early return in validate.rs). We compute *all* violations
+(north rule wants exploded rows) and derive the first error by ordinal:
+``ord = field.idx * 16 + intra`` preserves the reference's field-major,
+mode-check-before-value-check ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonl_schema_validator_spark.functions.validators import TEXT_VALIDATORS
+from jsonl_schema_validator_spark.schema import Field, FieldType, Mode, Schema
+
+# intra-field rule ordering (mode checks fire before value checks, matching
+# the reference's control flow: null/required handling precedes type dispatch)
+_ORD_MODE = 0
+_ORD_TYPE = 1
+_ORD_ENUM = 2
+_ORD_REGEX = 3
+_ORD_LENGTH = 4
+_ORD_RANGE = 5
+_ORD_STRIDE = 16
+
+VIOLATION_STRUCT_FIELDS = ("ord", "rule_id", "column", "value")
+
+# Spark storage types that structurally guarantee a reference type's validity
+_NATIVE_OK: dict[FieldType, tuple[type, ...]] = {
+    FieldType.STRING: (T.StringType,),
+    FieldType.BOOL: (T.BooleanType,),
+    FieldType.INT64: (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    FieldType.FLOAT64: (
+        T.DoubleType,
+        T.FloatType,
+        T.LongType,
+        T.IntegerType,
+        T.ShortType,
+    ),
+    FieldType.DATE: (T.DateType,),
+    FieldType.TIMESTAMP: (T.TimestampType, T.TimestampNTZType),
+    FieldType.DATETIME: (T.TimestampNTZType, T.TimestampType),
+    FieldType.BYTES: (T.BinaryType,),
+    FieldType.ANY: (),  # handled specially (string holding JSON)
+    FieldType.TIME: (),
+    FieldType.DECIMAL_29_9: (T.DecimalType,),
+}
+
+
+@dataclass
+class CompiledRule:
+    rule_id: str
+    column: str  # dotted path
+    ord: int
+    condition: Column  # True => violation
+    value: Column  # string rendering of the offending value
+
+    def as_struct(self) -> Column:
+        return F.when(
+            self.condition,
+            F.struct(
+                F.lit(self.ord).alias("ord"),
+                F.lit(self.rule_id).alias("rule_id"),
+                F.lit(self.column).alias("column"),
+                self.value.cast("string").alias("value"),
+            ),
+        )
+
+
+def _stringify(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
+        return F.to_json(col)
+    if isinstance(dtype, T.BinaryType):
+        return F.base64(col)
+    return col.cast("string")
+
+
+class BindError(ValueError):
+    pass
+
+
+class RuleCompiler:
+    """Compile a Schema against a concrete DataFrame schema."""
+
+    def __init__(self, schema: Schema):
+        self.schema = schema
+
+    def bind(self, df: DataFrame) -> "ValidationPlan":
+        rules: list[CompiledRule] = []
+        df_fields = {f.name: f for f in df.schema.fields}
+        for field in self.schema.fields:
+            if field.name not in df_fields:
+                if field.mode is Mode.REQUIRED:
+                    base = field.idx * _ORD_STRIDE + _ORD_MODE
+                    rules.append(
+                        CompiledRule(
+                            rule_id="REQUIRED_FIELD_ABSENT",
+                            column=field.name,
+                            ord=base,
+                            condition=F.lit(True),
+                            value=F.lit(None).cast("string"),
+                        )
+                    )
+                continue
+            sf = df_fields[field.name]
+            rules.extend(
+                _compile_field(field, F.col(field.name), field.name, sf.dataType)
+            )
+        rules.sort(key=lambda r: r.ord)
+        return ValidationPlan(self.schema, rules)
+
+
+def _element_invalid(field: Field, elem: Column, elem_type: T.DataType) -> Column:
+    """True if a REPEATED element violates the element-type rule.
+
+    Mirrors the reference's array loop: a null element is invalid
+    (ArrayContentsInvalid, validate.rs:246-248 + fixture :368), as is an
+    element failing the per-type consume.
+    """
+    if field.type is FieldType.STRUCT:
+        sub_invalid = _struct_value_invalid(field, elem, elem_type)
+        return elem.isNull() | sub_invalid
+    return elem.isNull() | ~_scalar_valid(field, elem, elem_type)
+
+
+def _scalar_valid(field: Field, col: Column, dtype: T.DataType) -> Column:
+    """Boolean Column: non-null value conforms to field.type."""
+    ftype = field.type
+    if isinstance(dtype, T.StringType):
+        return TEXT_VALIDATORS[ftype.value](col)
+    if ftype is FieldType.DECIMAL_29_9 and isinstance(dtype, T.DecimalType):
+        if dtype.scale <= 9 and dtype.precision - dtype.scale <= 29:
+            return F.lit(True)
+        # wider decimal storage: enforce 29/9 textual bound on the value
+        return col.cast("string").rlike("^-?[0-9]{1,29}([.][0-9]{1,9})?$")
+    native = _NATIVE_OK.get(ftype, ())
+    if native and isinstance(dtype, native):
+        return F.lit(True)
+    raise BindError(
+        f"field {field.name!r}: cannot validate {ftype.value} "
+        f"against storage type {dtype.simpleString()}"
+    )
+
+
+def _struct_value_invalid(field: Field, col: Column, dtype: T.DataType) -> Column:
+    """Any-violation predicate for a struct value (used inside arrays where
+    per-subfield rule granularity would need one rule per subfield — those are
+    emitted separately by _compile_field for non-repeated structs)."""
+    if not isinstance(dtype, T.StructType):
+        raise BindError(
+            f"field {field.name!r}: STRUCT schema field bound to "
+            f"{dtype.simpleString()}"
+        )
+    sub_types = {f.name: f.dataType for f in dtype.fields}
+    preds: list[Column] = []
+    for sub in field.fields or []:
+        if sub.name not in sub_types:
+            if sub.mode is Mode.REQUIRED:
+                preds.append(F.lit(True))
+            continue
+        sub_col = col.getField(sub.name)
+        sub_dtype = sub_types[sub.name]
+        if sub.mode is Mode.REQUIRED:
+            preds.append(sub_col.isNull())
+        if sub.mode is Mode.REPEATED:
+            if not isinstance(sub_dtype, T.ArrayType):
+                raise BindError(
+                    f"field {field.name}.{sub.name}: REPEATED requires array "
+                    f"storage, got {sub_dtype.simpleString()}"
+                )
+            preds.append(
+                sub_col.isNotNull()
+                & F.exists(
+                    sub_col,
+                    lambda e, s=sub, et=sub_dtype.elementType: _element_invalid(
+                        s, e, et
+                    ),
+                )
+            )
+        elif sub.type is FieldType.STRUCT:
+            preds.append(
+                sub_col.isNotNull() & _struct_value_invalid(sub, sub_col, sub_dtype)
+            )
+        else:
+            preds.append(
+                sub_col.isNotNull() & ~_scalar_valid(sub, sub_col, sub_dtype)
+            )
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def _compile_field(
+    field: Field, col: Column, path: str, dtype: T.DataType, guard: Column | None = None
+) -> list[CompiledRule]:
+    """Emit the rules for one schema field bound to a concrete column.
+
+    ``guard`` is the non-null predicate of enclosing structs (a subfield check
+    only fires when the parent struct value is present, matching the
+    reference's recursion which only descends into present structs).
+    """
+    rules: list[CompiledRule] = []
+    base = field.idx * _ORD_STRIDE
+
+    def guarded(cond: Column) -> Column:
+        return cond if guard is None else (guard & cond)
+
+    value_str = _stringify(col, dtype)
+
+    if field.mode is Mode.REQUIRED:
+        rules.append(
+            CompiledRule(
+                rule_id="REQUIRED_FIELD_IS_NULL",
+                column=path,
+                ord=base + _ORD_MODE,
+                condition=guarded(col.isNull()),
+                value=F.lit(None).cast("string"),
+            )
+        )
+
+    if field.mode is Mode.REPEATED:
+        if not isinstance(dtype, T.ArrayType):
+            if isinstance(dtype, T.StringType):
+                # textual/JSON-ish storage of a repeated value: not an array
+                # literal -> REPEATED_FIELD_IS_NOT_ARRAY (validate.rs:153-155)
+                rules.append(
+                    CompiledRule(
+                        rule_id="REPEATED_FIELD_IS_NOT_ARRAY",
+                        column=path,
+                        ord=base + _ORD_TYPE,
+                        condition=guarded(
+                            col.isNotNull() & ~col.rlike("^\\s*\\[")
+                        ),
+                        value=value_str,
+                    )
+                )
+                return rules
+            raise BindError(
+                f"field {path}: REPEATED requires array storage, got "
+                f"{dtype.simpleString()}"
+            )
+        elem_type = dtype.elementType
+        rules.append(
+            CompiledRule(
+                rule_id="ARRAY_CONTENTS_INVALID",
+                column=path,
+                ord=base + _ORD_TYPE,
+                condition=guarded(
+                    col.isNotNull()
+                    & F.exists(
+                        col,
+                        lambda e: _element_invalid(field, e, elem_type),
+                    )
+                ),
+                value=F.to_json(
+                    F.filter(col, lambda e: _element_invalid(field, e, elem_type))
+                ),
+            )
+        )
+        rules.extend(_constraint_rules(field, col, path, dtype, guarded, value_str))
+        return rules
+
+    if field.type is FieldType.STRUCT:
+        if not isinstance(dtype, T.StructType):
+            raise BindError(
+                f"field {path}: STRUCT schema field bound to {dtype.simpleString()}"
+            )
+        sub_types = {f.name: f.dataType for f in dtype.fields}
+        inner_guard = guarded(col.isNotNull())
+        for sub in field.fields or []:
+            sub_path = f"{path}.{sub.name}"
+            if sub.name not in sub_types:
+                if sub.mode is Mode.REQUIRED:
+                    rules.append(
+                        CompiledRule(
+                            rule_id="REQUIRED_FIELD_ABSENT",
+                            column=sub_path,
+                            ord=sub.idx * _ORD_STRIDE + _ORD_MODE,
+                            condition=inner_guard,
+                            value=F.lit(None).cast("string"),
+                        )
+                    )
+                continue
+            rules.extend(
+                _compile_field(
+                    sub,
+                    col.getField(sub.name),
+                    sub_path,
+                    sub_types[sub.name],
+                    guard=inner_guard,
+                )
+            )
+        return rules
+
+    # scalar
+    rules.append(
+        CompiledRule(
+            rule_id="FIELD_VALUE_INVALID",
+            column=path,
+            ord=base + _ORD_TYPE,
+            condition=guarded(col.isNotNull() & ~_scalar_valid(field, col, dtype)),
+            value=value_str,
+        )
+    )
+    rules.extend(_constraint_rules(field, col, path, dtype, guarded, value_str))
+    # drop the always-false structural rules eagerly (keeps the projection lean)
+    return [r for r in rules if not _is_trivially_false(r.condition)]
+
+
+def _is_trivially_false(cond: Column) -> bool:
+    # `col.isNotNull() & ~lit(True)` — Catalyst folds it anyway; keep all.
+    return False
+
+
+def _constraint_rules(
+    field: Field,
+    col: Column,
+    path: str,
+    dtype: T.DataType,
+    guarded,
+    value_str: Column,
+) -> list[CompiledRule]:
+    c = field.constraints
+    base = field.idx * _ORD_STRIDE
+    out: list[CompiledRule] = []
+    if c.enum is not None:
+        out.append(
+            CompiledRule(
+                rule_id="ENUM_VIOLATION",
+                column=path,
+                ord=base + _ORD_ENUM,
+                condition=guarded(col.isNotNull() & ~col.isin(*c.enum)),
+                value=value_str,
+            )
+        )
+    if c.regex is not None:
+        out.append(
+            CompiledRule(
+                rule_id="REGEX_VIOLATION",
+                column=path,
+                ord=base + _ORD_REGEX,
+                condition=guarded(col.isNotNull() & ~col.rlike(c.regex)),
+                value=value_str,
+            )
+        )
+    if c.min_length is not None or c.max_length is not None:
+        length = F.length(col) if not isinstance(dtype, T.ArrayType) else F.size(col)
+        cond = F.lit(False)
+        if c.min_length is not None:
+            cond = cond | (length < F.lit(c.min_length))
+        if c.max_length is not None:
+            cond = cond | (length > F.lit(c.max_length))
+        out.append(
+            CompiledRule(
+                rule_id="LENGTH_VIOLATION",
+                column=path,
+                ord=base + _ORD_LENGTH,
+                condition=guarded(col.isNotNull() & cond),
+                value=value_str,
+            )
+        )
+    if c.min_value is not None or c.max_value is not None:
+        cond = F.lit(False)
+        if c.min_value is not None:
+            cond = cond | (col < F.lit(c.min_value))
+        if c.max_value is not None:
+            cond = cond | (col > F.lit(c.max_value))
+        out.append(
+            CompiledRule(
+                rule_id="RANGE_VIOLATION",
+                column=path,
+                ord=base + _ORD_RANGE,
+                condition=guarded(col.isNotNull() & cond),
+                value=value_str,
+            )
+        )
+    return out
+
+
+class ValidationPlan:
+    """A bound rule bundle; every method is a pure DataFrame transformation."""
+
+    def __init__(self, schema: Schema, rules: list[CompiledRule]):
+        self.schema = schema
+        self.rules = rules
+
+    @property
+    def rule_ids(self) -> list[str]:
+        return [f"{r.rule_id}:{r.column}" for r in self.rules]
+
+    def violations_column(self) -> Column:
+        """array<struct<ord,rule_id,column,value>> of all fired rules.
+
+        One projection; Catalyst fuses all rule predicates into a single
+        whole-stage-codegen stage (verified via explain in tests).
+        """
+        if not self.rules:
+            return F.array().cast(
+                "array<struct<ord:int,rule_id:string,column:string,value:string>>"
+            )
+        return F.array_compact(F.array(*[r.as_struct() for r in self.rules]))
+
+    def with_violations(self, df: DataFrame, col_name: str = "violations") -> DataFrame:
+        return df.withColumn(col_name, self.violations_column())
+
+    def with_verdict(self, df: DataFrame) -> DataFrame:
+        """Adds: violations, is_valid, first_error (reference verdict parity).
+
+        first_error = the violation with the smallest ordinal — the analog of
+        the reference's short-circuit first-in-byte-order error
+        (validate.rs early returns).
+        """
+        out = self.with_violations(df)
+        sorted_v = F.sort_array(F.col("violations"))
+        return out.withColumn(
+            "is_valid", F.size("violations") == F.lit(0)
+        ).withColumn(
+            "first_error",
+            F.when(F.size("violations") > 0, F.element_at(sorted_v, 1)),
+        )
+
+    def violations(
+        self,
+        df: DataFrame,
+        keys: list[str] | None = None,
+        partition_col: str | None = None,
+    ) -> DataFrame:
+        """Exploded violation rows: keys.. + rule_id, column, value
+        (+ partition_key) — the north rule's output shape."""
+        keys = keys or []
+        vdf = self.with_violations(df)
+        cols = [F.col(k) for k in keys]
+        if partition_col:
+            cols.append(F.col(partition_col).alias("partition_key"))
+        exploded = vdf.select(*cols, F.explode("violations").alias("v"))
+        return exploded.select(
+            *[F.col(k) for k in keys],
+            *([F.col("partition_key")] if partition_col else []),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.column").alias("column"),
+            F.col("v.value").alias("value"),
+            F.col("v.ord").alias("ord"),
+        )
+
+    def partition_report(self, df: DataFrame, partition_col: str) -> DataFrame:
+        """Per-partition pass/fail verdict + violation counts.
+
+        One hash aggregate (map-side partial agg then single shuffle on the
+        partition key) — scales with #partitions, not #rows.
+        """
+        vdf = self.with_violations(df)
+        return (
+            vdf.groupBy(F.col(partition_col).alias("partition_key"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(
+                    (F.size("violations") > 0).cast("long")
+                ).alias("violation_rows"),
+                F.sum(F.size("violations")).alias("violations"),
+            )
+            .withColumn("pass", F.col("violation_rows") == F.lit(0))
+        )
+
+    def rule_metrics(self, df: DataFrame) -> DataFrame:
+        """Per-rule violation counts (rule-level metrics for the metrics table)."""
+        vdf = self.with_violations(df)
+        return (
+            vdf.select(F.explode("violations").alias("v"))
+            .groupBy(
+                F.col("v.rule_id").alias("rule_id"),
+                F.col("v.column").alias("column"),
+            )
+            .agg(F.count(F.lit(1)).alias("violation_count"))
+        )

@@ -1,0 +1,1 @@
+from jsonl_schema_validator_spark.functions import validators  # noqa: F401

@@ -1,0 +1,161 @@
+"""Scalar type-validation rules as pure pyspark.sql Column expressions.
+
+Each reference ``consume_*`` predicate (SIMD byte scans over raw JSON,
+/root/reference/src/micro_util.rs) becomes a Catalyst expression over a value
+column. The regex PATTERNS below replicate the reference's *exact* lenient
+semantics, derived from its implementations and unit fixtures
+(micro_util.rs:598-1013); they deliberately keep every documented quirk:
+
+- DATE  (consume_date, micro_util.rs:288-298): byte-range compare between
+  "0000-00-00" and "9999/19/39" -> separators '-', '.', '/' may be MIXED,
+  month first digit 0-1, day first digit 0-3 (so "2023-10-39" is VALID and
+  "2023-19-09" is valid; "2023x10x27" is not).
+- TIME  (micro_util.rs:303-322): HH:MM[:SS[.FFFFFF]] with hour<=23 (extra
+  check :312), minute/second tens digit <=5 via the range compare, and the
+  fractional part may have ZERO digits after the '.' (ret>=9 then closing
+  quote: "12:45:08." passes) but at most six ("…/08.0123456" fails).
+- DATETIME (micro_util.rs:328-349): date + [ T] + time.
+- TIMESTAMP (micro_util.rs:356-399): datetime + optional single space +
+  optional tz. tz is Z/z, UTC in any per-char case, or sign+HH:MM with
+  offset hour <= 19; the sign byte-range check ('+' <= c <= '-') also lets a
+  COMMA through ("…12:45,12:34" valid) — kept for parity. A trailing space
+  with no tz is valid (fixture micro_util.rs:763); a space AFTER the tz is
+  not.
+- INT64 (micro_util.rs:211-235): digits only (no exponent / decimal point),
+  <= 19 digits, exact i64 bounds at 19 digits (fixtures :918-930). Bound is
+  delegated to Spark's try_cast to BIGINT which implements the identical
+  two's-complement range.
+- DECIMAL_29_9 (micro_util.rs:255-280): <=29 digits left of '.', 1..9 right,
+  no exponent.
+- FLOAT64 (micro_util.rs:178-196): any spec-compliant JSON number.
+- BYTES/base64 (micro_util.rs:127-167): charset [A-Za-z0-9+/], then 0..2 '='
+  and end. No length%4 requirement; empty string valid; "a===" invalid.
+- BOOL (micro_util.rs:55-58): literal true/false.
+- ANY (micro_util.rs:413-478): any well-formed JSON value.
+
+All patterns use only features common to Java regex (Spark rlike) and RE2
+(DuckDB regexp_matches) so the same string is the oracle's pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared regex fragments (anchored patterns; identical in Spark + DuckDB)
+# ---------------------------------------------------------------------------
+
+DATE_FRAGMENT = "[0-9]{4}[-./][01][0-9][-./][0-3][0-9]"
+TIME_FRAGMENT = "([01][0-9]|2[0-3]):[0-5][0-9](:[0-5][0-9]([.][0-9]{0,6})?)?"
+DATETIME_FRAGMENT = DATE_FRAGMENT + "[ T]" + TIME_FRAGMENT
+# sign class includes ',' for byte-range parity (micro_util.rs:395: '+'..'-')
+TZ_FRAGMENT = "( ?(Z|z|[Uu][Tt][Cc]|[+,-][01][0-9]:[0-5][0-9])?)?"
+
+DATE_PATTERN = f"^{DATE_FRAGMENT}$"
+TIME_PATTERN = f"^{TIME_FRAGMENT}$"
+DATETIME_PATTERN = f"^{DATETIME_FRAGMENT}$"
+TIMESTAMP_PATTERN = f"^{DATETIME_FRAGMENT}{TZ_FRAGMENT}$"
+
+BOOL_PATTERN = "^(true|false)$"
+INT64_PATTERN = "^-?[0-9]{1,19}$"
+DECIMAL_29_9_PATTERN = "^-?[0-9]{1,29}([.][0-9]{1,9})?$"
+# spec-compliant JSON number (no leading zeros, optional frac/exponent)
+FLOAT64_PATTERN = "^-?(0|[1-9][0-9]*)([.][0-9]+)?([eE][+-]?[0-9]+)?$"
+BASE64_PATTERN = "^[A-Za-z0-9+/]*={0,2}$"
+
+ALL_PATTERNS = {
+    "DATE": DATE_PATTERN,
+    "TIME": TIME_PATTERN,
+    "DATETIME": DATETIME_PATTERN,
+    "TIMESTAMP": TIMESTAMP_PATTERN,
+    "BOOL": BOOL_PATTERN,
+    "INT64": INT64_PATTERN,
+    "DECIMAL_29_9": DECIMAL_29_9_PATTERN,
+    "FLOAT64": FLOAT64_PATTERN,
+    "BYTES": BASE64_PATTERN,
+}
+
+
+# ---------------------------------------------------------------------------
+# Column-expression validators over *textual* values (string columns).
+# Each returns a boolean Column: True = value is a valid textual form of the
+# type. Null handling is the caller's concern (rules treat null via modes).
+# ---------------------------------------------------------------------------
+
+
+def is_valid_string_text(col: Column) -> Column:
+    # a string column is structurally a valid STRING
+    return F.lit(True)
+
+
+def is_valid_bool_text(col: Column) -> Column:
+    return col.rlike(BOOL_PATTERN)
+
+
+def is_valid_int64_text(col: Column) -> Column:
+    # regex forbids exponent/decimal and >19 digits; try_cast enforces the
+    # exact i64 bound at 19 digits (micro_util.rs:224-231 bound trick).
+    return col.rlike(INT64_PATTERN) & col.try_cast("bigint").isNotNull()
+
+
+def is_valid_float64_text(col: Column) -> Column:
+    return col.rlike(FLOAT64_PATTERN)
+
+
+def is_valid_decimal_29_9_text(col: Column) -> Column:
+    return col.rlike(DECIMAL_29_9_PATTERN)
+
+
+def is_valid_date_text(col: Column) -> Column:
+    return col.rlike(DATE_PATTERN)
+
+
+def is_valid_time_text(col: Column) -> Column:
+    return col.rlike(TIME_PATTERN)
+
+
+def is_valid_datetime_text(col: Column) -> Column:
+    return col.rlike(DATETIME_PATTERN)
+
+
+def is_valid_timestamp_text(col: Column) -> Column:
+    return col.rlike(TIMESTAMP_PATTERN)
+
+
+def is_valid_base64_text(col: Column) -> Column:
+    return col.rlike(BASE64_PATTERN)
+
+
+def is_valid_json_text(col: Column) -> Column:
+    """ANY rule: value parses as JSON (consume_json, micro_util.rs:413-478).
+
+    Spark has no try_parse_json that accepts scalars pre-4.0 VARIANT; we use
+    try_variant_get-free approach: try_parse_json returns NULL on malformed
+    input (Spark 4.x). Fall back to get_json_object for objects/arrays plus
+    scalar literal forms.
+    """
+    try:  # Spark 4.x: VARIANT-based strict JSON parse, vectorized JVM-side
+        return F.try_parse_json(col).isNotNull()
+    except Exception:  # pragma: no cover - older Spark
+        scalar = (
+            col.rlike(FLOAT64_PATTERN)
+            | col.isin("true", "false", "null")
+            | (col.startswith('"') & col.endswith('"'))
+        )
+        return scalar | F.get_json_object(col, "$").isNotNull()
+
+
+TEXT_VALIDATORS = {
+    "STRING": is_valid_string_text,
+    "BOOL": is_valid_bool_text,
+    "INT64": is_valid_int64_text,
+    "FLOAT64": is_valid_float64_text,
+    "DECIMAL_29_9": is_valid_decimal_29_9_text,
+    "DATE": is_valid_date_text,
+    "TIME": is_valid_time_text,
+    "DATETIME": is_valid_datetime_text,
+    "TIMESTAMP": is_valid_timestamp_text,
+    "BYTES": is_valid_base64_text,
+    "ANY": is_valid_json_text,
+}

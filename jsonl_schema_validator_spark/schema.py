@@ -1,0 +1,255 @@
+"""Declarative schema model: BigQuery-style field list + constraint extensions.
+
+Mirrors the reference's schema data model (semantics, not code):
+- field node {name, type, mode?, fields?}   (reference src/main.rs:47-53)
+- modes NULLABLE (default) / REQUIRED / REPEATED (src/validate.rs:36-42)
+- types incl. aliases BOOLEAN->BOOL, INT->INT64, FLOAT->FLOAT64,
+  DECIMAL|NUMERIC->DECIMAL_29_9, BASE64->BYTES, JSON->ANY (src/main.rs:81-97)
+- a depth-first globally-unique ``idx`` per field (src/main.rs:56-58), used
+  for stable rule ordering (the reference uses it for its duplicate/required
+  bitset).
+
+Extensions beyond the reference (north-rule requirements): per-field
+``constraints`` (regex / enum / length / value-range) and table-level rules
+(unique keys, foreign keys, drift baselines) parsed from an optional
+``rules`` block.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Any
+
+
+class Mode(str, Enum):
+    NULLABLE = "NULLABLE"
+    REQUIRED = "REQUIRED"
+    REPEATED = "REPEATED"
+
+
+class FieldType(str, Enum):
+    STRUCT = "STRUCT"
+    DATE = "DATE"
+    DATETIME = "DATETIME"
+    TIME = "TIME"
+    TIMESTAMP = "TIMESTAMP"
+    BOOL = "BOOL"
+    INT64 = "INT64"
+    FLOAT64 = "FLOAT64"
+    DECIMAL_29_9 = "DECIMAL_29_9"
+    STRING = "STRING"
+    BYTES = "BYTES"
+    ANY = "ANY"
+
+
+# Aliases accepted at schema load (reference src/main.rs:81-97).
+_TYPE_ALIASES = {
+    "BOOLEAN": FieldType.BOOL,
+    "INT": FieldType.INT64,
+    "INTEGER": FieldType.INT64,
+    "FLOAT": FieldType.FLOAT64,
+    "DECIMAL": FieldType.DECIMAL_29_9,
+    "NUMERIC": FieldType.DECIMAL_29_9,
+    "BASE64": FieldType.BYTES,
+    "JSON": FieldType.ANY,
+    "RECORD": FieldType.STRUCT,
+}
+
+
+@dataclass
+class Constraints:
+    """Per-field constraint extensions (north rule: regex/enum/length/range)."""
+
+    regex: str | None = None
+    enum: list[str] | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    min_value: float | int | str | None = None
+    max_value: float | int | str | None = None
+
+    @classmethod
+    def from_json(cls, obj: dict[str, Any]) -> "Constraints":
+        known = {
+            "regex",
+            "enum",
+            "min_length",
+            "max_length",
+            "min_value",
+            "max_value",
+        }
+        unknown = set(obj) - known
+        if unknown:
+            raise ValueError(f"unknown constraint keys: {sorted(unknown)}")
+        return cls(**{k: obj[k] for k in obj})
+
+    def is_empty(self) -> bool:
+        return all(
+            getattr(self, f) is None
+            for f in (
+                "regex",
+                "enum",
+                "min_length",
+                "max_length",
+                "min_value",
+                "max_value",
+            )
+        )
+
+
+@dataclass
+class Field:
+    """One schema node. ``idx`` is a depth-first unique index (stable rule order)."""
+
+    name: str
+    type: FieldType
+    mode: Mode = Mode.NULLABLE
+    fields: list["Field"] | None = None  # for STRUCT
+    constraints: Constraints = dc_field(default_factory=Constraints)
+    idx: int = -1
+
+    def walk(self):
+        """Depth-first traversal over this field and all nested subfields."""
+        yield self
+        if self.fields:
+            for f in self.fields:
+                yield from f.walk()
+
+
+@dataclass
+class UniqueRule:
+    columns: list[str]
+
+
+@dataclass
+class ForeignKeyRule:
+    columns: list[str]
+    ref_table: str  # logical name, resolved to a DataFrame at run time
+    ref_columns: list[str]
+
+
+@dataclass
+class DriftRule:
+    """Distribution-drift rule vs a stored baseline profile.
+
+    kind='chi2'  : categorical frequencies of `column` vs baseline {value: prob}
+    kind='ks'    : continuous distribution of `expr` vs baseline sample/quantiles
+    """
+
+    kind: str  # 'chi2' | 'ks'
+    column: str
+    baseline: dict[str, float] | list[float] | None = None
+    threshold: float | None = None
+
+
+@dataclass
+class TableRules:
+    unique: list[UniqueRule] = dc_field(default_factory=list)
+    foreign_keys: list[ForeignKeyRule] = dc_field(default_factory=list)
+    drift: list[DriftRule] = dc_field(default_factory=list)
+
+
+@dataclass
+class Schema:
+    fields: list[Field]
+    table_rules: TableRules = dc_field(default_factory=TableRules)
+    max_idx: int = 0
+
+    def field_map(self) -> dict[str, Field]:
+        return {f.name: f for f in self.fields}
+
+    def walk(self):
+        for f in self.fields:
+            yield from f.walk()
+
+
+def _parse_type(raw: str) -> FieldType:
+    up = raw.strip().upper()
+    if up in FieldType.__members__:
+        return FieldType[up]
+    if up in _TYPE_ALIASES:
+        return _TYPE_ALIASES[up]
+    # unknown type is a hard error, matching the reference's panic (src/main.rs:98)
+    raise ValueError(f"unrecognized field type: {raw!r}")
+
+
+def _parse_mode(raw: str | None) -> Mode:
+    if raw is None or raw == "":
+        return Mode.NULLABLE
+    up = raw.strip().upper()
+    if up in Mode.__members__:
+        return Mode[up]
+    raise ValueError(f"unrecognized field mode: {raw!r}")  # reference src/main.rs:64
+
+
+def _field_from_json(obj: dict[str, Any], counter: list[int]) -> Field:
+    """Build one Field, assigning depth-first idx (reference src/main.rs:56-58)."""
+    name = obj.get("name")
+    if not isinstance(name, str) or not name:
+        raise ValueError(f"field missing 'name': {obj!r}")
+    ftype = _parse_type(obj.get("type", ""))
+    mode = _parse_mode(obj.get("mode"))
+    idx = counter[0]
+    counter[0] += 1
+    subfields = None
+    if ftype is FieldType.STRUCT:
+        raw_fields = obj.get("fields")
+        if not raw_fields:
+            raise ValueError(f"STRUCT field {name!r} must have 'fields'")
+        subfields = [_field_from_json(f, counter) for f in raw_fields]
+    elif obj.get("fields"):
+        raise ValueError(f"non-STRUCT field {name!r} must not have 'fields'")
+    constraints = Constraints.from_json(obj.get("constraints", {}))
+    return Field(
+        name=name,
+        type=ftype,
+        mode=mode,
+        fields=subfields,
+        constraints=constraints,
+        idx=idx,
+    )
+
+
+def schema_from_json(obj: list[dict] | dict) -> Schema:
+    """Parse a schema document.
+
+    Accepts either the reference's bare field list (README.md:22-31) or an
+    extended document ``{"fields": [...], "rules": {"unique": [...],
+    "foreign_keys": [...], "drift": [...]}}``.
+    """
+    if isinstance(obj, dict):
+        raw_fields = obj.get("fields", [])
+        raw_rules = obj.get("rules", {}) or {}
+    else:
+        raw_fields, raw_rules = obj, {}
+    counter = [0]
+    fields = [_field_from_json(f, counter) for f in raw_fields]
+
+    rules = TableRules()
+    for u in raw_rules.get("unique", []):
+        cols = u["columns"] if isinstance(u, dict) else list(u)
+        rules.unique.append(UniqueRule(columns=cols))
+    for fk in raw_rules.get("foreign_keys", []):
+        rules.foreign_keys.append(
+            ForeignKeyRule(
+                columns=fk["columns"],
+                ref_table=fk["ref_table"],
+                ref_columns=fk.get("ref_columns", fk["columns"]),
+            )
+        )
+    for d in raw_rules.get("drift", []):
+        rules.drift.append(
+            DriftRule(
+                kind=d["kind"],
+                column=d["column"],
+                baseline=d.get("baseline"),
+                threshold=d.get("threshold"),
+            )
+        )
+    return Schema(fields=fields, table_rules=rules, max_idx=counter[0])
+
+
+def load_schema(path: str) -> Schema:
+    with open(path) as fh:
+        return schema_from_json(json.load(fh))

@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM modest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from jsonl_schema_validator_spark.session import get_spark
+
+    s = get_spark(app_name="jsv-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()

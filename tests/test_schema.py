@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+
+from jsonl_schema_validator_spark.schema import (
+    FieldType,
+    Mode,
+    schema_from_json,
+)
+
+
+def test_reference_style_field_list():
+    # bare list form, as in the reference's README.md:22-31
+    s = schema_from_json(
+        [
+            {"name": "a", "type": "STRING"},
+            {"name": "b", "type": "INT", "mode": "REQUIRED"},
+            {
+                "name": "c",
+                "type": "RECORD",
+                "fields": [
+                    {"name": "x", "type": "BOOLEAN"},
+                    {"name": "y", "type": "NUMERIC", "mode": "REPEATED"},
+                ],
+            },
+        ]
+    )
+    assert [f.name for f in s.fields] == ["a", "b", "c"]
+    assert s.fields[1].type is FieldType.INT64  # alias INT->INT64
+    assert s.fields[1].mode is Mode.REQUIRED
+    assert s.fields[2].type is FieldType.STRUCT
+    assert s.fields[2].fields[0].type is FieldType.BOOL
+    assert s.fields[2].fields[1].type is FieldType.DECIMAL_29_9
+    # depth-first idx assignment (reference src/main.rs:56-58)
+    assert [f.idx for f in s.walk()] == [0, 1, 2, 3, 4]
+    assert s.max_idx == 5
+
+
+def test_aliases_and_errors():
+    assert schema_from_json([{"name": "x", "type": "BASE64"}]).fields[0].type is FieldType.BYTES
+    assert schema_from_json([{"name": "x", "type": "JSON"}]).fields[0].type is FieldType.ANY
+    assert schema_from_json([{"name": "x", "type": "float"}]).fields[0].type is FieldType.FLOAT64
+    with pytest.raises(ValueError, match="unrecognized field type"):
+        schema_from_json([{"name": "x", "type": "GEOGRAPHY"}])  # validate.rs:28-32
+    with pytest.raises(ValueError, match="unrecognized field mode"):
+        schema_from_json([{"name": "x", "type": "STRING", "mode": "SOMETIMES"}])
+    with pytest.raises(ValueError, match="must have 'fields'"):
+        schema_from_json([{"name": "x", "type": "STRUCT"}])
+
+
+def test_extended_document_with_rules():
+    s = schema_from_json(
+        {
+            "fields": [
+                {"name": "repo", "type": "STRING", "mode": "REQUIRED"},
+                {
+                    "name": "lang",
+                    "type": "STRING",
+                    "constraints": {"enum": ["python", "rust"]},
+                },
+            ],
+            "rules": {
+                "unique": [{"columns": ["repo"]}],
+                "foreign_keys": [
+                    {"columns": ["repo"], "ref_table": "repos", "ref_columns": ["repo"]}
+                ],
+                "drift": [{"kind": "chi2", "column": "lang", "baseline": {"python": 0.5, "rust": 0.5}}],
+            },
+        }
+    )
+    assert s.fields[1].constraints.enum == ["python", "rust"]
+    assert s.table_rules.unique[0].columns == ["repo"]
+    assert s.table_rules.foreign_keys[0].ref_table == "repos"
+    assert s.table_rules.drift[0].kind == "chi2"

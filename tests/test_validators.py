@@ -1,0 +1,230 @@
+"""Type-rule parity fixtures, ported from the reference's consume_* unit tests
+(/root/reference/src/micro_util.rs:598-1013). Each reference assertion of the
+form `consume_X(b"\"...\"") > 0` becomes: the unquoted value is VALID for type
+X; `== 0` (on a string-shaped value) becomes INVALID.
+
+Evaluated in one batch per type: a single-column DataFrame + one select with
+the validator expression — exercising exactly the expression the compiler
+emits.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.functions import validators as V
+
+CASES = {
+    "TIME": {
+        "valid": [
+            "12:45",
+            "12:45:08",
+            "23:45:08",
+            "12:45:08.0123",
+            "12:45:08.012345",
+            # quirk kept for parity: zero fractional digits pass the
+            # reference's range-compare (ret>=9 then closing quote)
+            "12:45:08.",
+        ],
+        "invalid": [
+            "hello",
+            "33:45:08",  # micro_util.rs:709
+            "24:45:08",  # :710
+            "12:45:08.0123456",  # 7 frac digits, :714
+            "12:45:08x0123",  # :715
+            "12:45:0",
+            "1",
+            "-1",
+        ],
+    },
+    "DATETIME": {
+        "valid": [
+            "2023-10-27T12:45",  # :731
+            "2023-10-27T12:45:08",  # :735
+            "2023-10-27 12:45:08",  # :736
+            "2023-10-27T23:45:08",  # :737
+            "2023-10-27T12:45:08.0123",  # :741
+            "2023-10-27T12:45:08.012345",  # :742
+        ],
+        "invalid": [
+            "hello",
+            "2023-10-27",  # :730
+            "2023-10-27T12:45 ",  # :732 — datetime (unlike timestamp) rejects
+            "2023-10-27T12:0",  # :733
+            "2023-10-27T12:45:0",  # :734
+            "2023-10-27T33:45:08",  # :738
+            "2023-10-27T24:45:08",  # :739
+            "2023-10-27T12:45:08.0123456",  # :743
+            "2023-10-27T12:45:08x0123456",  # :744
+        ],
+    },
+    "TIMESTAMP": {
+        "valid": [
+            "2023-10-27T12:45",  # :762
+            "2023-10-27T12:45 ",  # :763 — space without tz is VALID
+            "2023-10-27T12:45:08",  # :766
+            "2023-10-27 12:45:08",  # :767
+            "2023-10-27T23:45:08",  # :768
+            "2023-10-27T12:45:08.0123",  # :772
+            "2023-10-27T12:45:08.012345",  # :773
+            "2023-10-27T12:45Z",  # :778
+            "2023-10-27T12:45 Z",  # :780
+            "2023-10-27T12:45 z",  # :781
+            "2023-10-27T12:45UTC",  # :782
+            "2023-10-27T12:45 UTC",  # :783
+            "2023-10-27T12:45 utc",  # :784
+            "2023-10-27T12:45+12:34",  # :790
+            "2023-10-27T12:45-12:34",  # :791
+            "2023-10-27T12:45 +12:34",  # :792
+        ],
+        "invalid": [
+            "hello",
+            "2023-10-27",  # :761
+            "2023-10-27T12:0",  # :764
+            "2023-10-27T12:45:0",  # :765
+            "2023-10-27T33:45:08",  # :769
+            "2023-10-27T24:45:08",  # :770
+            "2023-10-27T12:45:08.0123456",  # :774
+            "2023-10-27T12:45:08x0123456",  # :775
+            "2023-10-27T12:45Z ",  # :779 — space AFTER tz invalid
+            "2023-10-27T12:45 u_c",  # :785
+            "2023-10-27T12:45 utc ",  # :786
+            "2023-10-27T12:45 z ",  # :787
+            "2023-10-27T12:45+12:34 ",  # :793
+            "2023-10-27T12:45+12:3",  # :794
+            "2023-10-27T12:45+12:3_",  # :795
+        ],
+    },
+    "DATE": {
+        "valid": [
+            "2023-10-27",  # :815
+            "2023/10/27",  # :816
+            "2023.10.27",  # :817 — '.' separator
+            "2023-10/27",  # :818 — MIXED separators valid
+            "2023-09-01",  # :821
+            "2023-10-39",  # :822 — lenient day
+        ],
+        "invalid": [
+            "2023x10x27",  # :825
+            "2023-10-42",  # :827
+            "2023-10-2x",  # :828
+            "2023",  # :831
+            "hello",
+            "1",
+            "-1",
+        ],
+    },
+    "BOOL": {
+        "valid": ["true", "false"],
+        "invalid": ["something", "1", "-1", "True", "FALSE", ""],
+    },
+    "INT64": {
+        "valid": [
+            "1",
+            "0",
+            "123456789012345678",  # :915
+            "-123456789012345678",  # :916
+            "9223372036854775807",  # :918 exact i64 max
+            "-9223372036854775808",  # :919 exact i64 min
+        ],
+        "invalid": [
+            "9223372036854775808",  # :922 max+1
+            "-9223372036854775809",  # :923 min-1
+            "9223372036854775817",  # :925 max+10
+            "-9223372036854775818",  # :926
+            "9993372036854775817",  # :929
+            "-9993372036854775818",  # :930
+            "12345678901234567890",  # :932 20 digits
+            "-12345678901234567890",  # :933
+            "12345.678901",  # :936
+            "-12345.678901",  # :937
+            "123e+6",  # :938
+            "-123E-6",  # :939
+            "true",
+            "null",
+            "something",
+        ],
+    },
+    "DECIMAL_29_9": {
+        "valid": [
+            "1",  # :870
+            "123456789",  # :871
+            "12345678901234567890123456789.0",  # :872
+            "123.567",  # :875
+            "-234.678",  # :880
+            "-234",  # :881
+            "12345678901234567890123456789",  # :887 max left
+            "-12345678901234567890123456789",  # :888
+            "-12345678901234567890123456789.012345678",  # :889 max both
+        ],
+        "invalid": [
+            "-234e67",  # :883
+            "-234E67",  # :884
+            "-234E-78",  # :885
+            "123456789012345678901234567890",  # :891 30 left
+            "-123456789012345678901234567890",  # :892
+            "-123456789012345678901234567890.123456789",  # :893
+            "-12345678901234567890123456789.1234567890",  # :895 10 right
+            "true",
+            "something",
+        ],
+    },
+    "FLOAT64": {
+        "valid": [
+            "1",
+            "12",
+            "123456789012345",
+            "1234567890123456",
+            "12345678901.345678",
+            "-2345678901.3456789",
+            "-2345678901.34567e+012",
+            "-2345678901.34567e-012",
+            "-2345678901.34567E+012",
+            "-2345678901.34567E-012",
+        ],
+        "invalid": ["null", "true", "false", "something", "", "1.2.3"],
+    },
+    "BYTES": {
+        "valid": [
+            "123456789",  # :1007
+            "123456789=",  # :1008
+            "123456789==",  # :1010
+            "",  # empty base64 (ret=1 then quote in the reference)
+        ],
+        "invalid": [
+            "123456789 =",  # :1009
+            "123456789===",  # :1011
+            "123456789?",  # :1012
+        ],
+    },
+    "ANY": {
+        "valid": [
+            "1",
+            "-1.5e3",
+            "true",
+            "false",
+            '"a string"',
+            "[1, 2, 3]",
+            '{"a": 1, "b": [true, {"c": "d"}]}',
+            "[]",
+            "{}",
+        ],
+        "invalid": ["", "{", "[1, 2", "hello", "{'a': 1}"],
+    },
+}
+
+
+@pytest.mark.parametrize("type_name", sorted(CASES))
+def test_type_validator_parity(spark, type_name):
+    cases = CASES[type_name]
+    rows = [(v, True) for v in cases["valid"]] + [
+        (v, False) for v in cases["invalid"]
+    ]
+    df = spark.createDataFrame(rows, "value string, expected boolean")
+    validator = V.TEXT_VALIDATORS[type_name]
+    got = df.select(
+        "value", "expected", validator(F.col("value")).alias("got")
+    ).collect()
+    bad = [(r.value, r.expected, r.got) for r in got if bool(r.got) != r.expected]
+    assert not bad, f"{type_name} mismatches (value, expected, got): {bad}"
