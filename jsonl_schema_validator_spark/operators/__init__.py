@@ -1,0 +1,55 @@
+from jsonl_schema_validator_spark.operators.uniqueness import (
+    duplicate_key_groups,
+    uniqueness_violations,
+)
+from jsonl_schema_validator_spark.operators.referential import ri_violations
+from jsonl_schema_validator_spark.operators.stats import column_stats
+from jsonl_schema_validator_spark.operators.drift import (
+    chi2_drift,
+    ks_drift_exact,
+    ks_drift_binned,
+)
+from jsonl_schema_validator_spark.operators.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles,
+)
+from jsonl_schema_validator_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    lsh_topk,
+)
+from jsonl_schema_validator_spark.operators.textops import (
+    text_metrics,
+    language_guess,
+    token_count,
+    fingerprint,
+)
+
+__all__ = [
+    "duplicate_key_groups",
+    "uniqueness_violations",
+    "ri_violations",
+    "column_stats",
+    "chi2_drift",
+    "ks_drift_exact",
+    "ks_drift_binned",
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_near_pairs",
+    "word_shingles",
+    "brute_force_topk",
+    "embedding_cosine_pairs",
+    "lsh_topk",
+    "text_metrics",
+    "language_guess",
+    "token_count",
+    "fingerprint",
+]

@@ -1,0 +1,328 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond reference parity (the reference has no table-level ops, SURVEY.md
+§2.7): exact dedup, word-shingle Jaccard, MinHash+LSH, SimHash. All built on
+portable primitives (md5, string ops) so every operator has a DuckDB oracle.
+
+Scale notes (100 TB):
+- exact_duplicates: hash-groupBy on md5(content) — one narrow shuffle of
+  (hash, id); never shuffles content itself.
+- ngram_jaccard_pairs: the shingle self-join explodes quadratically within a
+  shingle bucket; hot shingles are capped (max_shingle_freq) exactly like
+  stop-shingle filtering in production dedup pipelines — the cap is logged.
+- minhash_lsh_pairs: the scale path. Signature build is one groupBy(id) with
+  S min-aggregations (map-side combinable); candidate generation shuffles
+  (band, signature) keys only. Verification joins only candidate pairs.
+- simhash64: one pass of narrow transforms + one groupBy(id, bit); at scale
+  the token explode dominates — partition by input split, no skew (ids are
+  unique).
+
+The md5-lexicographic-min MinHash is deliberately engine-portable: identical
+results in Spark and DuckDB (no JVM/duckdb-specific hash), which is what the
+driver's oracle check requires. A salted xxhash64 variant would be ~2x faster
+JVM-side but unverifiable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (space-joined)."""
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-content duplicate groups: (content_hash, dup_count, keep_id).
+
+    keep_id = min id in the group (the canonical survivor).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("id").alias("keep_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and round(jaccard,6) >=
+    threshold. Set semantics (distinct shingles).
+
+    max_shingle_freq drops shingles appearing in more than that many docs
+    before the self-join (quadratic-blowup guard at scale; None = keep all,
+    exact result).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: (id, h0..h{S-1}).
+
+    h_s(doc) = lexicographic min over shingles of md5('<s>:' || shingle).
+    Engine-portable (md5 only); one shuffle: groupBy(id) with S min-aggs,
+    all map-side combinable.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(
+            f"h{s}"
+        )
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    LSH recall: P(candidate) = 1 - (1 - j^R)^B with R = num_hashes/bands.
+    Returns (id_a, id_b, jaccard) for verified candidates (round 6) >=
+    threshold, id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    # verify candidates with exact Jaccard (joins only candidate pairs)
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc as a 64-char bit-string: (id, simhash).
+
+    bit b of md5(token)'s first 16 hex digits, weighted by token multiplicity;
+    simhash bit = 1 iff sum of (2*bit-1) > 0. Pure expressions (portable to
+    the SQL oracle); hex-digit extraction via instr on a lookup string.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    hashed = toks.select("id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    # one row per (id, token, hex-digit-position 0..15)
+    digits = hashed.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.substring("h", i + 1, 1) for i in range(16)])
+        ).alias("dpos", "ch"),
+    ).select(
+        "id",
+        "dpos",
+        (F.instr(F.lit("0123456789abcdef"), F.col("ch")) - 1).alias("v"),
+    )
+    bits = digits.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("bit_in_digit"),
+        "dpos",
+        "v",
+    ).select(
+        "id",
+        (F.col("dpos") * 4 + F.col("bit_in_digit")).alias("bitpos"),
+        (
+            F.expr("shiftright(v, 3 - bit_in_digit)") % 2 * 2 - 1
+        ).alias("contrib"),
+    )
+    summed = bits.groupBy("id", "bitpos").agg(F.sum("contrib").alias("s"))
+    return summed.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bitpos"),
+                            F.when(F.col("s") > 0, F.lit("1"))
+                            .otherwise(F.lit("0"))
+                            .alias("b"),
+                        )
+                    )
+                ),
+                lambda x: x["b"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocked by 4 x 16-bit chunks: two signatures within Hamming<=3 of 64 bits
+    must share at least one exact 16-bit chunk (pigeonhole) — the classic
+    simhash blocking join; avoids the all-pairs product.
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring("simhash", c * 16 + 1, 16).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # hamming = number of differing bit chars
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", "(?!^)"),
+                F.split("sig_b", "(?!^)"),
+                lambda x, y: x != y,
+            ),
+            lambda z: z,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,191 @@
+"""Distribution-drift rules: chi-square (categorical) and KS (continuous).
+
+North-rule requirements: chi-square drift on `lang` frequencies, KS drift on
+the `content`-length distribution — each against a stored baseline or a
+second sample. No SciPy: the statistics are plain aggregations; p-value
+thresholds are expressed as critical-value thresholds on the statistic
+(caller-supplied), so everything stays JVM-side.
+
+Scale notes:
+- chi2: one groupBy(column).count() shuffle over #categories keys — tiny.
+- ks_drift_exact: needs a global cumulative distribution — an orderBy window
+  without partitioning, which Spark executes on a single task. CORRECT at
+  test scale; at 100 TB use ks_drift_binned (quantile-grid approximation,
+  fully parallel: one approx_percentile pass + one conditional aggregation).
+  The exact/binned pair is this engine's CPU-vs-memory "adaptive strategy"
+  choice, selected by data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi2_drift(
+    df: DataFrame,
+    column: str,
+    baseline: dict[str, float],
+    threshold: float | None = None,
+) -> DataFrame:
+    """Pearson chi-square of observed `column` frequencies vs baseline probs.
+
+    Returns one row: (statistic, dof, n, unexpected_count[, drifted]).
+    Categories absent from the baseline cannot contribute a finite term
+    (expected=0); they are reported in unexpected_count instead. Baseline
+    categories with zero observations contribute n*p (obs=0 term).
+    """
+    if not baseline:
+        raise ValueError("baseline must be a non-empty {category: prob} map")
+    spark = df.sparkSession
+    observed = df.groupBy(F.col(column).alias("category")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    base_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in baseline.items()], "category string, prob double"
+    )
+    # (no broadcast hint: Spark cannot broadcast the build side of a
+    # full-outer join; the observed side is already tiny — #categories rows)
+    joined = observed.join(base_df, "category", "full_outer").select(
+        F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+        F.col("prob"),
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("prob").isNotNull(), F.col("obs")).otherwise(0)).alias(
+            "n"
+        ),
+        F.sum(F.when(F.col("prob").isNull(), F.col("obs")).otherwise(0)).alias(
+            "unexpected_count"
+        ),
+    )
+    n_row = agg.collect()[0]  # tiny (2 scalars); needed to scale expectations
+    n = n_row["n"] or 0
+    stat_df = joined.where(F.col("prob").isNotNull()).agg(
+        F.round(
+            F.sum(
+                (F.col("obs") - F.lit(n) * F.col("prob")) ** 2
+                / (F.lit(n) * F.col("prob"))
+            ),
+            6,
+        ).alias("statistic"),
+        F.count(F.lit(1)).alias("categories"),
+    )
+    out = stat_df.select(
+        F.col("statistic"),
+        (F.col("categories") - 1).cast("int").alias("dof"),
+        F.lit(int(n)).alias("n"),
+        F.lit(int(n_row["unexpected_count"])).alias("unexpected_count"),
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("statistic") > F.lit(threshold))
+    return out
+
+
+def _cdf_pair(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Empirical CDFs of two samples evaluated on the union of their values.
+
+    Single-pass formulation: tag each sample, count per (value, sample),
+    cumulative-sum over the global value order, forward-fill is implicit
+    because cumsum over counts includes all values <= v from both samples.
+    """
+    tagged = a.select(
+        F.col(value_col).cast("double").alias("v"), F.lit(1).alias("is_a")
+    ).unionAll(
+        b.select(F.col(value_col).cast("double").alias("v"), F.lit(0).alias("is_a"))
+    ).where(F.col("v").isNotNull())
+    per_value = tagged.groupBy("v").agg(
+        F.sum(F.col("is_a")).alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    return per_value.select(
+        F.col("v"),
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+
+
+def ks_drift_exact(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D statistic.
+
+    D = max over values v of |F_a(v) - F_b(v)|. One row out:
+    (ks_d, n_a, n_b[, drifted]). Global-window cumsum — exact, single-task
+    ordering stage; use ks_drift_binned at scale.
+    """
+    cdf = _cdf_pair(a, b, value_col)
+    agg = cdf.agg(
+        F.max("cum_a").alias("n_a"),
+        F.max("cum_b").alias("n_b"),
+    )
+    row = agg.collect()[0]
+    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    if n_a == 0 or n_b == 0:
+        raise ValueError("both samples must be non-empty for KS")
+    out = cdf.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.lit(float(n_a))
+                    - F.col("cum_b") / F.lit(float(n_b))
+                )
+            ),
+            9,
+        ).alias("ks_d")
+    ).select(
+        F.col("ks_d"),
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("ks_d") > F.lit(threshold))
+    return out
+
+
+def ks_drift_binned(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bins: int = 256,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Scale-path KS approximation on a quantile grid.
+
+    Grid = approx_percentile of the union at `bins` evenly spaced quantiles
+    (one parallel pass, no global sort). D̂ = max over grid edges of
+    |F_a(edge) - F_b(edge)|, computed with ONE conditional aggregation per
+    sample — everything stays map-side until two tiny reduces.
+    Error bound: |D̂ - D| <= 1/bins by construction of the quantile grid.
+    """
+    union = a.select(F.col(value_col).cast("double").alias("v")).unionAll(
+        b.select(F.col(value_col).cast("double").alias("v"))
+    ).where(F.col("v").isNotNull())
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = union.agg(
+        F.percentile_approx("v", qs, 10000).alias("edges")
+    ).collect()[0]
+    edges = sorted(set(edges_row["edges"]))
+
+    def cdf_at_edges(df: DataFrame) -> list[float]:
+        col = F.col(value_col).cast("double")
+        aggs = [
+            F.avg((col <= F.lit(e)).cast("double")).alias(f"e{i}")
+            for i, e in enumerate(edges)
+        ]
+        r = df.where(col.isNotNull()).agg(*aggs).collect()[0]
+        return [r[f"e{i}"] for i in range(len(edges))]
+
+    fa = cdf_at_edges(a)
+    fb = cdf_at_edges(b)
+    d = max(abs(x - y) for x, y in zip(fa, fb)) if edges else 0.0
+    spark = a.sparkSession
+    out = spark.createDataFrame(
+        [(round(d, 9), len(edges))], "ks_d double, grid_points int"
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("ks_d") > F.lit(threshold))
+    return out

@@ -1,0 +1,76 @@
+"""Referential-integrity rule: child keys must exist in a parent dimension.
+
+North-rule requirement: referential integrity of repo/commit keys. Implemented
+as a LEFT ANTI join — the canonical Spark primitive (SURVEY.md §2.7 mapping).
+
+Strategy selection mirrors the reference's AdaptivePrefixMap idea (pick the
+physical lookup structure by key-set shape, adaptive_prefix_map.rs:404-426),
+but at Spark granularity:
+- 'broadcast': force broadcast of the parent key set (dimension known-small —
+  the analog of the SIMD perfect-scan map for small key sets);
+- 'shuffle'  : plain shuffled anti join (both sides big);
+- 'auto'     : leave it to Catalyst + AQE, which converts sort-merge to
+  broadcast at runtime when the built side is small, and splits skewed
+  partitions (spark.sql.adaptive.skewJoin) — the runtime version of the
+  reference's try-create cascade.
+
+Skew note: hot repos make the child side skewed on `repo`. AQE skew-join
+handles the anti join; for deliberate pre-partitioning use
+plans.skew.salted_repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ri_violations(
+    child: DataFrame,
+    keys: list[str],
+    parent: DataFrame,
+    parent_keys: list[str] | None = None,
+    strategy: str = "auto",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Rows of `child` whose key tuple has no match in `parent`.
+
+    Returns distinct offending key tuples with occurrence counts:
+    (rule_id, column, value[, partition_key], orphan_count).
+    Null child keys are NOT RI violations (SQL FK semantics; nullability is
+    the row-level REQUIRED rule's job).
+    """
+    parent_keys = parent_keys or keys
+    if len(parent_keys) != len(keys):
+        raise ValueError("keys and parent_keys must have the same arity")
+
+    # project to key columns before the join: keeps the shuffle narrow
+    cols = list(keys) + ([partition_col] if partition_col else [])
+    child_k = child.select(*cols)
+    for k in keys:
+        child_k = child_k.where(F.col(k).isNotNull())
+    parent_k = parent.select(
+        *[F.col(pk).alias(f"__p_{i}") for i, pk in enumerate(parent_keys)]
+    ).dropDuplicates()
+    if strategy == "broadcast":
+        parent_k = F.broadcast(parent_k)
+    elif strategy not in ("auto", "shuffle"):
+        raise ValueError(f"unknown RI strategy: {strategy}")
+    if strategy == "shuffle":
+        # explicit hint to suppress broadcast (both sides known-large)
+        parent_k = parent_k.hint("shuffle_hash")
+
+    cond = None
+    for i, k in enumerate(keys):
+        c = child_k[k] == parent_k[f"__p_{i}"]
+        cond = c if cond is None else (cond & c)
+    orphans = child_k.join(parent_k, on=cond, how="left_anti")
+
+    grouped = orphans.groupBy(*cols).agg(F.count(F.lit(1)).alias("orphan_count"))
+    return grouped.select(
+        F.lit("RI_VIOLATION").alias("rule_id"),
+        F.lit(",".join(keys)).alias("column"),
+        F.to_json(F.struct(*[F.col(k) for k in keys])).alias("value"),
+        *([F.col(partition_col).alias("partition_key")] if partition_col else []),
+        F.col("orphan_count"),
+    )

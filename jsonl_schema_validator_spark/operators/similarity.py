@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact, oracle-checkable). Scale path:
+random-hyperplane LSH bucketing — candidates only within matching sign
+buckets, turning the O(N*Q) product into bucket-local products.
+
+All arithmetic is pyspark.sql expressions (zip_with + aggregate = JVM-side
+loop over the array, no Python). Cosines are computed in double and rounded
+to 6 dp before thresholding/ranking so results are stable across engines.
+
+Scale notes:
+- brute_force_topk: Q small (a query set) -> broadcast the queries, narrow
+  map over the corpus, per-query top-k via window on (query_id). At 100 TB
+  corpus this is one full scan per query batch — the right baseline.
+- lsh_topk: nb hyperplanes -> 2^nb buckets; multiprobe=1 also probes
+  single-bit-flip buckets to recover near-boundary neighbors.
+- embedding_cosine_pairs: all-pairs >= threshold, for near-dup detection on
+  embeddings; use LSH buckets at scale.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank).
+
+    Excludes self-matches. Ranking on (round(score,6) desc, neighbor_id) for
+    cross-engine determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with round(cosine,6) >= threshold."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def _hyperplanes(dim: int, nb: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nb)]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket string: one char per hyperplane ('1' if dot>=0)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in p]),
+                    lambda v, w: v.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Corpus hashed once into 2^num_planes sign buckets (deterministic seed);
+    each query probes its own bucket (+ all 1-bit-flip buckets when
+    multiprobe). Exact cosine within the probed buckets, then top-k. Scales
+    as bucket-size * queries instead of corpus * queries.
+    """
+    dim = len(
+        corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
+    )  # one-row peek to size the hyperplanes (plan-time constant)
+    planes = _hyperplanes(dim, num_planes, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _bucket_expr(F.col(vec_col), planes).alias("qbucket"),
+    )
+    if multiprobe:
+        # probe own bucket + every 1-bit flip (num_planes+1 probes)
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.concat(
+                    F.substring("qbucket", 1, i),
+                    F.when(
+                        F.substring("qbucket", i + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    F.substring("qbucket", i + 2, num_planes - i - 1),
+                )
+                for i in range(num_planes)
+            ],
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("query_id", "qv", F.col("qbucket").alias("bucket"))
+
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,100 @@
+"""Length/range column statistics (north-rule requirement).
+
+One aggregation job computes every metric for every requested column —
+map-side partial aggregation, one reduce; no per-column passes. Output is
+long-form (column, metric, value) so the metrics table schema is stable
+regardless of which columns are profiled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+_NUMERIC = (
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.DecimalType,
+)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-column stats, long form: (column, metric, value:double).
+
+    Metrics: count (non-null), nulls, distinct (exact for strings would be a
+    second shuffle — we use approx_count_distinct, documented), and for
+    numeric columns min/max/avg/stddev; for strings, length-based
+    min/max/avg len. All in ONE agg.
+    """
+    columns = columns or [f.name for f in df.schema.fields]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    emit: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
+
+    def add(col_name: str, metric: str, expr):
+        alias = f"{col_name}__{metric}"
+        aggs.append(expr.alias(alias))
+        emit.append((col_name, metric, alias))
+
+    for c in columns:
+        dt = dtypes[c]
+        col = F.col(c)
+        add(c, "count", F.count(col).cast("double"))
+        add(c, "nulls", F.sum(col.isNull().cast("long")).cast("double"))
+        add(c, "approx_distinct", F.approx_count_distinct(col).cast("double"))
+        if isinstance(dt, _NUMERIC):
+            add(c, "min", F.min(col).cast("double"))
+            add(c, "max", F.max(col).cast("double"))
+            add(c, "avg", F.avg(col).cast("double"))
+            add(c, "stddev", F.stddev(col).cast("double"))
+        elif isinstance(dt, T.StringType):
+            length = F.length(col)
+            add(c, "min_length", F.min(length).cast("double"))
+            add(c, "max_length", F.max(length).cast("double"))
+            add(c, "avg_length", F.avg(length).cast("double"))
+
+    wide = df.agg(*aggs)
+    # unpivot to long form with a single stack() expression
+    n = len(emit)
+    stack_args = ", ".join(
+        f"'{col}', '{metric}', `{alias}`" for col, metric, alias in emit
+    )
+    long = wide.selectExpr(
+        f"stack({n}, {stack_args}) as (column, metric, value)"
+    )
+    if round_to is not None:
+        long = long.withColumn("value", F.round(F.col("value"), round_to))
+    return long
+
+
+def range_violations(
+    df: DataFrame,
+    column: str,
+    min_value=None,
+    max_value=None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Convenience: rows outside [min_value, max_value] as violation rows."""
+    col = F.col(column)
+    cond = F.lit(False)
+    if min_value is not None:
+        cond = cond | (col < F.lit(min_value))
+    if max_value is not None:
+        cond = cond | (col > F.lit(max_value))
+    keys = keys or []
+    return df.where(col.isNotNull() & cond).select(
+        *keys,
+        F.lit("RANGE_VIOLATION").alias("rule_id"),
+        F.lit(column).alias("column"),
+        col.cast("string").alias("value"),
+    )

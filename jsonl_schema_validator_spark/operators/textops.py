@@ -1,0 +1,165 @@
+"""Text analysis for training-data pipelines: quality scoring, language ID,
+token counting, document fingerprinting.
+
+All pure pyspark.sql expressions (higher-order functions over split tokens) —
+JVM-side, whole-stage codegen, no Python in the hot path. Formulas are
+deliberately portable so each op has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small + deterministic; real pipelines plug in fastText etc.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def text_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc quality metrics:
+    (id, n_chars, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+    uniq_token_ratio, quality_score).
+
+    quality_score is a simple interpretable blend in [0,1]: length presence,
+    vocabulary diversity, and (English) stopword presence — the
+    length/punct/stopword-ratio heuristic family.
+    """
+    col = F.col(text_col)
+    toks = _tokens(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(col)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    # chars that are not alnum or space
+    n_punct = n_chars - F.length(
+        F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
+    )
+    # try_divide: ANSI-safe (empty text -> n_chars=0); null ratio, not a crash
+    avg_token_len = F.round(
+        F.try_divide(n_chars - (n_tokens - 1), n_tokens), 6
+    )  # total chars minus separators, over token count
+    stopword_ratio = F.round(F.try_divide(n_stop, n_tokens), 6)
+    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
+    uniq_ratio = F.round(F.try_divide(n_uniq, n_tokens), 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.coalesce(F.try_divide(n_uniq, n_tokens), F.lit(0.0)) * 0.4
+        + F.least(
+            n_stop / F.greatest(n_tokens * F.lit(0.05), F.lit(1.0)), F.lit(1.0)
+        )
+        * 0.2,
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        uniq_ratio.alias("uniq_token_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language heuristic: (id, lang_guess, lang_score).
+
+    Score per language = fraction of tokens in that language's stopword
+    list; guess = argmax with a fixed tie-break order (en,de,fr,es; 'und' =
+    no token matched any list).
+    """
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    order = ["en", "de", "fr", "es"]
+    guess = F.lit("und")
+    best = F.lit(0)
+    # argmax with first-in-order-wins tie-break: process in order, replace
+    # only on strictly-greater score
+    for lang in order:
+        s = scores[lang]
+        new_guess = F.when(s > best, F.lit(lang)).otherwise(guess)
+        best = F.when(s > best, s).otherwise(best)
+        guess = new_guess
+    return df.select(
+        F.col(id_col).alias("id"),
+        guess.alias("lang_guess"),
+        F.round(F.try_divide(best, n_tokens), 6).alias("lang_score"),
+    )
+
+
+def token_count(
+    df: DataFrame, id_col: str, text_col: str, bpe_like: bool = False
+) -> DataFrame:
+    """(id, n_tokens). Whitespace tokens, or a BPE-ish regex token count
+    (word pieces / numbers / single punctuation), the standard pre-tokenizer
+    shape."""
+    col = F.col(text_col)
+    if not bpe_like:
+        n = F.size(_tokens(col))
+    else:
+        # count matches of wordish / number / single non-space symbol
+        n = F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(col, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])", "$1"),
+                    "",
+                ),
+                lambda t: F.length(F.trim(t)) > 0,
+            )
+        )
+    return df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: (id, f0..f{k-1}).
+
+    f_s = lexicographic min over character-`gram`-shingles of
+    md5('<s>:' || shingle) — a k-min-hash over rolling character windows.
+    Robust to reordering of large blocks; portable to the SQL oracle.
+    """
+    col = F.col(text_col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(col) - gram + 1, F.lit(1))
+    )
+    shingles = F.transform(
+        positions, lambda i: F.col(text_col).substr(i, F.lit(gram))
+    )
+    out_cols = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, seed=s_idx: F.md5(
+                    F.concat(F.lit(f"{seed}:"), s).cast("binary")
+                ),
+            )
+        ).alias(f"f{s_idx}")
+        for s_idx in range(num_hashes)
+    ]
+    return df.select(F.col(id_col).alias("id"), *out_cols)

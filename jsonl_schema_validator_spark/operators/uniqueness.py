@@ -1,0 +1,55 @@
+"""Uniqueness rule: no duplicate (k1..kn) tuples.
+
+North-rule requirement (BASELINE.json): uniqueness on (repo, path, commit).
+The reference has no table-level rules (SURVEY.md §2.7); this is the
+warehouse-scale generalization of its per-object duplicate-key bitset
+(validate.rs:86-90,129-133) from keys-within-a-record to keys-across-a-table.
+
+Scale notes (100 TB / 1000 executors):
+- one hash aggregation = map-side partial count per key, then a single
+  shuffle on the key hash; AQE coalesces the post-shuffle partitions.
+- skewed keys are impossible by construction for near-unique keys (each group
+  is tiny); the shuffle's cost is dominated by the key width — project ONLY
+  the key columns first (done below, keeps the exchange narrow).
+- count-only verdicts never materialize row payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_key_groups(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key tuples appearing more than once: keys.. + dup_count."""
+    return (
+        df.select(*keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, keys: list[str], partition_col: str | None = None
+) -> DataFrame:
+    """North-rule violation rows for duplicate keys.
+
+    One row per key-tuple with duplicates: (rule_id, column, value[, partition_key],
+    dup_count), where value is the JSON rendering of the offending key tuple.
+    """
+    cols = list(keys) + ([partition_col] if partition_col else [])
+    grouped = (
+        df.select(*cols)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+    out = grouped.select(
+        F.lit("UNIQUENESS_VIOLATION").alias("rule_id"),
+        F.lit(",".join(keys)).alias("column"),
+        F.to_json(F.struct(*[F.col(k) for k in keys])).alias("value"),
+        *( [F.col(partition_col).alias("partition_key")] if partition_col else [] ),
+        F.col("dup_count"),
+    )
+    return out

@@ -1,0 +1,148 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash+LSH, SimHash —
+asserted against pure-Python reference computations on seeded corpora."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.operators import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+
+def _corpus(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    # near-duplicates: 100/101 share all but one token; 102 == 100 exactly
+    base = " ".join(rng.choice(vocab) for _ in range(40))
+    docs.append((100, base))
+    docs.append((101, base.replace(base.split()[5], "CHANGED", 1)))
+    docs.append((102, base))
+    return spark.createDataFrame(docs, "doc_id bigint, text string"), dict(docs)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) <= n:
+        return {" ".join(toks[:n])} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = _py_shingles(a, n), _py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert got == ["a b c", "b c d", "c d e"]
+    # short text: fewer tokens than n -> single truncated shingle
+    df = spark.createDataFrame([("a b",)], "text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert got == ["a b"]
+
+
+def test_exact_duplicates(spark):
+    df, _ = _corpus(spark)
+    got = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0].dup_count == 2 and got[0].keep_id == 100
+
+
+def test_ngram_jaccard_pairs(spark):
+    df, texts = _corpus(spark)
+    got = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
+    assert (100, 102) in pairs and pairs[(100, 102)] == 1.0
+    assert (100, 101) in pairs
+    assert pairs[(100, 101)] == pytest.approx(
+        _py_jaccard(texts[100], texts[101]), abs=1e-6
+    )
+    assert (101, 102) in pairs
+    # no spurious high-similarity pairs among random docs
+    assert all(a >= 100 for (a, b) in pairs)
+
+
+def _py_minhash(text: str, num_hashes: int = 16, n: int = 3) -> list[str]:
+    sh = _py_shingles(text, n)
+    return [
+        min(hashlib.md5(f"{s}:{g}".encode()).hexdigest() for g in sh)
+        for s in range(num_hashes)
+    ]
+
+
+def test_minhash_signature_matches_python(spark):
+    df, texts = _corpus(spark)
+    sig = {
+        r.id: [r[f"h{s}"] for s in range(16)]
+        for r in minhash_signatures(df, "doc_id", "text").collect()
+    }
+    for doc_id in (0, 100, 101):
+        assert sig[doc_id] == _py_minhash(texts[doc_id]), doc_id
+
+
+def test_minhash_lsh_pairs(spark):
+    df, texts = _corpus(spark)
+    got = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
+    # identical docs always collide in every band
+    assert pairs[(100, 102)] == 1.0
+    # near-identical: jaccard ~0.85 -> P(collision) = 1-(1-j^4)^4 ~ 0.93;
+    # with this fixed seed/corpus it does collide
+    assert (100, 101) in pairs
+    assert pairs[(100, 101)] == pytest.approx(
+        round(_py_jaccard(texts[100], texts[101]), 6), abs=1e-6
+    )
+
+
+def _py_simhash(text: str) -> str:
+    sums = [0] * 64
+    for tok in text.split(" "):
+        h = hashlib.md5(tok.encode()).hexdigest()[:16]
+        v = int(h, 16)
+        for b in range(64):
+            bit = (v >> (63 - b)) & 1
+            sums[b] += 1 if bit else -1
+    return "".join("1" if s > 0 else "0" for s in sums)
+
+
+def test_simhash64_matches_python(spark):
+    df, texts = _corpus(spark)
+    got = {r.id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    for doc_id in (0, 5, 100, 101, 102):
+        assert got[doc_id] == _py_simhash(texts[doc_id]), doc_id
+
+
+def test_simhash_near_pairs(spark):
+    df, texts = _corpus(spark)
+    s100, s101 = _py_simhash(texts[100]), _py_simhash(texts[101])
+    ham_100_101 = sum(a != b for a, b in zip(s100, s101))
+    got = simhash_near_pairs(
+        df, "doc_id", "text", max_hamming=max(3, ham_100_101)
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got}
+    assert pairs[(100, 102)] == 0
+    # chunk blocking guarantees recall only when at least one 16-bit chunk
+    # matches (always true for hamming<=3); assert (100,101) is found iff its
+    # signatures share a chunk
+    shares_chunk = any(
+        s100[c * 16 : (c + 1) * 16] == s101[c * 16 : (c + 1) * 16] for c in range(4)
+    )
+    if shares_chunk:
+        assert pairs[(100, 101)] == ham_100_101
+    else:
+        assert (100, 101) not in pairs

@@ -1,0 +1,164 @@
+"""Table-level operator tests: uniqueness, referential integrity, stats,
+chi-square and KS drift — asserted against hand-computed / NumPy-computed
+expectations on seeded data."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.operators import (
+    chi2_drift,
+    column_stats,
+    duplicate_key_groups,
+    ks_drift_binned,
+    ks_drift_exact,
+    ri_violations,
+    uniqueness_violations,
+)
+
+
+def test_uniqueness(spark):
+    df = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1"),
+            ("r1", "a.py", "c1"),  # dup x2
+            ("r1", "a.py", "c2"),
+            ("r2", "b.py", "c1"),
+            ("r2", "b.py", "c1"),
+            ("r2", "b.py", "c1"),  # dup x3
+        ],
+        "repo string, path string, commit string",
+    )
+    groups = duplicate_key_groups(df, ["repo", "path", "commit"]).collect()
+    assert {(g.repo, g.commit, g.dup_count) for g in groups} == {
+        ("r1", "c1", 2),
+        ("r2", "c1", 3),
+    }
+    viol = uniqueness_violations(df, ["repo", "path", "commit"]).collect()
+    assert len(viol) == 2
+    assert all(v.rule_id == "UNIQUENESS_VIOLATION" for v in viol)
+    assert all(v.column == "repo,path,commit" for v in viol)
+
+
+def test_referential_integrity(spark):
+    child = spark.createDataFrame(
+        [("r1", "c1"), ("r1", "c1"), ("r1", "cX"), ("rZ", "c1"), (None, "c1")],
+        "repo string, commit string",
+    )
+    parent = spark.createDataFrame(
+        [("r1", "c1"), ("r1", "c2")], "repo string, commit string"
+    )
+    for strategy in ("auto", "broadcast", "shuffle"):
+        got = ri_violations(
+            child, ["repo", "commit"], parent, strategy=strategy
+        ).collect()
+        pairs = {(v.value, v.orphan_count) for v in got}
+        assert pairs == {
+            ('{"repo":"r1","commit":"cX"}', 1),
+            ('{"repo":"rZ","commit":"c1"}', 1),
+        }, f"strategy={strategy}: {pairs}"
+    # null child key is not an RI violation (SQL FK semantics)
+
+    # broadcast strategy must produce a broadcast anti join
+    plan = ri_violations(
+        child, ["repo", "commit"], parent, strategy="broadcast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_column_stats(spark):
+    df = spark.createDataFrame(
+        [Row(x=1, s="ab"), Row(x=3, s="abcd"), Row(x=None, s=None), Row(x=6, s="a")],
+        "x bigint, s string",
+    )
+    stats = {
+        (r["column"], r.metric): r.value for r in column_stats(df).collect()
+    }
+    assert stats[("x", "count")] == 3.0
+    assert stats[("x", "nulls")] == 1.0
+    assert stats[("x", "min")] == 1.0
+    assert stats[("x", "max")] == 6.0
+    assert stats[("x", "avg")] == round(10 / 3, 6)
+    assert stats[("x", "stddev")] == round(
+        math.sqrt(((1 - 10 / 3) ** 2 + (3 - 10 / 3) ** 2 + (6 - 10 / 3) ** 2) / 2), 6
+    )
+    assert stats[("s", "min_length")] == 1.0
+    assert stats[("s", "max_length")] == 4.0
+    assert stats[("s", "avg_length")] == round(7 / 3, 6)
+
+
+def test_chi2_drift(spark):
+    # observed: a=50, b=30, c=20; baseline a=.5 b=.3 c=.2 -> stat == 0
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "lang string")
+    r = chi2_drift(df, "lang", {"a": 0.5, "b": 0.3, "c": 0.2}).collect()[0]
+    assert r.statistic == 0.0 and r.dof == 2 and r.n == 100
+    assert r.unexpected_count == 0
+
+    # shift: a=60, b=20, c=20 vs same baseline
+    rows = [("a",)] * 60 + [("b",)] * 20 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "lang string")
+    r = chi2_drift(df, "lang", {"a": 0.5, "b": 0.3, "c": 0.2}, threshold=5.0).collect()[0]
+    expected = (60 - 50) ** 2 / 50 + (20 - 30) ** 2 / 30 + (20 - 20) ** 2 / 20
+    assert r.statistic == round(expected, 6)
+    assert r.drifted == (expected > 5.0)
+
+    # unexpected category excluded from stat but counted
+    rows = [("a",)] * 50 + [("b",)] * 50 + [("zz",)] * 5
+    df = spark.createDataFrame(rows, "lang string")
+    r = chi2_drift(df, "lang", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.unexpected_count == 5 and r.n == 100
+    assert r.statistic == 0.0
+
+    # baseline category never observed still contributes
+    rows = [("a",)] * 100
+    df = spark.createDataFrame(rows, "lang string")
+    r = chi2_drift(df, "lang", {"a": 0.9, "b": 0.1}).collect()[0]
+    expected = (100 - 90) ** 2 / 90 + (0 - 10) ** 2 / 10
+    assert r.statistic == round(expected, 6)
+
+
+def _py_ks(a: list[float], b: list[float]) -> float:
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    sa, sb = sorted(a), sorted(b)
+    import bisect
+
+    d = 0.0
+    for v in vals:
+        fa = bisect.bisect_right(sa, v) / na
+        fb = bisect.bisect_right(sb, v) / nb
+        d = max(d, abs(fa - fb))
+    return d
+
+
+def test_ks_drift_exact(spark):
+    rng = random.Random(7)
+    a = [rng.gauss(0, 1) for _ in range(400)]
+    b = [rng.gauss(0.5, 1.2) for _ in range(300)]
+    dfa = spark.createDataFrame([(x,) for x in a], "v double")
+    dfb = spark.createDataFrame([(x,) for x in b], "v double")
+    r = ks_drift_exact(dfa, dfb, "v", threshold=0.05).collect()[0]
+    assert r.n_a == 400 and r.n_b == 300
+    assert r.ks_d == pytest.approx(_py_ks(a, b), abs=1e-9)
+    assert bool(r.drifted) == (_py_ks(a, b) > 0.05)
+
+    # identical samples -> D = 0
+    r = ks_drift_exact(dfa, dfa, "v").collect()[0]
+    assert r.ks_d == 0.0
+
+
+def test_ks_drift_binned_close_to_exact(spark):
+    rng = random.Random(11)
+    a = [rng.gauss(0, 1) for _ in range(2000)]
+    b = [rng.gauss(0.3, 1) for _ in range(2000)]
+    dfa = spark.createDataFrame([(x,) for x in a], "v double")
+    dfb = spark.createDataFrame([(x,) for x in b], "v double")
+    exact = _py_ks(a, b)
+    r = ks_drift_binned(dfa, dfb, "v", bins=256).collect()[0]
+    assert abs(r.ks_d - exact) <= 1.0 / 256 + 1e-9

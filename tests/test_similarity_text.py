@@ -1,0 +1,128 @@
+"""Similarity-search and text-analysis operator tests."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.operators import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    fingerprint,
+    language_guess,
+    lsh_topk,
+    text_metrics,
+    token_count,
+)
+
+
+def _vectors(spark, n=60, dim=16, seed=5):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # planted near-neighbor of vector 0
+    v0 = rows[0][1]
+    rows.append((999, [x + rng.gauss(0, 0.01) for x in v0]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), {
+        i: v for i, v in rows
+    }
+
+
+def _py_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_brute_force_topk(spark):
+    df, vecs = _vectors(spark)
+    queries = df.where(F.col("vec_id") == 0)
+    got = brute_force_topk(df, queries, k=5).collect()
+    assert len(got) == 5
+    assert got[0].query_id == 0 if hasattr(got[0], "query_id") else True
+    by_rank = sorted(got, key=lambda r: r.rank)
+    # planted neighbor must be rank 1
+    assert by_rank[0].neighbor_id == 999
+    assert by_rank[0].score == pytest.approx(_py_cos(vecs[0], vecs[999]), abs=1e-6)
+    # ranks ordered by descending score
+    scores = [r.score for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_cosine_pairs(spark):
+    df, vecs = _vectors(spark)
+    got = embedding_cosine_pairs(df, threshold=0.95).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in got}
+    assert (0, 999) in pairs
+    assert pairs[(0, 999)] >= 0.99
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    df, vecs = _vectors(spark)
+    queries = df.where(F.col("vec_id") == 0)
+    got = lsh_topk(df, queries, k=3, num_planes=6, multiprobe=True).collect()
+    assert got, "LSH returned no candidates"
+    best = min(got, key=lambda r: r.rank)
+    # near-identical vector lands in the same (or 1-flip) bucket
+    assert best.neighbor_id == 999
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat !!")],
+        "doc_id bigint, text string",
+    )
+    r = text_metrics(df, "doc_id", "text").collect()[0]
+    assert r.n_tokens == 7
+    assert r.n_chars == len("the cat sat on the mat !!")
+    assert r.stopword_ratio == pytest.approx(round(2 / 7, 6))  # 'the' x2
+    assert r.punct_ratio == pytest.approx(round(2 / 25, 6))  # '!!'
+    assert r.uniq_token_ratio == pytest.approx(round(6 / 7, 6))
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_language_guess(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is big"),
+            (2, "der hund ist nicht auf das sofa und die katze"),
+            (3, "le chat est dans la maison pour les amis"),
+            (4, "el perro es un animal y la casa es grande"),
+            (5, "xyzzy plugh quux"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r.lang_guess for r in language_guess(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "a,b.c")], "doc_id bigint, text string"
+    )
+    got = {r.id: r.n_tokens for r in token_count(df, "doc_id", "text").collect()}
+    assert got == {1: 3, 2: 1}
+    got = {
+        r.id: r.n_tokens
+        for r in token_count(df, "doc_id", "text", bpe_like=True).collect()
+    }
+    # "a,b.c" -> a , b . c = 5 BPE-ish tokens
+    assert got[2] == 5
+    assert got[1] == 3
+
+
+def test_fingerprint_stability_and_sensitivity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "the quick brown fox jumps over the lazy dog " * 3),  # same
+            (3, "a completely different document about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.id: (r.f0, r.f1, r.f2, r.f3) for r in fingerprint(df, "doc_id", "text").collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
