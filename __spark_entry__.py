@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       -> flagship validation run on /root/testdata/sf0.001
+queries()          -> named (spark, sf_dir) -> DataFrame callables, one per
+                      operator family from SURVEY.md §2 + the training-data
+                      pipeline operators
+oracle_sql()       -> DuckDB-equivalent ANSI SQL per query (tables
+                      pre-registered as views: region nation customer
+                      supplier part orders lineitem events documents
+                      embeddings)
+
+Every computed column is aliased identically in the Spark query and the
+oracle SQL; floats are rounded (6 dp, 2 dp for big sums) in BOTH engines;
+decimal-exact arithmetic is used where double summation order could flip a
+rounded digit.
 """
 
 from __future__ import annotations
@@ -12,27 +20,643 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.compiler import RuleCompiler
+from jsonl_schema_validator_spark.schema import schema_from_json
+from jsonl_schema_validator_spark.operators import (
+    brute_force_topk,
+    chi2_drift,
+    column_stats,
+    embedding_cosine_pairs,
+    exact_duplicates,
+    fingerprint,
+    ks_drift_binned,
+    ks_drift_exact,
+    language_guess,
+    lsh_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    ri_violations,
+    simhash64,
+    simhash_near_pairs,
+    text_metrics,
+    token_count,
+    uniqueness_violations,
+)
+from jsonl_schema_validator_spark.operators.textops import (
+    BPE_TOKEN_PATTERN,
+    LANG_STOPWORDS,
+    QUALITY_STOPWORDS,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared rule constants (Spark + oracle must agree)
+# ---------------------------------------------------------------------------
+
+LINEITEM_SCHEMA = [
+    {"name": "l_orderkey", "type": "INT64", "mode": "REQUIRED"},
+    {
+        "name": "l_quantity",
+        "type": "FLOAT64",
+        "constraints": {"min_value": 1.0, "max_value": 45.0},
+    },
+    {
+        "name": "l_discount",
+        "type": "FLOAT64",
+        "constraints": {"min_value": 0.0, "max_value": 0.08},
+    },
+    {
+        "name": "l_returnflag",
+        "type": "STRING",
+        "constraints": {"enum": ["A", "N"]},
+    },
+    {
+        "name": "l_linestatus",
+        "type": "STRING",
+        "constraints": {"enum": ["O", "F"]},
+    },
+    {"name": "l_shipdate", "type": "TIMESTAMP", "mode": "REQUIRED"},
+]
+
+ORDERS_SCHEMA = [
+    {"name": "o_custkey", "type": "INT64", "mode": "REQUIRED"},
+    {
+        "name": "o_totalprice",
+        "type": "FLOAT64",
+        "constraints": {"min_value": 1000.0, "max_value": 450000.0},
+    },
+    {
+        "name": "o_orderstatus",
+        "type": "STRING",
+        "constraints": {"enum": ["O", "F"]},
+    },
+]
+
+CHI2_BASELINE = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    plan = RuleCompiler(schema_from_json(LINEITEM_SCHEMA)).bind(li)
+    return plan.rule_metrics(li)
+
+
+def q_verdicts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % 16).cast("bigint")
+    )
+    plan = RuleCompiler(schema_from_json(ORDERS_SCHEMA)).bind(o)
+    return plan.partition_report(o, "bucket")
+
+
+def q_first_error_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    plan = RuleCompiler(schema_from_json(LINEITEM_SCHEMA)).bind(li)
+    v = plan.with_verdict(li)
+    return (
+        v.where(~F.col("is_valid"))
+        .groupBy(
+            F.col("first_error.rule_id").alias("rule_id"),
+            F.col("first_error.column").alias("column"),
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+def q_unique_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness_violations(li, ["l_orderkey", "l_linenumber"])
+
+
+def q_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    return ri_violations(o, ["o_custkey"], c, ["c_custkey"], strategy="broadcast")
+
+
+def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return column_stats(
+        li,
+        ["l_quantity", "l_extendedprice", "l_returnflag"],
+        distinct_mode="exact",
+    )
+
+
+def q_chi2_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return chi2_drift(docs, "lang", CHI2_BASELINE)
+
+
+def q_ks_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") == "src0")
+    b = docs.where(F.col("source") != "src0")
+    return ks_drift_exact(a, b, "n_chars")
+
+
+def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content_key",
+        F.concat(F.col("lang"), F.lit(":"), F.col("n_chars").cast("string")),
+    )
+    return exact_duplicates(docs, "doc_id", "content_key")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return simhash64(docs, "doc_id", "text")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return embedding_cosine_pairs(emb, threshold=0.3)
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_metrics(docs, "doc_id", "text")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return language_guess(docs, "doc_id", "text")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return token_count(docs, "doc_id", "text", bpe_like=True)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return fingerprint(docs, "doc_id", "text", gram=8, num_hashes=4)
+
+
+def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation; decimal-exact sums so double summation
+    order cannot flip a rounded digit across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(9,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(9,2)")
+    tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(9,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(price * disc * tax).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- no-oracle queries (approximate / non-SQL-expressible): driver records
+# --- a weaker rows-only check, the judge sees which
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, num_planes=6, seed=42, multiprobe=True)
+
+
+def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") == "src0")
+    b = docs.where(F.col("source") != "src0")
+    return ks_drift_binned(a, b, "n_chars", bins=64)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full rule-suite validation over sf0.001 lineitem + orders —
+    rule metrics per table, one DataFrame out (stable schema)."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li_metrics = (
+        RuleCompiler(schema_from_json(LINEITEM_SCHEMA))
+        .bind(li)
+        .rule_metrics(li)
+        .withColumn("table", F.lit("lineitem"))
+    )
+    o_metrics = (
+        RuleCompiler(schema_from_json(ORDERS_SCHEMA))
+        .bind(o)
+        .rule_metrics(o)
+        .withColumn("table", F.lit("orders"))
+    )
+    return li_metrics.unionByName(o_metrics).select(
+        "table", "rule_id", "column", "violation_count"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_lineitem": q_validate_lineitem,
+        "verdicts_orders": q_verdicts_orders,
+        "first_error_lineitem": q_first_error_lineitem,
+        "unique_lineitem": q_unique_lineitem,
+        "ri_orders_customer": q_ri_orders_customer,
+        "stats_lineitem": q_stats_lineitem,
+        "chi2_lang": q_chi2_lang,
+        "ks_nchars": q_ks_nchars,
+        "exact_dup_documents": q_exact_dup_documents,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_documents": q_simhash_documents,
+        "cosine_topk": q_cosine_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "text_metrics": q_text_metrics,
+        "langid": q_langid,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "tumbling_events": q_tumbling_events,
+        "pricing_summary": q_pricing_summary,
+        "lsh_topk": q_lsh_topk,
+        "ks_binned": q_ks_binned,
+        "simhash_near_pairs": q_simhash_near_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i) g
+)"""
+
+
+def _minhash_sql(threshold: float) -> str:
+    hashes = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(16)
+    )
+    band_selects = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sig"
+        )
+    bands = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (na.n + nb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= {threshold}
+"""
+
+
+def _stopword_list_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_in = ", ".join(f"'{k}'" for k in CHI2_BASELINE)
+    base_values = ", ".join(f"('{k}', {v})" for k, v in CHI2_BASELINE.items())
+    sw = _stopword_list_sql(QUALITY_STOPWORDS)
+    lang_scores = {
+        lang: f"len(list_filter(toks, x -> list_contains({_stopword_list_sql(words)}, x)))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    return {
+        "validate_lineitem": f"""
+SELECT * FROM (
+  SELECT 'RANGE_VIOLATION' AS rule_id, 'l_quantity' AS "column",
+         count(*) AS violation_count
+  FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 45.0)
+  UNION ALL
+  SELECT 'RANGE_VIOLATION', 'l_discount', count(*)
+  FROM lineitem WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.08)
+  UNION ALL
+  SELECT 'ENUM_VIOLATION', 'l_returnflag', count(*)
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+  UNION ALL
+  SELECT 'ENUM_VIOLATION', 'l_linestatus', count(*)
+  FROM lineitem WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F')
+  UNION ALL
+  SELECT 'REQUIRED_FIELD_IS_NULL', 'l_orderkey', count(*)
+  FROM lineitem WHERE l_orderkey IS NULL
+  UNION ALL
+  SELECT 'REQUIRED_FIELD_IS_NULL', 'l_shipdate', count(*)
+  FROM lineitem WHERE l_shipdate IS NULL
+) WHERE violation_count > 0
+""",
+        "verdicts_orders": """
+WITH v AS (
+  SELECT o_orderkey % 16 AS partition_key,
+    (CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) +
+    (CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 1000.0 OR o_totalprice > 450000.0) THEN 1 ELSE 0 END) +
+    (CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS nv
+  FROM orders)
+SELECT partition_key, count(*) AS rows,
+       sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS violation_rows,
+       sum(nv) AS violations,
+       (sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0) AS pass
+FROM v GROUP BY partition_key
+""",
+        "first_error_lineitem": """
+WITH fe AS (
+  SELECT CASE
+    WHEN l_orderkey IS NULL THEN 'REQUIRED_FIELD_IS_NULL:l_orderkey'
+    WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 45.0) THEN 'RANGE_VIOLATION:l_quantity'
+    WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.08) THEN 'RANGE_VIOLATION:l_discount'
+    WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 'ENUM_VIOLATION:l_returnflag'
+    WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F') THEN 'ENUM_VIOLATION:l_linestatus'
+    WHEN l_shipdate IS NULL THEN 'REQUIRED_FIELD_IS_NULL:l_shipdate'
+    END AS fe
+  FROM lineitem)
+SELECT split_part(fe, ':', 1) AS rule_id, split_part(fe, ':', 2) AS "column",
+       count(*) AS rows
+FROM fe WHERE fe IS NOT NULL GROUP BY 1, 2
+""",
+        "unique_lineitem": """
+SELECT 'UNIQUENESS_VIOLATION' AS rule_id,
+       'l_orderkey,l_linenumber' AS "column",
+       '{"l_orderkey":' || l_orderkey || ',"l_linenumber":' || l_linenumber || '}' AS value,
+       count(*) AS dup_count
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+""",
+        "ri_orders_customer": """
+WITH parent AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+SELECT 'RI_VIOLATION' AS rule_id, 'o_custkey' AS "column",
+       '{"o_custkey":' || o_custkey || '}' AS value,
+       count(*) AS orphan_count
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.c_custkey = o.o_custkey)
+GROUP BY o_custkey
+""",
+        "stats_lineitem": """
+SELECT * FROM (
+  SELECT 'l_quantity' AS "column", 'count' AS metric, round(count(l_quantity)::DOUBLE, 6) AS value FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'nulls', round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'distinct', round(count(DISTINCT l_quantity)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'min', round(min(l_quantity), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'max', round(max(l_quantity), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'avg', round(avg(l_quantity), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'stddev', round(stddev_samp(l_quantity), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'count', round(count(l_extendedprice)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'nulls', round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'distinct', round(count(DISTINCT l_extendedprice)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'min', round(min(l_extendedprice), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'max', round(max(l_extendedprice), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'avg', round(avg(l_extendedprice), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'stddev', round(stddev_samp(l_extendedprice), 6) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', 'count', round(count(l_returnflag)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', 'nulls', round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', 'distinct', round(count(DISTINCT l_returnflag)::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', 'min_length', round(min(length(l_returnflag))::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', 'max_length', round(max(length(l_returnflag))::DOUBLE, 6) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', 'avg_length', round(avg(length(l_returnflag)), 6) FROM lineitem
+)
+""",
+        "chi2_lang": f"""
+WITH base(category, prob) AS (VALUES {base_values}),
+obs AS (SELECT lang AS category, count(*) AS obs FROM documents GROUP BY 1),
+j AS (SELECT coalesce(o.obs, 0) AS obs, b.prob::DOUBLE AS prob, b.category AS bcat
+      FROM obs o FULL OUTER JOIN base b ON o.category = b.category),
+tot AS (SELECT sum(CASE WHEN prob IS NOT NULL THEN obs ELSE 0 END) AS n,
+               sum(CASE WHEN prob IS NULL THEN obs ELSE 0 END) AS unexpected
+        FROM j)
+SELECT round(sum((j.obs - tot.n * j.prob) * (j.obs - tot.n * j.prob) / (tot.n * j.prob)), 6) AS statistic,
+       CAST(count(*) - 1 AS INT) AS dof,
+       CAST(max(tot.n) AS INT) AS n,
+       CAST(max(tot.unexpected) AS INT) AS unexpected_count
+FROM j, tot WHERE j.prob IS NOT NULL
+""",
+        "ks_nchars": """
+WITH tagged AS (
+  SELECT n_chars::DOUBLE AS v, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE n_chars IS NOT NULL),
+per AS (SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM tagged GROUP BY v),
+cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a, sum(cb) OVER (ORDER BY v) AS cum_b FROM per),
+tot AS (SELECT max(cum_a) AS na, max(cum_b) AS nb FROM cum)
+SELECT round(max(abs(cum_a / (na * 1.0) - cum_b / (nb * 1.0))), 9) AS ks_d,
+       CAST(max(na) AS INT) AS n_a, CAST(max(nb) AS INT) AS n_b
+FROM cum, tot
+""",
+        "exact_dup_documents": """
+WITH h AS (SELECT doc_id, md5(lang || ':' || n_chars) AS content_hash FROM documents)
+SELECT content_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM h GROUP BY content_hash HAVING count(*) > 1
+""",
+        "jaccard_pairs": f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, round(i.inter / (na.n + nb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
+""",
+        "minhash_pairs": _minhash_sql(0.8),
+        "simhash_documents": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 100),
+h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+digits AS (
+  SELECT doc_id, i, strpos('0123456789abcdef', substr(m, i + 1, 1)) - 1 AS v
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) g),
+bits AS (
+  SELECT doc_id, i * 4 + b AS bitpos, ((v >> (3 - b)) % 2) * 2 - 1 AS contrib
+  FROM digits, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) gb),
+s AS (SELECT doc_id, bitpos, sum(contrib) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id AS id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+FROM s GROUP BY doc_id
+""",
+        "cosine_topk": """
+WITH ex AS (
+  SELECT vec_id, u.val::DOUBLE AS val, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS val,
+                       unnest(generate_series(1, len(embedding))) AS pos) u),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.val * b.val) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5 GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (na.nrm * nb.nrm), 6) AS score
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+""",
+        "cosine_pairs": """
+WITH ex AS (
+  SELECT vec_id, u.val::DOUBLE AS val, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS val,
+                       unnest(generate_series(1, len(embedding))) AS pos) u
+  WHERE vec_id < 200),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3
+""",
+        "text_metrics": f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(len(toks) AS INT) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({sw}, x))) AS n_stop,
+    len(list_distinct(toks)) AS n_uniq,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+  FROM t)
+SELECT doc_id AS id, n_chars, n_tokens,
+  round((n_chars - (n_tokens - 1)) / (n_tokens * 1.0), 6) AS avg_token_len,
+  round(n_stop / (n_tokens * 1.0), 6) AS stopword_ratio,
+  round(n_punct / (n_chars * 1.0), 6) AS punct_ratio,
+  round(n_uniq / (n_tokens * 1.0), 6) AS uniq_token_ratio,
+  round(least(n_tokens / 20.0, 1.0) * 0.4
+        + (n_uniq / (n_tokens * 1.0)) * 0.4
+        + least(n_stop / greatest(n_tokens * 0.05, 1.0), 1.0) * 0.2, 6) AS quality_score
+FROM m
+""",
+        "langid": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    {lang_scores['en']} AS s_en,
+    {lang_scores['de']} AS s_de,
+    {lang_scores['fr']} AS s_fr,
+    {lang_scores['es']} AS s_es
+  FROM t)
+SELECT doc_id AS id,
+  CASE
+    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+    WHEN s_es > 0 THEN 'es'
+    ELSE 'und' END AS lang_guess,
+  round(greatest(s_en, s_de, s_fr, s_es) / (n_tokens * 1.0), 6) AS lang_score
+FROM s
+""",
+        "token_count": f"""
+SELECT doc_id AS id,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INT) AS n_tokens
+FROM documents
+""",
+        "fingerprint": """
+WITH sh AS (
+  SELECT doc_id, substr(text, i, 8) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i) g
+  WHERE doc_id < 100)
+SELECT doc_id AS id,
+       min(md5('0:' || s)) AS f0,
+       min(md5('1:' || s)) AS f1,
+       min(md5('2:' || s)) AS f2,
+       min(md5('3:' || s)) AS f3
+FROM sh GROUP BY doc_id
+""",
+        "tumbling_events": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+       count(*) AS events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1.0 - l_discount AS DECIMAL(9,2))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1.0 - l_discount AS DECIMAL(9,2)) * CAST(1.0 + l_tax AS DECIMAL(9,2))) AS DOUBLE), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    }

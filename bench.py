@@ -1,0 +1,187 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "validation_throughput", "value": <rows/sec>, "unit": "rows/sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "scaling": {...}, "elapsed_sec": N}
+
+The scaling block evidences the north rule's two-cluster-size criterion in
+this sandbox: the same CPU-bound validation job at local[N] and local[4N]
+cores on identical input, reporting throughput at both and efficiency
+throughput_4N / (4 * throughput_N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jsonl_schema_validator_spark.compiler import RuleCompiler  # noqa: E402
+from jsonl_schema_validator_spark.schema import schema_from_json  # noqa: E402
+from jsonl_schema_validator_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+# headline queries benched per-round (full oracle set runs in the driver's
+# correctness gate; here we time the representative spread)
+BENCH_QUERIES = [
+    "validate_lineitem",
+    "verdicts_orders",
+    "first_error_lineitem",
+    "unique_lineitem",
+    "ri_orders_customer",
+    "stats_lineitem",
+    "chi2_lang",
+    "ks_binned",
+    "exact_dup_documents",
+    "minhash_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "text_metrics",
+    "langid",
+    "token_count",
+    "fingerprint",
+    "tumbling_events",
+    "pricing_summary",
+]
+
+# textual-validation schema used for the CPU-bound scaling workload: every
+# rule is a regex/cast over strings — the reference's workload shape
+# (byte-level format checks), heavy enough to measure scheduler scaling
+SCALING_SCHEMA = [
+    {"name": "l_orderkey", "type": "INT64", "mode": "REQUIRED"},
+    {"name": "l_quantity", "type": "FLOAT64"},
+    {"name": "l_extendedprice", "type": "DECIMAL_29_9"},
+    {"name": "l_discount", "type": "FLOAT64"},
+    {"name": "l_tax", "type": "DECIMAL_29_9"},
+    {"name": "l_returnflag", "type": "STRING", "constraints": {"enum": ["A", "N", "R"]}},
+    {"name": "l_linestatus", "type": "STRING", "constraints": {"enum": ["O", "F"]}},
+    {"name": "l_shipdate", "type": "TIMESTAMP"},
+]
+
+
+def _textual_lineitem(spark, sf_dir: str, replicate: int, cores: int):
+    # repartition the SMALL base table first (one cheap shuffle of 600k rows),
+    # THEN replicate via a narrow explode — the 4x row multiplication and all
+    # validation work happen fully parallel on cores*4 partitions. Replicating
+    # before the repartition serializes the multiplication onto the few
+    # parquet-split tasks (Amdahl kills N-vs-4N scaling).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(cores * 4)
+    cols = [
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.col("l_quantity").cast("string").alias("l_quantity"),
+        F.col("l_extendedprice").cast("string").alias("l_extendedprice"),
+        F.col("l_discount").cast("string").alias("l_discount"),
+        F.col("l_tax").cast("string").alias("l_tax"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    ]
+    text = li.select(*cols)
+    if replicate > 1:
+        text = text.withColumn(
+            "__r", F.explode(F.array_repeat(F.lit(1), replicate))
+        ).drop("__r")
+    return text
+
+
+def run_scaling_job(spark, sf_dir: str, replicate: int, cores: int) -> tuple[int, float]:
+    """Textual validation of replicated lineitem; returns (rows, seconds)."""
+    df = _textual_lineitem(spark, sf_dir, replicate, cores)
+    plan = RuleCompiler(schema_from_json(SCALING_SCHEMA)).bind(df)
+    vdf = plan.with_violations(df)
+    t0 = time.time()
+    out = vdf.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.size("violations")).alias("violations"),
+    ).collect()[0]
+    return int(out["rows"]), time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    t_start = time.time()
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+
+    # flagship validation throughput at full parallelism (warm run of 2)
+    n_rows, _ = run_scaling_job(spark, sf_dir, replicate=4, cores=cpus)
+    n_rows, t_full = run_scaling_job(spark, sf_dir, replicate=4, cores=cpus)
+    throughput = n_rows / t_full
+    spark.stop()
+
+    # scaling: N vs 4N cores, same input (BASELINE.md sanctions small pairs,
+    # e.g. local[2] vs local[8]). The sandbox host's aggregate CPU capacity is
+    # time-varying and caps out well below the nominal 32 cores (pure-CPU
+    # probe: 8->32 processes yields only ~2.2x), so the pair defaults to
+    # local[1] vs local[4] where host capacity is not the binding constraint.
+    # Trials are interleaved N/4N and the best of 3 taken per level to reject
+    # noisy-neighbor interference.
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+    n_big = n_small * 4
+    rep = 8
+    best = {n_small: float("inf"), n_big: float("inf")}
+    rows_n = 0
+    for trial in range(3):
+        for cores in (n_small, n_big):
+            sp = get_spark(
+                app_name=f"bench-scale-{cores}-{trial}",
+                master=f"local[{cores}]",
+                shuffle_partitions=max(cores * 2, 2),
+            )
+            if trial == 0:
+                run_scaling_job(sp, sf_dir, replicate=2, cores=cores)  # warm JIT
+            r, t = run_scaling_job(sp, sf_dir, replicate=rep, cores=cores)
+            rows_n = r
+            best[cores] = min(best[cores], t)
+            print(
+                f"[bench] scaling cores={cores} trial={trial}: {t:.2f}s",
+                file=sys.stderr,
+            )
+            sp.stop()
+    thr_n = rows_n / best[n_small]
+    thr_4n = rows_n / best[n_big]
+    scaling = {
+        "cores_n": n_small,
+        "cores_4n": n_big,
+        "rows": rows_n,
+        "throughput_n_rows_per_sec": round(thr_n),
+        "throughput_4n_rows_per_sec": round(thr_4n),
+        "efficiency": round(thr_4n / (4 * thr_n), 3),
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "validation_throughput",
+                "value": round(throughput),
+                "unit": "rows/sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows_validated": n_rows,
+                "scaling": scaling,
+                "elapsed_sec": round(time.time() - t_start, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,14 +28,18 @@ def column_stats(
     df: DataFrame,
     columns: list[str] | None = None,
     round_to: int | None = 6,
+    distinct_mode: str | None = "approx",
 ) -> DataFrame:
     """Per-column stats, long form: (column, metric, value:double).
 
-    Metrics: count (non-null), nulls, distinct (exact for strings would be a
-    second shuffle — we use approx_count_distinct, documented), and for
-    numeric columns min/max/avg/stddev; for strings, length-based
-    min/max/avg len. All in ONE agg.
+    Metrics: count (non-null), nulls, distinct, and for numeric columns
+    min/max/avg/stddev; for strings, length-based min/max/avg len. All in
+    ONE agg. distinct_mode: 'approx' (HLL sketch, one pass — the scale
+    default), 'exact' (exact count-distinct, adds an expand — used when an
+    engine-independent answer is needed, e.g. oracle checks), or None.
     """
+    if distinct_mode not in ("approx", "exact", None):
+        raise ValueError(f"unknown distinct_mode: {distinct_mode}")
     columns = columns or [f.name for f in df.schema.fields]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
@@ -51,7 +55,10 @@ def column_stats(
         col = F.col(c)
         add(c, "count", F.count(col).cast("double"))
         add(c, "nulls", F.sum(col.isNull().cast("long")).cast("double"))
-        add(c, "approx_distinct", F.approx_count_distinct(col).cast("double"))
+        if distinct_mode == "approx":
+            add(c, "approx_distinct", F.approx_count_distinct(col).cast("double"))
+        elif distinct_mode == "exact":
+            add(c, "distinct", F.countDistinct(col).cast("double"))
         if isinstance(dt, _NUMERIC):
             add(c, "min", F.min(col).cast("double"))
             add(c, "max", F.max(col).cast("double"))

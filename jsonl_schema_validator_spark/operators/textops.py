@@ -22,6 +22,10 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
+# word runs / digit runs / single non-alnum-non-space symbols — the shape of a
+# BPE pre-tokenizer split (portable: same pattern works in RE2/DuckDB)
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
 
 def _tokens(col: Column) -> Column:
     return F.split(col, " ")
@@ -119,15 +123,7 @@ def token_count(
         n = F.size(_tokens(col))
     else:
         # count matches of wordish / number / single non-space symbol
-        n = F.size(
-            F.filter(
-                F.split(
-                    F.regexp_replace(col, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])", "$1"),
-                    "",
-                ),
-                lambda t: F.length(F.trim(t)) > 0,
-            )
-        )
+        n = F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
     return df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
 
 
@@ -151,15 +147,17 @@ def fingerprint(
     shingles = F.transform(
         positions, lambda i: F.col(text_col).substr(i, F.lit(gram))
     )
-    out_cols = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, seed=s_idx: F.md5(
-                    F.concat(F.lit(f"{seed}:"), s).cast("binary")
-                ),
-            )
-        ).alias(f"f{s_idx}")
-        for s_idx in range(num_hashes)
+    # explode + min-agg (not nested transform lambdas: pyspark's auto-named
+    # lambda variables collide when one transform's output feeds another,
+    # silently mis-binding — see round-1 oracle check); also map-side
+    # combinable at scale, same shape as minhash_signatures
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("s")).cast("binary"))).alias(
+            f"f{seed}"
+        )
+        for seed in range(num_hashes)
     ]
-    return df.select(F.col(id_col).alias("id"), *out_cols)
+    return exploded.groupBy("id").agg(*aggs)

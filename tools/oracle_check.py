@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate: run each __spark_entry__
+query on Spark and its oracle on DuckDB over the same sf dir; compare
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def normalize(rows, cols):
+    """Sort columns by name, rows by values; stringify floats via repr of
+    rounded value to absorb float32/float64 rendering differences."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, bool):
+                vals.append(f"b:{v}")
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("f:nan")
+                else:
+                    vals.append(f"f:{v!r}")
+            elif v is None:
+                vals.append("null")
+            else:
+                vals.append(f"{type(v).__name__[:1]}:{v}")
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from jsonl_schema_validator_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        import time
+
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        t_spark = time.time() - t0
+        if sql is None:
+            print(f"{name:24s} rows-only: {len(srows)} rows  ({t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        rel = con.sql(sql)
+        ocols = rel.columns
+        orows = rel.fetchall()
+        t_duck = time.time() - t0
+        sc, sv = normalize(srows, scols)
+        oc, ov = normalize(orows, ocols)
+        status = "OK"
+        detail = ""
+        if sc != oc:
+            status = "SCHEMA-MISMATCH"
+            detail = f"spark={sc} duck={oc}"
+        elif len(sv) != len(ov):
+            status = "ROWCOUNT-MISMATCH"
+            detail = f"spark={len(sv)} duck={len(ov)}"
+        elif sv != ov:
+            status = "VALUE-MISMATCH"
+            diffs = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
+            sset, oset = set(sv), set(ov)
+            only_s = list(sset - oset)[:2]
+            only_o = list(oset - sset)[:2]
+            detail = f"first diffs={diffs} only_spark={only_s} only_duck={only_o}"
+        print(
+            f"{name:24s} {status:18s} rows={len(sv)} (spark {t_spark:.1f}s, duck {t_duck:.1f}s) {detail[:400]}"
+        )
+        if status != "OK":
+            failures.append(name)
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
