@@ -486,7 +486,8 @@ SELECT * FROM (
 """,
         "chi2_lang": f"""
 WITH base(category, prob) AS (VALUES {base_values}),
-obs AS (SELECT lang AS category, count(*) AS obs FROM documents GROUP BY 1),
+obs AS (SELECT lang AS category, count(*) AS obs FROM documents
+        WHERE lang IS NOT NULL GROUP BY 1),
 j AS (SELECT coalesce(o.obs, 0) AS obs, b.prob::DOUBLE AS prob, b.category AS bcat
       FROM obs o FULL OUTER JOIN base b ON o.category = b.category),
 tot AS (SELECT sum(CASE WHEN prob IS NOT NULL THEN obs ELSE 0 END) AS n,

@@ -1,0 +1,95 @@
+"""spark-submit entry point: validate a table against a rule-set document.
+
+    spark-submit --py-files dist/jsonl_schema_validator_spark.zip \
+        jobs/validate_job.py \
+        --input /path/table.parquet --schema rules.json \
+        --output /path/out --partition-col bucket \
+        [--checkpoint /path/manifest] [--metrics /path/metrics] \
+        [--dim repos=/path/repos.parquet ...] [--fail-on-violation]
+
+Outputs under --output: violations/ (exploded rows), partition_report/,
+rule_metrics/. Exit code 1 with --fail-on-violation when any violation
+exists (the reference CLI's exit-code sink + -x, src/main.rs:218-220).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--schema", required=True, help="rule-set JSON document")
+    p.add_argument("--output", required=True)
+    p.add_argument("--partition-col", default=None)
+    p.add_argument("--checkpoint", default=None, help="manifest dir for resume")
+    p.add_argument("--metrics", default=None, help="metrics table dir")
+    p.add_argument(
+        "--dim",
+        action="append",
+        default=[],
+        help="name=path parquet dim for referential-integrity rules",
+    )
+    p.add_argument("--key-cols", default="", help="comma-separated row keys")
+    p.add_argument("--fail-on-violation", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession, functions as F
+
+    from jsonl_schema_validator_spark.engine import ValidationEngine
+    from jsonl_schema_validator_spark.plans import CheckpointManifest, MetricsSink
+
+    spark = SparkSession.builder.appName("jsv-validate").getOrCreate()
+    with open(args.schema) as fh:
+        schema_doc = json.load(fh)
+    df = spark.read.parquet(args.input)
+    key_cols = [c for c in args.key_cols.split(",") if c]
+    engine = ValidationEngine(schema_doc, key_cols=key_cols)
+    dims = {
+        name: spark.read.parquet(path)
+        for name, path in (d.split("=", 1) for d in args.dim)
+    }
+
+    partition_col = args.partition_col
+    if partition_col is None:
+        df = df.withColumn("__part", F.spark_partition_id())
+        partition_col = "__part"
+
+    if args.checkpoint:
+        manifest = CheckpointManifest(args.checkpoint)
+        sink = (
+            MetricsSink(spark, args.metrics, args.metrics + "_lineage")
+            if args.metrics
+            else None
+        )
+        summary = engine.run_with_checkpoint(
+            df, partition_col, manifest, metrics=sink, input_path=args.input
+        )
+        print(json.dumps(summary))
+
+    report = engine.run(df, partition_col, dims=dims)
+    report.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    report.partition_report.write.mode("overwrite").parquet(
+        f"{args.output}/partition_report"
+    )
+    report.rule_metrics.write.mode("overwrite").parquet(f"{args.output}/rule_metrics")
+    if report.table_violations is not None:
+        report.table_violations.write.mode("overwrite").parquet(
+            f"{args.output}/table_violations"
+        )
+
+    n_viol = spark.read.parquet(f"{args.output}/violations").count()
+    print(json.dumps({"violations": n_viol}))
+    if args.fail_on_violation and n_viol > 0:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,205 @@
+"""ValidationEngine: the end-to-end orchestrator (north-rule surface).
+
+One call validates a table against a full rule set:
+- row-level rules (compiled Catalyst bundle, compiler.py)
+- custom row invariants (e.g. content sha256 equality vs a recorded hash)
+- table-level rules: uniqueness, referential integrity, chi2/KS drift
+- per-partition pass/fail verdicts, exploded violation rows
+- per-partition checkpoint/resume via CheckpointManifest
+- rule-level metrics + lineage via MetricsSink
+
+At cluster scale the per-partition loop (run_partitioned) issues one job per
+Iceberg partition, each pruned at the source by the partition predicate; the
+single-shot `run()` path does the whole table in one pass when resumability
+isn't needed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.compiler import RuleCompiler, ValidationPlan
+from jsonl_schema_validator_spark.operators.referential import ri_violations
+from jsonl_schema_validator_spark.operators.uniqueness import uniqueness_violations
+from jsonl_schema_validator_spark.operators.drift import chi2_drift, ks_drift_binned
+from jsonl_schema_validator_spark.plans.checkpoint import CheckpointManifest, run_partitioned
+from jsonl_schema_validator_spark.plans.metrics import MetricsSink, ruleset_fingerprint
+from jsonl_schema_validator_spark.schema import Schema, schema_from_json
+
+
+@dataclass
+class Invariant:
+    """Custom per-row rule: fires when `condition` is True."""
+
+    rule_id: str
+    column: str
+    condition: Column
+    value: Column
+
+
+@dataclass
+class EngineReport:
+    violations: DataFrame
+    partition_report: DataFrame
+    rule_metrics: DataFrame
+    table_violations: DataFrame | None = None
+    drift: dict = dc_field(default_factory=dict)
+
+
+class ValidationEngine:
+    def __init__(self, schema_doc, key_cols: list[str] | None = None):
+        self.schema: Schema = (
+            schema_doc if isinstance(schema_doc, Schema) else schema_from_json(schema_doc)
+        )
+        self.key_cols = key_cols or []
+        self.fingerprint = ruleset_fingerprint(
+            schema_doc if not isinstance(schema_doc, Schema) else "schema-object"
+        )
+
+    # -- row level ----------------------------------------------------------
+
+    def bind(self, df: DataFrame) -> ValidationPlan:
+        return RuleCompiler(self.schema).bind(df)
+
+    def row_violations(
+        self,
+        df: DataFrame,
+        partition_col: str | None = None,
+        invariants: list[Invariant] | None = None,
+    ) -> DataFrame:
+        plan = self.bind(df)
+        out = plan.violations(df, keys=self.key_cols, partition_col=partition_col)
+        for inv in invariants or []:
+            extra = df.where(inv.condition).select(
+                *self.key_cols,
+                *( [F.col(partition_col).alias("partition_key")] if partition_col else [] ),
+                F.lit(inv.rule_id).alias("rule_id"),
+                F.lit(inv.column).alias("column"),
+                inv.value.cast("string").alias("value"),
+                F.lit(-1).alias("ord"),
+            )
+            out = out.unionByName(extra)
+        return out
+
+    # -- table level ----------------------------------------------------------
+
+    def table_violations(
+        self,
+        df: DataFrame,
+        dims: dict[str, DataFrame] | None = None,
+        partition_col: str | None = None,
+    ) -> DataFrame | None:
+        dims = dims or {}
+        pieces = []
+        for u in self.schema.table_rules.unique:
+            pieces.append(
+                uniqueness_violations(df, u.columns, partition_col=partition_col).drop(
+                    "dup_count"
+                )
+            )
+        for fk in self.schema.table_rules.foreign_keys:
+            if fk.ref_table not in dims:
+                raise ValueError(
+                    f"foreign key references unknown dim {fk.ref_table!r}; "
+                    f"pass it via dims="
+                )
+            pieces.append(
+                ri_violations(
+                    df,
+                    fk.columns,
+                    dims[fk.ref_table],
+                    fk.ref_columns,
+                    partition_col=partition_col,
+                ).drop("orphan_count")
+            )
+        if not pieces:
+            return None
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def drift_checks(self, df: DataFrame, baseline_df: DataFrame | None = None) -> dict:
+        out = {}
+        for d in self.schema.table_rules.drift:
+            if d.kind == "chi2":
+                if not isinstance(d.baseline, dict):
+                    raise ValueError(f"chi2 drift on {d.column} needs a baseline dict")
+                out[f"chi2:{d.column}"] = chi2_drift(
+                    df, d.column, d.baseline, threshold=d.threshold
+                )
+            elif d.kind == "ks":
+                if baseline_df is None:
+                    raise ValueError(f"ks drift on {d.column} needs baseline_df")
+                out[f"ks:{d.column}"] = ks_drift_binned(
+                    df, baseline_df, d.column, threshold=d.threshold
+                )
+            else:
+                raise ValueError(f"unknown drift kind {d.kind}")
+        return out
+
+    # -- end to end -----------------------------------------------------------
+
+    def run(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        dims: dict[str, DataFrame] | None = None,
+        invariants: list[Invariant] | None = None,
+        baseline_df: DataFrame | None = None,
+    ) -> EngineReport:
+        plan = self.bind(df)
+        return EngineReport(
+            violations=self.row_violations(df, partition_col, invariants),
+            partition_report=plan.partition_report(df, partition_col),
+            rule_metrics=plan.rule_metrics(df),
+            table_violations=self.table_violations(df, dims, partition_col),
+            drift=self.drift_checks(df, baseline_df)
+            if self.schema.table_rules.drift
+            else {},
+        )
+
+    def run_with_checkpoint(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        manifest: CheckpointManifest,
+        metrics: MetricsSink | None = None,
+        input_path: str = "",
+        invariants: list[Invariant] | None = None,
+    ) -> dict:
+        """Resumable per-partition validation: each partition is validated,
+        its rule metrics written, then its manifest entry committed. A kill
+        between partitions loses nothing; a kill mid-partition reprocesses
+        only that partition on resume."""
+        plan = self.bind(df)
+
+        def process(part_df: DataFrame, key):
+            t0 = time.time()
+            vdf = plan.with_violations(part_df)
+            agg = vdf.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.size("violations")).alias("violations"),
+            ).collect()[0]
+            counts = [
+                (r.rule_id, r["column"], r.violation_count)
+                for r in plan.rule_metrics(part_df).collect()
+            ]
+            wall = time.time() - t0
+            if metrics is not None:
+                metrics.write_rule_metrics(
+                    manifest.run_id, key, counts, agg["rows"], wall
+                )
+                metrics.write_lineage(
+                    manifest.run_id, key, input_path, self.fingerprint
+                )
+            return {
+                "rows": int(agg["rows"]),
+                "violations": int(agg["violations"] or 0),
+            }
+
+        return run_partitioned(df, partition_col, process, manifest)

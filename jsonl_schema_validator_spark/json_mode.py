@@ -1,0 +1,491 @@
+"""Raw-JSONL validation mode.
+
+Two tiers, by design:
+
+1. ``json_rules`` — pure-expression screen for scale: NotAnObject,
+   FieldDuplicated (json_object_keys preserves duplicate keys),
+   FieldUnrecognised (array_except vs the schema key set),
+   RequiredFieldAbsent vs RequiredFieldIsNull (key-presence disambiguates the
+   two NULLs get_json_object conflates), and per-field value rules on the
+   JSON-decoded text. Whole-stage codegen, no Python. Known, documented
+   divergence from the reference: values are checked AFTER JSON decoding, so
+   a quoted "123" passes INT64 (the reference distinguishes by quoting) and
+   no byte offsets are produced.
+
+2. ``reference_verdicts`` — exact-parity walker producing the reference's
+   verdict triples (variant, byte offset, field name), first-error-in-byte-
+   order (or all errors with ``mode='all'``). Byte-offset semantics and
+   duplicate tracking are not expressible in Catalyst, so this runs as an
+   Arrow-batched mapInPandas stage — the documented exception to the
+   no-per-row-Python rule (BASELINE.json input_hint), used for fixture
+   parity and audits, not the 100 TB hot path.
+
+The walker ports the reference's *semantics* (validate() at
+/root/reference/src/validate.rs:85-301 and the consume_* predicates in
+micro_util.rs), not its code: same error variants, same byte offsets
+(key start for FieldUnrecognised/FieldDuplicated, value start for
+FieldValueInvalid/RequiredFieldIsNull/RepeatedFieldIsNotArray, element start
+for ArrayContentsInvalid, position-after-'}' for RequiredFieldAbsent), same
+leniencies (mixed date separators, trailing-space timestamps, duplicate-seen
+reset per repeated-struct element, validate.rs:285-293).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonl_schema_validator_spark.functions import validators as V
+from jsonl_schema_validator_spark.schema import Field, FieldType, Mode, Schema
+
+# ---------------------------------------------------------------------------
+# exact-parity walker
+# ---------------------------------------------------------------------------
+
+_WS = b" \t\n\r"
+
+# content regexes (no anchors needed: fullmatch), bytes flavor of the shared
+# patterns in functions/validators.py
+_RE = {
+    FieldType.BOOL: re.compile(V.BOOL_PATTERN[1:-1].encode()),
+    FieldType.INT64: re.compile(V.INT64_PATTERN[1:-1].encode()),
+    FieldType.FLOAT64: re.compile(V.FLOAT64_PATTERN[1:-1].encode()),
+    FieldType.DECIMAL_29_9: re.compile(V.DECIMAL_29_9_PATTERN[1:-1].encode()),
+    FieldType.DATE: re.compile(V.DATE_PATTERN[1:-1].encode()),
+    FieldType.TIME: re.compile(V.TIME_PATTERN[1:-1].encode()),
+    FieldType.DATETIME: re.compile(V.DATETIME_PATTERN[1:-1].encode()),
+    FieldType.TIMESTAMP: re.compile(V.TIMESTAMP_PATTERN[1:-1].encode()),
+    FieldType.BYTES: re.compile(V.BASE64_PATTERN[1:-1].encode()),
+}
+_NUM_EXTENT = re.compile(rb"-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
+
+
+class _Node:
+    __slots__ = ("idx", "name", "mode", "type", "fields", "subtree_idxs")
+
+    def __init__(self, f: Field):
+        self.idx = f.idx
+        self.name = f.name
+        self.mode = f.mode
+        self.type = f.type
+        self.fields = {sf.name.encode(): _Node(sf) for sf in (f.fields or [])}
+        self.subtree_idxs = [x.idx for x in f.walk()]
+
+
+class _Err(Exception):
+    def __init__(self, variant: str, offset: int, field: str | None):
+        self.triple = (variant, offset, field)
+
+
+class _JsonSchema:
+    def __init__(self, schema: Schema):
+        self.fields = {f.name.encode(): _Node(f) for f in schema.fields}
+        self.max_idx = schema.max_idx
+
+
+def compile_json_schema(schema: Schema) -> _JsonSchema:
+    return _JsonSchema(schema)
+
+
+def _skip_ws(b: bytes, j: int) -> int:
+    n = len(b)
+    while j < n and b[j] in _WS:
+        j += 1
+    return j
+
+
+def _scan_string(b: bytes, j: int) -> int:
+    """j at opening quote; returns index just past the closing quote, or -1."""
+    k = j + 1
+    n = len(b)
+    while k < n:
+        c = b[k]
+        if c == 0x5C:  # backslash
+            k += 2
+            continue
+        if c == 0x22:  # quote
+            return k + 1
+        k += 1
+    return -1
+
+
+def _skip_value(b: bytes, j: int) -> int:
+    """Skip any JSON value starting at j (assumed spec-compliant); returns
+    index just past it, or -1. The walker's analog of consume_json."""
+    j = _skip_ws(b, j)
+    if j >= len(b):
+        return -1
+    c = b[j]
+    if c == 0x22:
+        return _scan_string(b, j)
+    if c in b"{[":
+        depth = 0
+        k = j
+        n = len(b)
+        while k < n:
+            c = b[k]
+            if c == 0x22:
+                k = _scan_string(b, k)
+                if k < 0:
+                    return -1
+                continue
+            if c in b"{[":
+                depth += 1
+            elif c in b"}]":
+                depth -= 1
+                if depth == 0:
+                    return k + 1
+            k += 1
+        return -1
+    if b.startswith(b"true", j):
+        return j + 4
+    if b.startswith(b"false", j):
+        return j + 5
+    if b.startswith(b"null", j):
+        return j + 4
+    m = _NUM_EXTENT.match(b, j)
+    return m.end() if m and m.end() > j else -1
+
+
+def _consume_scalar(b: bytes, j: int, ftype: FieldType) -> int:
+    """Value of type ftype starting at j: returns end index if valid else -1.
+    Mirrors the consume_* dispatch in validate.rs:141-259."""
+    c = b[j]
+    if ftype is FieldType.STRING:
+        return _scan_string(b, j) if c == 0x22 else -1
+    if ftype in (
+        FieldType.DATE,
+        FieldType.TIME,
+        FieldType.DATETIME,
+        FieldType.TIMESTAMP,
+        FieldType.BYTES,
+    ):
+        if c != 0x22:
+            return -1
+        end = _scan_string(b, j)
+        if end < 0:
+            return -1
+        content = b[j + 1 : end - 1]
+        return end if _RE[ftype].fullmatch(content) else -1
+    if ftype is FieldType.BOOL:
+        if b.startswith(b"true", j):
+            return j + 4
+        if b.startswith(b"false", j):
+            return j + 5
+        return -1
+    if ftype in (FieldType.INT64, FieldType.FLOAT64, FieldType.DECIMAL_29_9):
+        m = _NUM_EXTENT.match(b, j)
+        if not m or m.end() == j:
+            return -1
+        tok = b[j : m.end()]
+        if ftype is FieldType.FLOAT64:
+            return m.end()
+        if not _RE[ftype].fullmatch(tok):
+            return -1
+        if ftype is FieldType.INT64:
+            v = int(tok)
+            if not (-(2**63) <= v < 2**63):
+                return -1
+        return m.end()
+    if ftype is FieldType.ANY:
+        end = _skip_value(b, j)
+        # reference consume_json returns 0 for null; null is handled by the
+        # caller's null check before dispatch, so any remaining value is fine
+        return end
+    raise AssertionError(f"unhandled scalar type {ftype}")
+
+
+def _validate_object(
+    b: bytes,
+    j: int,
+    node_fields: dict[bytes, _Node],
+    seen: set[int],
+    errors: list,
+    collect_all: bool,
+) -> int:
+    """Validate one {...} object starting at or after j; returns index just
+    past its closing brace. Raises _Err on first error unless collect_all."""
+
+    def fail(variant, offset, field):
+        if collect_all:
+            errors.append((variant, offset, field))
+        else:
+            raise _Err(variant, offset, field)
+
+    j = _skip_ws(b, j)
+    if j >= len(b) or b[j] != 0x7B:  # '{'
+        raise _Err("NOT_AN_OBJECT", j, None)  # unrecoverable even in 'all'
+    j += 1
+    j = _skip_ws(b, j)
+    first = True
+    while True:
+        if j < len(b) and b[j] == 0x7D:  # '}'
+            j += 1
+            break
+        if not first:
+            if j >= len(b) or b[j] != 0x2C:  # ','
+                raise _Err("NOT_AN_OBJECT", j, None)
+            j = _skip_ws(b, j + 1)
+        first = False
+        if j >= len(b) or b[j] != 0x22:
+            raise _Err("NOT_AN_OBJECT", j, None)
+        key_off = j + 1
+        key_end = _scan_string(b, j)
+        if key_end < 0:
+            raise _Err("NOT_AN_OBJECT", j, None)
+        key = b[j + 1 : key_end - 1]
+        j = _skip_ws(b, key_end)
+        if j >= len(b) or b[j] != 0x3A:  # ':'
+            raise _Err("NOT_AN_OBJECT", j, None)
+        j = _skip_ws(b, j + 1)
+        node = node_fields.get(key)
+        if node is None:
+            fail("FIELD_UNRECOGNISED", key_off, key.decode("utf-8", "replace"))
+            # skip the value to continue in 'all' mode
+            j = _skip_value(b, j)
+            if j < 0:
+                raise _Err("NOT_AN_OBJECT", len(b), None)
+        else:
+            if node.idx in seen:
+                fail("FIELD_DUPLICATED", key_off, node.name)
+                j = _skip_value(b, j)
+            else:
+                seen.add(node.idx)
+                j = _validate_value(b, j, node, seen, errors, collect_all)
+        j = _skip_ws(b, j)
+    # required-absent check, schema order (PrefixMap::find analog)
+    for node in node_fields.values():
+        if node.mode is Mode.REQUIRED and node.idx not in seen:
+            fail("REQUIRED_FIELD_ABSENT", j, node.name)
+            break  # reference reports only the first
+    return j
+
+
+def _validate_value(
+    b: bytes,
+    j: int,
+    node: _Node,
+    seen: set[int],
+    errors: list,
+    collect_all: bool,
+) -> int:
+    def fail(variant, offset, field):
+        if collect_all:
+            errors.append((variant, offset, field))
+        else:
+            raise _Err(variant, offset, field)
+
+    def skip_from(pos):
+        end = _skip_value(b, pos)
+        if end < 0:
+            raise _Err("NOT_AN_OBJECT", len(b), None)
+        return end
+
+    val_off = j
+    if b.startswith(b"null", j):
+        if node.mode is Mode.REQUIRED:
+            fail("REQUIRED_FIELD_IS_NULL", val_off, node.name)
+        return j + 4
+
+    if node.mode is Mode.REPEATED:
+        if j >= len(b) or b[j] != 0x5B:  # '['
+            fail("REPEATED_FIELD_IS_NOT_ARRAY", val_off, node.name)
+            return skip_from(j)
+        j = _skip_ws(b, j + 1)
+        while True:
+            if j < len(b) and b[j] == 0x5D:  # ']'
+                return j + 1
+            elem_off = j
+            if b.startswith(b"null", j):
+                # null element invalid (validate.rs:368)
+                fail("ARRAY_CONTENTS_INVALID", elem_off, node.name)
+                j = j + 4
+            elif node.type is FieldType.STRUCT:
+                # reset duplicate tracking for this element's subtree
+                # (validate.rs:285-293)
+                for idx in node.subtree_idxs[1:]:
+                    seen.discard(idx)
+                try:
+                    j = _validate_object(b, j, node.fields, seen, errors, collect_all)
+                except _Err as e:
+                    if not collect_all:
+                        raise
+                    errors.append(e.triple)
+                    j = skip_from(elem_off)
+            else:
+                end = _consume_scalar(b, j, node.type)
+                if end < 0:
+                    fail("ARRAY_CONTENTS_INVALID", elem_off, node.name)
+                    j = skip_from(j)
+                else:
+                    j = end
+            j = _skip_ws(b, j)
+            if j < len(b) and b[j] == 0x2C:  # ','
+                j = _skip_ws(b, j + 1)
+            elif j < len(b) and b[j] == 0x5D:
+                return j + 1
+            elif j >= len(b):
+                raise _Err("NOT_AN_OBJECT", j, None)
+
+    if node.type is FieldType.STRUCT:
+        if j >= len(b) or b[j] != 0x7B:
+            fail("NOT_AN_OBJECT", val_off, None)
+            return skip_from(j)
+        return _validate_object(b, j, node.fields, seen, errors, collect_all)
+
+    end = _consume_scalar(b, j, node.type)
+    if end is None or end < 0:
+        fail("FIELD_VALUE_INVALID", val_off, node.name)
+        return skip_from(j)
+    return end
+
+
+def validate_line(
+    line: bytes | str, jschema: _JsonSchema, collect_all: bool = False
+) -> list[tuple[str, int, str | None]]:
+    """Validate one JSONL line. Returns [] if valid, else error triples
+    (variant, byte_offset, field_name) — first-in-byte-order unless
+    collect_all. Assumes spec-compliant JSON (reference contract,
+    README.md:5-6)."""
+    b = line.encode("utf-8") if isinstance(line, str) else line
+    errors: list = []
+    seen: set[int] = set()
+    try:
+        _validate_object(b, 0, jschema.fields, seen, errors, collect_all)
+    except _Err as e:
+        errors.append(e.triple)
+    return errors
+
+
+VERDICT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("variant", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("field", T.StringType()),
+        ]
+    )
+)
+
+
+def reference_verdicts(
+    df: DataFrame,
+    schema: Schema,
+    line_col: str = "line",
+    mode: str = "first",
+) -> DataFrame:
+    """df + (errors array<struct<variant,offset,field>>, is_valid) with exact
+    reference verdict parity. Arrow-batched mapInPandas; the per-line walker
+    is the documented no-per-row-Python exception (see module docstring)."""
+    if mode not in ("first", "all"):
+        raise ValueError("mode must be 'first' or 'all'")
+    collect_all = mode == "all"
+    jschema = compile_json_schema(schema)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("errors", VERDICT_SCHEMA),
+            T.StructField("is_valid", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            errs = [
+                validate_line(s, jschema, collect_all) if s is not None else []
+                for s in pdf[line_col]
+            ]
+            pdf = pdf.copy()
+            pdf["errors"] = errs
+            pdf["is_valid"] = [not e for e in errs]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# expression-based JSON rules (scale path)
+# ---------------------------------------------------------------------------
+
+
+def json_rules(
+    df: DataFrame, schema: Schema, line_col: str = "line"
+) -> DataFrame:
+    """df + violations array<struct<rule_id,column,value>> computed entirely
+    with JVM expressions over raw JSON lines (top-level fields; nested
+    structs are validated by the compiler path after from_json, or exactly by
+    reference_verdicts). See module docstring for the documented divergences.
+    """
+    line = F.col(line_col)
+    keys = F.json_object_keys(line)
+    schema_keys = F.array(*[F.lit(f.name) for f in schema.fields])
+
+    rules: list = []
+
+    def rule(cond, rule_id, column, value):
+        rules.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(rule_id).alias("rule_id"),
+                    F.lit(column).alias("column"),
+                    value.cast("string").alias("value"),
+                ),
+            )
+        )
+
+    not_object = keys.isNull()
+    rule(not_object, "NOT_AN_OBJECT", "", line)
+    rule(
+        ~not_object & (F.size(keys) != F.size(F.array_distinct(keys))),
+        "FIELD_DUPLICATED",
+        "",
+        F.to_json(keys),
+    )
+    unknown = F.array_except(keys, schema_keys)
+    rule(
+        ~not_object & (F.size(unknown) > 0),
+        "FIELD_UNRECOGNISED",
+        "",
+        F.to_json(unknown),
+    )
+    for f in schema.fields:
+        raw = F.get_json_object(line, f"$.{f.name}")
+        present = F.array_contains(keys, f.name)
+        if f.mode is Mode.REQUIRED:
+            rule(
+                ~not_object & ~present,
+                "REQUIRED_FIELD_ABSENT",
+                f.name,
+                F.lit(None),
+            )
+            rule(
+                ~not_object & present & raw.isNull(),
+                "REQUIRED_FIELD_IS_NULL",
+                f.name,
+                F.lit(None),
+            )
+        if f.mode is Mode.REPEATED:
+            rule(
+                ~not_object & raw.isNotNull() & ~raw.rlike("^\\s*\\["),
+                "REPEATED_FIELD_IS_NOT_ARRAY",
+                f.name,
+                raw,
+            )
+            continue
+        if f.type in (FieldType.STRUCT, FieldType.ANY, FieldType.STRING):
+            continue  # structurally handled / always-valid post-decode
+        validator = V.TEXT_VALIDATORS[f.type.value]
+        rule(
+            ~not_object & raw.isNotNull() & ~validator(raw),
+            "FIELD_VALUE_INVALID",
+            f.name,
+            raw,
+        )
+    return df.withColumn("violations", F.array_compact(F.array(*rules)))

@@ -38,8 +38,11 @@ def chi2_drift(
     if not baseline:
         raise ValueError("baseline must be a non-empty {category: prob} map")
     spark = df.sparkSession
-    observed = df.groupBy(F.col(column).alias("category")).agg(
-        F.count(F.lit(1)).alias("obs")
+    # null category = absent value, the NULLABLE mode's concern, not drift
+    observed = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("category"))
+        .agg(F.count(F.lit(1)).alias("obs"))
     )
     base_df = spark.createDataFrame(
         [(k, float(v)) for k, v in baseline.items()], "category string, prob double"

@@ -1,0 +1,14 @@
+from jsonl_schema_validator_spark.plans.checkpoint import (
+    CheckpointManifest,
+    run_partitioned,
+)
+from jsonl_schema_validator_spark.plans.skew import salted_repartition, with_salt
+from jsonl_schema_validator_spark.plans.metrics import MetricsSink
+
+__all__ = [
+    "CheckpointManifest",
+    "run_partitioned",
+    "salted_repartition",
+    "with_salt",
+    "MetricsSink",
+]

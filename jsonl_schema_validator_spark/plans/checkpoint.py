@@ -1,0 +1,114 @@
+"""Per-partition checkpoint/resume (north rule: a killed validation job
+resumes from the last committed manifest).
+
+Design: one manifest FILE per completed partition key, written atomically
+(tmp + rename). A run that dies mid-partition leaves no manifest entry for
+it, so the re-run reprocesses exactly that partition — idempotent because
+each partition's outputs are keyed by (run_id, partition) and rewritten
+whole. This is the Iceberg-commit-per-partition pattern scaled down to a
+filesystem; with a real Iceberg catalog the manifest write becomes the
+table's own snapshot commit.
+
+Scale notes: the manifest dir holds #partitions tiny files; listing it is a
+driver-side O(#partitions) operation, independent of row count. Partition
+predicates (`partition_col == key`) prune file groups at the source when the
+input is partitioned on disk by the same key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _safe(key) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", str(key))
+
+
+class CheckpointManifest:
+    def __init__(self, path: str, run_id: str | None = None):
+        self.path = path
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        os.makedirs(path, exist_ok=True)
+
+    def _entry_path(self, key) -> str:
+        return os.path.join(self.path, f"partition={_safe(key)}.json")
+
+    def completed(self) -> dict[str, dict]:
+        """{partition_key_str: manifest_record} for all committed partitions."""
+        out = {}
+        for name in os.listdir(self.path):
+            if not (name.startswith("partition=") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self.path, name)) as fh:
+                    rec = json.load(fh)
+                out[str(rec["partition_key"])] = rec
+            except (json.JSONDecodeError, KeyError, OSError):
+                # torn write can only be a *tmp* file (rename is atomic);
+                # a malformed committed entry is treated as not-done
+                continue
+        return out
+
+    def mark_complete(self, key, metrics: dict | None = None) -> None:
+        """Atomically commit a partition: tmp file + rename (POSIX atomic)."""
+        rec = {
+            "partition_key": str(key),
+            "run_id": self.run_id,
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        final = self._entry_path(key)
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)
+
+    def pending(self, all_keys: list) -> list:
+        done = set(self.completed())
+        return [k for k in all_keys if str(k) not in done]
+
+
+def run_partitioned(
+    df: DataFrame,
+    partition_col: str,
+    process_fn,
+    manifest: CheckpointManifest,
+    keys: list | None = None,
+) -> dict:
+    """Process each partition independently with checkpoint/resume.
+
+    process_fn(partition_df, key) -> metrics dict; called only for partitions
+    without a committed manifest entry. Returns a summary. Listing keys is
+    one distinct() over the partition column (cheap: #partitions results);
+    pass `keys` to skip it when the partition domain is known.
+    """
+    if keys is None:
+        keys = [
+            r[0]
+            for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+        ]
+    pending = manifest.pending(keys)
+    processed, skipped = [], len(keys) - len(pending)
+    for key in pending:
+        part = df.where(F.col(partition_col) == F.lit(key))
+        t0 = time.time()
+        metrics = process_fn(part, key) or {}
+        metrics["wall_sec"] = round(time.time() - t0, 3)
+        manifest.mark_complete(key, metrics)
+        processed.append(key)
+    return {
+        "run_id": manifest.run_id,
+        "partitions_total": len(keys),
+        "partitions_processed": len(processed),
+        "partitions_skipped_committed": skipped,
+        "processed_keys": processed,
+    }

@@ -1,0 +1,106 @@
+"""Metrics + lineage sink (north rule: per-partition lineage and rule-level
+metrics — rows scanned, violations, wall time — written to a metrics table).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("rule_id", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("violations", T.LongType()),
+        T.StructField("wall_sec", T.DoubleType()),
+        T.StructField("ts", T.DoubleType()),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("input_path", T.StringType()),
+        T.StructField("ruleset_fingerprint", T.StringType()),
+        T.StructField("ts", T.DoubleType()),
+    ]
+)
+
+
+class MetricsSink:
+    """Append-only parquet metrics/lineage tables. At warehouse scale these
+    become Iceberg tables; append semantics are identical."""
+
+    def __init__(self, spark: SparkSession, metrics_path: str, lineage_path: str | None = None):
+        self.spark = spark
+        self.metrics_path = metrics_path
+        self.lineage_path = lineage_path
+
+    def write_rule_metrics(
+        self,
+        run_id: str,
+        partition_key,
+        rule_counts: list[tuple[str, str, int]],
+        rows_scanned: int,
+        wall_sec: float,
+    ) -> None:
+        now = time.time()
+        rows = [
+            (
+                run_id,
+                str(partition_key),
+                rule_id,
+                column,
+                int(rows_scanned),
+                int(violations),
+                float(wall_sec),
+                now,
+            )
+            for rule_id, column, violations in rule_counts
+        ] or [
+            (run_id, str(partition_key), "__scan__", "", int(rows_scanned), 0, float(wall_sec), now)
+        ]
+        df = self.spark.createDataFrame(rows, METRICS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.metrics_path)
+
+    def write_lineage(
+        self, run_id: str, partition_key, input_path: str, ruleset_fingerprint: str
+    ) -> None:
+        if not self.lineage_path:
+            return
+        df = self.spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    str(partition_key),
+                    input_path,
+                    ruleset_fingerprint,
+                    time.time(),
+                )
+            ],
+            LINEAGE_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+
+    def read_metrics(self) -> DataFrame:
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_path)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+
+
+def ruleset_fingerprint(schema_doc) -> str:
+    """Stable fingerprint of a rule set for lineage (sha256 of canonical JSON)."""
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(schema_doc, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]

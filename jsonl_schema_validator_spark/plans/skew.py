@@ -1,0 +1,41 @@
+"""Hot-key (hot-repo) skew handling: salted repartitioning.
+
+North rule: "skew from hot repos is handled with salted repartitioning and
+AQE skew-join hints". AQE (enabled in session.py: adaptive.enabled +
+skewJoin.enabled) handles skewed JOIN partitions at runtime; salting here
+handles skewed *data* partitions for narrow work and aggregations, where a
+Zipf-hot repo would otherwise pin one task at 100x the median.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, num_salts: int, col_name: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt 0..num_salts-1 (hash of all columns, not
+    rand(): reruns produce identical placement, which checkpoint/resume
+    requires)."""
+    return df.withColumn(
+        col_name, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    )
+
+
+def salted_repartition(
+    df: DataFrame, key_col: str, num_partitions: int, num_salts: int = 8
+) -> DataFrame:
+    """Repartition by (key, salt) so one hot key spreads over num_salts
+    tasks. For aggregations over the key, aggregate partially per (key,salt)
+    first, then re-aggregate per key — the classic two-stage skew agg."""
+    salted = with_salt(df, num_salts)
+    out = salted.repartition(num_partitions, F.col(key_col), F.col("__salt"))
+    return out.drop("__salt")
+
+
+def two_stage_count(df: DataFrame, key_col: str, num_salts: int = 8) -> DataFrame:
+    """Skew-safe count per key: partial count per (key, salt), then sum per
+    key. The second shuffle moves #keys*num_salts rows, not data rows."""
+    salted = with_salt(df, num_salts)
+    partial = salted.groupBy(key_col, "__salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy(key_col).agg(F.sum("c").alias("count"))

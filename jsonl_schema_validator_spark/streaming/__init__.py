@@ -1,0 +1,7 @@
+from jsonl_schema_validator_spark.streaming.validate_stream import (
+    validate_stream,
+    windowed_violation_counts,
+    start_violations_sink,
+)
+
+__all__ = ["validate_stream", "windowed_violation_counts", "start_violations_sink"]

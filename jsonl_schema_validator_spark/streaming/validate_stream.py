@@ -1,0 +1,86 @@
+"""Structured Streaming validation.
+
+The rule bundle is a stateless narrow projection, so it applies to a
+streaming DataFrame unchanged — readStream -> with_violations -> writeStream.
+Late data only matters for the *aggregated* outputs (windowed violation
+counts), which use event-time windows + watermarks. Checkpointing is
+Spark's own streaming checkpoint (exactly-once file sinks); the batch-side
+CheckpointManifest is for batch/backfill runs.
+
+Reference parity note: the reference is a batch CLI (SURVEY.md §2.7 — no
+streaming constructs); this module is a north-rule extension
+(resumability + continuous validation), built on watermarks + windowed aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.compiler import RuleCompiler
+from jsonl_schema_validator_spark.schema import Schema
+
+
+def validate_stream(sdf: DataFrame, schema: Schema) -> DataFrame:
+    """Streaming df + violations + is_valid (stateless, per-record)."""
+    plan = RuleCompiler(schema).bind(sdf)
+    out = plan.with_violations(sdf)
+    return out.withColumn("is_valid", F.size("violations") == F.lit(0))
+
+
+def windowed_violation_counts(
+    sdf: DataFrame,
+    schema: Schema,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed per-rule violation counts with late-data handling.
+
+    watermark bounds state: windows older than max(event_time) - watermark
+    are finalized and dropped from the state store.
+    """
+    v = validate_stream(sdf, schema)
+    exploded = (
+        v.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode("violations").alias("v"))
+        .select(
+            F.col(ts_col),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.column").alias("column"),
+        )
+    )
+    return exploded.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window"),
+        "rule_id",
+        "column",
+    ).agg(F.count(F.lit(1)).alias("violation_count"))
+
+
+def start_violations_sink(
+    sdf: DataFrame,
+    schema: Schema,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    trigger_once: bool = True,
+):
+    """Continuously append exploded violation rows to a parquet sink with
+    exactly-once semantics (Spark streaming checkpoint + file-sink log)."""
+    v = validate_stream(sdf, schema)
+    cols = [F.col(k) for k in (keys or [])]
+    exploded = v.select(*cols, F.explode("violations").alias("viol")).select(
+        *[F.col(k) for k in (keys or [])],
+        F.col("viol.rule_id").alias("rule_id"),
+        F.col("viol.column").alias("column"),
+        F.col("viol.value").alias("value"),
+    )
+    writer = (
+        exploded.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

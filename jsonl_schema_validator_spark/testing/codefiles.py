@@ -1,0 +1,203 @@
+"""Deterministic `code_files` fixture generator (FIXTURES.md F1).
+
+The north-rule input table: (repo, path, commit, lang, content) with a
+Zipf-hot repo distribution, seeded defects with recorded expectations, a
+companion expected_violations list, RI dims with planted orphans, and a
+generator-recorded content sha256 for the per-row invariant. Pure python +
+fixed seed: identical output every run (no wall clock, no os randomness).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass
+
+LANGS = ["python", "rust", "js", "go", "java", "md", "other"]
+LANG_PROBS = [0.3, 0.1, 0.2, 0.1, 0.15, 0.1, 0.05]
+EXTS = {
+    "python": ".py",
+    "rust": ".rs",
+    "js": ".js",
+    "go": ".go",
+    "java": ".java",
+    "md": ".md",
+    "other": ".txt",
+}
+WORDS = (
+    "def fn let mut var const class struct impl return if else for while "
+    "import use package spark validate schema rule column partition shuffle "
+    "hash join agg scan row value table key commit repo path lang content"
+).split()
+
+CODE_FILES_SCHEMA_DOC = {
+    "fields": [
+        {
+            "name": "repo",
+            "type": "STRING",
+            "mode": "REQUIRED",
+            "constraints": {"regex": "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$"},
+        },
+        {
+            "name": "path",
+            "type": "STRING",
+            "mode": "REQUIRED",
+            "constraints": {"min_length": 1, "max_length": 512},
+        },
+        {
+            "name": "commit",
+            "type": "STRING",
+            "mode": "REQUIRED",
+            "constraints": {"regex": "^[0-9a-f]{40}$"},
+        },
+        {"name": "lang", "type": "STRING", "constraints": {"enum": LANGS}},
+        {
+            "name": "content",
+            "type": "STRING",
+            "mode": "REQUIRED",
+            "constraints": {"min_length": 10},
+        },
+    ],
+    "rules": {
+        "unique": [{"columns": ["repo", "path", "commit"]}],
+        "foreign_keys": [
+            {"columns": ["repo"], "ref_table": "repos", "ref_columns": ["repo"]},
+            {
+                "columns": ["repo", "commit"],
+                "ref_table": "commits",
+                "ref_columns": ["repo", "commit"],
+            },
+        ],
+        "drift": [
+            {
+                "kind": "chi2",
+                "column": "lang",
+                "baseline": dict(zip(LANGS, LANG_PROBS)),
+                "threshold": 30.0,
+            }
+        ],
+    },
+}
+
+
+@dataclass
+class CodeFilesFixture:
+    rows: list[tuple]  # (row_id, repo, path, commit, lang, content, expected_sha256, bucket)
+    expected_violations: list[tuple]  # (row_id, rule_id, column)
+    repos_dim: list[tuple]  # (repo,)
+    commits_dim: list[tuple]  # (repo, commit)
+    expected_duplicate_keys: list[tuple]  # (repo, path, commit)
+    expected_ri_orphans: dict  # {"repos": [...], "commits": [...]}
+
+    DDL = (
+        "row_id bigint, repo string, path string, commit string, lang string, "
+        "content string, expected_sha256 string, bucket int"
+    )
+
+    def to_spark(self, spark):
+        return spark.createDataFrame(self.rows, self.DDL)
+
+    def dims_to_spark(self, spark):
+        return {
+            "repos": spark.createDataFrame(self.repos_dim, "repo string"),
+            "commits": spark.createDataFrame(
+                self.commits_dim, "repo string, commit string"
+            ),
+        }
+
+
+def _sha40(rng: random.Random) -> str:
+    return hashlib.sha1(str(rng.random()).encode()).hexdigest()
+
+
+def _bucket(repo: str) -> int:
+    # portable deterministic bucket (not python hash(): not run-stable)
+    return int(hashlib.md5(repo.encode()).hexdigest()[:8], 16) % 16
+
+
+def generate_code_files(n_rows: int = 2000, seed: int = 42) -> CodeFilesFixture:
+    rng = random.Random(seed)
+    # zipf-skewed repo popularity over ~50 repos (hot-repo skew, FIXTURES.md)
+    repos = [f"org{i % 7}/repo{i}" for i in range(50)]
+    weights = [1.0 / (i + 1) for i in range(50)]
+
+    # dims: all repos except the last (planted RI orphans), commits per repo
+    repos_dim = [(r,) for r in repos[:-1]]
+    known_commits: dict[str, list[str]] = {r: [] for r in repos}
+
+    rows = []
+    expected: list[tuple] = []
+    for i in range(n_rows):
+        repo = rng.choices(repos, weights)[0]
+        depth = rng.randint(1, 6)
+        lang = rng.choices(LANGS, LANG_PROBS)[0]
+        path = "/".join(
+            rng.choice(["src", "lib", "pkg", "core", "util", "io"])
+            for _ in range(depth - 1)
+        )
+        fname = f"file{i}{EXTS[lang]}"
+        path = f"{path}/{fname}" if path else fname
+        commit = _sha40(rng)
+        if rng.random() < 0.7 and known_commits[repo]:
+            commit = rng.choice(known_commits[repo])
+        else:
+            known_commits[repo].append(commit)
+        # min 5 words: shortest vocab word is 2 chars, so content is always
+        # >= 14 chars and never trips the min_length=10 rule by accident
+        n_words = max(5, int(rng.lognormvariate(3.0, 0.8)))
+        content = " ".join(rng.choice(WORDS) for _ in range(n_words))
+        lang_out: str | None = lang if rng.random() > 0.1 else None
+
+        # ~1% seeded defects, exactly one per chosen row
+        defect = rng.random() < 0.01
+        if defect:
+            kind = rng.choice(["null_lang_enum", "bad_commit", "bad_repo", "short_content"])
+            if kind == "null_lang_enum":
+                lang_out = "cobol"
+                expected.append((i, "ENUM_VIOLATION", "lang"))
+            elif kind == "bad_commit":
+                commit = "NOT_A_HEX_SHA_" + commit[:26]
+                expected.append((i, "REGEX_VIOLATION", "commit"))
+            elif kind == "bad_repo":
+                repo_bad = repo.replace("/", "//")
+                expected.append((i, "REGEX_VIOLATION", "repo"))
+                repo = repo_bad
+            elif kind == "short_content":
+                content = "tiny"
+                expected.append((i, "LENGTH_VIOLATION", "content"))
+        sha = hashlib.sha256(content.encode()).hexdigest()
+        # ~0.5% rows get a truncated content AFTER the sha is recorded
+        # (the per-row invariant violation)
+        if rng.random() < 0.005:
+            content = content[: max(10, len(content) // 2)]
+            expected.append((i, "SHA256_MISMATCH", "content"))
+        rows.append(
+            (i, repo, path, commit, lang_out, content, sha, _bucket(repo))
+        )
+
+    # ~0.5% duplicate (repo,path,commit) rows
+    dup_keys = []
+    n_dups = max(1, n_rows // 200)
+    for j in range(n_dups):
+        src = rows[rng.randrange(len(rows))]
+        dup = (n_rows + j,) + src[1:]
+        rows.append(dup)
+        dup_keys.append((src[1], src[2], src[3]))
+
+    commits_dim = []
+    orphan_commits = []
+    for repo, commits in known_commits.items():
+        for c in commits:
+            if rng.random() < 0.003:
+                orphan_commits.append((repo, c))
+                continue
+            commits_dim.append((repo, c))
+
+    return CodeFilesFixture(
+        rows=rows,
+        expected_violations=expected,
+        repos_dim=repos_dim,
+        commits_dim=commits_dim,
+        expected_duplicate_keys=sorted(set(dup_keys)),
+        expected_ri_orphans={"repos": [repos[-1]], "commits": orphan_commits},
+    )

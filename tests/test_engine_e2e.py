@@ -1,0 +1,183 @@
+"""End-to-end engine test on the F1 `code_files` fixture (FIXTURES.md):
+seeded defects with recorded expectations, uniqueness + RI dims with planted
+orphans, sha256 per-row invariant, chi2 drift, checkpoint/resume, metrics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.engine import Invariant, ValidationEngine
+from jsonl_schema_validator_spark.plans import (
+    CheckpointManifest,
+    MetricsSink,
+    salted_repartition,
+)
+from jsonl_schema_validator_spark.plans.skew import two_stage_count
+from jsonl_schema_validator_spark.testing.codefiles import (
+    CODE_FILES_SCHEMA_DOC,
+    generate_code_files,
+)
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return generate_code_files(N_ROWS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def cf(spark, fixture):
+    return fixture.to_spark(spark).cache()
+
+
+def _sha_invariant():
+    return Invariant(
+        rule_id="SHA256_MISMATCH",
+        column="content",
+        condition=F.sha2(F.col("content").cast("binary"), 256)
+        != F.col("expected_sha256"),
+        value=F.sha2(F.col("content").cast("binary"), 256),
+    )
+
+
+def test_generator_is_deterministic(fixture):
+    again = generate_code_files(N_ROWS, seed=42)
+    assert again.rows == fixture.rows
+    assert again.expected_violations == fixture.expected_violations
+
+
+def test_row_violations_exact_match(spark, fixture, cf):
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
+    viol = engine.row_violations(cf, partition_col="bucket", invariants=[_sha_invariant()])
+    got = {
+        (r.row_id, r.rule_id, r["column"])
+        for r in viol.collect()
+        if r.row_id < N_ROWS  # duplicated rows re-carry their source defects
+    }
+    expected = set(fixture.expected_violations)
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
+
+
+def test_uniqueness_exact(spark, fixture, cf):
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC)
+    tv = engine.table_violations(cf, dims=fixture.dims_to_spark(spark))
+    dup_rows = [r for r in tv.collect() if r.rule_id == "UNIQUENESS_VIOLATION"]
+    import json
+
+    got_keys = sorted(
+        (d["repo"], d["path"], d["commit"])
+        for d in (json.loads(r.value) for r in dup_rows)
+    )
+    assert got_keys == sorted(fixture.expected_duplicate_keys)
+
+
+def test_referential_integrity_planted_orphans(spark, fixture, cf):
+    import json
+
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC)
+    tv = engine.table_violations(cf, dims=fixture.dims_to_spark(spark)).collect()
+    repo_orphans = {
+        json.loads(r.value)["repo"]
+        for r in tv
+        if r.rule_id == "RI_VIOLATION" and r["column"] == "repo"
+    }
+    # every orphan repo is either the planted missing parent or a corrupted
+    # '//' repo from the regex-defect injection
+    planted = fixture.expected_ri_orphans["repos"][0]
+    fact_repos = {row[1] for row in fixture.rows}
+    if planted in fact_repos:
+        assert planted in repo_orphans
+    for r in repo_orphans:
+        assert r == planted or "//" in r, r
+
+    commit_orphans = {
+        (json.loads(r.value)["repo"], json.loads(r.value)["commit"])
+        for r in tv
+        if r.rule_id == "RI_VIOLATION" and r["column"] == "repo,commit"
+    }
+    planted_commits = {
+        rc
+        for rc in map(tuple, fixture.expected_ri_orphans["commits"])
+        if any((row[1], row[3]) == rc for row in fixture.rows)
+    }
+    assert planted_commits <= commit_orphans
+    for repo, commit in commit_orphans - planted_commits:
+        assert "//" in repo or not all(c in "0123456789abcdef" for c in commit), (
+            repo,
+            commit,
+        )
+
+
+def test_partition_report_and_drift(spark, fixture, cf):
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
+    report = engine.run(
+        cf,
+        partition_col="bucket",
+        dims=fixture.dims_to_spark(spark),
+        invariants=[_sha_invariant()],
+    )
+    parts = report.partition_report.collect()
+    assert sum(p.rows for p in parts) == cf.count()
+    assert set(p.partition_key for p in parts) <= set(range(16))
+    drift = report.drift["chi2:lang"].collect()[0]
+    assert drift.statistic >= 0
+    n_cobol = sum(1 for row in fixture.rows if row[4] == "cobol")
+    assert drift.unexpected_count == n_cobol
+    assert drift.drifted in (True, False)
+
+
+def test_checkpoint_resume(spark, fixture, cf, tmp_path):
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
+    manifest_dir = str(tmp_path / "manifest")
+    metrics = MetricsSink(
+        spark, str(tmp_path / "metrics"), str(tmp_path / "lineage")
+    )
+    m1 = CheckpointManifest(manifest_dir, run_id="run1")
+    s1 = engine.run_with_checkpoint(
+        cf, "bucket", m1, metrics=metrics, input_path="fixture://code_files"
+    )
+    n_parts = s1["partitions_total"]
+    assert s1["partitions_processed"] == n_parts
+    assert s1["partitions_skipped_committed"] == 0
+
+    # rerun: everything committed -> nothing reprocessed
+    m2 = CheckpointManifest(manifest_dir, run_id="run2")
+    s2 = engine.run_with_checkpoint(cf, "bucket", m2)
+    assert s2["partitions_processed"] == 0
+    assert s2["partitions_skipped_committed"] == n_parts
+
+    # simulate a kill mid-partition: one missing manifest entry + a torn tmp
+    victim = sorted(os.listdir(manifest_dir))[0]
+    os.remove(os.path.join(manifest_dir, victim))
+    with open(os.path.join(manifest_dir, "partition=9.json.tmp.dead"), "w") as fh:
+        fh.write("{torn")
+    m3 = CheckpointManifest(manifest_dir, run_id="run3")
+    s3 = engine.run_with_checkpoint(cf, "bucket", m3)
+    assert s3["partitions_processed"] == 1  # only the victim partition
+
+    # metrics + lineage written with per-rule counts
+    mdf = metrics.read_metrics()
+    assert mdf.where("run_id = 'run1'").count() > 0
+    assert (
+        mdf.where("rule_id = 'ENUM_VIOLATION'").agg(F.sum("violations")).collect()[0][0]
+        > 0
+    )
+    assert metrics.read_lineage().where("run_id = 'run1'").count() == n_parts
+
+
+def test_skew_helpers(spark, cf):
+    plain = {
+        r.repo: r["count"]
+        for r in cf.groupBy("repo").agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    salted = {r.repo: r["count"] for r in two_stage_count(cf, "repo").collect()}
+    assert plain == salted
+    rep = salted_repartition(cf, "repo", 16)
+    assert rep.rdd.getNumPartitions() == 16
+    assert rep.count() == cf.count()

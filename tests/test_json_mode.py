@@ -1,0 +1,269 @@
+"""Exact-parity JSON-mode tests: every fixture from the reference's
+validate() suite (/root/reference/src/validate.rs:334-471), asserting the
+same (variant, byte_offset, field_name) triples. Spark-side parity is then
+checked by running the same lines through reference_verdicts (mapInPandas).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonl_schema_validator_spark.json_mode import (
+    compile_json_schema,
+    json_rules,
+    reference_verdicts,
+    validate_line,
+)
+from jsonl_schema_validator_spark.schema import schema_from_json
+
+BASE = [
+    {"name": "str_field", "type": "STRING"},
+    {"name": "date_field", "type": "DATE"},
+    {"name": "datetime_field", "type": "DATETIME"},
+    {"name": "time_field", "type": "TIME"},
+    {"name": "timestamp_field", "type": "TIMESTAMP"},
+    {"name": "bool_field", "type": "BOOL"},
+    {"name": "int_field", "type": "INT64"},
+    {"name": "float_field", "type": "FLOAT64"},
+    {"name": "decimal_field", "type": "DECIMAL_29_9"},
+    {"name": "bytes_field", "type": "BYTES"},
+    {"name": "any_field", "type": "ANY"},
+]
+
+
+def _schema(mods: dict[str, dict] | None = None):
+    fields = [dict(f) for f in BASE]
+    for f in fields:
+        for name, mod in (mods or {}).items():
+            if f["name"] == name:
+                f.update(mod)
+    return compile_json_schema(schema_from_json(fields))
+
+
+def _check(jschema, line: str, expected):
+    """expected: None for valid, else (variant, offset, field)."""
+    got = validate_line(line, jschema)
+    if expected is None:
+        assert got == [], f"{line!r}: expected valid, got {got}"
+    else:
+        assert got, f"{line!r}: expected {expected}, got valid"
+        assert got[0] == expected, f"{line!r}: expected {expected}, got {got[0]}"
+
+
+# --- test_validate_basic (validate.rs:334-369) -----------------------------
+
+
+def test_basic_nullable():
+    s = _schema()
+    _check(s, "{}", None)  # :342
+    _check(s, '{"str_field": null}', None)  # :343
+    _check(s, '{"str_field": "this is a string"}', None)  # :344
+    _check(
+        s,
+        '{"str_field": "take1", "str_field": "take2"}',
+        ("FIELD_DUPLICATED", 24, "str_field"),  # :345
+    )
+    _check(
+        s,
+        '{"random_field": null}',
+        ("FIELD_UNRECOGNISED", 2, "random_field"),  # :346
+    )
+
+
+def test_basic_required():
+    s = _schema({"str_field": {"mode": "REQUIRED"}})
+    _check(s, "{}", ("REQUIRED_FIELD_ABSENT", 2, "str_field"))  # :353
+    _check(s, '{"str_field": "this is a string"}', None)  # :354
+    _check(
+        s, '{"str_field": null}', ("REQUIRED_FIELD_IS_NULL", 14, "str_field")
+    )  # :355
+
+
+def test_basic_repeated():
+    s = _schema(
+        {"str_field": {"mode": "REPEATED"}, "bool_field": {"mode": "REQUIRED"}}
+    )
+    _check(s, "{}", ("REQUIRED_FIELD_ABSENT", 2, "bool_field"))  # :363
+    _check(s, '{"str_field": [], "bool_field": false}', None)  # :364
+    _check(s, '{"str_field": ["hello", "world"], "bool_field": false}', None)  # :365
+    _check(
+        s,
+        '{"str_field": "not an array!!!!", "bool_field": false}',
+        ("REPEATED_FIELD_IS_NOT_ARRAY", 14, "str_field"),  # :366
+    )
+    _check(
+        s,
+        '{"str_field": ["hello", 1234], "bool_field": false}',
+        ("ARRAY_CONTENTS_INVALID", 24, "str_field"),  # :367
+    )
+    _check(
+        s,
+        '{"str_field": ["hello", null], "bool_field": false}',
+        ("ARRAY_CONTENTS_INVALID", 24, "str_field"),  # :368
+    )
+
+
+# --- test_validate_types (validate.rs:372-416) ------------------------------
+
+TYPE_CASES = [
+    ('{"str_field": "this is a string"}', None),  # :380
+    ('{"str_field": "take1", "str_field": "take2"}', ("FIELD_DUPLICATED", 24, "str_field")),  # :381
+    ('{"str_field": 123}', ("FIELD_VALUE_INVALID", 14, "str_field")),  # :382
+    ('{"date_field": "2025-03-01"}', None),  # :383
+    ('{"date_field": "2025-03-99"}', ("FIELD_VALUE_INVALID", 15, "date_field")),  # :384 (offset of value quote is 15)
+    ('{"datetime_field": "2025-03-01T13:05:00"}', None),  # :385
+    ('{"datetime_field": "2025-03-01T13:99:00"}', ("FIELD_VALUE_INVALID", 19, "datetime_field")),  # :386
+    ('{"time_field": "13:10:00.123"}', None),  # :387
+    ('{"time_field": "13:10:00!123"}', ("FIELD_VALUE_INVALID", 15, "time_field")),  # :388
+    ('{"timestamp_field": "2025-03-01T13:05:00 Z"}', None),  # :389
+    ('{"timestamp_field": "2025-03-01T13:05:00 X"}', ("FIELD_VALUE_INVALID", 20, "timestamp_field")),  # :390
+    ('{"bool_field": false}', None),  # :391
+    ('{"bool_field": 42}', ("FIELD_VALUE_INVALID", 15, "bool_field")),  # :392
+    ('{"int_field": 123456789}', None),  # :393
+    ('{"int_field": 12345678901234567801}', ("FIELD_VALUE_INVALID", 14, "int_field")),  # :394
+    ('{"float_field": 123456789e+21}', None),  # :395
+    ('{"float_field": "shmoat"}', ("FIELD_VALUE_INVALID", 16, "float_field")),  # :396
+    ('{"decimal_field": 123456789.123}', None),  # :397
+    ('{"decimal_field": 123456789.1234567890123}', ("FIELD_VALUE_INVALID", 18, "decimal_field")),  # :398
+    ('{"bytes_field": "xxxyy=="}', None),  # :399
+    ('{"bytes_field": "xxxyy= ="}', ("FIELD_VALUE_INVALID", 16, "bytes_field")),  # :400
+]
+
+
+@pytest.mark.parametrize("line,expected", TYPE_CASES)
+def test_types(line, expected):
+    _check(_schema(), line, expected)
+
+
+def test_any_shapes_and_required_after_any():
+    s = _schema({"bool_field": {"mode": "REQUIRED"}})
+    _check(
+        s, '{"any_field": "string val"}', ("REQUIRED_FIELD_ABSENT", 27, "bool_field")
+    )  # :407
+    for line in [
+        '{"any_field": "string val", "bool_field": false}',  # :408
+        '{"any_field": 123, "bool_field": false}',  # :409
+        '{"any_field": true, "bool_field": false}',  # :410
+        '{"any_field": [[true]], "bool_field": false}',  # :411
+        '{"any_field": [{"k":23}, [true]], "bool_field": false}',  # :412
+        '{"any_field": {"k":23}, "bool_field": false}',  # :413
+        '{"any_field": null, "bool_field": false}',  # :414
+    ]:
+        _check(s, line, None)
+
+
+# --- test_validate_struct (validate.rs:418-471) ------------------------------
+
+
+def _struct_schema(repeated: bool = False):
+    fields = [
+        {
+            "name": "struct_field",
+            "type": "STRUCT",
+            **({"mode": "REPEATED"} if repeated else {}),
+            "fields": [
+                {"name": "str_subfield", "type": "STRING"},
+                {"name": "date_subfield", "type": "DATE"},
+            ],
+        },
+        {"name": "date_field", "type": "DATE"},
+        {"name": "datetime_field", "type": "DATETIME"},
+        {"name": "time_field", "type": "TIME"},
+        {"name": "timestamp_field", "type": "TIMESTAMP"},
+        {"name": "bool_field", "type": "BOOL", "mode": "REQUIRED"},
+        {"name": "int_field", "type": "INT64"},
+        {"name": "float_field", "type": "FLOAT64"},
+        {"name": "decimal_field", "type": "DECIMAL_29_9"},
+    ]
+    return compile_json_schema(schema_from_json(fields))
+
+
+def test_struct():
+    s = _struct_schema()
+    _check(s, '{"bool_field": true}', None)  # :438
+    _check(s, '{"struct_field": null, "bool_field": true}', None)  # :439
+    _check(s, '{"struct_field": {}, "bool_field": true}', None)  # :440
+    _check(
+        s,
+        '{"struct_field": {"random_field": 32}, "bool_field": true}',
+        ("FIELD_UNRECOGNISED", 19, "random_field"),  # :441
+    )
+    _check(s, '{"struct_field": {"str_subfield": "hi"}, "bool_field": true}', None)  # :442
+    _check(
+        s,
+        '{"struct_field": {"str_subfield": "hi", "date_subfield": "2024-04-12"}, "bool_field": true}',
+        None,  # :443
+    )
+    _check(
+        s,
+        '{"struct_field": {"str_subfield": "hi", "date_subfield": "2024-04-12a"}, "bool_field": true}',
+        ("FIELD_VALUE_INVALID", 57, "date_subfield"),  # :444
+    )
+
+
+def test_repeated_struct():
+    s = _struct_schema(repeated=True)
+    _check(s, '{"bool_field": true}', None)  # :464
+    _check(s, '{"struct_field": null, "bool_field": true}', None)  # :465
+    _check(
+        s,
+        '{"struct_field": {}, "bool_field": true}',
+        ("REPEATED_FIELD_IS_NOT_ARRAY", 17, "struct_field"),  # :466
+    )
+    _check(s, '{"struct_field": [], "bool_field": true}', None)  # :468
+    # engine extension of the fixture family: well-formed repeated structs
+    _check(s, '{"struct_field": [{"str_subfield": "hi"}], "bool_field": true}', None)
+    _check(
+        s,
+        '{"struct_field": [{"str_subfield": "hi"}, {"str_subfield": "yo"}], "bool_field": true}',
+        None,
+    )  # duplicate-seen resets per element (validate.rs:285-293)
+
+
+def test_collect_all_mode():
+    s = _schema()
+    got = validate_line(
+        '{"date_field": "nope", "int_field": 1e5, "zzz": 1}', s, collect_all=True
+    )
+    assert ("FIELD_VALUE_INVALID", 15, "date_field") in got
+    assert any(v == "FIELD_VALUE_INVALID" and f == "int_field" for v, _, f in got)
+    assert any(v == "FIELD_UNRECOGNISED" for v, _, f in got)
+
+
+# --- Spark integration -------------------------------------------------------
+
+
+def test_reference_verdicts_spark(spark):
+    lines = [c[0] for c in TYPE_CASES] + ["{}", '{"random_field": null}']
+    expected = [c[1] for c in TYPE_CASES] + [None, ("FIELD_UNRECOGNISED", 2, "random_field")]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    schema = schema_from_json(BASE)
+    out = reference_verdicts(df, schema, "line").collect()
+    by_line = {r.line: r for r in out}
+    for line, exp in zip(lines, expected):
+        r = by_line[line]
+        if exp is None:
+            assert r.is_valid, f"{line}: {r.errors}"
+        else:
+            assert not r.is_valid
+            got = (r.errors[0].variant, r.errors[0].offset, r.errors[0].field)
+            assert got == exp, f"{line}: {got} != {exp}"
+
+
+def test_json_rules_spark(spark):
+    lines = [
+        '{"str_field": "ok", "int_field": 5}',
+        '{"int_field": 99e4}',
+        '{"unknown_key": 1}',
+        '{"str_field": 1, "str_field": 2}',
+        "not json at all",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    schema = schema_from_json(BASE)
+    out = json_rules(df, schema, "line").collect()
+    got = {r.line: {(v.rule_id, v["column"]) for v in r.violations} for r in out}
+    assert got[lines[0]] == set()
+    assert ("FIELD_VALUE_INVALID", "int_field") in got[lines[1]]
+    assert ("FIELD_UNRECOGNISED", "") in got[lines[2]]
+    assert ("FIELD_DUPLICATED", "") in got[lines[3]]
+    assert ("NOT_AN_OBJECT", "") in got[lines[4]]

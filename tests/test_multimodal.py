@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from jsonl_schema_validator_spark.operators.multimodal import (
+    binary_metadata,
+    decode_images,
+    frame_sample,
+    make_fake_image,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, make_fake_image(64, 48, seed=1)),
+        (2, make_fake_image(8, 8, seed=2)),
+        (3, b"not an image"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "img_id bigint, img binary")
+
+
+def test_binary_metadata_expressions(spark, images):
+    out = {r.img_id: r.img_meta for r in binary_metadata(images, "img").collect()}
+    raw = make_fake_image(64, 48, seed=1)
+    assert out[1].n_bytes == len(raw)
+    assert out[1].sha256 == hashlib.sha256(raw).hexdigest()
+    assert out[1].magic == "FIMG"
+    assert out[4] is None or out[4].n_bytes is None
+
+
+def test_decode_images_fake_backend(spark, images):
+    out = {r.id: r for r in decode_images(images, "img", "img_id").collect()}
+    assert (out[1].width, out[1].height) == (64, 48)
+    assert (out[2].width, out[2].height) == (8, 8)
+    assert out[1].n_bytes == 12 + 64 * 48
+    assert 0 <= out[1].mean_byte <= 255
+    assert out[3].width is None  # bad magic -> metadata nulls, no crash
+    assert out[4].width is None
+
+
+def test_decode_images_pil_backend_stub(spark, images):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_images(images, "img", "img_id", backend="pil")
+
+
+def test_frame_sample(spark, images):
+    out = frame_sample(images, "img", "img_id", every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.frame_idx)
+    # 64x48 payload = 3072 bytes = 12 frames, sampled every 2 -> 6
+    assert sorted(by_id[1]) == [0, 2, 4, 6, 8, 10]
+    # 8x8 payload = 64 bytes = 1 frame
+    assert by_id[2] == [0]

@@ -1,0 +1,104 @@
+"""Structured Streaming validation tests: stateless rule application on a
+file stream, watermarked windowed violation counts, exactly-once violations
+sink with availableNow batching."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.schema import schema_from_json
+from jsonl_schema_validator_spark.streaming import (
+    start_violations_sink,
+    validate_stream,
+    windowed_violation_counts,
+)
+
+SCHEMA_DOC = [
+    {"name": "event_id", "type": "INT64", "mode": "REQUIRED"},
+    {
+        "name": "event_type",
+        "type": "STRING",
+        "constraints": {"enum": ["view", "click"]},
+    },
+    {"name": "value", "type": "FLOAT64", "constraints": {"min_value": 0.0}},
+]
+
+DDL = "event_id bigint, ts timestamp, event_type string, value double"
+
+
+def _rows(start_hour: int, n: int, bad_every: int):
+    base = dt.datetime(2024, 1, 1, start_hour, 0, 0)
+    out = []
+    for i in range(n):
+        bad = i % bad_every == 0
+        out.append(
+            (
+                i,
+                base + dt.timedelta(minutes=i % 60),
+                "bogus" if bad else "view",
+                -1.0 if bad else 1.0,
+            )
+        )
+    return out
+
+
+def test_streaming_validation_and_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = schema_from_json(SCHEMA_DOC)
+
+    spark.createDataFrame(_rows(0, 100, 10), DDL).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    sdf = spark.readStream.schema(DDL).parquet(src)
+    assert sdf.isStreaming
+    assert validate_stream(sdf, schema).isStreaming
+
+    q = start_violations_sink(sdf, schema, sink, ckpt, keys=["event_id"])
+    q.awaitTermination(60)
+    out = spark.read.parquet(sink)
+    # 10 bad rows x 2 violations (enum + range)
+    assert out.count() == 20
+    got = {(r.rule_id, r["column"]) for r in out.collect()}
+    assert got == {("ENUM_VIOLATION", "event_type"), ("RANGE_VIOLATION", "value")}
+
+    # append a second file: exactly-once resume from the checkpoint —
+    # only the NEW rows' violations are appended
+    spark.createDataFrame(_rows(1, 50, 5), DDL).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    q = start_violations_sink(sdf, schema, sink, ckpt, keys=["event_id"])
+    q.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 20 + 20  # 10 new bad x 2
+
+
+def test_windowed_violation_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    schema = schema_from_json(SCHEMA_DOC)
+    rows = _rows(0, 60, 6) + _rows(1, 60, 6)  # two hours of data
+    spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(src, mode="append")
+    sdf = spark.readStream.schema(DDL).parquet(src)
+    agg = windowed_violation_counts(
+        sdf, schema, "ts", window_duration="1 hour", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql(
+        "select window.start as ws, rule_id, violation_count from win_counts"
+    ).collect()
+    by_key = {(r.ws.hour, r.rule_id): r.violation_count for r in got}
+    # 10 bad rows per hour, each firing both rules
+    assert by_key[(0, "ENUM_VIOLATION")] == 10
+    assert by_key[(0, "RANGE_VIOLATION")] == 10
+    assert by_key[(1, "ENUM_VIOLATION")] == 10

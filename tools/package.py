@@ -1,0 +1,27 @@
+"""Build dist/jsonl_schema_validator_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+
+def build(repo_root: str = ".", out: str = "dist/jsonl_schema_validator_spark.zip") -> str:
+    out_path = os.path.join(repo_root, out)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pkg = os.path.join(repo_root, "jsonl_schema_validator_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                arc = os.path.relpath(full, repo_root)
+                zf.write(full, arc)
+    return out_path
+
+
+if __name__ == "__main__":
+    print(build())
