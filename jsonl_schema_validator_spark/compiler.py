@@ -86,16 +86,16 @@ class CompiledRule:
     condition: Column  # True => violation
     value: Column  # string rendering of the offending value
 
-    def as_struct(self) -> Column:
-        return F.when(
-            self.condition,
-            F.struct(
-                F.lit(self.ord).alias("ord"),
-                F.lit(self.rule_id).alias("rule_id"),
-                F.lit(self.column).alias("column"),
-                self.value.cast("string").alias("value"),
-            ),
+    def struct_value(self) -> Column:
+        return F.struct(
+            F.lit(self.ord).alias("ord"),
+            F.lit(self.rule_id).alias("rule_id"),
+            F.lit(self.column).alias("column"),
+            self.value.cast("string").alias("value"),
         )
+
+    def as_struct(self) -> Column:
+        return F.when(self.condition, self.struct_value())
 
 
 def _stringify(col: Column, dtype: T.DataType) -> Column:
@@ -425,14 +425,22 @@ class ValidationPlan:
     def violations_column(self) -> Column:
         """array<struct<ord,rule_id,column,value>> of all fired rules.
 
-        One projection; Catalyst fuses all rule predicates into a single
-        whole-stage-codegen stage (verified via explain in tests).
+        Built as concat(per-rule empty-or-singleton arrays) rather than
+        array_compact(array(when...)): array_compact is a higher-order
+        function, which excludes the projection from whole-stage codegen;
+        the concat form stays inside codegen and measured ~4x faster on the
+        lineitem rule suite (round-1 bench).
         """
+        empty = F.array().cast(
+            "array<struct<ord:int,rule_id:string,column:string,value:string>>"
+        )
         if not self.rules:
-            return F.array().cast(
-                "array<struct<ord:int,rule_id:string,column:string,value:string>>"
-            )
-        return F.array_compact(F.array(*[r.as_struct() for r in self.rules]))
+            return empty
+        pieces = [
+            F.when(r.condition, F.array(r.struct_value())).otherwise(empty)
+            for r in self.rules
+        ]
+        return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
 
     def with_violations(self, df: DataFrame, col_name: str = "violations") -> DataFrame:
         return df.withColumn(col_name, self.violations_column())

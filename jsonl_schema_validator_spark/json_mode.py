@@ -426,19 +426,20 @@ def json_rules(
     keys = F.json_object_keys(line)
     schema_keys = F.array(*[F.lit(f.name) for f in schema.fields])
 
+    # concat-of-singleton-arrays keeps the projection in whole-stage codegen
+    # (array_compact is a HOF and would exclude it — see compiler.py)
+    _empty = F.array().cast(
+        "array<struct<rule_id:string,column:string,value:string>>"
+    )
     rules: list = []
 
     def rule(cond, rule_id, column, value):
-        rules.append(
-            F.when(
-                cond,
-                F.struct(
-                    F.lit(rule_id).alias("rule_id"),
-                    F.lit(column).alias("column"),
-                    value.cast("string").alias("value"),
-                ),
-            )
+        s = F.struct(
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(column).alias("column"),
+            value.cast("string").alias("value"),
         )
+        rules.append(F.when(cond, F.array(s)).otherwise(_empty))
 
     not_object = keys.isNull()
     rule(not_object, "NOT_AN_OBJECT", "", line)
@@ -479,13 +480,36 @@ def json_rules(
                 raw,
             )
             continue
-        if f.type in (FieldType.STRUCT, FieldType.ANY, FieldType.STRING):
-            continue  # structurally handled / always-valid post-decode
-        validator = V.TEXT_VALIDATORS[f.type.value]
-        rule(
-            ~not_object & raw.isNotNull() & ~validator(raw),
-            "FIELD_VALUE_INVALID",
-            f.name,
-            raw,
-        )
-    return df.withColumn("violations", F.array_compact(F.array(*rules)))
+        if f.type not in (FieldType.STRUCT, FieldType.ANY, FieldType.STRING):
+            validator = V.TEXT_VALIDATORS[f.type.value]
+            rule(
+                ~not_object & raw.isNotNull() & ~validator(raw),
+                "FIELD_VALUE_INVALID",
+                f.name,
+                raw,
+            )
+        # constraint rules apply to the JSON-decoded value text
+        c = f.constraints
+        base = ~not_object & raw.isNotNull()
+        if c.enum is not None:
+            rule(base & ~raw.isin(*c.enum), "ENUM_VIOLATION", f.name, raw)
+        if c.regex is not None:
+            rule(base & ~raw.rlike(c.regex), "REGEX_VIOLATION", f.name, raw)
+        if c.min_length is not None or c.max_length is not None:
+            cond = F.lit(False)
+            if c.min_length is not None:
+                cond = cond | (F.length(raw) < F.lit(c.min_length))
+            if c.max_length is not None:
+                cond = cond | (F.length(raw) > F.lit(c.max_length))
+            rule(base & cond, "LENGTH_VIOLATION", f.name, raw)
+        if c.min_value is not None or c.max_value is not None:
+            num = raw.try_cast("double")
+            cond = F.lit(False)
+            if c.min_value is not None:
+                cond = cond | (num < F.lit(float(c.min_value)))
+            if c.max_value is not None:
+                cond = cond | (num > F.lit(float(c.max_value)))
+            rule(base & num.isNotNull() & cond, "RANGE_VIOLATION", f.name, raw)
+    return df.withColumn(
+        "violations", F.concat(*rules) if len(rules) > 1 else rules[0]
+    )

@@ -1,0 +1,8 @@
+from jsonl_schema_validator_spark.sources.io import (
+    read_jsonl,
+    read_table,
+    write_violations,
+    write_summary,
+)
+
+__all__ = ["read_jsonl", "read_table", "write_violations", "write_summary"]

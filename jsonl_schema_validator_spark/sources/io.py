@@ -1,0 +1,89 @@
+"""Sources and sinks (reference parity: SURVEY.md §2.1).
+
+| reference                         | here                                   |
+|-----------------------------------|----------------------------------------|
+| JSONL file source (main.rs:166)   | read_jsonl: spark.read.text, one row   |
+|                                   | per line, whole-line column `line`     |
+| schema file source (main.rs:108)  | schema.load_schema                     |
+| error sink (main.rs:149)          | write_violations (ordered by design)   |
+| summary sink (main.rs:211)        | write_summary (rows, violations, rate) |
+| exit-code sink (main.rs:218)      | jobs/validate_job.py --fail-on-violation |
+
+read_table adds the warehouse sources the north rule targets: parquet now,
+Iceberg via the catalog format when the runtime ships it (import-gated, not
+stubbed at the API level — format string passthrough).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_jsonl(spark: SparkSession, path: str, line_col: str = "line") -> DataFrame:
+    """One row per line of JSONL, preserving the raw bytes for JSON-mode
+    validation (byte offsets stay meaningful). Splittable + parallel:
+    spark.read.text partitions by file blocks."""
+    return spark.read.text(path).withColumnRenamed("value", line_col)
+
+
+def read_table(
+    spark: SparkSession,
+    path_or_table: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Warehouse source. fmt='parquet' (default), 'iceberg' (requires the
+    iceberg runtime on the classpath — the format string passes straight
+    through to the DataSource V2 resolver), 'delta', 'orc', ..."""
+    if fmt == "iceberg":
+        # iceberg tables are addressed by catalog.table name, not path
+        return spark.read.format("iceberg").load(path_or_table)
+    return spark.read.format(fmt).load(path_or_table)
+
+
+def write_violations(
+    violations: DataFrame,
+    path: str,
+    partition_by: str | None = "partition_key",
+    order_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Violations sink. Unlike the reference's unordered stderr log
+    (main.rs:151 caveat), output is deterministically ordered within files
+    when order_by is given (sortWithinPartitions: no extra shuffle)."""
+    out = violations
+    if order_by:
+        out = out.sortWithinPartitions(*order_by)
+    writer = out.write.mode("overwrite").format(fmt)
+    if partition_by and partition_by in violations.columns:
+        writer = writer.partitionBy(partition_by)
+    writer.save(path)
+
+
+def write_summary(df_with_violations: DataFrame, path: str | None = None) -> dict:
+    """The reference's end-of-run summary (lines, errors, throughput,
+    main.rs:211-217) as one aggregation; optionally appended to a summary
+    table."""
+    t0 = time.time()
+    row = df_with_violations.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.size("violations") > 0).cast("long")).alias("violation_rows"),
+        F.sum(F.size("violations")).alias("violations"),
+    ).collect()[0]
+    wall = time.time() - t0
+    summary = {
+        "rows": int(row["rows"]),
+        "violation_rows": int(row["violation_rows"] or 0),
+        "violations": int(row["violations"] or 0),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(row["rows"] / wall) if wall > 0 else None,
+    }
+    if path:
+        spark = df_with_violations.sparkSession
+        spark.createDataFrame(
+            [(json.dumps(summary), time.time())], "summary string, ts double"
+        ).coalesce(1).write.mode("append").parquet(path)
+    return summary

@@ -1,0 +1,171 @@
+"""F4 fixture (FIXTURES.md): the reference's real GitHub-events schema
+(transcribed from /root/reference/samples/a-schema.json:1-113) driven
+end-to-end in JSON mode with ~2k seeded rows and ~2% injected defects across
+nesting levels. This is the realistic-schema smoke the reference benchmarks
+with (README.md:66-69)."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from jsonl_schema_validator_spark.json_mode import (
+    compile_json_schema,
+    reference_verdicts,
+    validate_line,
+)
+from jsonl_schema_validator_spark.schema import schema_from_json
+
+GITHUB_EVENTS_SCHEMA = [
+    {"name": "id", "type": "STRING", "mode": "REQUIRED"},
+    {"name": "type", "type": "STRING", "mode": "REQUIRED"},
+    {
+        "name": "actor",
+        "type": "STRUCT",
+        "mode": "REQUIRED",
+        "fields": [
+            {"name": "id", "type": "INT", "mode": "REQUIRED"},
+            {"name": "login", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "gravatar_id", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "url", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "avatar_url", "type": "STRING", "mode": "REQUIRED"},
+        ],
+    },
+    {
+        "name": "repo",
+        "type": "STRUCT",
+        "mode": "REQUIRED",
+        "fields": [
+            {"name": "id", "type": "INT", "mode": "REQUIRED"},
+            {"name": "name", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "url", "type": "STRING", "mode": "REQUIRED"},
+        ],
+    },
+    {"name": "payload", "type": "ANY", "mode": "REQUIRED"},
+    {"name": "public", "type": "BOOL", "mode": "REQUIRED"},
+    {"name": "created_at", "type": "TIMESTAMP", "mode": "REQUIRED"},
+    {
+        "name": "org",
+        "type": "STRUCT",
+        "mode": "NULLABLE",
+        "fields": [
+            {"name": "id", "type": "INT", "mode": "REQUIRED"},
+            {"name": "login", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "url", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "gravatar_id", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "avatar_url", "type": "STRING", "mode": "REQUIRED"},
+        ],
+    },
+]
+
+EVENT_TYPES = ["PushEvent", "WatchEvent", "IssuesEvent", "ForkEvent"]
+
+
+def _make_event(rng: random.Random, i: int) -> dict:
+    ev = {
+        "id": str(2489651045 + i),
+        "type": rng.choice(EVENT_TYPES),
+        "actor": {
+            "id": rng.randint(1, 10**7),
+            "login": f"user{i}",
+            "gravatar_id": "",
+            "url": f"https://api.github.com/users/user{i}",
+            "avatar_url": f"https://avatars.example.com/u/{i}",
+        },
+        "repo": {
+            "id": rng.randint(1, 10**7),
+            "name": f"org{i % 9}/repo{i % 41}",
+            "url": f"https://api.github.com/repos/org{i % 9}/repo{i % 41}",
+        },
+        "payload": rng.choice(
+            [{}, {"push_id": i, "size": 1}, {"action": "started"}, [1, 2, 3]]
+        ),
+        "public": True,
+        "created_at": "2015-01-01T15:00:0%d Z" % (i % 10),
+    }
+    if rng.random() < 0.3:
+        ev["org"] = {
+            "id": rng.randint(1, 10**6),
+            "login": f"org{i % 9}",
+            "url": "https://api.github.com/orgs/x",
+            "gravatar_id": "",
+            "avatar_url": "https://avatars.example.com/o/1",
+        }
+    return ev
+
+
+def generate_github_events(n: int = 2000, seed: int = 7):
+    """Returns (lines, expected) where expected maps line index -> (variant,
+    field) for the ~2% seeded defects (None = valid)."""
+    rng = random.Random(seed)
+    lines, expected = [], []
+    for i in range(n):
+        ev = _make_event(rng, i)
+        exp = None
+        if rng.random() < 0.02:
+            kind = rng.choice(
+                ["actor_id_str", "missing_login", "bad_created", "org_null_url", "public_int"]
+            )
+            if kind == "actor_id_str":
+                ev["actor"]["id"] = "not-an-int"
+                exp = ("FIELD_VALUE_INVALID", "id")
+            elif kind == "missing_login":
+                del ev["actor"]["login"]
+                exp = ("REQUIRED_FIELD_ABSENT", "login")
+            elif kind == "bad_created":
+                ev["created_at"] = "2015-13-99T99:00:00Z"
+                exp = ("FIELD_VALUE_INVALID", "created_at")
+            elif kind == "org_null_url":
+                if "org" not in ev:
+                    ev["org"] = _make_event(rng, i)["org"] if False else {
+                        "id": 1,
+                        "login": "x",
+                        "url": None,
+                        "gravatar_id": "",
+                        "avatar_url": "a",
+                    }
+                else:
+                    ev["org"]["url"] = None
+                exp = ("REQUIRED_FIELD_IS_NULL", "url")
+            elif kind == "public_int":
+                ev["public"] = 42
+                exp = ("FIELD_VALUE_INVALID", "public")
+        lines.append(json.dumps(ev, separators=(", ", ": ")))
+        expected.append(exp)
+    return lines, expected
+
+
+def test_github_events_walker_exact():
+    lines, expected = generate_github_events()
+    js = compile_json_schema(schema_from_json(GITHUB_EVENTS_SCHEMA))
+    n_defects = 0
+    for line, exp in zip(lines, expected):
+        got = validate_line(line, js)
+        if exp is None:
+            assert got == [], f"{line[:100]}: {got}"
+        else:
+            n_defects += 1
+            assert got, f"expected {exp} for {line[:100]}"
+            assert (got[0][0], got[0][2]) == exp, f"{line[:100]}: {got[0]} != {exp}"
+    assert n_defects > 20  # ~2% of 2000
+
+
+def test_github_events_spark_end_to_end(spark):
+    lines, expected = generate_github_events()
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    schema = schema_from_json(GITHUB_EVENTS_SCHEMA)
+    out = reference_verdicts(df, schema, "line").collect()
+    n_invalid = sum(1 for r in out if not r.is_valid)
+    assert n_invalid == sum(1 for e in expected if e is not None)
+
+
+def test_created_at_tz_leniency():
+    """The fixture's '...15:00:03 Z' (space before tz) is VALID timestamp —
+    the reference quirk (micro_util.rs:763,780)."""
+    js = compile_json_schema(schema_from_json(GITHUB_EVENTS_SCHEMA))
+    lines, _ = generate_github_events(n=5)
+    for line in lines:
+        assert '" Z"' not in line  # sanity: tz format is "...0N Z"
+    assert validate_line(lines[0], js) == []
