@@ -222,6 +222,78 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, "doc_id", "text", gram=8, num_hashes=4)
 
 
+JSON_EVENTS_SCHEMA = [
+    {"name": "event_id", "type": "INT64", "mode": "REQUIRED"},
+    {
+        "name": "event_type",
+        "type": "STRING",
+        "constraints": {"enum": ["view", "click", "purchase"]},
+    },
+    {"name": "props", "type": "ANY"},
+]
+
+
+def _events_as_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JSONL rendering of the events table (string/int columns
+    only, so the rendering is engine-independent)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.to_json(F.struct("event_id", "event_type", "props")).alias("line")
+    )
+
+
+def q_json_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression JSON mode over rendered lines; the oracle computes the
+    same counts relationally from the source table — JSON path == relational
+    truth."""
+    from jsonl_schema_validator_spark.json_mode import json_rules
+
+    lines = _events_as_jsonl(spark, sf_dir)
+    out = json_rules(lines, schema_from_json(JSON_EVENTS_SCHEMA), "line")
+    return (
+        out.select(F.explode("violations").alias("v"))
+        .groupBy(F.col("v.rule_id").alias("rule_id"), F.col("v.column").alias("column"))
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+    )
+
+
+def q_json_walker_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity walker (mapInPandas) over rendered JSONL. 'error'
+    events render with a null `code`, which to_json drops -> the walker must
+    report REQUIRED_FIELD_ABSENT for exactly the relational count of
+    event_type='error' rows (walker semantics == relational truth)."""
+    from jsonl_schema_validator_spark.json_mode import reference_verdicts
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.when(F.col("event_type") != "error", F.col("event_id") % 100)
+                .cast("long")
+                .alias("code"),
+                F.col("props"),
+            )
+        ).alias("line")
+    )
+    walker_schema = schema_from_json(
+        [
+            {"name": "event_id", "type": "INT64", "mode": "REQUIRED"},
+            {"name": "code", "type": "INT64", "mode": "REQUIRED"},
+            {"name": "props", "type": "ANY"},
+        ]
+    )
+    out = reference_verdicts(lines, walker_schema, "line")
+    return (
+        out.where(~F.col("is_valid"))
+        .groupBy(
+            F.col("errors")[0]["variant"].alias("rule_id"),
+            F.col("errors")[0]["field"].alias("column"),
+        )
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+    )
+
+
 def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -324,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "json_rules_events": q_json_rules_events,
+        "json_walker_events": q_json_walker_events,
         "tumbling_events": q_tumbling_events,
         "pricing_summary": q_pricing_summary,
         "lsh_topk": q_lsh_topk,
@@ -639,6 +713,19 @@ SELECT doc_id AS id,
        min(md5('2:' || s)) AS f2,
        min(md5('3:' || s)) AS f3
 FROM sh GROUP BY doc_id
+""",
+        "json_rules_events": """
+SELECT 'ENUM_VIOLATION' AS rule_id, 'event_type' AS "column",
+       count(*) AS violation_count
+FROM events
+WHERE event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase')
+HAVING count(*) > 0
+""",
+        "json_walker_events": """
+SELECT 'REQUIRED_FIELD_ABSENT' AS rule_id, 'code' AS "column",
+       count(*) AS violation_count
+FROM events WHERE event_type = 'error'
+HAVING count(*) > 0
 """,
         "tumbling_events": """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,

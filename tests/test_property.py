@@ -1,0 +1,159 @@
+"""Property-based tests.
+
+1. hypothesis over the JSON walker (pure python, no Spark): objects built
+   from schema-conformant values validate clean; one planted defect is
+   reported with the right variant+field; verdicts are insensitive to key
+   order and whitespace.
+2. Seeded random cross-check: Spark's rlike-based validators agree with
+   python re.fullmatch over the SAME shared pattern constants on thousands
+   of adversarial strings (the patterns are engine-portable by design;
+   this pins Java-regex == RE2 == python-re behavior for this pattern family).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import re
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from jsonl_schema_validator_spark.functions import validators as V
+from jsonl_schema_validator_spark.json_mode import compile_json_schema, validate_line
+from jsonl_schema_validator_spark.schema import schema_from_json
+
+FLAT_SCHEMA = [
+    {"name": "s", "type": "STRING"},
+    {"name": "i", "type": "INT64"},
+    {"name": "f", "type": "FLOAT64"},
+    {"name": "b", "type": "BOOL"},
+    {"name": "d", "type": "DATE"},
+    {"name": "x", "type": "ANY"},
+    {"name": "r", "type": "STRING", "mode": "REPEATED"},
+]
+JS = compile_json_schema(schema_from_json(FLAT_SCHEMA))
+
+# JSON-renderable conformant values per field
+_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " _-.,:;!?'",
+    max_size=30,
+)
+CONFORMANT = {
+    "s": _text,
+    "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "f": st.floats(allow_nan=False, allow_infinity=False, width=32),
+    "b": st.booleans(),
+    "d": st.dates().map(lambda d: d.isoformat()),
+    "x": st.recursive(
+        st.none() | st.booleans() | st.integers(-1000, 1000) | _text,
+        lambda inner: st.lists(inner, max_size=3)
+        | st.dictionaries(st.text(string.ascii_lowercase, min_size=1, max_size=5), inner, max_size=3),
+        max_leaves=5,
+    ),
+    "r": st.lists(_text, max_size=4),
+}
+
+
+@st.composite
+def conformant_object(draw):
+    obj = {}
+    for name, strat in CONFORMANT.items():
+        if draw(st.booleans()):
+            obj[name] = draw(strat)
+    return obj
+
+
+@given(conformant_object())
+@settings(max_examples=300, deadline=None)
+def test_conformant_objects_validate_clean(obj):
+    line = json.dumps(obj)
+    assert validate_line(line, JS) == [], (line, validate_line(line, JS))
+
+
+@given(conformant_object(), st.sampled_from(["i", "b", "d"]), st.sampled_from(
+    ["wrong_string", "wrong_number", "wrong_array"]
+))
+@settings(max_examples=300, deadline=None)
+def test_planted_defect_detected(obj, field, kind):
+    bad = {
+        ("i", "wrong_string"): '"xyz"',
+        ("i", "wrong_number"): "1.5",
+        ("i", "wrong_array"): "[1]",
+        ("b", "wrong_string"): '"true"',
+        ("b", "wrong_number"): "1",
+        ("b", "wrong_array"): "[true]",
+        ("d", "wrong_string"): '"not-a-date"',
+        ("d", "wrong_number"): "20240101",
+        ("d", "wrong_array"): '["2024-01-01"]',
+    }[(field, kind)]
+    obj.pop(field, None)
+    line = json.dumps(obj)
+    # splice the bad raw value in as the FIRST member
+    inner = line[1:-1]
+    line = "{" + f'"{field}": {bad}' + ("," + inner if inner.strip() else "") + "}"
+    errors = validate_line(line, JS, collect_all=True)
+    assert any(
+        v == "FIELD_VALUE_INVALID" and f == field for v, _, f in errors
+    ), (line, errors)
+
+
+@given(conformant_object())
+@settings(max_examples=150, deadline=None)
+def test_key_order_and_whitespace_insensitive_verdict(obj):
+    line1 = json.dumps(obj)
+    line2 = json.dumps(obj, separators=(" ,  ", "  :  "))
+    items = list(obj.items())
+    random.Random(0).shuffle(items)
+    line3 = json.dumps(dict(items))
+    v1 = validate_line(line1, JS) == []
+    assert (validate_line(line2, JS) == []) == v1
+    assert (validate_line(line3, JS) == []) == v1
+
+
+# ---------------------------------------------------------------------------
+# Spark rlike == python re over shared patterns, adversarial corpus
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_corpus(seed=13, n=3000):
+    rng = random.Random(seed)
+    seeds = [
+        "2023-10-27", "12:45:08.012345", "2023-10-27T12:45:08", "true",
+        "9223372036854775807", "-12345678901234567890123456789.123456789",
+        "1.5e10", "QUJD+/==", "2023-10-27T12:45 UTC", "0", "-0.5",
+    ]
+    chars = string.printable[:80]
+    corpus = set(seeds)
+    for _ in range(n):
+        base = rng.choice(seeds)
+        op = rng.randrange(4)
+        if op == 0 and base:  # mutate one char
+            i = rng.randrange(len(base))
+            base = base[:i] + rng.choice(chars) + base[i + 1 :]
+        elif op == 1:  # truncate
+            base = base[: rng.randrange(len(base) + 1)]
+        elif op == 2:  # extend
+            base = base + rng.choice(chars)
+        else:  # random garbage
+            base = "".join(rng.choice(chars) for _ in range(rng.randrange(25)))
+        corpus.add(base)
+    # strip newlines/quotes problematic only for this harness, not the engine
+    return sorted(c for c in corpus if "\n" not in c and "\r" not in c)
+
+
+@pytest.mark.parametrize("type_name", sorted(V.ALL_PATTERNS))
+def test_spark_rlike_matches_python_re(spark, type_name):
+    pattern = V.ALL_PATTERNS[type_name]
+    pyre = re.compile(pattern)
+    corpus = _adversarial_corpus()
+    df = spark.createDataFrame([(c,) for c in corpus], "value string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.value: r.m
+        for r in df.select("value", F.col("value").rlike(pattern).alias("m")).collect()
+    }
+    for c in corpus:
+        assert got[c] == bool(pyre.search(c)), (type_name, repr(c))
