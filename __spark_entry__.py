@@ -341,6 +341,14 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, num_planes=6, seed=42, multiprobe=True)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonl_schema_validator_spark.operators import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4, seed=42)
+
+
 def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     a = docs.where(F.col("source") == "src0")
@@ -401,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_events": q_tumbling_events,
         "pricing_summary": q_pricing_summary,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
     }

@@ -21,6 +21,7 @@ from jsonl_schema_validator_spark.operators.dedup import (
 from jsonl_schema_validator_spark.operators.similarity import (
     brute_force_topk,
     embedding_cosine_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from jsonl_schema_validator_spark.operators.textops import (
@@ -47,6 +48,7 @@ __all__ = [
     "word_shingles",
     "brute_force_topk",
     "embedding_cosine_pairs",
+    "ivf_topk",
     "lsh_topk",
     "text_metrics",
     "language_guess",

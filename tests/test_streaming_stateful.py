@@ -1,0 +1,75 @@
+"""applyInPandasWithState cross-batch dedup: state must persist across
+micro-batches AND across query restarts (same checkpoint)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonl_schema_validator_spark.streaming.stateful import streaming_dedup
+
+
+def _write_batch(spark, src, rows):
+    spark.createDataFrame(rows, "doc_id bigint, h string").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+
+def _run_once(spark, src, sink, ckpt):
+    sdf = spark.readStream.schema("doc_id bigint, h string").parquet(src)
+    out = streaming_dedup(sdf, "doc_id", "h", emit="first")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_cross_batch_and_restart_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, [(1, "A"), (2, "B"), (3, "A")])
+    _run_once(spark, src, sink, ckpt)
+    got = {
+        (r.content_hash, r.id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # first occurrence per hash only; 3 (dup of A in the same batch) dropped
+    assert {h for h, _ in got} == {"A", "B"}
+    assert len(got) == 2
+
+    # restart with NEW data repeating old hashes: state store remembers A/B
+    _write_batch(spark, src, [(4, "A"), (5, "C"), (6, "B"), (7, "C")])
+    _run_once(spark, src, sink, ckpt)
+    got2 = {(r.content_hash, r.id) for r in spark.read.parquet(sink).collect()}
+    new = got2 - got
+    assert new == {("C", 5)}, new
+
+
+def test_flagged_mode(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_batch(spark, src, [(1, "X"), (2, "X"), (3, "Y")])
+    sdf = spark.readStream.schema("doc_id bigint, h string").parquet(src)
+    out = streaming_dedup(sdf, "doc_id", "h", emit="flagged")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.id, r.occurrence) for r in spark.read.parquet(sink).collect()}
+    assert (3, 1) in rows
+    assert {(o) for i, o in rows if i in (1, 2)} == {1, 2}
+
+    with pytest.raises(ValueError):
+        streaming_dedup(sdf, "doc_id", "h", emit="bogus")
