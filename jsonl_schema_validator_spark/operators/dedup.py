@@ -164,7 +164,22 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # the shingle table feeds THREE consumers (signatures, both sides of the
+    # verification join) — persist it once instead of re-exploding the text
+    # per consumer. At warehouse scale this is the materialized shingle
+    # table; here MEMORY_AND_DISK with Spark evicting as needed.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig_aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ] + [F.count(F.lit(1)).alias("n_shingles")]  # sizes folded into same agg
+    sig = sh.groupBy("id").agg(*sig_aggs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -190,8 +205,7 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     # verify candidates with exact Jaccard (joins only candidate pairs)
-    sh = _shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sig.select("id", "n_shingles")
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
     inter = (
