@@ -414,6 +414,93 @@ def reference_verdicts(
 # ---------------------------------------------------------------------------
 
 
+def schema_to_string_leaf_type(schema: Schema) -> T.StructType:
+    """Spark StructType mirroring the rule schema with STRING leaves.
+
+    from_json coerces JSON scalars to their string rendering (123 -> "123"),
+    so the textual type validators apply unchanged to the decoded values —
+    this is what lets the full nested rule compiler run on raw JSON at
+    scale."""
+
+    def field_type(f: Field) -> T.DataType:
+        if f.type is FieldType.STRUCT:
+            inner: T.DataType = T.StructType(
+                [T.StructField(sf.name, field_type_mode(sf)) for sf in f.fields or []]
+            )
+            return inner
+        return T.StringType()
+
+    def field_type_mode(f: Field) -> T.DataType:
+        base = field_type(f)
+        if f.mode is Mode.REPEATED:
+            return T.ArrayType(base)
+        return base
+
+    return T.StructType(
+        [T.StructField(f.name, field_type_mode(f)) for f in schema.fields]
+    )
+
+
+def validate_json_nested(
+    df: DataFrame, schema: Schema, line_col: str = "line"
+) -> DataFrame:
+    """Full nested-schema JSON validation, expressions only (scale path).
+
+    from_json parses the line into a string-leaf struct; the standard rule
+    compiler (compile-time recursion over STRUCT/REPEATED) then runs on the
+    parsed columns, and top-level object-shape rules (NOT_AN_OBJECT,
+    FIELD_DUPLICATED, FIELD_UNRECOGNISED) come from json_object_keys.
+    Divergences vs the exact walker (documented): values are checked after
+    JSON decoding (quoted "123" passes INT64), nested unknown/duplicate keys
+    are not detected (top-level only), a non-array value for a nested
+    REPEATED field parses to null rather than REPEATED_FIELD_IS_NOT_ARRAY.
+    Output: df + violations array<struct<ord,rule_id,column,value>> + is_valid.
+    """
+    from jsonl_schema_validator_spark.compiler import RuleCompiler
+
+    line = F.col(line_col)
+    st = schema_to_string_leaf_type(schema)
+    parsed = df.withColumn("__parsed", F.from_json(line, st))
+    flat = parsed.select(
+        "*", *[F.col(f"__parsed.{f.name}").alias(f.name) for f in schema.fields]
+    ).drop("__parsed")
+    plan = RuleCompiler(schema).bind(flat)
+    field_viols = plan.violations_column()
+
+    keys = F.json_object_keys(line)
+    schema_keys = F.array(*[F.lit(f.name) for f in schema.fields])
+    empty = F.array().cast(
+        "array<struct<ord:int,rule_id:string,column:string,value:string>>"
+    )
+
+    def shape_rule(cond, rule_id, value):
+        s = F.struct(
+            F.lit(-1).alias("ord"),  # shape errors precede all field rules
+            F.lit(rule_id).alias("rule_id"),
+            F.lit("").alias("column"),
+            value.cast("string").alias("value"),
+        )
+        return F.when(cond, F.array(s)).otherwise(empty)
+
+    not_object = keys.isNull()
+    unknown = F.array_except(keys, schema_keys)
+    shape = F.concat(
+        shape_rule(not_object, "NOT_AN_OBJECT", line),
+        shape_rule(
+            ~not_object & (F.size(keys) != F.size(F.array_distinct(keys))),
+            "FIELD_DUPLICATED",
+            F.to_json(keys),
+        ),
+        shape_rule(
+            ~not_object & (F.size(unknown) > 0), "FIELD_UNRECOGNISED", F.to_json(unknown)
+        ),
+    )
+    # field rules only apply to parseable objects
+    combined = F.when(not_object, shape).otherwise(F.concat(shape, field_viols))
+    out = flat.withColumn("violations", combined)
+    return out.withColumn("is_valid", F.size("violations") == F.lit(0))
+
+
 def json_rules(
     df: DataFrame, schema: Schema, line_col: str = "line"
 ) -> DataFrame:

