@@ -309,6 +309,40 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 highest-value orders per order status (deterministic
+    tiebreak on the key)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def q_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window cume_dist (the exact-KS building block) over a keyed subset."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation; decimal-exact sums so double summation
     order cannot flip a rounded digit across engines."""
@@ -407,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_rules_events": q_json_rules_events,
         "json_walker_events": q_json_walker_events,
         "tumbling_events": q_tumbling_events,
+        "topk_orders": q_topk_orders,
+        "cume_dist_orders": q_cume_dist_orders,
         "pricing_summary": q_pricing_summary,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -742,6 +778,21 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
        round(sum(value), 4) AS sum_value,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2
+""",
+        "topk_orders": """
+WITH r AS (
+  SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+  FROM orders)
+SELECT * FROM r WHERE rn <= 3
+""",
+        "cume_dist_orders": """
+SELECT o_orderkey, o_orderstatus,
+       round(cume_dist() OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice), 9) AS cd
+FROM orders WHERE o_orderkey < 200
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

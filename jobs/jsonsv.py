@@ -1,0 +1,145 @@
+"""jsonsv-compatible CLI: validate a JSONL file against a BigQuery-style
+schema (the reference's exact surface: `jsonsv -f data.jsonl -s schema.json
+[-x] [-t N]`, /root/reference/src/main.rs:25-43), Spark-powered.
+
+Per-line first errors go to stderr as `line <n>: <VARIANT> at byte <off>
+(<field>)` (the reference logs first-error per line, main.rs:149-153 —
+unordered across its threads; ours is ordered by line). Summary to stdout
+(lines, bytes, errors, seconds, lines/s, MB/s — main.rs:211-217 shape).
+Exit code 1 if any error; -x stops at the first violating line
+(main.rs:37-38,218-220).
+
+Run directly (spark-submit or plain python with pyspark on the path):
+    python jobs/jsonsv.py -f data.jsonl -s schema.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# runnable from any cwd: plain `python jobs/jsonsv.py` without --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jsonsv")
+    p.add_argument("-f", "--file", required=True, help="JSONL input path")
+    p.add_argument("-s", "--schema", required=True, help="schema JSON path")
+    p.add_argument(
+        "-x", action="store_true", help="exit on first error (fail-fast)"
+    )
+    p.add_argument(
+        "-t",
+        "--threads",
+        type=int,
+        default=4,
+        help="parallelism (reference default 4; here = local cores)",
+    )
+    p.add_argument(
+        "--mode",
+        choices=["exact", "fast"],
+        default="exact",
+        help="exact = reference-parity walker (byte offsets); "
+        "fast = expression-only screen (no offsets)",
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.json_mode import (
+        reference_verdicts,
+        validate_json_nested,
+    )
+    from jsonl_schema_validator_spark.schema import load_schema
+    from jsonl_schema_validator_spark.session import get_spark
+    from jsonl_schema_validator_spark.sources import read_jsonl
+
+    t0 = time.time()
+    spark = get_spark(
+        app_name="jsonsv", master=f"local[{args.threads}]",
+        shuffle_partitions=max(args.threads, 2),
+    )
+    # the exact-mode walker runs inside mapInPandas on the workers: ship the
+    # package so the CLI works from any cwd without --py-files
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from tools.package import build
+
+    spark.sparkContext.addPyFile(build(repo_root))
+    schema = load_schema(args.schema)
+    from pyspark.sql import Window
+
+    # true 1-based line numbers: monotonically_increasing_id orders by
+    # (partition, offset) = file order for text splits; row_number over it
+    # gives the line index (global window — fine for a CLI-sized file)
+    lines = read_jsonl(spark, args.file).withColumn(
+        "line_no",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+    )
+
+    if args.mode == "exact":
+        out = reference_verdicts(lines, schema, "line")
+        err_col = F.col("errors")[0]
+        errors_df = out.where(~F.col("is_valid")).select(
+            "line_no",
+            err_col["variant"].alias("variant"),
+            err_col["offset"].alias("offset"),
+            err_col["field"].alias("field"),
+        )
+    else:
+        out = validate_json_nested(lines, schema, "line")
+        v0 = F.sort_array(F.col("violations"))[0]
+        errors_df = out.where(~F.col("is_valid")).select(
+            "line_no",
+            v0["rule_id"].alias("variant"),
+            F.lit(None).cast("long").alias("offset"),
+            v0["column"].alias("field"),
+        )
+
+    if args.x:
+        first = errors_df.orderBy("line_no").limit(1).collect()
+        if first:
+            e = first[0]
+            print(
+                f"line {e.line_no}: {e.variant} at byte {e.offset} ({e.field})",
+                file=sys.stderr,
+            )
+            print(json.dumps({"error": "stopped at first invalid line"}))
+            spark.stop()
+            return 1
+
+    totals = out.agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.sum(F.length("line")).alias("bytes"),
+        F.sum((~F.col("is_valid")).cast("long")).alias("errors"),
+    ).collect()[0]
+    for e in errors_df.orderBy("line_no").limit(1000).collect():
+        off = f" at byte {e.offset}" if e.offset is not None else ""
+        fld = f" ({e.field})" if e.field else ""
+        print(f"line {e.line_no}: {e.variant}{off}{fld}", file=sys.stderr)
+
+    wall = time.time() - t0
+    n_lines = int(totals["lines"])
+    n_bytes = int(totals["bytes"] or 0)
+    n_errors = int(totals["errors"] or 0)
+    print(
+        json.dumps(
+            {
+                "lines": n_lines,
+                "bytes": n_bytes,
+                "errors": n_errors,
+                "seconds": round(wall, 3),
+                "lines_per_sec": round(n_lines / wall) if wall else None,
+                "mb_per_sec": round(n_bytes / wall / 1e6, 2) if wall else None,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if n_errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
