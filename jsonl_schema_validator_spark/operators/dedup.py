@@ -241,7 +241,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
     hashed = toks.select("id", F.md5(F.col("tok").cast("binary")).alias("h"))
-    # one row per (id, token, hex-digit-position 0..15)
+    # one row per (id, token, hex-digit-position 0..15); the 4 bits of each
+    # digit are aggregated as 4 conditional sums in ONE groupBy — 4x fewer
+    # exploded rows than a per-bit explode, same math
     digits = hashed.select(
         "id",
         F.posexplode(
@@ -252,33 +254,29 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "dpos",
         (F.instr(F.lit("0123456789abcdef"), F.col("ch")) - 1).alias("v"),
     )
-    bits = digits.select(
-        "id",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("bit_in_digit"),
-        "dpos",
-        "v",
-    ).select(
-        "id",
-        (F.col("dpos") * 4 + F.col("bit_in_digit")).alias("bitpos"),
-        (
-            F.expr("shiftright(v, 3 - bit_in_digit)") % 2 * 2 - 1
-        ).alias("contrib"),
+    bit_sums = digits.groupBy("id", "dpos").agg(
+        *[
+            F.sum(F.shiftright(F.col("v"), 3 - b) % 2 * 2 - 1).alias(f"s{b}")
+            for b in range(4)
+        ]
     )
-    summed = bits.groupBy("id", "bitpos").agg(F.sum("contrib").alias("s"))
-    return summed.groupBy("id").agg(
+    digit_chars = bit_sums.select(
+        "id",
+        "dpos",
+        F.concat(
+            *[
+                F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(4)
+            ]
+        ).alias("quad"),
+    )
+    return digit_chars.groupBy("id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("bitpos"),
-                            F.when(F.col("s") > 0, F.lit("1"))
-                            .otherwise(F.lit("0"))
-                            .alias("b"),
-                        )
-                    )
+                    F.collect_list(F.struct(F.col("dpos"), F.col("quad")))
                 ),
-                lambda x: x["b"],
+                lambda x: x["quad"],
             ),
             "",
         ).alias("simhash")

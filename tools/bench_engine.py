@@ -1,0 +1,119 @@
+"""Full north-rule-suite engine benchmark: row rules + sha256 invariant +
+uniqueness + referential integrity + chi2 drift over a synthetic
+code_files-shaped table generated entirely with Spark expressions
+(deterministic, no driver-side row building).
+
+Usage: python tools/bench_engine.py [n_rows] [cores]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.engine import Invariant, ValidationEngine
+from jsonl_schema_validator_spark.session import get_spark
+from jsonl_schema_validator_spark.testing.codefiles import CODE_FILES_SCHEMA_DOC, LANGS
+
+
+def synth_code_files(spark, n: int, cores: int):
+    """code_files at scale, expression-generated: zipf-ish hot repos, 40-hex
+    commits, ~0.14%% enum defects, ~0.5%% sha-mismatch rows, ~2%% duplicate
+    keys, RI orphans via a filtered dim."""
+    base = spark.range(n).repartition(cores * 4)
+    idc = F.col("id")
+    # ~1% duplicate keys: rows with id%97==1 clone the key of id-1
+    bid = F.when(idc % 97 == 1, idc - 1).otherwise(idc)
+    repo = F.concat(
+        F.lit("org"),
+        (bid % 7).cast("string"),
+        F.lit("/repo"),
+        F.pmod(F.hash(bid.cast("string")), 50).cast("string"),
+    )
+    content = F.concat(
+        F.lit("def fn_"),
+        idc.cast("string"),
+        F.lit("(): return "),
+        F.repeat(F.substring(F.md5(idc.cast("string").cast("binary")), 1, 16), (idc % 20 + 1).cast("int")),
+    )
+    df = base.select(
+        idc.alias("row_id"),
+        repo.alias("repo"),
+        F.concat(F.lit("src/file"), bid.cast("string"), F.lit(".py")).alias("path"),
+        F.substring(F.sha2(bid.cast("string").cast("binary"), 256), 1, 40).alias("commit"),
+        F.when(idc % 700 == 0, F.lit("cobol"))
+        .otherwise(F.element_at(F.array(*[F.lit(l) for l in LANGS]), (idc % 7 + 1).cast("int")))
+        .alias("lang"),
+        content.alias("content"),
+        F.when(idc % 200 == 0, F.sha2(F.lit("corrupted"), 256))
+        .otherwise(F.sha2(content.cast("binary"), 256))
+        .alias("expected_sha256"),
+        F.pmod(F.hash(repo), 16).alias("bucket"),
+    )
+    repos_dim = df.select("repo").distinct().where(F.pmod(F.hash("repo"), 29) != 0)
+    commits_dim = (
+        df.select("repo", "commit").distinct().where(F.pmod(F.hash("commit"), 331) != 0)
+    )
+    return df, {"repos": repos_dim, "commits": commits_dim}
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(
+        app_name="bench-engine", master=f"local[{cores}]", shuffle_partitions=cores * 2
+    )
+    df, dims = synth_code_files(spark, n, cores)
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize input outside the timed region
+    for d in dims.values():
+        d.persist(StorageLevel.MEMORY_AND_DISK).count()
+
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
+    sha_inv = Invariant(
+        rule_id="SHA256_MISMATCH",
+        column="content",
+        condition=F.sha2(F.col("content").cast("binary"), 256)
+        != F.col("expected_sha256"),
+        value=F.lit(None),
+    )
+
+    t0 = time.time()
+    report = engine.run(df, "bucket", dims=dims, invariants=[sha_inv])
+    row_viols = report.violations.groupBy("rule_id").count().collect()
+    table_viols = report.table_violations.groupBy("rule_id").count().collect()
+    parts = report.partition_report.agg(
+        F.sum("rows"), F.sum("violations")
+    ).collect()[0]
+    drift = report.drift["chi2:lang"].collect()[0]
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "full_suite_throughput",
+                "rows": n,
+                "cores": cores,
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n / wall),
+                "row_violations": {r.rule_id: r["count"] for r in row_viols},
+                "table_violations": {r.rule_id: r["count"] for r in table_viols},
+                "partition_rows": int(parts[0]),
+                "chi2_statistic": drift.statistic,
+                "chi2_drifted": bool(drift.drifted),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
