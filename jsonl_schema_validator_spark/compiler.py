@@ -111,10 +111,17 @@ class BindError(ValueError):
 
 
 class RuleCompiler:
-    """Compile a Schema against a concrete DataFrame schema."""
+    """Compile a Schema against a concrete DataFrame schema.
 
-    def __init__(self, schema: Schema):
+    skip_any_check: drop the ANY-type parseability rule — used when the
+    values provably came through a successful JSON parse already (e.g.
+    validate_json_nested's from_json output), where re-parsing each value
+    with try_parse_json would only re-prove what from_json established.
+    """
+
+    def __init__(self, schema: Schema, skip_any_check: bool = False):
         self.schema = schema
+        self.skip_any_check = skip_any_check
 
     def bind(self, df: DataFrame) -> "ValidationPlan":
         rules: list[CompiledRule] = []
@@ -137,8 +144,29 @@ class RuleCompiler:
             rules.extend(
                 _compile_field(field, F.col(field.name), field.name, sf.dataType)
             )
+        if self.skip_any_check:
+            any_cols = {
+                ".".join(p)
+                for p in _any_paths(self.schema.fields)
+            }
+            rules = [
+                r
+                for r in rules
+                if not (r.rule_id == "FIELD_VALUE_INVALID" and r.column in any_cols)
+            ]
         rules.sort(key=lambda r: r.ord)
         return ValidationPlan(self.schema, rules)
+
+
+def _any_paths(fields: list[Field], prefix: tuple[str, ...] = ()) -> list[tuple[str, ...]]:
+    out = []
+    for f in fields:
+        path = prefix + (f.name,)
+        if f.type is FieldType.ANY:
+            out.append(path)
+        if f.fields:
+            out.extend(_any_paths(f.fields, path))
+    return out
 
 
 def _element_invalid(field: Field, elem: Column, elem_type: T.DataType) -> Column:

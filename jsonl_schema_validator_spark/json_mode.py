@@ -442,7 +442,7 @@ def schema_to_string_leaf_type(schema: Schema) -> T.StructType:
 
 
 def validate_json_nested(
-    df: DataFrame, schema: Schema, line_col: str = "line"
+    df: DataFrame, schema: Schema, line_col: str = "line", strict_shape: bool = True
 ) -> DataFrame:
     """Full nested-schema JSON validation, expressions only (scale path).
 
@@ -455,20 +455,33 @@ def validate_json_nested(
     are not detected (top-level only), a non-array value for a nested
     REPEATED field parses to null rather than REPEATED_FIELD_IS_NOT_ARRAY.
     Output: df + violations array<struct<ord,rule_id,column,value>> + is_valid.
+
+    strict_shape=False drops the FIELD_DUPLICATED / FIELD_UNRECOGNISED
+    checks (which need a second parse via json_object_keys); NOT_AN_OBJECT
+    is then derived from from_json's own null — ONE parse per line total,
+    ~1.5x faster. Use when key-set hygiene is enforced upstream.
     """
     from jsonl_schema_validator_spark.compiler import RuleCompiler
 
     line = F.col(line_col)
     st = schema_to_string_leaf_type(schema)
-    parsed = df.withColumn("__parsed", F.from_json(line, st))
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for garbage;
+    # the corrupt-record column is the reliable single-parse malformed signal
+    st_corrupt = T.StructType(
+        list(st.fields) + [T.StructField("__corrupt", T.StringType())]
+    )
+    parsed = df.withColumn(
+        "__parsed",
+        F.from_json(line, st_corrupt, {"columnNameOfCorruptRecord": "__corrupt"}),
+    )
     flat = parsed.select(
         "*", *[F.col(f"__parsed.{f.name}").alias(f.name) for f in schema.fields]
-    ).drop("__parsed")
-    plan = RuleCompiler(schema).bind(flat)
+    )
+    # ANY parseability is established by the successful from_json above;
+    # re-checking it with try_parse_json would re-parse every value
+    plan = RuleCompiler(schema, skip_any_check=True).bind(flat)
     field_viols = plan.violations_column()
 
-    keys = F.json_object_keys(line)
-    schema_keys = F.array(*[F.lit(f.name) for f in schema.fields])
     empty = F.array().cast(
         "array<struct<ord:int,rule_id:string,column:string,value:string>>"
     )
@@ -482,22 +495,35 @@ def validate_json_nested(
         )
         return F.when(cond, F.array(s)).otherwise(empty)
 
-    not_object = keys.isNull()
-    unknown = F.array_except(keys, schema_keys)
-    shape = F.concat(
-        shape_rule(not_object, "NOT_AN_OBJECT", line),
-        shape_rule(
-            ~not_object & (F.size(keys) != F.size(F.array_distinct(keys))),
-            "FIELD_DUPLICATED",
-            F.to_json(keys),
-        ),
-        shape_rule(
-            ~not_object & (F.size(unknown) > 0), "FIELD_UNRECOGNISED", F.to_json(unknown)
-        ),
-    )
+    if strict_shape:
+        keys = F.json_object_keys(line)
+        schema_keys = F.array(*[F.lit(f.name) for f in schema.fields])
+        not_object = keys.isNull()
+        unknown = F.array_except(keys, schema_keys)
+        shape = F.concat(
+            shape_rule(not_object, "NOT_AN_OBJECT", line),
+            shape_rule(
+                ~not_object & (F.size(keys) != F.size(F.array_distinct(keys))),
+                "FIELD_DUPLICATED",
+                F.to_json(keys),
+            ),
+            shape_rule(
+                ~not_object & (F.size(unknown) > 0),
+                "FIELD_UNRECOGNISED",
+                F.to_json(unknown),
+            ),
+        )
+    else:
+        # single-parse mode: corrupt-record column set, whole parse null
+        # (empty line), or a non-object top level
+        not_object = (
+            F.col("__parsed").isNull()
+            | F.col("__parsed.__corrupt").isNotNull()
+        )
+        shape = shape_rule(not_object, "NOT_AN_OBJECT", line)
     # field rules only apply to parseable objects
     combined = F.when(not_object, shape).otherwise(F.concat(shape, field_viols))
-    out = flat.withColumn("violations", combined)
+    out = flat.withColumn("violations", combined).drop("__parsed")
     return out.withColumn("is_valid", F.size("violations") == F.lit(0))
 
 
