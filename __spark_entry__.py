@@ -55,6 +55,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """mapInPandas closures reference the package on WORKERS; if the driver
+    process was launched from another cwd the workers can't unpickle them.
+    Shipping the zip is idempotent and cheap; failures are non-fatal (the
+    usual repo-root launch already has the package importable)."""
+    try:
+        import os
+
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        sys_zip = os.path.join(repo_root, "dist", "jsonl_schema_validator_spark.zip")
+        if not os.path.exists(sys_zip):
+            from tools.package import build
+
+            sys_zip = build(repo_root)
+        spark.sparkContext.addPyFile(sys_zip)
+    except Exception:
+        pass
+
+
 # ---------------------------------------------------------------------------
 # shared rule constants (Spark + oracle must agree)
 # ---------------------------------------------------------------------------
@@ -264,6 +283,7 @@ def q_json_walker_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type='error' rows (walker semantics == relational truth)."""
     from jsonl_schema_validator_spark.json_mode import reference_verdicts
 
+    _ship_package(spark)
     ev = _t(spark, sf_dir, "events")
     lines = ev.select(
         F.to_json(
