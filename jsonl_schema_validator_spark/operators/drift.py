@@ -149,6 +149,79 @@ def ks_drift_exact(
     return out
 
 
+def save_numeric_profile(
+    df: DataFrame, column: str, path: str, bins: int = 256
+) -> None:
+    """Persist a numeric distribution profile: quantile grid + count.
+
+    The stored profile is what production drift monitoring compares against
+    (SURVEY.md M4: 'against a stored baseline profile') — computed once on
+    the reference corpus, reused by every subsequent validation run without
+    rescanning the baseline data."""
+    col = F.col(column).cast("double")
+    qs = [i / bins for i in range(1, bins)]
+    row = df.where(col.isNotNull()).agg(
+        F.percentile_approx(col, qs, 10000).alias("edges"),
+        F.count(col).alias("n"),
+    ).collect()[0]
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(q, float(e)) for q, e in zip(qs, row["edges"])],
+        "quantile double, edge double",
+    )
+    prof.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ks_drift_vs_profile(
+    df: DataFrame, column: str, profile_path: str, threshold: float | None = None
+) -> DataFrame:
+    """Binned KS of `df[column]` vs a stored numeric profile.
+
+    D̂ = max over stored quantile edges of |F_sample(edge) - q|; the
+    baseline's CDF at its own q-quantile edge IS q, so no baseline rescan.
+    One conditional-aggregation pass over the sample. |D̂ - D| <= 1/bins.
+    """
+    spark = df.sparkSession
+    prof = sorted(
+        (r.quantile, r.edge) for r in spark.read.parquet(profile_path).collect()
+    )
+    col = F.col(column).cast("double")
+    aggs = [
+        F.avg((col <= F.lit(edge)).cast("double")).alias(f"e{i}")
+        for i, (_q, edge) in enumerate(prof)
+    ]
+    row = df.where(col.isNotNull()).agg(*aggs, F.count(col).alias("n")).collect()[0]
+    d = max(abs(row[f"e{i}"] - q) for i, (q, _e) in enumerate(prof))
+    out = spark.createDataFrame(
+        [(round(d, 9), int(row["n"]), len(prof))],
+        "ks_d double, n bigint, grid_points int",
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("ks_d") > F.lit(threshold))
+    return out
+
+
+def save_categorical_profile(df: DataFrame, column: str, path: str) -> None:
+    """Persist category frequencies (the chi2 baseline) as a table."""
+    total = df.where(F.col(column).isNotNull()).count()
+    prof = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("category"))
+        .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("prob"))
+    )
+    prof.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def chi2_drift_vs_profile(
+    df: DataFrame, column: str, profile_path: str, threshold: float | None = None
+) -> DataFrame:
+    spark = df.sparkSession
+    baseline = {
+        r.category: r.prob for r in spark.read.parquet(profile_path).collect()
+    }
+    return chi2_drift(df, column, baseline, threshold=threshold)
+
+
 def ks_drift_binned(
     a: DataFrame,
     b: DataFrame,

@@ -162,3 +162,41 @@ def test_ks_drift_binned_close_to_exact(spark):
     exact = _py_ks(a, b)
     r = ks_drift_binned(dfa, dfb, "v", bins=256).collect()[0]
     assert abs(r.ks_d - exact) <= 1.0 / 256 + 1e-9
+
+
+def test_drift_vs_stored_profiles(spark, tmp_path):
+    from jsonl_schema_validator_spark.operators.drift import (
+        chi2_drift_vs_profile,
+        ks_drift_vs_profile,
+        save_categorical_profile,
+        save_numeric_profile,
+    )
+
+    rng = random.Random(21)
+    baseline = spark.createDataFrame(
+        [(rng.gauss(0, 1), rng.choice(["a", "b", "c"])) for _ in range(3000)],
+        "v double, cat string",
+    )
+    same = spark.createDataFrame(
+        [(rng.gauss(0, 1), rng.choice(["a", "b", "c"])) for _ in range(2000)],
+        "v double, cat string",
+    )
+    shifted = spark.createDataFrame(
+        [(rng.gauss(1.5, 1), rng.choice(["a", "a", "a", "b"])) for _ in range(2000)],
+        "v double, cat string",
+    )
+
+    num_prof = str(tmp_path / "num_prof")
+    save_numeric_profile(baseline, "v", num_prof, bins=128)
+    r_same = ks_drift_vs_profile(same, "v", num_prof, threshold=0.1).collect()[0]
+    r_shift = ks_drift_vs_profile(shifted, "v", num_prof, threshold=0.1).collect()[0]
+    assert r_same.ks_d < 0.08 and not r_same.drifted
+    assert r_shift.ks_d > 0.4 and r_shift.drifted
+    assert r_same.n == 2000
+
+    cat_prof = str(tmp_path / "cat_prof")
+    save_categorical_profile(baseline, "cat", cat_prof)
+    c_same = chi2_drift_vs_profile(same, "cat", cat_prof, threshold=20.0).collect()[0]
+    c_shift = chi2_drift_vs_profile(shifted, "cat", cat_prof, threshold=20.0).collect()[0]
+    assert not c_same.drifted
+    assert c_shift.drifted and c_shift.statistic > 100
