@@ -119,6 +119,11 @@ ORDERS_SCHEMA = [
 
 CHI2_BASELINE = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
 
+# testdata embeddings are 64-dim at every sf (TESTDATA.md); fixing the dim
+# makes the LSH hyperplanes a pure function of (dim, planes, seed) so the
+# DuckDB oracle can regenerate them as literals
+EMB_DIM = 64
+
 
 # ---------------------------------------------------------------------------
 # Spark queries
@@ -385,14 +390,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- no-oracle queries (approximate / non-SQL-expressible): driver records
-# --- a weaker rows-only check, the judge sees which
+# --- approximate operators, all fully oracle-checked since round 2: the
+# --- LSH planes are regenerated as literals in the SQL (pure function of
+# --- seed+dim), the IVF uses the relationally-expressible prefix init, the
+# --- binned KS uses the exact min/max width grid, and simhash blocking is
+# --- encoded in the oracle's WHERE
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=5, num_planes=6, seed=42, multiprobe=True)
+    return lsh_topk(
+        emb, queries, k=5, num_planes=6, seed=42, multiprobe=True, dim=EMB_DIM
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,19 +410,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4, seed=42)
+    return ivf_topk(
+        emb, queries, k=5, num_centroids=16, nprobe=4, seed=42, init="prefix"
+    )
 
 
 def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     a = docs.where(F.col("source") == "src0")
     b = docs.where(F.col("source") != "src0")
-    return ks_drift_binned(a, b, "n_chars", bins=64)
+    return ks_drift_binned(a, b, "n_chars", bins=64, grid="width")
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (multimodal family): documents' text rendered
+    as an opaque binary payload, metadata via pure expressions."""
+    from jsonl_schema_validator_spark.operators.multimodal import binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    out = binary_metadata(docs, "blob")
+    return out.select(
+        F.col("doc_id").alias("id"),
+        F.col("blob_meta.n_bytes").cast("int").alias("n_bytes"),
+        F.col("blob_meta.sha256").alias("sha256"),
+        F.col("blob_meta.magic").alias("magic"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -468,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "multimodal_metadata": q_multimodal_metadata,
     }
 
 
@@ -523,6 +553,183 @@ def _stopword_list_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+# embeddings unnested to (vec_id, val, pos) + per-vector norms — shared by
+# every ANN oracle (same shape as the green cosine_topk oracle)
+_EX_NORMS_CTE = """
+ex AS (
+  SELECT vec_id, u.val::DOUBLE AS val, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS val,
+                       unnest(generate_series(1, len(embedding))) AS pos) u),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ex GROUP BY vec_id)"""
+
+# exact cosine over candidate pairs -> per-query rank -> top-k (the shared
+# verification tail of lsh_topk / ivf_topk; `cand(query_id, neighbor_id)`
+# must be defined by the head)
+_TOPK_TAIL_SQL = """
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id, sum(a.val * b.val) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.query_id
+  JOIN ex b ON b.vec_id = cand.neighbor_id AND b.pos = a.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (na.nrm * nb.nrm), 6) AS score
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _lsh_sql(k: int, num_planes: int, seed: int, dim: int, query_bound: int) -> str:
+    """DuckDB replica of lsh_topk: the hyperplanes are a pure function of
+    (dim, num_planes, seed) — regenerated here and embedded as literals.
+    multiprobe(own bucket + every 1-bit flip) == candidate iff
+    hamming(qbucket, cbucket) <= 1."""
+    from jsonl_schema_validator_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    plane_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH {_EX_NORMS_CTE},
+pl AS (
+  SELECT p.plane, u.w::DOUBLE AS w, u.pos
+  FROM (VALUES
+    {plane_rows}) p(plane, wv),
+       LATERAL (SELECT unnest(wv) AS w,
+                       unnest(generate_series(1, len(wv))) AS pos) u),
+pd AS (
+  SELECT e.vec_id, p.plane, sum(e.val * p.w) AS d
+  FROM ex e JOIN pl p ON e.pos = p.pos GROUP BY 1, 2),
+bk AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+  FROM pd GROUP BY vec_id),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {query_bound}
+    AND len(list_filter(generate_series(1, {num_planes}),
+            i -> substr(q.bucket, i, 1) <> substr(c.bucket, i, 1))) <= 1),
+{_TOPK_TAIL_SQL.format(k=k)}"""
+
+
+def _ivf_sql(k: int, num_centroids: int, nprobe: int, query_bound: int) -> str:
+    """DuckDB replica of ivf_topk(init='prefix'): centroids = the
+    num_centroids lowest-id corpus vectors (order-independent); cell scores
+    are full cosines rounded to 6 dp; argmax ties -> lowest cell (Spark
+    array_position takes the first max); probe order score DESC, cell DESC
+    (Spark reverse(array_sort) on (s, cell) structs)."""
+    return f"""
+WITH {_EX_NORMS_CTE},
+cent AS (
+  SELECT vec_id AS cvid,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {num_centroids})),
+cex AS (
+  SELECT c.cell, e.pos, e.val, n.nrm AS cnrm
+  FROM cent c
+  JOIN ex e ON e.vec_id = c.cvid
+  JOIN norms n ON n.vec_id = c.cvid),
+cs AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.val * c.val) / (max(n.nrm) * max(c.cnrm)), 6) AS score
+  FROM ex e
+  JOIN cex c ON c.pos = e.pos
+  JOIN norms n ON n.vec_id = e.vec_id
+  GROUP BY e.vec_id, c.cell),
+assign AS (
+  SELECT vec_id AS neighbor_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+        FROM cs)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cs WHERE vec_id < {query_bound})
+  WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id),
+{_TOPK_TAIL_SQL.format(k=k)}"""
+
+
+# SimHash signature CTE over the whole documents table (the green
+# simhash_documents oracle minus its doc_id filter)
+_SIMHASH_SIG_CTE = """
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+digits AS (
+  SELECT doc_id, i, strpos('0123456789abcdef', substr(m, i + 1, 1)) - 1 AS v
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) g),
+bits AS (
+  SELECT doc_id, i * 4 + b AS bitpos, ((v >> (3 - b)) % 2) * 2 - 1 AS contrib
+  FROM digits, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) gb),
+s AS (SELECT doc_id, bitpos, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id AS id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+  FROM s GROUP BY doc_id)"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """Pairs sharing an exact 16-bit chunk (the pigeonhole blocking the Spark
+    operator uses — exact for hamming<=3, candidate-blocked above) with
+    hamming <= max_hamming."""
+    chunk_match = " OR ".join(
+        f"substr(a.simhash, {c * 16 + 1}, 16) = substr(b.simhash, {c * 16 + 1}, 16)"
+        for c in range(4)
+    )
+    return f"""
+WITH {_SIMHASH_SIG_CTE},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_filter(generate_series(1, 64),
+              i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INT)
+           AS hamming
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE {chunk_match})
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _ks_width_sql(bins: int) -> str:
+    """Width-grid binned KS: edges from exact global min/max with the edge
+    formula mirrored VERBATIM from ks_drift_binned(grid='width') —
+    mn + (i * (mx - mn)) / bins — so both engines evaluate identical IEEE
+    doubles."""
+    return f"""
+WITH vals AS (
+  SELECT n_chars::DOUBLE AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE n_chars IS NOT NULL),
+mm AS (SELECT min(v) AS mn, max(v) AS mx FROM vals),
+edges AS (
+  SELECT mn + (i * (mx - mn)) / {bins}.0 AS edge
+  FROM mm, LATERAL (SELECT unnest(generate_series(1, {bins - 1})) AS i) g),
+cdf AS (
+  SELECT e.edge,
+    sum(CASE WHEN v.ia = 1 AND v.v <= e.edge THEN 1.0 ELSE 0.0 END)
+      / sum(CASE WHEN v.ia = 1 THEN 1.0 ELSE 0.0 END) AS fa,
+    sum(CASE WHEN v.ia = 0 AND v.v <= e.edge THEN 1.0 ELSE 0.0 END)
+      / sum(CASE WHEN v.ia = 0 THEN 1.0 ELSE 0.0 END) AS fb
+  FROM edges e CROSS JOIN vals v GROUP BY e.edge)
+SELECT round(max(abs(fa - fb)), 9) AS ks_d,
+       CAST(count(*) AS INT) AS grid_points
+FROM cdf
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_in = ", ".join(f"'{k}'" for k in CHI2_BASELINE)
     base_values = ", ".join(f"('{k}', {v})" for k, v in CHI2_BASELINE.items())
@@ -562,8 +769,8 @@ WITH v AS (
     (CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS nv
   FROM orders)
 SELECT partition_key, count(*) AS rows,
-       sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS violation_rows,
-       sum(nv) AS violations,
+       CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS violation_rows,
+       CAST(sum(nv) AS BIGINT) AS violations,
        (sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0) AS pass
 FROM v GROUP BY partition_key
 """,
@@ -826,5 +1033,16 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+        "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
+        "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
+        "ks_binned": _ks_width_sql(bins=64),
+        "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
+        "multimodal_metadata": """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256,
+       substr(text, 1, 4) AS magic
+FROM documents
 """,
     }

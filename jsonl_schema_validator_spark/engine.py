@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from jsonl_schema_validator_spark.compiler import RuleCompiler, ValidationPlan
 from jsonl_schema_validator_spark.operators.referential import ri_violations
 from jsonl_schema_validator_spark.operators.uniqueness import uniqueness_violations
-from jsonl_schema_validator_spark.operators.drift import chi2_drift, ks_drift_binned
+from jsonl_schema_validator_spark.operators.drift import chi2_drift, ks_drift
 from jsonl_schema_validator_spark.plans.checkpoint import CheckpointManifest, run_partitioned
 from jsonl_schema_validator_spark.plans.metrics import MetricsSink, ruleset_fingerprint
 from jsonl_schema_validator_spark.schema import Schema, schema_from_json
@@ -135,7 +135,10 @@ class ValidationEngine:
             elif d.kind == "ks":
                 if baseline_df is None:
                     raise ValueError(f"ks drift on {d.column} needs baseline_df")
-                out[f"ks:{d.column}"] = ks_drift_binned(
+                # explicit size dispatch: exact KS below the row bound,
+                # binned (fully parallel) above — no caller can hit the
+                # single-task global sort accidentally
+                out[f"ks:{d.column}"] = ks_drift(
                     df, baseline_df, d.column, threshold=d.threshold
                 )
             else:

@@ -6,6 +6,7 @@ from jsonl_schema_validator_spark.operators.referential import ri_violations
 from jsonl_schema_validator_spark.operators.stats import column_stats
 from jsonl_schema_validator_spark.operators.drift import (
     chi2_drift,
+    ks_drift,
     ks_drift_exact,
     ks_drift_binned,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "ri_violations",
     "column_stats",
     "chi2_drift",
+    "ks_drift",
     "ks_drift_exact",
     "ks_drift_binned",
     "exact_duplicates",

@@ -290,24 +290,46 @@ def simhash_near_pairs(
 
     Blocked by 4 x 16-bit chunks: two signatures within Hamming<=3 of 64 bits
     must share at least one exact 16-bit chunk (pigeonhole) — the classic
-    simhash blocking join; avoids the all-pairs product.
+    simhash blocking join; avoids the all-pairs product. NOTE the semantics
+    are therefore exact only for max_hamming <= 3; above that the result is
+    'pairs sharing a 16-bit chunk AND hamming <= max_hamming' (the DuckDB
+    oracle encodes the same blocking condition).
+
+    Verification is bit-packed: each 16-bit chunk becomes a LONG at build
+    time (conv base-2), candidates join on the packed ints, and hamming is
+    4x bit_count(xor) — integer ops inside codegen, replacing the round-1
+    char-split zip_with (the measured hot loop when candidate volume
+    dominates on similar corpora).
     """
     sig = simhash64(df, id_col, text_col)
-    chunks = sig.select(
+    packed = sig.select(
         "id",
-        "simhash",
+        *[
+            F.conv(F.substring("simhash", c * 16 + 1, 16), 2, 10)
+            .cast("long")
+            .alias(f"p{c}")
+            for c in range(4)
+        ],
+    )
+    chunks = packed.select(
+        "id",
+        *[F.col(f"p{c}") for c in range(4)],
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.substring("simhash", c * 16 + 1, 16).alias("val"),
+                        F.lit(c).alias("chunk"), F.col(f"p{c}").alias("val")
                     )
                     for c in range(4)
                 ]
             )
         ).alias("cv"),
-    ).select("id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    ).select(
+        "id",
+        *[F.col(f"p{c}") for c in range(4)],
+        F.col("cv.chunk").alias("chunk"),
+        F.col("cv.val").alias("val"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -319,22 +341,15 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            *[F.col(f"a.p{c}").alias(f"pa{c}") for c in range(4)],
+            *[F.col(f"b.p{c}").alias(f"pb{c}") for c in range(4)],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # hamming = number of differing bit chars
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split("sig_a", "(?!^)"),
-                F.split("sig_b", "(?!^)"),
-                lambda x, y: x != y,
-            ),
-            lambda z: z,
-        )
-    )
+    hamming = sum(
+        F.bit_count(F.col(f"pa{c}").bitwiseXOR(F.col(f"pb{c}")))
+        for c in range(4)
+    ).cast("int")
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)

@@ -222,29 +222,74 @@ def chi2_drift_vs_profile(
     return chi2_drift(df, column, baseline, threshold=threshold)
 
 
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    max_exact_rows: int = 1_000_000,
+    bins: int = 256,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Size-dispatched KS: exact below `max_exact_rows` combined rows,
+    binned above.
+
+    ks_drift_exact needs a single-task global-window cumsum — correct but a
+    scale-killer; ks_drift_binned is fully parallel with |D̂-D| <= 1/bins.
+    This dispatcher makes the selection explicit so no caller accidentally
+    runs the exact path on a 100 TB input. The size probe is a bounded
+    limit(max+1).count() per side, never a full count.
+    """
+    half = max_exact_rows // 2 + 1
+    n_probe = a.limit(half).count() + b.limit(half).count()
+    if n_probe <= max_exact_rows:
+        return ks_drift_exact(a, b, value_col, threshold=threshold)
+    return ks_drift_binned(a, b, value_col, bins=bins, threshold=threshold)
+
+
 def ks_drift_binned(
     a: DataFrame,
     b: DataFrame,
     value_col: str,
     bins: int = 256,
     threshold: float | None = None,
+    grid: str = "quantile",
 ) -> DataFrame:
-    """Scale-path KS approximation on a quantile grid.
+    """Scale-path KS approximation on a grid of edges.
 
-    Grid = approx_percentile of the union at `bins` evenly spaced quantiles
-    (one parallel pass, no global sort). D̂ = max over grid edges of
-    |F_a(edge) - F_b(edge)|, computed with ONE conditional aggregation per
-    sample — everything stays map-side until two tiny reduces.
-    Error bound: |D̂ - D| <= 1/bins by construction of the quantile grid.
+    grid='quantile' (default): edges = approx_percentile of the union at
+    `bins` evenly spaced quantiles (one parallel pass, no global sort) —
+    error bound |D̂ - D| <= 1/bins by construction, robust to skew.
+    grid='width': edges = bins-1 equal-width cut points between the exact
+    global min and max (one min/max agg). Slightly weaker bound on skewed
+    data but EXACTLY reproducible in any SQL engine (min/max are exact where
+    approx_percentile is implementation-defined) — the variant the DuckDB
+    oracle checks.
+
+    D̂ = max over grid edges of |F_a(edge) - F_b(edge)|, computed with ONE
+    conditional aggregation per sample — everything stays map-side until two
+    tiny reduces.
     """
     union = a.select(F.col(value_col).cast("double").alias("v")).unionAll(
         b.select(F.col(value_col).cast("double").alias("v"))
     ).where(F.col("v").isNotNull())
-    qs = [i / bins for i in range(1, bins)]
-    edges_row = union.agg(
-        F.percentile_approx("v", qs, 10000).alias("edges")
-    ).collect()[0]
-    edges = sorted(set(edges_row["edges"]))
+    if grid == "width":
+        mm = union.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+        if mm["mn"] is None:
+            edges = []
+        elif mm["mn"] == mm["mx"]:
+            edges = [float(mm["mn"])]
+        else:
+            mn, mx = float(mm["mn"]), float(mm["mx"])
+            # formula mirrored verbatim in the oracle SQL: mn + (i*(mx-mn))/bins
+            edges = [mn + (i * (mx - mn)) / bins for i in range(1, bins)]
+    elif grid == "quantile":
+        qs = [i / bins for i in range(1, bins)]
+        edges_row = union.agg(
+            F.percentile_approx("v", qs, 10000).alias("edges")
+        ).collect()[0]
+        edges = sorted(set(edges_row["edges"]))
+    else:
+        raise ValueError(f"unknown grid: {grid!r}")
 
     def cdf_at_edges(df: DataFrame) -> list[float]:
         col = F.col(value_col).cast("double")

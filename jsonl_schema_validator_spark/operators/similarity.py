@@ -91,8 +91,24 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_rows: int | None = 20_000,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with round(cosine,6) >= threshold."""
+    """All pairs (id_a < id_b) with round(cosine,6) >= threshold.
+
+    EXACT but O(N^2): this is the verification baseline, not the scale path.
+    `max_rows` guards against accidentally cross-joining a large corpus — the
+    probe is a bounded limit(max_rows+1).count(), never a full count. Pass
+    max_rows=None to opt in explicitly (e.g. after pre-bucketing); at scale
+    route through lsh buckets (lsh_topk) or simhash/minhash blocking instead.
+    """
+    if max_rows is not None:
+        probe = df.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is O(N^2); input exceeds "
+                f"max_rows={max_rows}. Pre-filter the corpus, use LSH "
+                f"bucketing (lsh_topk), or pass max_rows=None to opt in."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -117,57 +133,87 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     lloyd_iters: int = 2,
+    init: str = "kmeans",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
     Plan-time (driver, numpy on a bounded sample — NOT per-row Python):
-    k-means centroids from a seeded sample with a few Lloyd iterations.
-    Execution (pure expressions):
+    centroid fit. Execution (pure expressions):
     - corpus partitioned into centroid cells by argmax centroid-cosine
       (one narrow projection; centroids are broadcast literals)
     - each query probes its `nprobe` nearest cells; exact cosine within
       probed cells only -> work scales with corpus/num_centroids * nprobe
       instead of the full corpus.
     Recall is tunable via nprobe (nprobe = num_centroids => exact).
+
+    init:
+    - 'kmeans' (production default): seeded sample + Lloyd iterations.
+    - 'prefix' (cross-engine verifiable): centroids = the `num_centroids`
+      corpus vectors with the smallest ids, order-independent and therefore
+      reproducible in the DuckDB oracle relationally. Cell scores are full
+      cosines rounded to 6 dp with deterministic tiebreaks (argmax: lowest
+      cell; probe order: score desc, cell desc — matching reverse(sort)).
     """
     import numpy as np
 
     if nprobe > num_centroids:
         raise ValueError("nprobe cannot exceed num_centroids")
-    # --- plan-time centroid fit on a seeded sample (bounded collect) ---
-    sample = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .sample(fraction=1.0, seed=seed)
-        .limit(max(num_centroids * 64, 1024))
-        .collect()
-    )
-    X = np.array([r.v for r in sample], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
-    for _ in range(lloyd_iters):
-        assign = np.argmax(X @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = X[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
-    centroids = [list(map(float, c)) for c in cent]
+    if init == "prefix":
+        # deterministic regardless of partitioning: lowest ids, bounded collect
+        rows = (
+            corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i")
+            .limit(num_centroids)
+            .collect()
+        )
+        centroids = [[float(x) for x in r.v] for r in rows]
+        cent_norms = [
+            max(math.sqrt(sum(x * x for x in c)), 1e-12) for c in centroids
+        ]
+    elif init == "kmeans":
+        # --- plan-time centroid fit on a seeded sample (bounded collect) ---
+        sample = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .sample(fraction=1.0, seed=seed)
+            .limit(max(num_centroids * 64, 1024))
+            .collect()
+        )
+        X = np.array([r.v for r in sample], dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(seed)
+        cent = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+        for _ in range(lloyd_iters):
+            assign = np.argmax(X @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = X[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        centroids = [list(map(float, c)) for c in cent]
+        cent_norms = [1.0] * len(centroids)  # unit by construction
+    else:
+        raise ValueError(f"unknown init: {init!r}")
 
     def cell_scores(vec: Column) -> Column:
+        # full cosine per centroid, rounded to 6 dp: rounding makes the
+        # argmax/probe ordering reproducible across engines (sum-order ulp
+        # noise is absorbed), same determinism recipe as the cosine oracles
         return F.array(
             *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda v, w: v.cast("double") * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda v, w: v.cast("double") * w,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / (_norm(vec) * F.lit(nc)),
+                    6,
                 )
-                / _norm(vec)
-                for c in centroids
+                for c, nc in zip(centroids, cent_norms)
             ]
         )
 
@@ -260,6 +306,7 @@ def lsh_topk(
     num_planes: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
@@ -267,10 +314,15 @@ def lsh_topk(
     each query probes its own bucket (+ all 1-bit-flip buckets when
     multiprobe). Exact cosine within the probed buckets, then top-k. Scales
     as bucket-size * queries instead of corpus * queries.
+
+    Pass `dim` (the embedding dimensionality) to skip the one-row plan-time
+    peek; the hyperplanes are then a pure function of (dim, num_planes, seed)
+    — which is what lets the DuckDB oracle regenerate them as literals.
     """
-    dim = len(
-        corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
-    )  # one-row peek to size the hyperplanes (plan-time constant)
+    if dim is None:
+        dim = len(
+            corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
+        )  # one-row peek to size the hyperplanes (plan-time constant)
     planes = _hyperplanes(dim, num_planes, seed)
 
     c = corpus.select(

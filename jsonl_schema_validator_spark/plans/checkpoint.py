@@ -9,6 +9,19 @@ whole. This is the Iceberg-commit-per-partition pattern scaled down to a
 filesystem; with a real Iceberg catalog the manifest write becomes the
 table's own snapshot commit.
 
+Storage backends:
+- local paths (no scheme / file:): plain os.* with POSIX-atomic rename and
+  fsync — the test/dev fast path.
+- any Hadoop-resolvable URI (hdfs://, s3a://, gs://, abfs://...): the Hadoop
+  FileSystem API via the session JVM. On HDFS rename is atomic; on object
+  stores the "rename" is an atomic single-object PUT followed by a delete of
+  the tmp object, so a committed entry is always either absent or complete —
+  torn manifests cannot appear (the property completed() relies on).
+
+Entry filenames embed a short hash of the raw key so distinct keys that
+sanitize to the same string (e.g. 'a/b' vs 'a_b') cannot collide and
+silently overwrite each other's manifest entry.
+
 Scale notes: the manifest dir holds #partitions tiny files; listing it is a
 driver-side O(#partitions) operation, independent of row count. Partition
 predicates (`partition_col == key`) prune file groups at the source when the
@@ -17,13 +30,14 @@ input is partitioned on disk by the same key.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
 import time
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -31,24 +45,123 @@ def _safe(key) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "_", str(key))
 
 
+def _key_tag(key) -> str:
+    """Collision-proof filename fragment: sanitized key + raw-key hash."""
+    raw = str(key)
+    return f"{_safe(raw)}-{hashlib.sha1(raw.encode()).hexdigest()[:8]}"
+
+
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+class _LocalFS:
+    """POSIX-atomic manifest IO for local paths."""
+
+    def __init__(self, path: str):
+        self.path = path[len("file:"):] if path.startswith("file:") else path
+        os.makedirs(self.path, exist_ok=True)
+
+    def join(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def list_names(self) -> list[str]:
+        return os.listdir(self.path)
+
+    def read_text(self, name: str) -> str:
+        with open(self.join(name)) as fh:
+            return fh.read()
+
+    def write_atomic(self, name: str, text: str) -> None:
+        final = self.join(name)
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)
+
+
+class _HadoopFS:
+    """Manifest IO through org.apache.hadoop.fs.FileSystem (py4j).
+
+    Used for any non-local scheme so the resume story survives the real
+    deployment (the reference analog is the snapshot-commit of the source
+    table, main.rs:149-160's sink but durable)."""
+
+    def __init__(self, path: str, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._dir = self._jvm.org.apache.hadoop.fs.Path(path)
+        self._fs = self._dir.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._fs.mkdirs(self._dir)
+
+    def _p(self, name: str):
+        return self._jvm.org.apache.hadoop.fs.Path(self._dir, name)
+
+    def list_names(self) -> list[str]:
+        return [s.getPath().getName() for s in self._fs.listStatus(self._dir)]
+
+    def read_text(self, name: str) -> str:
+        stream = self._fs.open(self._p(name))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_atomic(self, name: str, text: str) -> None:
+        tmp = self._p(f"{name}.tmp.{uuid.uuid4().hex[:8]}")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            out.hflush()
+        finally:
+            out.close()
+        # HDFS: atomic rename. Object stores: copy = one atomic PUT of the
+        # final object, then delete tmp — committed entries are all-or-absent.
+        if not self._fs.rename(tmp, self._p(name)):
+            self._fs.delete(tmp, False)
+            raise IOError(f"manifest commit rename failed for {name}")
+
+
 class CheckpointManifest:
-    def __init__(self, path: str, run_id: str | None = None):
+    def __init__(
+        self,
+        path: str,
+        run_id: str | None = None,
+        spark: SparkSession | None = None,
+    ):
         self.path = path
         self.run_id = run_id or uuid.uuid4().hex[:12]
-        os.makedirs(path, exist_ok=True)
+        if _is_local(path):
+            self._io = _LocalFS(path)
+        else:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"non-local manifest path {path!r} needs a SparkSession "
+                    "(pass spark=) to reach the Hadoop FileSystem API"
+                )
+            self._io = _HadoopFS(path, spark)
 
-    def _entry_path(self, key) -> str:
-        return os.path.join(self.path, f"partition={_safe(key)}.json")
+    def _entry_name(self, key) -> str:
+        return f"partition={_key_tag(key)}.json"
 
     def completed(self) -> dict[str, dict]:
         """{partition_key_str: manifest_record} for all committed partitions."""
         out = {}
-        for name in os.listdir(self.path):
+        for name in self._io.list_names():
             if not (name.startswith("partition=") and name.endswith(".json")):
                 continue
             try:
-                with open(os.path.join(self.path, name)) as fh:
-                    rec = json.load(fh)
+                rec = json.loads(self._io.read_text(name))
                 out[str(rec["partition_key"])] = rec
             except (json.JSONDecodeError, KeyError, OSError):
                 # torn write can only be a *tmp* file (rename is atomic);
@@ -57,20 +170,14 @@ class CheckpointManifest:
         return out
 
     def mark_complete(self, key, metrics: dict | None = None) -> None:
-        """Atomically commit a partition: tmp file + rename (POSIX atomic)."""
+        """Atomically commit a partition: tmp file + rename."""
         rec = {
             "partition_key": str(key),
             "run_id": self.run_id,
             "committed_at": time.time(),
             "metrics": metrics or {},
         }
-        final = self._entry_path(key)
-        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, final)
+        self._io.write_atomic(self._entry_name(key), json.dumps(rec))
 
     def pending(self, all_keys: list) -> list:
         done = set(self.completed())

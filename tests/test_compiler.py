@@ -238,6 +238,87 @@ def test_repeated_struct(spark):
     assert not results[4].is_valid  # null element invalid
 
 
+def test_repeated_struct_with_repeated_subfield(spark):
+    """REPEATED struct whose element contains a REPEATED scalar subfield —
+    the nested-exists path through _struct_value_invalid. Regression for the
+    HOF-lambda arity bug: a default-arg capture (lambda e, s=..., et=...) is
+    treated by PySpark as a 3-arg lambda, overwriting the captures with
+    lambda Columns and crashing bind(); the fix captures via a closure
+    factory. Asserts VALUES, not just no-crash, because nested HOF lambdas
+    can also silently mis-bind."""
+    fields = [
+        {
+            "name": "struct_field",
+            "type": "STRUCT",
+            "mode": "REPEATED",
+            "fields": [
+                {"name": "dates", "type": "DATE", "mode": "REPEATED"},
+                {"name": "label", "type": "STRING"},
+            ],
+        },
+    ]
+    ddl = "struct_field array<struct<dates:array<string>, label:string>>"
+    rows = [
+        # all inner dates valid -> valid
+        Row(struct_field=[Row(dates=["2025-03-01", "2025-01-31"], label="a")]),
+        # empty inner array -> valid
+        Row(struct_field=[Row(dates=[], label="a")]),
+        # absent inner array (null) -> valid (NULLABLE repeated subfield)
+        Row(struct_field=[Row(dates=None, label="a")]),
+        # one malformed inner date -> ARRAY_CONTENTS_INVALID on the outer
+        Row(struct_field=[Row(dates=["2025-03-01", "not-a-date"], label="a")]),
+        # null inner element -> invalid
+        Row(struct_field=[Row(dates=["2025-03-01", None], label="a")]),
+        # second outer element carries the bad inner date
+        Row(
+            struct_field=[
+                Row(dates=["2025-03-01"], label="ok"),
+                Row(dates=["9999-99-99"], label="bad"),
+            ]
+        ),
+    ]
+    schema = schema_from_json(fields)
+    df = spark.createDataFrame(rows, ddl)
+    plan = RuleCompiler(schema).bind(df)
+    results = plan.with_verdict(df).collect()
+    assert results[0].is_valid
+    assert results[1].is_valid
+    assert results[2].is_valid
+    assert not results[3].is_valid
+    assert results[3].first_error.rule_id == "ARRAY_CONTENTS_INVALID"
+    assert results[3].first_error.column == "struct_field"
+    assert not results[4].is_valid
+    assert not results[5].is_valid  # day 99 > day<=39 leniency bound
+
+
+def test_repeated_join_fast_path_semantics(spark):
+    """The array_join fast path (codegen-preserving ARRAY_CONTENTS_INVALID
+    for pure-regex element types) must agree with per-element semantics on
+    the tricky inputs: null element, empty array, empty-string element, an
+    element embedding the \\x01 separator whose fragments each look valid
+    (the soundness guard case), and reference leniencies (day<=39)."""
+    fields = [{"name": "dates", "type": "DATE", "mode": "REPEATED"}]
+    rows = [
+        Row(dates=["2025-01-01", "2025.12.39"]),  # valid (day<=39 leniency)
+        Row(dates=[]),  # valid
+        Row(dates=None),  # valid (NULLABLE)
+        Row(dates=["2025-01-01", None]),  # null element -> invalid
+        Row(dates=[""]),  # empty string -> invalid
+        Row(dates=["2025-01-01\x012025-01-02"]),  # embedded SEP -> invalid
+        Row(dates=["2025-19-09", "2025x01x01"]),  # 2nd malformed -> invalid
+    ]
+    schema = schema_from_json(fields)
+    df = spark.createDataFrame(rows, "dates array<string>")
+    plan = RuleCompiler(schema).bind(df)
+    results = plan.with_verdict(df).collect()
+    expected_valid = [True, True, True, False, False, False, False]
+    got = [r.is_valid for r in results]
+    assert got == expected_valid, got
+    for r in results:
+        if not r.is_valid:
+            assert r.first_error.rule_id == "ARRAY_CONTENTS_INVALID"
+
+
 def test_constraints(spark):
     fields = [
         {

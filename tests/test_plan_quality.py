@@ -51,6 +51,41 @@ def test_validation_is_single_narrow_stage(spark, lineitem):
     assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
 
 
+def test_repeated_regex_types_stay_in_codegen(spark):
+    """REPEATED fields of pure-regex element types must use the array_join
+    fast path (no exists/filter HOFs) so the fused projection keeps its
+    WholeStageCodegen star — the HOF form measured ~1.6x slower (round 2)."""
+    df = spark.createDataFrame(
+        [(["2025-01-01"],)], "tags array<string>"
+    )
+    schema = schema_from_json([{"name": "tags", "type": "DATE", "mode": "REPEATED"}])
+    plan = RuleCompiler(schema).bind(df)
+    p = _plan(plan.with_violations(df))
+    assert "lambdafunction" not in p, p
+    assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
+
+
+def test_repeated_struct_falls_back_to_hof(spark):
+    """Struct elements have no single-regex form: the exists() fallback is
+    expected (documented: interpreted projection, still single-stage)."""
+    df = spark.createDataFrame(
+        [([("2025-01-01",)],)], "recs array<struct<d:string>>"
+    )
+    schema = schema_from_json(
+        [
+            {
+                "name": "recs",
+                "type": "STRUCT",
+                "mode": "REPEATED",
+                "fields": [{"name": "d", "type": "DATE"}],
+            }
+        ]
+    )
+    plan = RuleCompiler(schema).bind(df)
+    p = _plan(plan.with_violations(df))
+    assert "Exchange" not in p  # still one narrow stage, just interpreted
+
+
 def test_violations_projection_prunes_scan(spark, docs):
     """Exploding violations keyed by doc_id must read ONLY the rule columns
     + key from parquet (ReadSchema pruning)."""
