@@ -169,6 +169,18 @@ def q_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ri_violations(o, ["o_custkey"], c, ["c_custkey"], strategy="broadcast")
 
 
+def q_ri_orders_customer_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same RI check through the bloom strategy (dim too big to broadcast at
+    scale): bloom-negative keys are definite orphans, bloom-positive keys are
+    confirmed by the exact anti join — result must equal the broadcast path,
+    so it shares ri_orders_customer's oracle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    return ri_violations(
+        o, ["o_custkey"], c, ["c_custkey"], strategy="bloom", bloom_bits=1 << 16
+    )
+
+
 def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return column_stats(
@@ -474,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_error_lineitem": q_first_error_lineitem,
         "unique_lineitem": q_unique_lineitem,
         "ri_orders_customer": q_ri_orders_customer,
+        "ri_orders_customer_bloom": q_ri_orders_customer_bloom,
         "stats_lineitem": q_stats_lineitem,
         "chi2_lang": q_chi2_lang,
         "ks_nchars": q_ks_nchars,
@@ -1033,6 +1046,17 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+        # bloom strategy must produce EXACTLY the broadcast strategy's rows
+        "ri_orders_customer_bloom": """
+WITH parent AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+SELECT 'RI_VIOLATION' AS rule_id, 'o_custkey' AS "column",
+       '{"o_custkey":' || o_custkey || '}' AS value,
+       count(*) AS orphan_count
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.c_custkey = o.o_custkey)
+GROUP BY o_custkey
 """,
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),

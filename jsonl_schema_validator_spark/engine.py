@@ -205,4 +205,7 @@ class ValidationEngine:
                 "violations": int(agg["violations"] or 0),
             }
 
-        return run_partitioned(df, partition_col, process, manifest)
+        summary = run_partitioned(df, partition_col, process, manifest)
+        if metrics is not None:
+            metrics.flush()  # drain any buffered tail (flush_every > 1)
+        return summary

@@ -305,10 +305,14 @@ def _validate_value(
                 fail("ARRAY_CONTENTS_INVALID", elem_off, node.name)
                 j = j + 4
             elif node.type is FieldType.STRUCT:
-                # reset duplicate tracking for this element's subtree
-                # (validate.rs:285-293)
-                for idx in node.subtree_idxs[1:]:
-                    seen.discard(idx)
+                # reset duplicate tracking for the struct's IMMEDIATE fields
+                # only (validate.rs:285-293 folds over stack_entry.schema —
+                # the element's own field map, not the subtree), so a
+                # nested-struct SUBFIELD stays marked across elements and the
+                # second element reports FIELD_DUPLICATED. A reference quirk,
+                # kept for exact parity (fixture: nested-struct-in-repeated).
+                for sub in node.fields.values():
+                    seen.discard(sub.idx)
                 try:
                     j = _validate_object(b, j, node.fields, seen, errors, collect_all)
                 except _Err as e:

@@ -7,22 +7,105 @@ Strategy selection mirrors the reference's AdaptivePrefixMap idea (pick the
 physical lookup structure by key-set shape, adaptive_prefix_map.rs:404-426),
 but at Spark granularity:
 - 'broadcast': force broadcast of the parent key set (dimension known-small —
-  the analog of the SIMD perfect-scan map for small key sets);
-- 'shuffle'  : plain shuffled anti join (both sides big);
+  the analog of the SIMD perfect-scan map for small key sets). Join first,
+  group after: the broadcast anti join shuffles nothing, and the grouping
+  then only sees orphans.
+- 'shuffle'  : both sides big. Child keys are PRE-AGGREGATED to distinct
+  tuples + counts (map-side combinable) BEFORE the anti join, so the join
+  shuffles #distinct-keys rows instead of #child rows — at 10^12 child rows
+  over ~10^8 repo/commit keys that is the difference between shuffling the
+  table and shuffling the key dictionary.
+- 'bloom'    : the 4th structure in the reference's try-create cascade
+  (adaptive_prefix_map.rs:404-426): dim too big to broadcast as an exact set
+  but its BLOOM FILTER fits. Parent keys are folded into a bitset with one
+  JVM-side aggregation (bit_or of single-bit words); distinct child keys
+  that miss the filter are DEFINITE orphans and bypass the join entirely;
+  the (mostly-present) remainder goes through the exact shuffled anti join
+  to remove false positives. Result is exact. Everything is expressions
+  (xxhash64/pmod/shift/mask) — no UDF, stays in codegen.
 - 'auto'     : leave it to Catalyst + AQE, which converts sort-merge to
   broadcast at runtime when the built side is small, and splits skewed
   partitions (spark.sql.adaptive.skewJoin) — the runtime version of the
   reference's try-create cascade.
 
-Skew note: hot repos make the child side skewed on `repo`. AQE skew-join
-handles the anti join; for deliberate pre-partitioning use
-plans.skew.salted_repartition.
+Skew note: hot repos make the child side skewed on `repo`. The distinct-key
+pre-aggregation absorbs hot keys map-side (a hot key becomes ONE row per
+partition before the shuffle); AQE skew-join handles the remaining join; for
+deliberate pre-partitioning use plans.skew.salted_repartition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# bloom sizing: bits are collected to the driver as m/64 longs and shipped as
+# one array literal (1<<23 bits = 128k longs = 1 MiB — broadcast-lite). For
+# dims needing >~2^27 bits, use strategy='shuffle' (the pre-aggregated anti
+# join) — a bloom that size should live in the join engine, not a literal.
+_BLOOM_MAX_BITS = 1 << 27
+
+
+def _bloom_hash(i: int, key_cols: list[Column], m_bits: int) -> Column:
+    # k independent hashes from seeded xxhash64 (JVM-side, vectorized);
+    # pmod keeps the index non-negative
+    return F.pmod(F.xxhash64(F.lit(i), *key_cols), F.lit(m_bits))
+
+
+def build_key_bloom(
+    parent_k: DataFrame,
+    key_cols: list[str],
+    m_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Bloom bitset of the parent key tuples as a list of m_bits/64 longs.
+
+    One distributed pass: explode the hash seeds, map each key to
+    (word, single-bit long), bit_or per word (map-side combinable), collect
+    the non-zero words (#words <= m_bits/64, driver-bounded by construction).
+    """
+    if m_bits % 64 or m_bits <= 0 or m_bits > _BLOOM_MAX_BITS:
+        raise ValueError(f"m_bits must be a positive multiple of 64 <= {_BLOOM_MAX_BITS}")
+    cols = [F.col(c) for c in key_cols]
+    hashed = parent_k.select(
+        F.explode(
+            F.array(*[_bloom_hash(i, cols, m_bits) for i in range(num_hashes)])
+        ).alias("__h")
+    )
+    words = (
+        hashed.select(
+            F.shiftright("__h", 6).cast("int").alias("__word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__h % 64 as int))").alias(
+                "__bit"
+            ),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+        .collect()
+    )
+    bits = [0] * (m_bits // 64)
+    for r in words:
+        bits[r["__word"]] = r["__bits"]
+    return bits
+
+
+def _might_contain(
+    df: DataFrame, key_cols: list[str], bits: list[int], num_hashes: int
+) -> tuple[DataFrame, Column]:
+    """Attach bloom-membership check columns; returns (df, might_contain)."""
+    m_bits = len(bits) * 64
+    cols = [F.col(c) for c in key_cols]
+    out = df.withColumn("__bloom", F.lit(bits))
+    pred = None
+    for i in range(num_hashes):
+        out = out.withColumn(f"__h{i}", _bloom_hash(i, cols, m_bits))
+        # (bloom[word] >> bit) & 1 — shift-by-column needs the SQL form
+        hit = F.expr(
+            f"(shiftright(element_at(__bloom, cast(shiftright(__h{i}, 6) as int) + 1),"
+            f" cast(__h{i} % 64 as int)) & 1) = 1"
+        )
+        pred = hit if pred is None else (pred & hit)
+    return out, pred
 
 
 def ri_violations(
@@ -32,6 +115,8 @@ def ri_violations(
     parent_keys: list[str] | None = None,
     strategy: str = "auto",
     partition_col: str | None = None,
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Rows of `child` whose key tuple has no match in `parent`.
 
@@ -43,8 +128,10 @@ def ri_violations(
     parent_keys = parent_keys or keys
     if len(parent_keys) != len(keys):
         raise ValueError("keys and parent_keys must have the same arity")
+    if strategy not in ("auto", "broadcast", "shuffle", "bloom"):
+        raise ValueError(f"unknown RI strategy: {strategy}")
 
-    # project to key columns before the join: keeps the shuffle narrow
+    # project to key columns before any join: keeps every shuffle narrow
     cols = list(keys) + ([partition_col] if partition_col else [])
     child_k = child.select(*cols)
     for k in keys:
@@ -52,25 +139,63 @@ def ri_violations(
     parent_k = parent.select(
         *[F.col(pk).alias(f"__p_{i}") for i, pk in enumerate(parent_keys)]
     ).dropDuplicates()
-    if strategy == "broadcast":
-        parent_k = F.broadcast(parent_k)
-    elif strategy not in ("auto", "shuffle"):
-        raise ValueError(f"unknown RI strategy: {strategy}")
+
+    def join_cond(left: DataFrame) -> Column:
+        cond = None
+        for i, k in enumerate(keys):
+            c = left[k] == parent_k[f"__p_{i}"]
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    def finalize(grouped: DataFrame) -> DataFrame:
+        return grouped.select(
+            F.lit("RI_VIOLATION").alias("rule_id"),
+            F.lit(",".join(keys)).alias("column"),
+            F.to_json(F.struct(*[F.col(k) for k in keys])).alias("value"),
+            *([F.col(partition_col).alias("partition_key")] if partition_col else []),
+            F.col("orphan_count"),
+        )
+
+    if strategy in ("auto", "broadcast"):
+        pk = F.broadcast(parent_k) if strategy == "broadcast" else parent_k
+        cond = None
+        for i, k in enumerate(keys):
+            c = child_k[k] == pk[f"__p_{i}"]
+            cond = c if cond is None else (cond & c)
+        orphans = child_k.join(pk, on=cond, how="left_anti")
+        grouped = orphans.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("orphan_count")
+        )
+        return finalize(grouped)
+
+    # shuffle / bloom: shrink to distinct key tuples + counts FIRST
+    # (map-side combine absorbs hot keys; the anti join then shuffles the key
+    # dictionary, not the table)
+    grouped_keys = child_k.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("orphan_count")
+    )
+
     if strategy == "shuffle":
         # explicit hint to suppress broadcast (both sides known-large)
-        parent_k = parent_k.hint("shuffle_hash")
+        orphans = grouped_keys.join(
+            parent_k.hint("shuffle_hash"), on=join_cond(grouped_keys), how="left_anti"
+        )
+        return finalize(orphans)
 
-    cond = None
-    for i, k in enumerate(keys):
-        c = child_k[k] == parent_k[f"__p_{i}"]
-        cond = c if cond is None else (cond & c)
-    orphans = child_k.join(parent_k, on=cond, how="left_anti")
-
-    grouped = orphans.groupBy(*cols).agg(F.count(F.lit(1)).alias("orphan_count"))
-    return grouped.select(
-        F.lit("RI_VIOLATION").alias("rule_id"),
-        F.lit(",".join(keys)).alias("column"),
-        F.to_json(F.struct(*[F.col(k) for k in keys])).alias("value"),
-        *([F.col(partition_col).alias("partition_key")] if partition_col else []),
-        F.col("orphan_count"),
+    # bloom
+    bits = build_key_bloom(
+        parent_k,
+        [f"__p_{i}" for i in range(len(keys))],
+        m_bits=bloom_bits,
+        num_hashes=bloom_hashes,
     )
+    tagged, might = _might_contain(grouped_keys, keys, bits, bloom_hashes)
+    clean = [*cols, "orphan_count"]
+    # bloom-negative: DEFINITELY absent from parent -> orphan, no join
+    definite = tagged.where(~might).select(*clean)
+    # bloom-positive: mostly present + ~fpp false positives -> exact anti join
+    maybe = tagged.where(might).select(*clean)
+    confirmed = maybe.join(
+        parent_k.hint("shuffle_hash"), on=join_cond(maybe), how="left_anti"
+    ).select(*clean)
+    return finalize(definite.unionByName(confirmed))

@@ -36,12 +36,31 @@ LINEAGE_SCHEMA = T.StructType(
 
 class MetricsSink:
     """Append-only parquet metrics/lineage tables. At warehouse scale these
-    become Iceberg tables; append semantics are identical."""
+    become Iceberg tables; append semantics are identical.
 
-    def __init__(self, spark: SparkSession, metrics_path: str, lineage_path: str | None = None):
+    flush_every: number of write_* calls to buffer before a physical append.
+    1 (default) = write-through — each partition's metrics are durable the
+    moment its manifest commits. >1 batches appends to fight small-file
+    accumulation on long runs (a 10^5-partition job at flush_every=1 writes
+    10^5 tiny files); metrics are a reporting artifact, the checkpoint
+    manifest is the durable progress record, so buffering loses at most the
+    unflushed tail on a crash. Callers must flush() at end of run (the
+    engine does). compact() rewrites a table to one file per ~1M rows."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        metrics_path: str,
+        lineage_path: str | None = None,
+        flush_every: int = 1,
+    ):
         self.spark = spark
         self.metrics_path = metrics_path
         self.lineage_path = lineage_path
+        self.flush_every = max(1, int(flush_every))
+        self._metrics_buf: list[tuple] = []
+        self._lineage_buf: list[tuple] = []
+        self._pending_calls = 0
 
     def write_rule_metrics(
         self,
@@ -67,27 +86,68 @@ class MetricsSink:
         ] or [
             (run_id, str(partition_key), "__scan__", "", int(rows_scanned), 0, float(wall_sec), now)
         ]
-        df = self.spark.createDataFrame(rows, METRICS_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.metrics_path)
+        self._metrics_buf.extend(rows)
+        self._bump()
 
     def write_lineage(
         self, run_id: str, partition_key, input_path: str, ruleset_fingerprint: str
     ) -> None:
         if not self.lineage_path:
             return
-        df = self.spark.createDataFrame(
-            [
-                (
-                    run_id,
-                    str(partition_key),
-                    input_path,
-                    ruleset_fingerprint,
-                    time.time(),
-                )
-            ],
-            LINEAGE_SCHEMA,
+        self._lineage_buf.append(
+            (
+                run_id,
+                str(partition_key),
+                input_path,
+                ruleset_fingerprint,
+                time.time(),
+            )
         )
-        df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        self._bump()
+
+    def _bump(self) -> None:
+        self._pending_calls += 1
+        if self._pending_calls >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        """Append buffered rows (one file per table per flush)."""
+        if self._metrics_buf:
+            df = self.spark.createDataFrame(self._metrics_buf, METRICS_SCHEMA)
+            df.coalesce(1).write.mode("append").parquet(self.metrics_path)
+            self._metrics_buf = []
+        if self._lineage_buf and self.lineage_path:
+            df = self.spark.createDataFrame(self._lineage_buf, LINEAGE_SCHEMA)
+            df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+            self._lineage_buf = []
+        self._pending_calls = 0
+
+    def compact(self, rows_per_file: int = 1_000_000) -> None:
+        """Rewrite the metrics/lineage tables with right-sized files (the
+        maintenance compaction a long-running job schedules periodically;
+        with an Iceberg catalog this is rewrite_data_files)."""
+        self.flush()
+        for path, schema in (
+            (self.metrics_path, METRICS_SCHEMA),
+            (self.lineage_path, LINEAGE_SCHEMA),
+        ):
+            if not path:
+                continue
+            df = self.spark.read.schema(schema).parquet(path)
+            n = df.count()
+            files = max(1, (n + rows_per_file - 1) // rows_per_file)
+            # two-step via a side dir: Spark cannot overwrite a path it is
+            # still reading from
+            tmp = path.rstrip("/") + ".compact"
+            df.repartition(files).write.mode("overwrite").parquet(tmp)
+            self.spark.read.schema(schema).parquet(tmp).write.mode(
+                "overwrite"
+            ).parquet(path)
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+            jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(
+                jpath, True
+            )
 
     def read_metrics(self) -> DataFrame:
         return self.spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_path)

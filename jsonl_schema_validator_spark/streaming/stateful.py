@@ -77,3 +77,84 @@ def streaming_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_tws(
+    sdf: DataFrame,
+    id_col: str,
+    hash_col: str,
+    emit: str = "first",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch dedup on Spark 4's transformWithStateInPandas.
+
+    Same semantics as streaming_dedup, on the newer StatefulProcessor API.
+    What the old API could not express cleanly: `state_ttl_ms` gives the
+    per-hash marker a TTL, bounding state size for unbounded hash domains
+    (the applyInPandasWithState version runs NoTimeout — unbounded state —
+    because its TTL would need hand-rolled timeout bookkeeping per group).
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider), which transformWithState mandates, and the
+    google.protobuf package (the transformWithState Python driver worker
+    speaks protobuf to the JVM; absent in this container — the e2e test
+    skips itself, the plan still builds).
+    """
+    if emit not in ("first", "flagged"):
+        raise ValueError("emit must be 'first' or 'flagged'")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("occurrence", T.LongType()),
+        ]
+    )
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen",
+                T.StructType([T.StructField("seen", T.LongType())]),
+                ttlDurationMs=state_ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = self._seen.get()[0] if self._seen.exists() else 0
+            ids: list = []
+            occs: list = []
+            for pdf in rows:
+                for _id in pdf["id"]:
+                    seen += 1
+                    ids.append(_id)
+                    occs.append(seen)
+            self._seen.update((seen,))
+            out = pd.DataFrame(
+                {
+                    "content_hash": [key[0]] * len(ids),
+                    "id": ids,
+                    "occurrence": occs,
+                }
+            )
+            if emit == "first":
+                out = out[out["occurrence"] == 1]
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    keyed = sdf.select(
+        F.col(hash_col).alias("content_hash"), F.col(id_col).cast("long").alias("id")
+    )
+    return keyed.groupBy("content_hash").transformWithStateInPandas(
+        statefulProcessor=_DedupProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

@@ -171,6 +171,32 @@ def test_checkpoint_resume(spark, fixture, cf, tmp_path):
     assert metrics.read_lineage().where("run_id = 'run1'").count() == n_parts
 
 
+def test_metrics_sink_buffered_and_compact(spark, tmp_path):
+    """flush_every>1 batches appends (fewer files), flush() drains the tail,
+    compact() rewrites to right-sized files with identical contents."""
+    import glob
+
+    sink = MetricsSink(
+        spark,
+        str(tmp_path / "m"),
+        str(tmp_path / "l"),
+        flush_every=100,  # buffer everything until explicit flush
+    )
+    for p in range(6):
+        sink.write_rule_metrics("r1", p, [("ENUM_VIOLATION", "lang", p)], 10, 0.1)
+        sink.write_lineage("r1", p, "fixture://x", "abc")
+    assert not glob.glob(str(tmp_path / "m" / "*.parquet"))  # still buffered
+    sink.flush()
+    files_before = glob.glob(str(tmp_path / "m" / "*.parquet"))
+    assert len(files_before) == 1  # one file for the whole run, not 6
+    assert sink.read_metrics().count() == 6
+    assert sink.read_lineage().count() == 6
+    before = {tuple(r) for r in sink.read_metrics().collect()}
+    sink.compact(rows_per_file=1_000_000)
+    assert {tuple(r) for r in sink.read_metrics().collect()} == before
+    assert not (tmp_path / "m.compact").exists()  # side dir cleaned up
+
+
 def test_checkpoint_hadoop_fs_backend(spark, tmp_path):
     """The object-store manifest path: same commit semantics through the
     Hadoop FileSystem API (driven here over file:// — the API surface is

@@ -220,6 +220,43 @@ def test_repeated_struct():
     )  # duplicate-seen resets per element (validate.rs:285-293)
 
 
+def test_repeated_struct_nested_duplicate_quirk():
+    """Reference parity quirk: the per-element duplicate reset folds over the
+    repeated struct's IMMEDIATE field map only (validate.rs:285-293), so a
+    NESTED struct's subfield stays marked 'seen' across elements and the
+    second element reports FIELD_DUPLICATED on it. Flat repeated structs
+    reset fine (previous test); this pins the nested divergence the reference
+    exhibits."""
+    from jsonl_schema_validator_spark.json_mode import compile_json_schema
+    from jsonl_schema_validator_spark.schema import schema_from_json
+
+    s = compile_json_schema(
+        schema_from_json(
+            [
+                {
+                    "name": "recs",
+                    "type": "STRUCT",
+                    "mode": "REPEATED",
+                    "fields": [
+                        {"name": "a", "type": "INT64"},
+                        {
+                            "name": "inner",
+                            "type": "STRUCT",
+                            "fields": [{"name": "x", "type": "INT64"}],
+                        },
+                    ],
+                }
+            ]
+        )
+    )
+    # immediate fields reset between elements: valid
+    _check(s, '{"recs": [{"a": 1}, {"a": 2}]}', None)
+    # nested subfield x is NOT reset: second element duplicates it
+    line = '{"recs": [{"a": 1, "inner": {"x": 1}}, {"a": 2, "inner": {"x": 2}}]}'
+    off = line.rindex('"x"') + 1  # key_off points at the x character
+    _check(s, line, ("FIELD_DUPLICATED", off, "x"))
+
+
 def test_collect_all_mode():
     s = _schema()
     got = validate_line(

@@ -53,7 +53,7 @@ def test_referential_integrity(spark):
     parent = spark.createDataFrame(
         [("r1", "c1"), ("r1", "c2")], "repo string, commit string"
     )
-    for strategy in ("auto", "broadcast", "shuffle"):
+    for strategy in ("auto", "broadcast", "shuffle", "bloom"):
         got = ri_violations(
             child, ["repo", "commit"], parent, strategy=strategy
         ).collect()
@@ -69,6 +69,52 @@ def test_referential_integrity(spark):
         child, ["repo", "commit"], parent, strategy="broadcast"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ri_bloom_exact_under_collisions(spark):
+    """The bloom strategy must stay EXACT even when the filter is tiny enough
+    to make false positives near-certain: bloom-positive orphans are removed
+    or confirmed by the exact anti join, bloom-negatives are definite orphans.
+    Compared against the broadcast (reference) strategy on a 2k/1k keyspace."""
+    from jsonl_schema_validator_spark.operators.referential import build_key_bloom
+    from pyspark.sql import functions as F
+
+    parent = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    child = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), (F.col("id") % 1400)).alias("key")
+    )  # keys k0..k999 present, k1000..k1399 orphans; counts 1 or 2
+    exact = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(child, ["key"], parent, strategy="broadcast").collect()
+    }
+    # 64-bit filter: ~all lookups collide -> everything funnels through the join
+    tiny = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(
+            child, ["key"], parent, strategy="bloom", bloom_bits=64, bloom_hashes=2
+        ).collect()
+    }
+    assert tiny == exact
+    # roomy filter: most orphans take the definite (no-join) path; same result
+    roomy = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(
+            child, ["key"], parent, strategy="bloom", bloom_bits=1 << 16
+        ).collect()
+    }
+    assert roomy == exact
+    # no false negatives by construction: every parent key must pass its bloom
+    bits = build_key_bloom(
+        parent.select(F.col("key").alias("__p_0")), ["__p_0"], m_bits=1 << 12
+    )
+    from jsonl_schema_validator_spark.operators.referential import _might_contain
+
+    tagged, might = _might_contain(
+        parent.select(F.col("key")), ["key"], bits, num_hashes=5
+    )
+    assert tagged.where(~might).count() == 0
 
 
 def test_column_stats(spark):
@@ -162,6 +208,30 @@ def test_ks_drift_binned_close_to_exact(spark):
     exact = _py_ks(a, b)
     r = ks_drift_binned(dfa, dfb, "v", bins=256).collect()[0]
     assert abs(r.ks_d - exact) <= 1.0 / 256 + 1e-9
+    # width grid (the oracle-portable variant): looser bound on gaussians
+    # (equal-width edges thin out in the tails) but must stay close
+    rw = ks_drift_binned(dfa, dfb, "v", bins=256, grid="width").collect()[0]
+    assert abs(rw.ks_d - exact) <= 0.02
+    with pytest.raises(ValueError):
+        ks_drift_binned(dfa, dfb, "v", grid="bogus")
+
+
+def test_ks_drift_size_dispatch(spark):
+    """ks_drift picks exact below the row bound, binned above (the explicit
+    guard keeping the single-task global sort off big inputs)."""
+    from jsonl_schema_validator_spark.operators.drift import ks_drift
+
+    rng = random.Random(3)
+    a = [rng.gauss(0, 1) for _ in range(300)]
+    b = [rng.gauss(0.4, 1) for _ in range(300)]
+    dfa = spark.createDataFrame([(x,) for x in a], "v double")
+    dfb = spark.createDataFrame([(x,) for x in b], "v double")
+    small = ks_drift(dfa, dfb, "v", max_exact_rows=10_000).collect()[0]
+    assert "n_a" in small.asDict()  # exact path ran
+    assert small.ks_d == pytest.approx(_py_ks(a, b), abs=1e-9)
+    big = ks_drift(dfa, dfb, "v", max_exact_rows=100).collect()[0]
+    assert "grid_points" in big.asDict()  # binned path ran
+    assert abs(big.ks_d - _py_ks(a, b)) <= 1.0 / 256 + 1e-9
 
 
 def test_drift_vs_stored_profiles(spark, tmp_path):

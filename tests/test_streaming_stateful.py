@@ -73,3 +73,70 @@ def test_flagged_mode(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_dedup(sdf, "doc_id", "h", emit="bogus")
+
+
+def test_transform_with_state_dedup(spark, tmp_path):
+    """Spark 4 StatefulProcessor path: same cross-batch + cross-restart
+    semantics through transformWithStateInPandas (RocksDB state store).
+
+    Skipped where google.protobuf is unavailable: the transformWithState
+    Python driver worker imports StateMessage_pb2 at init (verified: this
+    container lacks protobuf, so the worker crashes before user code runs —
+    an environment limitation, not an engine one)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's driver worker needs protobuf",
+    )
+    from jsonl_schema_validator_spark.streaming.stateful import streaming_dedup_tws
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink3")
+    ckpt = str(tmp_path / "ckpt3")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once():
+            sdf = spark.readStream.schema("doc_id bigint, h string").parquet(src)
+            out = streaming_dedup_tws(sdf, "doc_id", "h", emit="first")
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write_batch(spark, src, [(1, "A"), (2, "B"), (3, "A")])
+        run_once()
+        got = {(r.content_hash, r.id) for r in spark.read.parquet(sink).collect()}
+        assert {h for h, _ in got} == {"A", "B"}
+        assert len(got) == 2
+
+        _write_batch(spark, src, [(4, "A"), (5, "C"), (6, "B")])
+        run_once()
+        got2 = {(r.content_hash, r.id) for r in spark.read.parquet(sink).collect()}
+        assert got2 - got == {("C", 5)}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """Without protobuf the tws query cannot RUN here, but the logical plan
+    (grouping, processor wiring, output schema) must still build."""
+    from jsonl_schema_validator_spark.streaming.stateful import streaming_dedup_tws
+
+    src = str(tmp_path / "plansrc")
+    _write_batch(spark, src, [(1, "A")])
+    sdf = spark.readStream.schema("doc_id bigint, h string").parquet(src)
+    out = streaming_dedup_tws(sdf, "doc_id", "h", emit="flagged", state_ttl_ms=60_000)
+    assert [f.name for f in out.schema.fields] == ["content_hash", "id", "occurrence"]
+    with pytest.raises(ValueError):
+        streaming_dedup_tws(sdf, "doc_id", "h", emit="bogus")
