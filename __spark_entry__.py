@@ -439,6 +439,20 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup pairs over the FULL corpus (no id
+    cap): LSH sign-bucket candidates + exact cosine verification — the
+    bucketed replacement for the guarded O(N^2) cosine_pairs. 4 planes at a
+    low threshold keeps the demo's candidate set non-trivial; production
+    near-dup (cos>=0.9) uses more planes (per-plane agreement p -> 1)."""
+    from jsonl_schema_validator_spark.operators import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        emb, threshold=0.3, num_planes=4, seed=42, multiprobe=True, dim=EMB_DIM
+    )
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (multimodal family): documents' text rendered
     as an opaque binary payload, metadata via pure expressions."""
@@ -510,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "lsh_pairs": q_lsh_pairs,
         "multimodal_metadata": q_multimodal_metadata,
     }
 
@@ -598,23 +613,24 @@ SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
 """
 
 
-def _lsh_sql(k: int, num_planes: int, seed: int, dim: int, query_bound: int) -> str:
-    """DuckDB replica of lsh_topk: the hyperplanes are a pure function of
-    (dim, num_planes, seed) — regenerated here and embedded as literals.
-    multiprobe(own bucket + every 1-bit flip) == candidate iff
-    hamming(qbucket, cbucket) <= 1."""
+def _plane_rows(dim: int, num_planes: int, seed: int) -> str:
+    """Hyperplane literals for the oracle — a pure function of
+    (dim, num_planes, seed), identical to what the Spark operator uses."""
     from jsonl_schema_validator_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, num_planes, seed)
-    plane_rows = ",\n    ".join(
+    return ",\n    ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}])" for i, p in enumerate(planes)
     )
+
+
+def _bucket_cte(num_planes: int, seed: int, dim: int) -> str:
+    """Sign-bucket per vector (one char per plane), shared by the ANN oracles."""
     return f"""
-WITH {_EX_NORMS_CTE},
 pl AS (
   SELECT p.plane, u.w::DOUBLE AS w, u.pos
   FROM (VALUES
-    {plane_rows}) p(plane, wv),
+    {_plane_rows(dim, num_planes, seed)}) p(plane, wv),
        LATERAL (SELECT unnest(wv) AS w,
                        unnest(generate_series(1, len(wv))) AS pos) u),
 pd AS (
@@ -623,7 +639,17 @@ pd AS (
 bk AS (
   SELECT vec_id,
          string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
-  FROM pd GROUP BY vec_id),
+  FROM pd GROUP BY vec_id)"""
+
+
+def _lsh_sql(k: int, num_planes: int, seed: int, dim: int, query_bound: int) -> str:
+    """DuckDB replica of lsh_topk: the hyperplanes are a pure function of
+    (dim, num_planes, seed) — regenerated here and embedded as literals.
+    multiprobe(own bucket + every 1-bit flip) == candidate iff
+    hamming(qbucket, cbucket) <= 1."""
+    return f"""
+WITH {_EX_NORMS_CTE},
+{_bucket_cte(num_planes, seed, dim)},
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM bk q JOIN bk c ON c.vec_id <> q.vec_id
@@ -631,6 +657,33 @@ cand AS (
     AND len(list_filter(generate_series(1, {num_planes}),
             i -> substr(q.bucket, i, 1) <> substr(c.bucket, i, 1))) <= 1),
 {_TOPK_TAIL_SQL.format(k=k)}"""
+
+
+def _lsh_pairs_sql(threshold: float, num_planes: int, seed: int, dim: int) -> str:
+    """DuckDB replica of embedding_lsh_pairs: candidates = bucket hamming
+    <= 1 (own bucket + 1-bit multiprobe), exact cosine verification, id_a <
+    id_b, round(cosine,6) >= threshold."""
+    return f"""
+WITH {_EX_NORMS_CTE},
+{_bucket_cte(num_planes, seed, dim)},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+  WHERE len(list_filter(generate_series(1, {num_planes}),
+            i -> substr(a.bucket, i, 1) <> substr(b.bucket, i, 1))) <= 1),
+dots AS (
+  SELECT cand.id_a, cand.id_b, sum(a.val * b.val) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.id_a
+  JOIN ex b ON b.vec_id = cand.id_b AND b.pos = a.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
 
 
 def _ivf_sql(k: int, num_centroids: int, nprobe: int, query_bound: int) -> str:
@@ -1062,6 +1115,9 @@ GROUP BY o_custkey
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ks_binned": _ks_width_sql(bins=64),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
+        "lsh_pairs": _lsh_pairs_sql(
+            threshold=0.3, num_planes=4, seed=42, dim=EMB_DIM
+        ),
         "multimodal_metadata": """
 SELECT doc_id AS id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -70,15 +70,11 @@ def main(argv=None) -> int:
 
     spark.sparkContext.addPyFile(build(repo_root))
     schema = load_schema(args.schema)
-    from pyspark.sql import Window
+    from jsonl_schema_validator_spark.sources.io import with_line_numbers
 
-    # true 1-based line numbers: monotonically_increasing_id orders by
-    # (partition, offset) = file order for text splits; row_number over it
-    # gives the line index (global window — fine for a CLI-sized file)
-    lines = read_jsonl(spark, args.file).withColumn(
-        "line_no",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
-    )
+    # true 1-based line numbers, computed distributedly (per-partition
+    # offsets, no global window — scales past CLI-sized files)
+    lines = with_line_numbers(read_jsonl(spark, args.file))
 
     if args.mode == "exact":
         out = reference_verdicts(lines, schema, "line")

@@ -22,6 +22,7 @@ from jsonl_schema_validator_spark.operators.dedup import (
 from jsonl_schema_validator_spark.operators.similarity import (
     brute_force_topk,
     embedding_cosine_pairs,
+    embedding_lsh_pairs,
     ivf_topk,
     lsh_topk,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "word_shingles",
     "brute_force_topk",
     "embedding_cosine_pairs",
+    "embedding_lsh_pairs",
     "ivf_topk",
     "lsh_topk",
     "text_metrics",

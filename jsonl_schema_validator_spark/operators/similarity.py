@@ -297,6 +297,76 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: (id_a < id_b, cosine) with
+    round(cosine,6) >= threshold, candidates restricted to sign-bucket
+    neighborhoods instead of the O(N^2) cross join.
+
+    Candidate set = pairs whose hyperplane sign buckets differ in <= 1 bit
+    (own bucket + 1-bit multiprobe; multiprobe=False -> same bucket only).
+    Exact cosine verifies candidates, so precision is exact; recall misses
+    only pairs split across buckets by >1 plane — raise by lowering
+    num_planes or running multiple seeds. Candidate generation shuffles
+    (bucket, id) pairs only; vectors are re-joined for verification by id.
+    """
+    if dim is None:
+        dim = len(df.select(F.col(vec_col)).limit(1).collect()[0][0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.concat(
+                    F.substring("bucket", 1, i),
+                    F.when(
+                        F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    F.substring("bucket", i + 2, num_planes - i - 1),
+                )
+                for i in range(num_planes)
+            ],
+        )
+        a = hashed.select("id", F.explode(probes).alias("bucket"))
+    else:
+        a = hashed.select("id", "bucket")
+    b = hashed
+    cand = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -30,6 +30,50 @@ def read_jsonl(spark: SparkSession, path: str, line_col: str = "line") -> DataFr
     return spark.read.text(path).withColumnRenamed("value", line_col)
 
 
+def with_line_numbers(df: DataFrame, col_name: str = "line_no") -> DataFrame:
+    """True 1-based line numbers WITHOUT a global sort.
+
+    monotonically_increasing_id() documents its layout as
+    (partition_id << 33) | record_number_within_partition. For a SINGLE
+    input file — the reference CLI's contract — byte-range splits are
+    generated in offset order and assigned increasing partition ids, so
+    (pid, pos) IS the line order at any split count. Per-partition counts
+    are one map-side aggregation collected to the driver (#partitions rows),
+    turned into cumulative offsets, and applied as a map literal — no data
+    shuffle, no single-task Window.orderBy (the round-1 CLI implementation),
+    fully parallel at any file size.
+
+    Multi-file directories: numbering follows Spark's scan order (files
+    packed by size, not path), i.e. line numbers are consistent and unique
+    but the cross-FILE order is scan order — number per file or sort by
+    input_file_name() downstream if path order matters.
+    """
+    tagged = df.withColumn("__mid", F.monotonically_increasing_id())
+    tagged = tagged.withColumn(
+        "__pid", F.shiftright("__mid", 33).cast("long")
+    ).withColumn("__pos", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["n"]
+    if not offsets:
+        return df.withColumn(col_name, F.lit(None).cast("long"))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        tagged.withColumn(
+            col_name,
+            (F.element_at(mapping, F.col("__pid")) + F.col("__pos") + 1).cast(
+                "long"
+            ),
+        )
+        .drop("__mid", "__pid", "__pos")
+    )
+
+
 def read_table(
     spark: SparkSession,
     path_or_table: str,

@@ -60,6 +60,37 @@ def test_embedding_cosine_pairs(spark):
     assert pairs[(0, 999)] >= 0.99
 
 
+def test_embedding_cosine_pairs_guard(spark):
+    """The O(N^2) pairs op refuses oversized inputs unless opted in."""
+    df, _ = _vectors(spark)
+    with pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+        embedding_cosine_pairs(df, threshold=0.9, max_rows=10)
+    assert embedding_cosine_pairs(df, threshold=0.95, max_rows=None).count() >= 1
+
+
+def test_embedding_lsh_pairs(spark):
+    """Scale-path pairs: exact precision (every emitted pair has a true
+    cosine >= threshold, same rounded value as brute force) and the planted
+    near-identical pair survives bucketing (p_same_side -> 1 at cos -> 1)."""
+    from jsonl_schema_validator_spark.operators import embedding_lsh_pairs
+
+    df, vecs = _vectors(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs(df, threshold=0.5, max_rows=None).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_lsh_pairs(
+            df, threshold=0.5, num_planes=6, multiprobe=True
+        ).collect()
+    }
+    assert (0, 999) in got  # planted near-dup recovered
+    # precision exact: LSH pairs are a subset with identical cosines
+    for pair, c in got.items():
+        assert pair in exact and exact[pair] == c
+
+
 def test_lsh_topk_finds_planted_neighbor(spark):
     df, vecs = _vectors(spark)
     queries = df.where(F.col("vec_id") == 0)

@@ -29,6 +29,34 @@ def test_read_jsonl_preserves_raw_lines(spark, tmp_path):
     assert sorted(got) == sorted(lines)
 
 
+def test_with_line_numbers_distributed(spark, tmp_path):
+    """1-based line numbers for a single file forced into MULTIPLE splits,
+    WITHOUT a global sort: per-partition offsets from one tiny count
+    aggregation (splits of one file scan in byte-offset order)."""
+    from jsonl_schema_validator_spark.sources.io import with_line_numbers
+
+    p = str(tmp_path / "one.jsonl")
+    n = 400
+    with open(p, "w") as fh:
+        for i in range(n):
+            fh.write(f'{{"i": {i:06d}, "pad": "xxxxxxxxxxxxxxxx"}}\n')
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")  # force splits
+    try:
+        df = with_line_numbers(read_jsonl(spark, p))
+        assert df.rdd.getNumPartitions() > 1  # the split actually happened
+        got = {r.line: r.line_no for r in df.collect()}
+        expected = {
+            f'{{"i": {i:06d}, "pad": "xxxxxxxxxxxxxxxx"}}': i + 1 for i in range(n)
+        }
+        assert got == expected
+        # the plan must not contain a global-window sort
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
 def test_read_table_parquet(spark):
     df = read_table(spark, "/root/testdata/sf0.001/region.parquet")
     assert df.count() == 5
