@@ -217,13 +217,24 @@ def ivf_topk(
             ]
         )
 
+    def argmax_cell(scores: Column) -> Column:
+        # single-reference argmax: zip (negated score, cell), sort ascending,
+        # take head -> max score, ties to the LOWEST cell (same tiebreak as
+        # array_position-of-max). One reference to `scores` means Catalyst's
+        # projection collapse inlines the 16-aggregate tree ONCE per row —
+        # the previous array_position(scores, array_max(scores)) form
+        # referenced it twice and doubled the per-row cosine work.
+        zipped = F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda s, i: F.struct((-s).alias("ns"), i.alias("cell")),
+        )
+        return F.array_sort(zipped)[0]["cell"].cast("int")
+
     c_assign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        (F.array_position(cell_scores(F.col(vec_col)),
-                          F.array_max(cell_scores(F.col(vec_col)))) - 1)
-        .cast("int")
-        .alias("cell"),
+        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
     )
     # queries probe their nprobe best cells: rank cell scores, explode top n
     qs = queries.select(

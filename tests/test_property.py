@@ -99,6 +99,48 @@ def test_planted_defect_detected(obj, field, kind):
     ), (line, errors)
 
 
+FAST_RE = __import__(
+    "jsonl_schema_validator_spark.json_mode", fromlist=["build_fast_accept"]
+).build_fast_accept(schema_from_json(FLAT_SCHEMA))
+
+
+@given(conformant_object())
+@settings(max_examples=300, deadline=None)
+def test_fast_accept_is_sound(obj):
+    """THE fast-path invariant: a canonical-regex match PROVES the walker
+    would return no errors. (Completeness is NOT required — non-canonical
+    valid lines may fall back — but any fast-accepted line must be valid.)
+    Exercises both compact and ', '-separated renderings."""
+    for seps in ((",", ":"), (", ", ": ")):
+        line = json.dumps(obj, separators=seps)
+        if FAST_RE.match(line):
+            assert validate_line(line, JS) == [], line
+
+
+@given(conformant_object(), st.sampled_from(["i", "b", "d", "s", "r"]))
+@settings(max_examples=300, deadline=None)
+def test_fast_accept_rejects_planted_defects(obj, field):
+    """Lines with an invalid value for `field` must NOT fast-match (they
+    must reach the walker and get reported)."""
+    bad_raw = {
+        "i": "1.5",
+        "b": '"true"',
+        "d": '"2024-13-99x"',
+        "s": "123",
+        "r": '["ok", null]',
+    }[field]
+    full = {k: None for k in CONFORMANT}
+    full.update(obj)
+    parts = []
+    for k in CONFORMANT:
+        raw = bad_raw if k == field else json.dumps(full[k])
+        parts.append(f'"{k}": {raw}')
+    line = "{" + ", ".join(parts) + "}"
+    assert not FAST_RE.match(line), line
+    errors = validate_line(line, JS, collect_all=True)
+    assert any(f == field for _, _, f in errors), (line, errors)
+
+
 @given(conformant_object())
 @settings(max_examples=150, deadline=None)
 def test_key_order_and_whitespace_insensitive_verdict(obj):
