@@ -222,6 +222,19 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: connected components (hash-min label
+    propagation, lineage-truncated iterative joins) over the MinHash+LSH
+    near-dup pair graph; cluster_id = canonical (smallest) member."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    return duplicate_clusters(pairs)
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return simhash64(docs, "doc_id", "text")
@@ -507,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_documents": q_exact_dup_documents,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash_documents": q_simhash_documents,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -542,7 +556,9 @@ sh AS (
 )"""
 
 
-def _minhash_sql(threshold: float) -> str:
+def _minhash_parts(threshold: float) -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the MinHash+LSH pair query — composable
+    so the duplicate-clusters oracle can build on the same pair set."""
     hashes = ",\n    ".join(
         f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(16)
     )
@@ -553,8 +569,7 @@ def _minhash_sql(threshold: float) -> str:
             f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sig"
         )
     bands = "\n  UNION ALL ".join(band_selects)
-    return f"""
-WITH {_SHINGLES_CTE},
+    ctes = f"""{_SHINGLES_CTE},
 sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
@@ -567,13 +582,41 @@ inter AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY c.id_a, c.id_b)
-SELECT i.id_a, i.id_b,
+  GROUP BY c.id_a, c.id_b)"""
+    select = f"""SELECT i.id_a, i.id_b,
        round(i.inter / (na.n + nb.n - i.inter), 6) AS jaccard
 FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
-WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= {threshold}
+WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= {threshold}"""
+    return ctes, select
+
+
+def _minhash_sql(threshold: float) -> str:
+    ctes, select = _minhash_parts(threshold)
+    return f"\nWITH {ctes}\n{select}\n"
+
+
+def _dup_clusters_sql(threshold: float) -> str:
+    """Connected components over the MinHash pair set via a recursive CTE:
+    min-label propagation (the smallest component id reaches every member
+    because it is smaller than every node it must pass; the recursive UNION
+    dedups, so the recursion terminates)."""
+    ctes, select = _minhash_parts(threshold)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.label < e.dst)
+SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -941,6 +984,7 @@ JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
 """,
         "minhash_pairs": _minhash_sql(0.8),
+        "dup_clusters": _dup_clusters_sql(0.8),
         "simhash_documents": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -11,6 +11,7 @@ from jsonl_schema_validator_spark.operators.drift import (
     ks_drift_binned,
 )
 from jsonl_schema_validator_spark.operators.dedup import (
+    duplicate_clusters,
     exact_duplicates,
     ngram_jaccard_pairs,
     minhash_signatures,
@@ -42,6 +43,7 @@ __all__ = [
     "ks_drift",
     "ks_drift_exact",
     "ks_drift_binned",
+    "duplicate_clusters",
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_signatures",

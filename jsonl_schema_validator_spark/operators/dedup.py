@@ -229,6 +229,65 @@ def minhash_lsh_pairs(
     return out
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster_id) with
+    cluster_id = the smallest id in the component (the canonical survivor a
+    dedup pipeline keeps).
+
+    Hash-min label propagation: every vertex starts labeled with itself; each
+    round takes the min of its own label and its neighbors' labels; converges
+    in <= graph-diameter rounds (near-dup components are shallow — chains of
+    pairwise-similar docs — so this beats the O(log n) large-star/small-star
+    machinery in practice; swap it in if components ever get deep). Each
+    round is one shuffle join + aggregate; lineage is truncated per round
+    with localCheckpoint so the plan does not grow with iterations (the
+    standard iterative-Spark pattern). The per-round convergence check is a
+    bounded count() — iterative algorithms are driver-coordinated by nature.
+
+    Cluster note: localCheckpoint stores blocks on executors (fast, but a
+    lost executor forces recompute of that round); for long multi-hour runs
+    on a real cluster set spark.sparkContext.setCheckpointDir to reliable
+    storage and swap localCheckpoint() for checkpoint().
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()  # truncate lineage each round
+        changed = new_labels.where(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc as a 64-char bit-string: (id, simhash).
 

@@ -266,12 +266,20 @@ def ks_drift_binned(
     oracle checks.
 
     D̂ = max over grid edges of |F_a(edge) - F_b(edge)|, computed with ONE
-    conditional aggregation per sample — everything stays map-side until two
-    tiny reduces.
+    conditional aggregation over the tagged union (both samples' CDFs in the
+    same pass) — two jobs total: edges, then CDFs. Everything stays map-side
+    until tiny reduces.
     """
-    union = a.select(F.col(value_col).cast("double").alias("v")).unionAll(
-        b.select(F.col(value_col).cast("double").alias("v"))
-    ).where(F.col("v").isNotNull())
+    tagged = (
+        a.select(F.col(value_col).cast("double").alias("v"), F.lit(1).alias("ia"))
+        .unionAll(
+            b.select(
+                F.col(value_col).cast("double").alias("v"), F.lit(0).alias("ia")
+            )
+        )
+        .where(F.col("v").isNotNull())
+    )
+    union = tagged.select("v")
     if grid == "width":
         mm = union.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
         if mm["mn"] is None:
@@ -291,18 +299,29 @@ def ks_drift_binned(
     else:
         raise ValueError(f"unknown grid: {grid!r}")
 
-    def cdf_at_edges(df: DataFrame) -> list[float]:
-        col = F.col(value_col).cast("double")
-        aggs = [
-            F.avg((col <= F.lit(e)).cast("double")).alias(f"e{i}")
-            for i, e in enumerate(edges)
-        ]
-        r = df.where(col.isNotNull()).agg(*aggs).collect()[0]
-        return [r[f"e{i}"] for i in range(len(edges))]
-
-    fa = cdf_at_edges(a)
-    fb = cdf_at_edges(b)
-    d = max(abs(x - y) for x, y in zip(fa, fb)) if edges else 0.0
+    d = 0.0
+    if edges:
+        # both CDFs in ONE aggregation pass over the tagged union; counts are
+        # exact integer sums in double, ratios identical to per-sample avg()
+        # (the form the DuckDB oracle mirrors)
+        is_a = F.col("ia") == 1
+        aggs = []
+        for i, e in enumerate(edges):
+            hit = F.col("v") <= F.lit(e)
+            aggs.append(
+                F.sum(F.when(is_a & hit, 1.0).otherwise(0.0)).alias(f"a{i}")
+            )
+            aggs.append(
+                F.sum(F.when(~is_a & hit, 1.0).otherwise(0.0)).alias(f"b{i}")
+            )
+        aggs.append(F.sum(F.when(is_a, 1.0).otherwise(0.0)).alias("na"))
+        aggs.append(F.sum(F.when(~is_a, 1.0).otherwise(0.0)).alias("nb"))
+        r = tagged.agg(*aggs).collect()[0]
+        if r["na"] and r["nb"]:
+            d = max(
+                abs(r[f"a{i}"] / r["na"] - r[f"b{i}"] / r["nb"])
+                for i in range(len(edges))
+            )
     spark = a.sparkSession
     out = spark.createDataFrame(
         [(round(d, 9), len(edges))], "ks_d double, grid_points int"

@@ -146,3 +146,25 @@ def test_simhash_near_pairs(spark):
         assert pairs[(100, 101)] == ham_100_101
     else:
         assert (100, 101) not in pairs
+
+
+def test_duplicate_clusters(spark):
+    """Connected components over a pair graph: a 3-chain, a 2-clique, a
+    4-chain (forces multiple propagation rounds), and a singleton pair.
+    cluster_id = smallest member."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (2, 1), (2, 3),            # component {1,2,3}
+            (10, 11),                  # component {10,11}
+            (23, 22), (22, 21), (21, 20),  # chain {20,21,22,23}
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }

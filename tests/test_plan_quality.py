@@ -107,6 +107,25 @@ def test_filter_pushdown_reaches_scan(spark, docs):
     ) or "EqualTo(lang,en)" in p
 
 
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """The checkpoint/resume loop filters `partition_col == key` per
+    partition; on disk-partitioned input that predicate must become a
+    PartitionFilter (file groups pruned at the source, never scanned) —
+    the property that makes per-partition resume O(partition), not O(table)."""
+    src = str(tmp_path / "partitioned")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.withColumn("bucket", F.col("doc_id") % 8).write.partitionBy(
+        "bucket"
+    ).parquet(src)
+    df = spark.read.parquet(src).where(F.col("bucket") == 3)
+    p = _plan(df)
+    scan = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert scan, p
+    assert "bucket" in scan[0]
+    # and the data filter did NOT survive as a post-scan Filter on bucket
+    assert df.count() == docs.where(F.col("doc_id") % 8 == 3).count()
+
+
 def test_uniqueness_has_partial_aggregation(spark, lineitem):
     """duplicate_key_groups must map-side combine: HashAggregate(partial)
     before the Exchange, and the shuffle carries only key columns."""
