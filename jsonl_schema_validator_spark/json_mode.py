@@ -440,9 +440,24 @@ def _field_value_fast(f: Field, any_depth: int) -> str:
     else:
         core = _SCALAR_FAST_P[f.type]
     if f.mode is Mode.REPEATED:
-        # null elements are ARRAY_CONTENTS_INVALID -> not in the pattern;
+        # null elements are ARRAY_CONTENTS_INVALID -> keep them out of the
+        # pattern; for ANY elements the core itself admits a bare null, so
+        # guard it with a lookahead (nulls nested INSIDE an element stay ok)
+        elem = core
+        if f.type is FieldType.ANY:
+            elem = r"(?!null[ ]?[,\]])" + core
+        if f.type is FieldType.STRUCT and any(
+            (sub.fields or []) for sub in (f.fields or [])
+        ):
+            # reference quirk (validate.rs:285-293, pinned in the walker): the
+            # per-element duplicate reset clears only the repeated struct's
+            # IMMEDIATE fields, so a NESTED struct's subfields stay 'seen' and
+            # a second element is FIELD_DUPLICATED. Fast-accept must therefore
+            # admit at most ONE element for such structs.
+            arr = r"\[[ ]?(?:" + elem + r")?[ ]?\]"
+        else:
+            arr = r"\[[ ]?(?:" + elem + r"(?:,[ ]?" + elem + r")*)?[ ]?\]"
         # a null ARRAY value is valid (walker: non-REQUIRED null)
-        arr = r"\[[ ]?(?:" + core + r"(?:,[ ]?" + core + r")*)?[ ]?\]"
         return f"(?:null|{arr})"
     if f.mode is Mode.REQUIRED:
         return core

@@ -266,6 +266,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -283,8 +284,17 @@ def duplicate_clusters(
         changed = new_labels.where(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent partial labels would be WRONG results (a deep chain split
+        # into several clusters); surface it instead
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds — the component diameter exceeds it; raise max_iter or "
+            "switch to a large-star/small-star implementation for deep graphs"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

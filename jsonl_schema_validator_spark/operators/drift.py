@@ -231,19 +231,27 @@ def ks_drift(
     threshold: float | None = None,
 ) -> DataFrame:
     """Size-dispatched KS: exact below `max_exact_rows` combined rows,
-    binned above.
+    binned above — with a STABLE output schema regardless of the path taken:
+    (ks_d double, method string[, drifted boolean]).
 
     ks_drift_exact needs a single-task global-window cumsum — correct but a
     scale-killer; ks_drift_binned is fully parallel with |D̂-D| <= 1/bins.
     This dispatcher makes the selection explicit so no caller accidentally
-    runs the exact path on a 100 TB input. The size probe is a bounded
-    limit(max+1).count() per side, never a full count.
+    runs the exact path on a 100 TB input. Each side is probed with a
+    bounded limit(max+1).count() (never a full count), so ONE oversized side
+    is enough to route to the binned path. Both paths raise ValueError on an
+    empty side (a drift statistic over an empty sample is a caller error).
     """
-    half = max_exact_rows // 2 + 1
-    n_probe = a.limit(half).count() + b.limit(half).count()
+    cap = max_exact_rows + 1
+    n_probe = a.limit(cap).count() + b.limit(cap).count()
     if n_probe <= max_exact_rows:
-        return ks_drift_exact(a, b, value_col, threshold=threshold)
-    return ks_drift_binned(a, b, value_col, bins=bins, threshold=threshold)
+        res = ks_drift_exact(a, b, value_col, threshold=threshold)
+        method = "exact"
+    else:
+        res = ks_drift_binned(a, b, value_col, bins=bins, threshold=threshold)
+        method = "binned"
+    keep = ["ks_d"] + (["drifted"] if threshold is not None else [])
+    return res.select(*keep, F.lit(method).alias("method"))
 
 
 def ks_drift_binned(
@@ -299,29 +307,26 @@ def ks_drift_binned(
     else:
         raise ValueError(f"unknown grid: {grid!r}")
 
-    d = 0.0
-    if edges:
-        # both CDFs in ONE aggregation pass over the tagged union; counts are
-        # exact integer sums in double, ratios identical to per-sample avg()
-        # (the form the DuckDB oracle mirrors)
-        is_a = F.col("ia") == 1
-        aggs = []
-        for i, e in enumerate(edges):
-            hit = F.col("v") <= F.lit(e)
-            aggs.append(
-                F.sum(F.when(is_a & hit, 1.0).otherwise(0.0)).alias(f"a{i}")
-            )
-            aggs.append(
-                F.sum(F.when(~is_a & hit, 1.0).otherwise(0.0)).alias(f"b{i}")
-            )
-        aggs.append(F.sum(F.when(is_a, 1.0).otherwise(0.0)).alias("na"))
-        aggs.append(F.sum(F.when(~is_a, 1.0).otherwise(0.0)).alias("nb"))
-        r = tagged.agg(*aggs).collect()[0]
-        if r["na"] and r["nb"]:
-            d = max(
-                abs(r[f"a{i}"] / r["na"] - r[f"b{i}"] / r["nb"])
-                for i in range(len(edges))
-            )
+    if not edges:
+        raise ValueError("both samples must be non-empty for KS")
+    # both CDFs in ONE aggregation pass over the tagged union; counts are
+    # exact integer sums in double, ratios identical to per-sample avg()
+    # (the form the DuckDB oracle mirrors)
+    is_a = F.col("ia") == 1
+    aggs = []
+    for i, e in enumerate(edges):
+        hit = F.col("v") <= F.lit(e)
+        aggs.append(F.sum(F.when(is_a & hit, 1.0).otherwise(0.0)).alias(f"a{i}"))
+        aggs.append(F.sum(F.when(~is_a & hit, 1.0).otherwise(0.0)).alias(f"b{i}"))
+    aggs.append(F.sum(F.when(is_a, 1.0).otherwise(0.0)).alias("na"))
+    aggs.append(F.sum(F.when(~is_a, 1.0).otherwise(0.0)).alias("nb"))
+    r = tagged.agg(*aggs).collect()[0]
+    if not r["na"] or not r["nb"]:
+        raise ValueError("both samples must be non-empty for KS")
+    d = max(
+        abs(r[f"a{i}"] / r["na"] - r[f"b{i}"] / r["nb"])
+        for i in range(len(edges))
+    )
     spark = a.sparkSession
     out = spark.createDataFrame(
         [(round(d, 9), len(edges))], "ks_d double, grid_points int"

@@ -182,9 +182,22 @@ def ri_violations(
         )
         return finalize(orphans)
 
-    # bloom
+    # bloom. xxhash64 is TYPE-sensitive (an int and a bigint of equal value
+    # hash differently), so the parent's key columns are cast to the child's
+    # key types before hashing — a parent value that matches a child key
+    # under join coercion always fits the child's type, so the cast is
+    # lossless exactly where soundness needs it (try_cast nulls out parent
+    # keys no child value can equal). The exact anti join below still runs
+    # on the ORIGINAL columns with normal join coercion.
+    child_types = dict(zip(child_k.columns, [f.dataType for f in child_k.schema.fields]))
+    parent_for_bloom = parent_k.select(
+        *[
+            F.col(f"__p_{i}").try_cast(child_types[k]).alias(f"__p_{i}")
+            for i, k in enumerate(keys)
+        ]
+    )
     bits = build_key_bloom(
-        parent_k,
+        parent_for_bloom,
         [f"__p_{i}" for i in range(len(keys))],
         m_bits=bloom_bits,
         num_hashes=bloom_hashes,

@@ -152,9 +152,12 @@ def streaming_dedup_tws(
     keyed = sdf.select(
         F.col(hash_col).alias("content_hash"), F.col(id_col).cast("long").alias("id")
     )
+    # state TTL is only supported in ProcessingTime time mode (Spark rejects
+    # a TTL-configured value state under timeMode="None" at query start)
+    time_mode = "ProcessingTime" if state_ttl_ms is not None else "None"
     return keyed.groupBy("content_hash").transformWithStateInPandas(
         statefulProcessor=_DedupProcessor(),
         outputStructType=out_schema,
         outputMode="append",
-        timeMode="None",
+        timeMode=time_mode,
     )

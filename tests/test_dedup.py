@@ -168,3 +168,18 @@ def test_duplicate_clusters(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """Partial labels are wrong results: exhausting max_iter with changes
+    pending must raise, not return."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=2)
+    # enough rounds -> one component rooted at 0
+    got = {r.cluster_id for r in duplicate_clusters(chain, max_iter=10).collect()}
+    assert got == {0}

@@ -349,3 +349,46 @@ def test_validate_json_nested_spark(spark):
         if not r.is_valid:
             ords = [v.ord for v in r.violations]
             assert ords == sorted(ords) or True  # ordering via sort downstream
+
+
+def test_fast_accept_nested_struct_and_any_null_soundness():
+    """Round-2 review regressions: (a) a REPEATED STRUCT containing a nested
+    STRUCT must not fast-accept 2+ elements (the walker's reference-parity
+    duplicate quirk flags the second element); (b) REPEATED ANY must not
+    fast-accept a bare null element (ARRAY_CONTENTS_INVALID), while nulls
+    nested inside an element stay acceptable."""
+    from jsonl_schema_validator_spark.json_mode import build_fast_accept
+    from jsonl_schema_validator_spark.schema import schema_from_json
+
+    s1 = schema_from_json(
+        [
+            {
+                "name": "arr",
+                "type": "STRUCT",
+                "mode": "REPEATED",
+                "fields": [
+                    {
+                        "name": "s",
+                        "type": "STRUCT",
+                        "fields": [{"name": "x", "type": "INT64"}],
+                    }
+                ],
+            }
+        ]
+    )
+    f1 = build_fast_accept(s1)
+    j1 = compile_json_schema(s1)
+    two = '{"arr":[{"s":{"x":1}},{"s":{"x":2}}]}'
+    assert not f1.match(two)
+    assert validate_line(two, j1)[0][0] == "FIELD_DUPLICATED"
+    one = '{"arr":[{"s":{"x":1}}]}'
+    assert f1.match(one) and validate_line(one, j1) == []
+
+    s2 = schema_from_json([{"name": "tags", "type": "ANY", "mode": "REPEATED"}])
+    f2 = build_fast_accept(s2)
+    j2 = compile_json_schema(s2)
+    bad = '{"tags":[null]}'
+    assert not f2.match(bad)
+    assert validate_line(bad, j2)[0][0] == "ARRAY_CONTENTS_INVALID"
+    good = '{"tags":[{"a": null}, 1, "x"]}'
+    assert f2.match(good) and validate_line(good, j2) == []

@@ -227,11 +227,23 @@ def test_ks_drift_size_dispatch(spark):
     dfa = spark.createDataFrame([(x,) for x in a], "v double")
     dfb = spark.createDataFrame([(x,) for x in b], "v double")
     small = ks_drift(dfa, dfb, "v", max_exact_rows=10_000).collect()[0]
-    assert "n_a" in small.asDict()  # exact path ran
+    assert small.method == "exact"
     assert small.ks_d == pytest.approx(_py_ks(a, b), abs=1e-9)
     big = ks_drift(dfa, dfb, "v", max_exact_rows=100).collect()[0]
-    assert "grid_points" in big.asDict()  # binned path ran
+    assert big.method == "binned"
     assert abs(big.ks_d - _py_ks(a, b)) <= 1.0 / 256 + 1e-9
+    # stable schema across paths (the engine-facing contract)
+    assert small.asDict().keys() == big.asDict().keys()
+    # ONE oversized side must route to binned even when the other is tiny
+    tiny = spark.createDataFrame([(x,) for x in a[:5]], "v double")
+    routed = ks_drift(dfa, tiny, "v", max_exact_rows=200).collect()[0]
+    assert routed.method == "binned"
+    # empty side raises on both paths
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError):
+        ks_drift(dfa, empty, "v", max_exact_rows=10_000)
+    with pytest.raises(ValueError):
+        ks_drift(dfa, empty, "v", max_exact_rows=1)
 
 
 def test_drift_vs_stored_profiles(spark, tmp_path):
@@ -270,3 +282,26 @@ def test_drift_vs_stored_profiles(spark, tmp_path):
     c_shift = chi2_drift_vs_profile(shifted, "cat", cat_prof, threshold=20.0).collect()[0]
     assert not c_same.drifted
     assert c_shift.drifted and c_shift.statistic > 100
+
+
+def test_ri_bloom_key_type_coercion(spark):
+    """xxhash64 is type-sensitive: an int child key and a bigint parent key
+    of equal value hash differently unless unified. The bloom strategy must
+    match broadcast exactly across key-type widths."""
+    from pyspark.sql import functions as F
+
+    parent = spark.range(0, 500).select(F.col("id").alias("pk"))  # bigint
+    child = spark.range(0, 800).select(
+        (F.col("id") % 700).cast("int").alias("fk")  # int, 500..699 orphans
+    )
+    exact = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(child, ["fk"], parent, ["pk"], strategy="broadcast").collect()
+    }
+    bloom = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(
+            child, ["fk"], parent, ["pk"], strategy="bloom", bloom_bits=1 << 14
+        ).collect()
+    }
+    assert bloom == exact and len(exact) == 200
