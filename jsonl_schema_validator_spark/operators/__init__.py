@@ -27,6 +27,10 @@ from jsonl_schema_validator_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from jsonl_schema_validator_spark.operators.codeops import (
+    code_metrics,
+    secret_scan,
+)
 from jsonl_schema_validator_spark.operators.textops import (
     text_metrics,
     language_guess,
@@ -56,6 +60,8 @@ __all__ = [
     "embedding_lsh_pairs",
     "ivf_topk",
     "lsh_topk",
+    "code_metrics",
+    "secret_scan",
     "text_metrics",
     "language_guess",
     "token_count",

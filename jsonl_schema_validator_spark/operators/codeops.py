@@ -1,0 +1,90 @@
+"""Source-code content operators: secret scanning and code-shape metrics.
+
+The north star is validating a source-code table (repo, path, commit, lang,
+content) at 10^12-file scale; beyond schema/constraint rules, a real ingest
+pipeline screens content for leaked credentials and computes per-file shape
+metrics (license/secret gates, quality filters). Everything here is pure
+pyspark.sql expressions (regexp_count / higher-order functions over the
+line split) — no UDFs, fully parallel, and every pattern is RE2+Java-regex
+portable so the DuckDB oracle runs the same patterns.
+
+Scale notes: both operators are narrow per-row projections over the scan —
+no shuffle, no skew surface; the only caveat is regex cost per byte, which
+is the same class of work as the validation rules themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# portable secret patterns (RE2-safe: no backrefs/lookaround). Deliberately
+# the high-precision subset — entropy-based detectors are a tuning game;
+# these fire on structural evidence.
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed prefix + 16 uppercase alnum
+    "aws_key": "AKIA[0-9A-Z]{16}",
+    # PEM private key header
+    "private_key": "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # 40-hex-char token (SHA1-length secrets, e.g. legacy GitHub tokens)
+    "hex40": "[^0-9a-fA-F][0-9a-f]{40}[^0-9a-fA-F]",
+    # credential assignment: password/secret/token = or : followed by a quote
+    "cred_assign": "(?i)(password|secret|api_key|token)[ ]*[:=][ ]*['\"]",
+}
+
+
+def secret_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document secret hit counts + verdict:
+    (id, aws_key, private_key, hex40, cred_assign, secret_hits, has_secret).
+    """
+    col = F.col(text_col)
+    counts = [
+        F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0))
+        .cast("int")
+        .alias(name)
+        for name, pat in SECRET_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    total = None
+    for name in SECRET_PATTERNS:
+        c = F.col(name)
+        total = c if total is None else (total + c)
+    return out.withColumn("secret_hits", total.cast("int")).withColumn(
+        "has_secret", F.col("secret_hits") > 0
+    )
+
+
+def code_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-file shape metrics over the line structure:
+    (id, n_lines, max_line_len, avg_line_len, comment_lines, blank_lines,
+    comment_ratio).
+
+    Line split + HOF aggregation (array ops, JVM-side). Comment detection is
+    the cross-language prefix heuristic (#, //, --, ;) — a screen, not a
+    parser.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    lens = F.transform(lines, lambda x: F.length(x))
+    max_len = F.array_max(lens)
+    total_len = F.aggregate(lens, F.lit(0), lambda acc, v: acc + v)
+    comment = F.size(
+        F.filter(
+            lines,
+            lambda x: x.rlike("^[ \\t]*(#|//|--|;)"),
+        )
+    )
+    blank = F.size(F.filter(lines, lambda x: x.rlike("^[ \\t]*$")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("int").alias("n_lines"),
+        max_len.cast("int").alias("max_line_len"),
+        F.round(F.try_divide(total_len.cast("double"), n_lines), 6).alias(
+            "avg_line_len"
+        ),
+        comment.cast("int").alias("comment_lines"),
+        blank.cast("int").alias("blank_lines"),
+        F.round(F.try_divide(comment.cast("double"), n_lines), 6).alias(
+            "comment_ratio"
+        ),
+    )
