@@ -874,7 +874,7 @@ def _secret_scan_sql() -> str:
     )
     total = " + ".join(SECRET_PATTERNS)
     return f"""
-WITH c AS (SELECT doc_id, {_CODEISH_CONTENT_SQL} AS content FROM documents),
+WITH c AS (SELECT doc_id, chr(10) || ({_CODEISH_CONTENT_SQL}) || chr(10) AS content FROM documents),
 m AS (SELECT doc_id,
   {count_cols}
 FROM c)
@@ -897,7 +897,7 @@ SELECT doc_id AS id,
   CAST(list_max(list_transform(ls, x -> length(x))) AS INT) AS max_line_len,
   round(list_sum(list_transform(ls, x -> length(x))) / (len(ls) * 1.0), 6) AS avg_line_len,
   CAST(len(list_filter(ls, x -> regexp_matches(x, '^[ \\t]*(#|//|--|;)'))) AS INT) AS comment_lines,
-  CAST(len(list_filter(ls, x -> regexp_matches(x, '^[ \\t]*$'))) AS INT) AS blank_lines,
+  CAST(len(list_filter(ls, x -> regexp_matches(x, '^[ \\t\\r]*$'))) AS INT) AS blank_lines,
   round(len(list_filter(ls, x -> regexp_matches(x, '^[ \\t]*(#|//|--|;)'))) / (len(ls) * 1.0), 6) AS comment_ratio
 FROM l
 """

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "langid",
     "token_count",
     "fingerprint",
+    "secret_scan",
     "tumbling_events",
     "pricing_summary",
 ]

@@ -26,7 +26,11 @@ SECRET_PATTERNS: dict[str, str] = {
     "aws_key": "AKIA[0-9A-Z]{16}",
     # PEM private key header
     "private_key": "-----BEGIN [A-Z ]*PRIVATE KEY-----",
-    # 40-hex-char token (SHA1-length secrets, e.g. legacy GitHub tokens)
+    # 40-hex-char token (SHA1-length secrets, e.g. legacy GitHub tokens).
+    # Scanned over newline-PADDED content so tokens at the very start/end of
+    # a file are delimited; adjacent tokens separated by one delimiter count
+    # once (non-overlapping matches; RE2 has no lookahead) — has_secret is
+    # still correct, only the count is conservative.
     "hex40": "[^0-9a-fA-F][0-9a-f]{40}[^0-9a-fA-F]",
     # credential assignment: password/secret/token = or : followed by a quote
     "cred_assign": "(?i)(password|secret|api_key|token)[ ]*[:=][ ]*['\"]",
@@ -37,11 +41,13 @@ def secret_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document secret hit counts + verdict:
     (id, aws_key, private_key, hex40, cred_assign, secret_hits, has_secret).
     """
-    col = F.col(text_col)
+    # newline padding delimits boundary tokens (see hex40 note); anchored
+    # literal patterns are unaffected. coalesce: null content = zero hits.
+    col = F.concat(
+        F.lit("\n"), F.coalesce(F.col(text_col), F.lit("")), F.lit("\n")
+    )
     counts = [
-        F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0))
-        .cast("int")
-        .alias(name)
+        F.regexp_count(col, F.lit(pat)).cast("int").alias(name)
         for name, pat in SECRET_PATTERNS.items()
     ]
     out = df.select(F.col(id_col).alias("id"), *counts)
@@ -74,7 +80,10 @@ def code_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda x: x.rlike("^[ \\t]*(#|//|--|;)"),
         )
     )
-    blank = F.size(F.filter(lines, lambda x: x.rlike("^[ \\t]*$")))
+    # \r in the class: Java's $ matches before a trailing \r while RE2's
+    # does not — consuming the \r keeps Spark and the DuckDB oracle
+    # byte-identical on CRLF content (and a CRLF blank line IS blank)
+    blank = F.size(F.filter(lines, lambda x: x.rlike("^[ \\t\\r]*$")))
     return df.select(
         F.col(id_col).alias("id"),
         n_lines.cast("int").alias("n_lines"),

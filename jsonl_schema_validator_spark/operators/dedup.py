@@ -286,6 +286,23 @@ def duplicate_clusters(
         if changed == 0:
             converged = True
             break
+    if not converged:
+        # the last allowed round may have been the one that FINISHED
+        # convergence (a change in round k can still be the final state);
+        # one more bounded check distinguishes 'done on the last round'
+        # from genuinely unconverged before raising
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        still = (
+            labels.join(neighbor_min, "id", "left")
+            .where(F.col("nmin") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        converged = still == 0
     edges.unpersist()
     if not converged:
         # silent partial labels would be WRONG results (a deep chain split

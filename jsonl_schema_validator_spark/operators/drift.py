@@ -126,7 +126,9 @@ def ks_drift_exact(
         F.max("cum_b").alias("n_b"),
     )
     row = agg.collect()[0]
-    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    # max() over an empty cdf returns NULLs (both sides empty/all-null)
+    n_a = int(row["n_a"]) if row["n_a"] is not None else 0
+    n_b = int(row["n_b"]) if row["n_b"] is not None else 0
     if n_a == 0 or n_b == 0:
         raise ValueError("both samples must be non-empty for KS")
     out = cdf.agg(
@@ -303,7 +305,8 @@ def ks_drift_binned(
         edges_row = union.agg(
             F.percentile_approx("v", qs, 10000).alias("edges")
         ).collect()[0]
-        edges = sorted(set(edges_row["edges"]))
+        # percentile over an empty/all-null union returns NULL
+        edges = sorted(set(edges_row["edges"] or []))
     else:
         raise ValueError(f"unknown grid: {grid!r}")
 

@@ -37,6 +37,7 @@ deliberate pre-partitioning use plans.skew.salted_repartition.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 # bloom sizing: bits are collected to the driver as m/64 longs and shipped as
@@ -184,12 +185,33 @@ def ri_violations(
 
     # bloom. xxhash64 is TYPE-sensitive (an int and a bigint of equal value
     # hash differently), so the parent's key columns are cast to the child's
-    # key types before hashing — a parent value that matches a child key
-    # under join coercion always fits the child's type, so the cast is
-    # lossless exactly where soundness needs it (try_cast nulls out parent
-    # keys no child value can equal). The exact anti join below still runs
-    # on the ORIGINAL columns with normal join coercion.
+    # key types before hashing. Within a type FAMILY (numeric<->numeric,
+    # string<->string, ...) that cast is lossless exactly where soundness
+    # needs it: a parent value that matches a child key under join coercion
+    # fits the child's type (try_cast nulls out parent keys no child value
+    # can equal; lossy casts only ADD false positives, which the exact join
+    # removes). ACROSS families the invariant breaks — e.g. child STRING
+    # '05' joins parent BIGINT 5 under numeric coercion but hashes unlike
+    # try_cast(5 AS STRING)='5' — so mixed-family key pairs skip the bloom
+    # shortcut and run the pre-aggregated exact anti join for ALL keys.
+    def _family(dt: T.DataType) -> str:
+        if isinstance(dt, T.NumericType):
+            return "numeric"
+        if isinstance(dt, T.StringType):
+            return "string"
+        return type(dt).__name__
+
     child_types = dict(zip(child_k.columns, [f.dataType for f in child_k.schema.fields]))
+    parent_types = [f.dataType for f in parent_k.schema.fields]
+    same_family = all(
+        _family(child_types[k]) == _family(parent_types[i])
+        for i, k in enumerate(keys)
+    )
+    if not same_family:
+        orphans = grouped_keys.join(
+            parent_k.hint("shuffle_hash"), on=join_cond(grouped_keys), how="left_anti"
+        )
+        return finalize(orphans)
     parent_for_bloom = parent_k.select(
         *[
             F.col(f"__p_{i}").try_cast(child_types[k]).alias(f"__p_{i}")

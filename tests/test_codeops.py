@@ -28,6 +28,14 @@ def test_secret_scan(spark):
         "doc_id bigint, content string",
     )
     assert secret_scan(df2, "doc_id", "content").collect()[0].hex40 == 0
+    # a 40-hex token as the ENTIRE content (start/end of file) must be caught
+    # (newline padding delimits it)
+    df3 = spark.createDataFrame(
+        [(8, "0123456789abcdef0123456789abcdef01234567")],
+        "doc_id bigint, content string",
+    )
+    r8 = secret_scan(df3, "doc_id", "content").collect()[0]
+    assert r8.hex40 == 1 and r8.has_secret
 
 
 def test_code_metrics(spark):
@@ -39,6 +47,15 @@ def test_code_metrics(spark):
     assert r.comment_lines == 2  # '# doc' and '// end'
     assert r.blank_lines == 1
     assert r.comment_ratio == round(2 / 5, 6)
+    # CRLF content: a "\r"-only line is blank in BOTH engines (the \r is
+    # consumed by the class, not left to engine-specific $ semantics)
+    crlf = "a\r\n  \r\nb"
+    rc = code_metrics(
+        spark.createDataFrame([(3, crlf)], "doc_id bigint, content string"),
+        "doc_id",
+        "content",
+    ).collect()[0]
+    assert rc.n_lines == 3 and rc.blank_lines == 1
     # single line, no newline
     r2 = code_metrics(
         spark.createDataFrame([(2, "plain text")], "doc_id bigint, content string"),

@@ -183,3 +183,7 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     # enough rounds -> one component rooted at 0
     got = {r.cluster_id for r in duplicate_clusters(chain, max_iter=10).collect()}
     assert got == {0}
+    # max_iter EXACTLY the rounds needed: the last round carries the final
+    # change; the post-loop check must recognize convergence, not raise
+    got = {r.cluster_id for r in duplicate_clusters(chain, max_iter=8).collect()}
+    assert got == {0}

@@ -244,6 +244,11 @@ def test_ks_drift_size_dispatch(spark):
         ks_drift(dfa, empty, "v", max_exact_rows=10_000)
     with pytest.raises(ValueError):
         ks_drift(dfa, empty, "v", max_exact_rows=1)
+    # BOTH sides empty: still ValueError (not TypeError) on either path
+    with pytest.raises(ValueError):
+        ks_drift(empty, empty, "v", max_exact_rows=10_000)
+    with pytest.raises(ValueError):
+        ks_drift_binned(empty, empty, "v", bins=16, grid="quantile")
 
 
 def test_drift_vs_stored_profiles(spark, tmp_path):
@@ -305,3 +310,27 @@ def test_ri_bloom_key_type_coercion(spark):
         ).collect()
     }
     assert bloom == exact and len(exact) == 200
+
+
+def test_ri_bloom_mixed_family_falls_back(spark):
+    """String child vs numeric parent: join coercion is numeric ('05' joins
+    5) but a string-cast bloom would hash '05' != '5' and emit a false
+    definite-orphan — mixed-family key pairs must skip the bloom shortcut
+    and still return exactly the broadcast result (probe-confirmed review
+    finding)."""
+    parent = spark.range(0, 50).select(F.col("id").alias("pk"))  # bigint
+    child = spark.createDataFrame(
+        [("05",), ("5",), ("7",), ("999",)], "fk string"
+    )
+    exact = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(child, ["fk"], parent, ["pk"], strategy="broadcast").collect()
+    }
+    bloom = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(
+            child, ["fk"], parent, ["pk"], strategy="bloom", bloom_bits=1 << 14
+        ).collect()
+    }
+    assert bloom == exact
+    assert {v for v, _ in exact} == {'{"fk":"999"}'}  # '05','5','7' all match
