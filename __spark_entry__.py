@@ -65,7 +65,16 @@ def _ship_package(spark: SparkSession) -> None:
 
         repo_root = os.path.dirname(os.path.abspath(__file__))
         sys_zip = os.path.join(repo_root, "dist", "jsonl_schema_validator_spark.zip")
-        if not os.path.exists(sys_zip):
+        pkg_dir = os.path.join(repo_root, "jsonl_schema_validator_spark")
+        src_mtime = max(
+            os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(pkg_dir)
+            for f in fs
+            if f.endswith(".py")
+        )
+        # rebuild when any source file is NEWER than the zip — a stale zip
+        # would ship outdated module code to the workers
+        if not os.path.exists(sys_zip) or os.path.getmtime(sys_zip) < src_mtime:
             from tools.package import build
 
             sys_zip = build(repo_root)
