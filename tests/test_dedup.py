@@ -187,3 +187,37 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     # change; the post-loop check must recognize convergence, not raise
     got = {r.cluster_id for r in duplicate_clusters(chain, max_iter=8).collect()}
     assert got == {0}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Seeded random graphs: Spark label propagation must equal a Python
+    union-find ground truth (components and min-id labels)."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    rng = random.Random(99)
+    for _trial in range(2):
+        n, m = rng.randint(20, 80), rng.randint(10, 90)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, list[int]] = {}
+        for x in {v for e in edges for v in e}:
+            comp.setdefault(find(x), []).append(x)
+        expect = {x: min(members) for members in comp.values() for x in members}
+        df = spark.createDataFrame(sorted(edges), "id_a bigint, id_b bigint")
+        got = {r.id: r.cluster_id for r in duplicate_clusters(df, max_iter=60).collect()}
+        assert got == expect

@@ -199,3 +199,74 @@ def test_spark_rlike_matches_python_re(spark, type_name):
     }
     for c in corpus:
         assert got[c] == bool(pyre.search(c)), (type_name, repr(c))
+
+
+def test_fast_accept_sound_across_random_schemas():
+    """Seeded randomized sweep: build a fast-accept regex for dozens of
+    random schema shapes (nested structs, all modes/types) and check the
+    soundness invariant (fast-match => walker-valid) over adversarial
+    values including 19-digit ints, \\x01 separators, reference-leniency
+    dates, deep ANY nesting, null elements, missing/None fields. A scaled
+    version of the 400-schema/20k-line sweep that ran clean in round 2."""
+    rng = random.Random(1234)
+    from jsonl_schema_validator_spark.json_mode import build_fast_accept
+
+    TYPES = ["STRING", "INT64", "FLOAT64", "BOOL", "DATE", "TIME", "DATETIME",
+             "TIMESTAMP", "DECIMAL_29_9", "BYTES", "ANY"]
+    MODES = [None, "REQUIRED", "REPEATED"]
+
+    def rand_schema(depth=2):
+        fields = []
+        for i in range(rng.randint(1, 5)):
+            t = rng.choice(TYPES + (["STRUCT"] if depth > 0 else []))
+            f = {"name": f"f{i}_{rng.randint(0, 99)}", "type": t}
+            m = rng.choice(MODES)
+            if m:
+                f["mode"] = m
+            if t == "STRUCT":
+                f["fields"] = rand_schema(depth - 1)
+            fields.append(f)
+        return fields
+
+    def rand_value(f, depth=2):
+        t, m = f["type"], f.get("mode")
+        scalars = {
+            "STRING": ["abc", "x y", "", "null", 'q"t', "a\\b", "\x01sep"],
+            "INT64": [0, 1, -5, 2**62, 2**63 - 1, -(2**63), 10**19],
+            "FLOAT64": [0.0, -1.5, 1e10, 3.14159],
+            "BOOL": [True, False],
+            "DATE": ["2025-01-31", "2025.12.39", "2025-19-09", "bad-date"],
+            "TIME": ["12:45:08.", "23:59", "25:00", "12:45:08.0123456"],
+            "DATETIME": ["2025-03-01T13:05:00", "2025-03-01 13:99:00"],
+            "TIMESTAMP": ["2025-03-01T13:05:00 Z", "2025-03-01T13:05:00,12:34",
+                          "2025-03-01T13:05:00 X", "2025-03-01T13:05:00 "],
+            "DECIMAL_29_9": [123456789.123, 0.1, -3],
+            "BYTES": ["xxxyy==", "a===", "AB+/12"],
+            "ANY": [None, 1, "s", [1, {"k": None}],
+                    {"deep": {"deeper": {"deepest": [1]}}}],
+        }
+        if t == "STRUCT":
+            v = {
+                sf["name"]: rand_value(sf, depth - 1)
+                for sf in f["fields"]
+                if rng.random() < 0.8
+            }
+        else:
+            v = rng.choice(scalars[t])
+        if m == "REPEATED":
+            return rng.choice([None, [], [v], [v, v], [v, None]])
+        if rng.random() < 0.15 and m != "REQUIRED":
+            return None
+        return v
+
+    for _trial in range(60):
+        doc = rand_schema()
+        schema = schema_from_json(doc)
+        fast = build_fast_accept(schema)
+        js = compile_json_schema(schema)
+        for _ in range(15):
+            rec = {f["name"]: rand_value(f) for f in doc if rng.random() < 0.9}
+            for seps in ((",", ":"), (", ", ": ")):
+                line = json.dumps(rec, separators=seps)
+                if fast.match(line):
+                    assert validate_line(line, js) == [], (doc, line)
