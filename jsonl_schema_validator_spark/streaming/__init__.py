@@ -1,7 +1,13 @@
 from jsonl_schema_validator_spark.streaming.validate_stream import (
     validate_stream,
+    windowed_chi2_drift,
     windowed_violation_counts,
     start_violations_sink,
 )
 
-__all__ = ["validate_stream", "windowed_violation_counts", "start_violations_sink"]
+__all__ = [
+    "validate_stream",
+    "windowed_chi2_drift",
+    "windowed_violation_counts",
+    "start_violations_sink",
+]

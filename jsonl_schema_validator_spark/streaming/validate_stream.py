@@ -84,3 +84,71 @@ def start_violations_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_chi2_drift(
+    sdf: DataFrame,
+    category_col: str,
+    baseline: dict[str, float],
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Continuous drift monitoring: per event-time window, the chi-square
+    statistic of observed `category_col` frequencies vs the stored baseline
+    probabilities (the streaming analog of operators.drift.chi2_drift, which
+    needs a plan-time collect and therefore cannot run on a stream).
+
+    One watermarked window aggregation: per-category counts come from
+    conditional sums (one column per baseline category — baselines are small
+    by construction), the statistic is then a pure column expression over
+    those sums, so the whole thing is a single stateful agg in append mode.
+    Categories outside the baseline are reported in unexpected_count, not in
+    the statistic (same contract as the batch operator).
+
+    Output per window: (window, statistic, dof, n, unexpected_count
+    [, drifted]).
+    """
+    if not baseline:
+        raise ValueError("baseline must be a non-empty {category: prob} map")
+    cats = sorted(baseline)
+    col = F.col(category_col)
+    windowed = sdf.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window")
+    )
+    aggs = [
+        F.sum(F.when(col == F.lit(c), F.lit(1)).otherwise(F.lit(0))).alias(
+            f"__c{i}"
+        )
+        for i, c in enumerate(cats)
+    ] + [
+        F.sum(
+            F.when(
+                col.isNotNull() & ~col.isin(*cats), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("__unexpected")
+    ]
+    counts = windowed.agg(*aggs)
+    n = None
+    for i in range(len(cats)):
+        c = F.col(f"__c{i}")
+        n = c if n is None else (n + c)
+    stat = None
+    for i, c in enumerate(cats):
+        expected = n * F.lit(float(baseline[c]))
+        # try_divide: a window holding ONLY unexpected categories has n=0 and
+        # expected=0 — ANSI mode would throw; null statistic is the honest
+        # answer there (unexpected_count still reports what arrived)
+        term = F.try_divide((F.col(f"__c{i}") - expected) ** 2, expected)
+        stat = term if stat is None else (stat + term)
+    out = counts.select(
+        "window",
+        F.round(stat, 6).alias("statistic"),
+        F.lit(len(cats) - 1).cast("int").alias("dof"),
+        n.cast("long").alias("n"),
+        F.col("__unexpected").cast("long").alias("unexpected_count"),
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("statistic") > F.lit(threshold))
+    return out

@@ -102,3 +102,58 @@ def test_windowed_violation_counts(spark, tmp_path):
     assert by_key[(0, "ENUM_VIOLATION")] == 10
     assert by_key[(0, "RANGE_VIOLATION")] == 10
     assert by_key[(1, "ENUM_VIOLATION")] == 10
+
+
+def test_windowed_chi2_drift(spark, tmp_path):
+    """Streaming drift monitor: hour 0 matches the baseline exactly
+    (statistic 0), hour 1 is shifted, unexpected categories are counted but
+    excluded from the statistic. Statistic values cross-checked against the
+    batch operator on the same rows."""
+    from jsonl_schema_validator_spark.operators import chi2_drift
+    from jsonl_schema_validator_spark.streaming import windowed_chi2_drift
+
+    base = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    rows = []
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # hour 0: 50/30/20 — matches baseline
+    for i, lang in enumerate(["en"] * 50 + ["de"] * 30 + ["fr"] * 20):
+        rows.append((i, t0 + dt.timedelta(seconds=i), lang))
+    # hour 1: 80/10/10 + 5 unexpected 'zz'
+    t1 = t0 + dt.timedelta(hours=1)
+    for i, lang in enumerate(["en"] * 80 + ["de"] * 10 + ["fr"] * 10 + ["zz"] * 5):
+        rows.append((1000 + i, t1 + dt.timedelta(seconds=i), lang))
+    src = str(tmp_path / "drift_src")
+    spark.createDataFrame(rows, "event_id bigint, ts timestamp, lang string").coalesce(
+        1
+    ).write.parquet(src)
+
+    sdf = spark.readStream.schema("event_id bigint, ts timestamp, lang string").parquet(src)
+    out = windowed_chi2_drift(
+        sdf, "lang", base, "ts", window_duration="1 hour", watermark="2 hours",
+        threshold=5.0,
+    )
+    # complete mode into a memory sink: observe open windows without waiting
+    # for watermark finalization (production uses append + a file sink)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chi2_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window.start.hour: r
+        for r in spark.sql("select * from chi2_windows").collect()
+    }
+    assert got[0].statistic == 0.0 and not got[0].drifted
+    assert got[0].n == 100 and got[0].unexpected_count == 0
+    # batch cross-check on hour 1
+    batch = chi2_drift(
+        spark.createDataFrame([(r[2],) for r in rows if r[1] >= t1], "lang string"),
+        "lang",
+        base,
+    ).collect()[0]
+    assert got[1].statistic == batch.statistic
+    assert got[1].n == 100 and got[1].unexpected_count == 5
+    assert got[1].drifted
