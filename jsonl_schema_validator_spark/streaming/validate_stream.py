@@ -152,3 +152,52 @@ def windowed_chi2_drift(
     if threshold is not None:
         out = out.withColumn("drifted", F.col("statistic") > F.lit(threshold))
     return out
+
+
+def windowed_ks_vs_profile(
+    sdf: DataFrame,
+    value_col: str,
+    profile: list[tuple[float, float]],
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Continuous KS drift per event-time window against a STORED numeric
+    profile (the (quantile, edge) grid that operators.drift.save_numeric_
+    profile persists): D̂ = max over stored edges of |F_window(edge) - q|.
+    The baseline's CDF at its own q-quantile edge IS q, so no baseline data
+    is touched at run time — per window this is one watermarked aggregation
+    of conditional sums plus a greatest() over the per-edge gaps, all column
+    expressions (the streaming analog of ks_drift_vs_profile).
+
+    Output per window: (window, ks_d, n[, drifted]).
+    """
+    if not profile:
+        raise ValueError("profile must be a non-empty [(quantile, edge)] grid")
+    prof = sorted(profile)
+    col = F.col(value_col).cast("double")
+    windowed = sdf.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window")
+    )
+    aggs = [
+        F.sum(
+            F.when(col.isNotNull() & (col <= F.lit(float(edge))), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        ).alias(f"__e{i}")
+        for i, (_q, edge) in enumerate(prof)
+    ] + [F.sum(F.when(col.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))).alias("__n")]
+    counts = windowed.agg(*aggs)
+    gaps = [
+        F.abs(F.try_divide(F.col(f"__e{i}"), F.col("__n")) - F.lit(float(q)))
+        for i, (q, _e) in enumerate(prof)
+    ]
+    d = gaps[0] if len(gaps) == 1 else F.greatest(*gaps)
+    out = counts.select(
+        "window",
+        F.round(d, 9).alias("ks_d"),
+        F.col("__n").cast("long").alias("n"),
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("ks_d") > F.lit(threshold))
+    return out

@@ -157,3 +157,65 @@ def test_windowed_chi2_drift(spark, tmp_path):
     assert got[1].statistic == batch.statistic
     assert got[1].n == 100 and got[1].unexpected_count == 5
     assert got[1].drifted
+
+
+def test_windowed_ks_vs_profile(spark, tmp_path):
+    """Streaming KS vs a stored quantile profile: the window drawn from the
+    baseline distribution scores low, the shifted window scores high; the
+    statistic matches the batch ks_drift_vs_profile on the same rows."""
+    import random
+
+    from jsonl_schema_validator_spark.operators.drift import (
+        ks_drift_vs_profile,
+        save_numeric_profile,
+    )
+    from jsonl_schema_validator_spark.streaming import windowed_ks_vs_profile
+
+    rng = random.Random(5)
+    baseline_vals = [rng.gauss(100, 15) for _ in range(4000)]
+    prof_path = str(tmp_path / "num_profile")
+    save_numeric_profile(
+        spark.createDataFrame([(v,) for v in baseline_vals], "v double"),
+        "v",
+        prof_path,
+        bins=64,
+    )
+    profile = sorted(
+        (r.quantile, r.edge) for r in spark.read.parquet(prof_path).collect()
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    hour0 = [rng.gauss(100, 15) for _ in range(800)]  # same distribution
+    hour1 = [rng.gauss(130, 15) for _ in range(800)]  # shifted
+    for i, v in enumerate(hour0):
+        rows.append((t0 + dt.timedelta(seconds=i), v))
+    for i, v in enumerate(hour1):
+        rows.append((t0 + dt.timedelta(hours=1, seconds=i), v))
+    src = str(tmp_path / "ks_src")
+    spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1).write.parquet(src)
+
+    sdf = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    out = windowed_ks_vs_profile(
+        sdf, "v", profile, "ts", window_duration="1 hour", threshold=0.1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ks_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window.start.hour: r
+        for r in spark.sql("select * from ks_windows").collect()
+    }
+    assert got[0].n == 800 and got[1].n == 800
+    assert got[0].ks_d < 0.1 < got[1].ks_d
+    assert not got[0].drifted and got[1].drifted
+    # batch cross-check on hour 0
+    batch = ks_drift_vs_profile(
+        spark.createDataFrame([(v,) for v in hour0], "v double"), "v", prof_path
+    ).collect()[0]
+    assert got[0].ks_d == batch.ks_d
