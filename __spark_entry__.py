@@ -66,11 +66,15 @@ def _ship_package(spark: SparkSession) -> None:
         repo_root = os.path.dirname(os.path.abspath(__file__))
         sys_zip = os.path.join(repo_root, "dist", "jsonl_schema_validator_spark.zip")
         pkg_dir = os.path.join(repo_root, "jsonl_schema_validator_spark")
+        # dir mtimes are included so file DELETIONS/renames also count as
+        # "newer"; default=0.0 keeps zip-only deployments shipping the zip
         src_mtime = max(
-            os.path.getmtime(os.path.join(r, f))
-            for r, _d, fs in os.walk(pkg_dir)
-            for f in fs
-            if f.endswith(".py")
+            (
+                os.path.getmtime(path)
+                for r, _d, fs in os.walk(pkg_dir)
+                for path in [r] + [os.path.join(r, f) for f in fs if f.endswith(".py")]
+            ),
+            default=0.0,
         )
         # rebuild when any source file is NEWER than the zip — a stale zip
         # would ship outdated module code to the workers

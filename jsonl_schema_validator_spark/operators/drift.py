@@ -174,6 +174,15 @@ def save_numeric_profile(
     prof.coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def load_numeric_profile(spark, profile_path: str) -> list[tuple[float, float]]:
+    """Load a stored numeric profile as a sorted [(quantile, edge)] grid —
+    the shared loader for batch ks_drift_vs_profile and the streaming
+    windowed_ks_vs_profile."""
+    return sorted(
+        (r.quantile, r.edge) for r in spark.read.parquet(profile_path).collect()
+    )
+
+
 def ks_drift_vs_profile(
     df: DataFrame, column: str, profile_path: str, threshold: float | None = None
 ) -> DataFrame:
@@ -183,10 +192,7 @@ def ks_drift_vs_profile(
     baseline's CDF at its own q-quantile edge IS q, so no baseline rescan.
     One conditional-aggregation pass over the sample. |D̂ - D| <= 1/bins.
     """
-    spark = df.sparkSession
-    prof = sorted(
-        (r.quantile, r.edge) for r in spark.read.parquet(profile_path).collect()
-    )
+    prof = load_numeric_profile(df.sparkSession, profile_path)
     col = F.col(column).cast("double")
     aggs = [
         F.avg((col <= F.lit(edge)).cast("double")).alias(f"e{i}")
@@ -194,7 +200,7 @@ def ks_drift_vs_profile(
     ]
     row = df.where(col.isNotNull()).agg(*aggs, F.count(col).alias("n")).collect()[0]
     d = max(abs(row[f"e{i}"] - q) for i, (q, _e) in enumerate(prof))
-    out = spark.createDataFrame(
+    out = df.sparkSession.createDataFrame(
         [(round(d, 9), int(row["n"]), len(prof))],
         "ks_d double, n bigint, grid_points int",
     )

@@ -112,6 +112,10 @@ def windowed_chi2_drift(
     """
     if not baseline:
         raise ValueError("baseline must be a non-empty {category: prob} map")
+    if any(p <= 0 for p in baseline.values()):
+        # a zero-probability category would null the whole statistic via
+        # try_divide — reject loudly like the batch operator's ANSI division
+        raise ValueError("baseline probabilities must all be > 0")
     cats = sorted(baseline)
     col = F.col(category_col)
     windowed = sdf.withWatermark(ts_col, watermark).groupBy(
@@ -157,7 +161,7 @@ def windowed_chi2_drift(
 def windowed_ks_vs_profile(
     sdf: DataFrame,
     value_col: str,
-    profile: list[tuple[float, float]],
+    profile: "list[tuple[float, float]] | str",
     ts_col: str,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
@@ -171,8 +175,17 @@ def windowed_ks_vs_profile(
     of conditional sums plus a greatest() over the per-edge gaps, all column
     expressions (the streaming analog of ks_drift_vs_profile).
 
+    `profile` is either the stored profile's PATH (loaded with the same
+    helper the batch operator uses) or an in-memory [(quantile, edge)] grid.
+
     Output per window: (window, ks_d, n[, drifted]).
     """
+    if isinstance(profile, str):
+        from jsonl_schema_validator_spark.operators.drift import (
+            load_numeric_profile,
+        )
+
+        profile = load_numeric_profile(sdf.sparkSession, profile)
     if not profile:
         raise ValueError("profile must be a non-empty [(quantile, edge)] grid")
     prof = sorted(profile)

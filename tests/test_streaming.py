@@ -180,10 +180,6 @@ def test_windowed_ks_vs_profile(spark, tmp_path):
         prof_path,
         bins=64,
     )
-    profile = sorted(
-        (r.quantile, r.edge) for r in spark.read.parquet(prof_path).collect()
-    )
-
     t0 = dt.datetime(2026, 1, 1)
     rows = []
     hour0 = [rng.gauss(100, 15) for _ in range(800)]  # same distribution
@@ -197,7 +193,7 @@ def test_windowed_ks_vs_profile(spark, tmp_path):
 
     sdf = spark.readStream.schema("ts timestamp, v double").parquet(src)
     out = windowed_ks_vs_profile(
-        sdf, "v", profile, "ts", window_duration="1 hour", threshold=0.1
+        sdf, "v", prof_path, "ts", window_duration="1 hour", threshold=0.1
     )
     q = (
         out.writeStream.format("memory")

@@ -10,7 +10,10 @@ def build(repo_root: str = ".", out: str = "dist/jsonl_schema_validator_spark.zi
     out_path = os.path.join(repo_root, out)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     pkg = os.path.join(repo_root, "jsonl_schema_validator_spark")
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    # write to a tmp file and os.replace: a concurrent driver reading or
+    # addPyFile-ing the zip never sees a truncated archive
+    tmp_path = out_path + f".tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg):
             if "__pycache__" in root:
                 continue
@@ -20,6 +23,7 @@ def build(repo_root: str = ".", out: str = "dist/jsonl_schema_validator_spark.zi
                 full = os.path.join(root, f)
                 arc = os.path.relpath(full, repo_root)
                 zf.write(full, arc)
+    os.replace(tmp_path, out_path)
     return out_path
 
 
