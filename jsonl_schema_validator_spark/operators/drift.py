@@ -305,7 +305,9 @@ def ks_drift_binned(
         else:
             mn, mx = float(mm["mn"]), float(mm["mx"])
             # formula mirrored verbatim in the oracle SQL: mn + (i*(mx-mn))/bins
-            edges = [mn + (i * (mx - mn)) / bins for i in range(1, bins)]
+            # dedup: on tiny ranges FP rounding can collapse adjacent edges,
+            # and the oracle GROUPs BY edge — grid_points must agree
+            edges = sorted({mn + (i * (mx - mn)) / bins for i in range(1, bins)})
     elif grid == "quantile":
         qs = [i / bins for i in range(1, bins)]
         edges_row = union.agg(

@@ -91,11 +91,14 @@ def build_key_bloom(
 
 
 def _might_contain(
-    df: DataFrame, key_cols: list[str], bits: list[int], num_hashes: int
+    df: DataFrame, hash_cols: list[Column], bits: list[int], num_hashes: int
 ) -> tuple[DataFrame, Column]:
-    """Attach bloom-membership check columns; returns (df, might_contain)."""
+    """Attach bloom-membership check columns; returns (df, might_contain).
+
+    `hash_cols` must be pre-cast to the same types the bloom was built with
+    (xxhash64 is type-sensitive)."""
     m_bits = len(bits) * 64
-    cols = [F.col(c) for c in key_cols]
+    cols = hash_cols
     out = df.withColumn("__bloom", F.lit(bits))
     pred = None
     for i in range(num_hashes):
@@ -184,38 +187,41 @@ def ri_violations(
         return finalize(orphans)
 
     # bloom. xxhash64 is TYPE-sensitive (an int and a bigint of equal value
-    # hash differently), so the parent's key columns are cast to the child's
-    # key types before hashing. Within a type FAMILY (numeric<->numeric,
-    # string<->string, ...) that cast is lossless exactly where soundness
-    # needs it: a parent value that matches a child key under join coercion
-    # fits the child's type (try_cast nulls out parent keys no child value
-    # can equal; lossy casts only ADD false positives, which the exact join
-    # removes). ACROSS families the invariant breaks — e.g. child STRING
-    # '05' joins parent BIGINT 5 under numeric coercion but hashes unlike
-    # try_cast(5 AS STRING)='5' — so mixed-family key pairs skip the bloom
-    # shortcut and run the pre-aggregated exact anti join for ALL keys.
-    def _family(dt: T.DataType) -> str:
-        if isinstance(dt, T.NumericType):
-            return "numeric"
-        if isinstance(dt, T.StringType):
-            return "string"
-        return type(dt).__name__
+    # hash differently), AND a bloom-negative is reported as a DEFINITE
+    # orphan with no exact-join backstop, so the bloom is sound only when
+    # both sides are hashed in the JOIN's comparison type. Two safe cases:
+    #   - identical types: the join compares them as-is; hash as-is.
+    #   - both integral (tinyint..bigint): SQL join coercion for integral
+    #     pairs is the wider integral type, and widening to BIGINT is
+    #     lossless for every integral value — hash BOTH sides as bigint.
+    # Anything else (mixed families like string-vs-numeric, but also mixed
+    # widths WITHIN the numeric family — a bigint child and a double parent
+    # compare in DOUBLE, where 2^60 and 2^60+1 collapse to the same value
+    # yet hash differently as bigints, turning a join match into a false
+    # definite orphan) skips the bloom shortcut and runs the pre-aggregated
+    # exact anti join for ALL keys.
+    def _bloom_hash_type(ct: T.DataType, pt: T.DataType) -> T.DataType | None:
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if ct == pt:
+            return ct
+        if isinstance(ct, integral) and isinstance(pt, integral):
+            return T.LongType()
+        return None
 
     child_types = dict(zip(child_k.columns, [f.dataType for f in child_k.schema.fields]))
     parent_types = [f.dataType for f in parent_k.schema.fields]
-    same_family = all(
-        _family(child_types[k]) == _family(parent_types[i])
-        for i, k in enumerate(keys)
-    )
-    if not same_family:
+    hash_types = [
+        _bloom_hash_type(child_types[k], parent_types[i]) for i, k in enumerate(keys)
+    ]
+    if any(ht is None for ht in hash_types):
         orphans = grouped_keys.join(
             parent_k.hint("shuffle_hash"), on=join_cond(grouped_keys), how="left_anti"
         )
         return finalize(orphans)
     parent_for_bloom = parent_k.select(
         *[
-            F.col(f"__p_{i}").try_cast(child_types[k]).alias(f"__p_{i}")
-            for i, k in enumerate(keys)
+            F.col(f"__p_{i}").cast(ht).alias(f"__p_{i}")
+            for i, ht in enumerate(hash_types)
         ]
     )
     bits = build_key_bloom(
@@ -224,7 +230,8 @@ def ri_violations(
         m_bits=bloom_bits,
         num_hashes=bloom_hashes,
     )
-    tagged, might = _might_contain(grouped_keys, keys, bits, bloom_hashes)
+    child_hash_cols = [F.col(k).cast(ht) for k, ht in zip(keys, hash_types)]
+    tagged, might = _might_contain(grouped_keys, child_hash_cols, bits, bloom_hashes)
     clean = [*cols, "orphan_count"]
     # bloom-negative: DEFINITELY absent from parent -> orphan, no join
     definite = tagged.where(~might).select(*clean)

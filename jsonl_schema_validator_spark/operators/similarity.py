@@ -27,6 +27,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _peek_dim(df: DataFrame, vec_col: str) -> int:
+    """Plan-time one-row peek to size the hyperplanes / centroids.
+
+    Guarded: an empty corpus or a NULL first vector gets a clear error
+    instead of an IndexError/TypeError (pass dim= explicitly to skip the
+    peek entirely)."""
+    rows = df.select(F.col(vec_col)).where(F.col(vec_col).isNotNull()).limit(1).collect()
+    if not rows or rows[0][0] is None:
+        raise ValueError(
+            f"cannot infer embedding dimensionality: no non-null '{vec_col}' "
+            "rows — pass dim= explicitly"
+        )
+    return len(rows[0][0])
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -330,7 +345,7 @@ def embedding_lsh_pairs(
     (bucket, id) pairs only; vectors are re-joined for verification by id.
     """
     if dim is None:
-        dim = len(df.select(F.col(vec_col)).limit(1).collect()[0][0])
+        dim = _peek_dim(df, vec_col)
     planes = _hyperplanes(dim, num_planes, seed)
     hashed = df.select(
         F.col(id_col).alias("id"),
@@ -401,9 +416,7 @@ def lsh_topk(
     — which is what lets the DuckDB oracle regenerate them as literals.
     """
     if dim is None:
-        dim = len(
-            corpus.select(F.col(vec_col)).limit(1).collect()[0][0]
-        )  # one-row peek to size the hyperplanes (plan-time constant)
+        dim = _peek_dim(corpus, vec_col)  # plan-time constant
     planes = _hyperplanes(dim, num_planes, seed)
 
     c = corpus.select(

@@ -125,8 +125,20 @@ class MetricsSink:
     def compact(self, rows_per_file: int = 1_000_000) -> None:
         """Rewrite the metrics/lineage tables with right-sized files (the
         maintenance compaction a long-running job schedules periodically;
-        with an Iceberg catalog this is rewrite_data_files)."""
+        with an Iceberg catalog this is rewrite_data_files).
+
+        Commit protocol: the compacted data is written ONCE to a `.compact`
+        side dir (Spark cannot overwrite a path it is reading), then swapped
+        in with two directory renames — live -> `.old`, `.compact` -> live —
+        and `.old` is deleted. Renames are metadata ops, so the second data
+        write of the naive overwrite is gone and the live-table-missing
+        window shrinks from a full rewrite to one rename. Crash recovery: if
+        the live dir is missing, `.compact` holds the full compacted table
+        (rename it in) and `.old`, if present, holds the pre-compaction one.
+        """
         self.flush()
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
         for path, schema in (
             (self.metrics_path, METRICS_SCHEMA),
             (self.lineage_path, LINEAGE_SCHEMA),
@@ -136,18 +148,22 @@ class MetricsSink:
             df = self.spark.read.schema(schema).parquet(path)
             n = df.count()
             files = max(1, (n + rows_per_file - 1) // rows_per_file)
-            # two-step via a side dir: Spark cannot overwrite a path it is
-            # still reading from
-            tmp = path.rstrip("/") + ".compact"
-            df.repartition(files).write.mode("overwrite").parquet(tmp)
-            self.spark.read.schema(schema).parquet(tmp).write.mode(
-                "overwrite"
-            ).parquet(path)
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(tmp)
-            jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(
-                jpath, True
+            base = path.rstrip("/")
+            p_live = jvm.org.apache.hadoop.fs.Path(base)
+            p_side = jvm.org.apache.hadoop.fs.Path(base + ".compact")
+            p_old = jvm.org.apache.hadoop.fs.Path(base + ".old")
+            fs = p_live.getFileSystem(conf)
+            df.repartition(files).write.mode("overwrite").parquet(
+                base + ".compact"
             )
+            if fs.exists(p_old):
+                fs.delete(p_old, True)
+            if not fs.rename(p_live, p_old):
+                raise IOError(f"compact: could not move {base} aside")
+            if not fs.rename(p_side, p_live):
+                fs.rename(p_old, p_live)  # roll back to the original table
+                raise IOError(f"compact: could not swap in {base}.compact")
+            fs.delete(p_old, True)
 
     def read_metrics(self) -> DataFrame:
         return self.spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_path)

@@ -30,7 +30,9 @@ def read_jsonl(spark: SparkSession, path: str, line_col: str = "line") -> DataFr
     return spark.read.text(path).withColumnRenamed("value", line_col)
 
 
-def with_line_numbers(df: DataFrame, col_name: str = "line_no") -> DataFrame:
+def with_line_numbers(
+    df: DataFrame, col_name: str = "line_no", cache: bool = False
+) -> DataFrame:
     """True 1-based line numbers WITHOUT a global sort.
 
     monotonically_increasing_id() documents its layout as
@@ -47,8 +49,19 @@ def with_line_numbers(df: DataFrame, col_name: str = "line_no") -> DataFrame:
     packed by size, not path), i.e. line numbers are consistent and unique
     but the cross-FILE order is scan order — number per file or sort by
     input_file_name() downstream if path order matters.
+
+    Determinism contract: the counts job and the returned projection evaluate
+    the input twice, so (pid, pos) must reproduce across jobs. That holds for
+    deterministic file scans (the CLI contract, and every caller in this
+    repo). If the upstream plan contains a shuffle, sample, or other
+    nondeterministic step, intra-partition order can differ between the two
+    jobs — numbers stay UNIQUE but no longer reflect one stable order. Pass
+    cache=True to pin a single materialization (the counts job populates the
+    cache); unpersist downstream when done.
     """
     tagged = df.withColumn("__mid", F.monotonically_increasing_id())
+    if cache:
+        tagged = tagged.persist()
     tagged = tagged.withColumn(
         "__pid", F.shiftright("__mid", 33).cast("long")
     ).withColumn("__pos", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))

@@ -194,7 +194,10 @@ def test_metrics_sink_buffered_and_compact(spark, tmp_path):
     before = {tuple(r) for r in sink.read_metrics().collect()}
     sink.compact(rows_per_file=1_000_000)
     assert {tuple(r) for r in sink.read_metrics().collect()} == before
-    assert not (tmp_path / "m.compact").exists()  # side dir cleaned up
+    assert not (tmp_path / "m.compact").exists()  # side dir swapped in
+    assert not (tmp_path / "m.old").exists()  # pre-compaction dir deleted
+    # rename-based commit: the live dir IS the side dir's data, written once
+    assert sink.read_lineage().count() == 6
 
 
 def test_checkpoint_hadoop_fs_backend(spark, tmp_path):

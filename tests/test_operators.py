@@ -334,3 +334,29 @@ def test_ri_bloom_mixed_family_falls_back(spark):
     }
     assert bloom == exact
     assert {v for v, _ in exact} == {'{"fk":"999"}'}  # '05','5','7' all match
+
+
+def test_ri_bloom_mixed_numeric_width_falls_back(spark):
+    """bigint child vs double parent: the join compares both sides as DOUBLE,
+    where 2^60 and 2^60+1 collapse to the same value (join match), but as
+    bigints they hash differently — a bloom keyed on either side's native
+    type would emit a false definite-orphan. Mixed numeric widths must skip
+    the bloom shortcut (advisor finding, round 2)."""
+    big = 1 << 60
+    parent = spark.createDataFrame([(float(big),), (123.0,)], "pk double")
+    child = spark.createDataFrame(
+        [(big + 1,), (big,), (123,), (456,)], "fk bigint"
+    )
+    exact = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(child, ["fk"], parent, ["pk"], strategy="broadcast").collect()
+    }
+    bloom = {
+        (r.value, r.orphan_count)
+        for r in ri_violations(
+            child, ["fk"], parent, ["pk"], strategy="bloom", bloom_bits=1 << 14
+        ).collect()
+    }
+    assert bloom == exact
+    # 2^60+1 joins the double parent under coercion: NOT an orphan
+    assert {v for v, _ in exact} == {'{"fk":456}'}

@@ -184,3 +184,27 @@ def test_ivf_topk(spark):
 
     with pytest.raises(ValueError):
         ivf_topk(df, queries, nprobe=99, num_centroids=8)
+
+
+def test_dim_peek_guard_on_empty_or_null(spark):
+    """The plan-time dim peek must raise a clear ValueError on an empty
+    corpus or a null first vector, not IndexError/TypeError (advisor
+    finding, round 2)."""
+    from jsonl_schema_validator_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        lsh_topk,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim="):
+        embedding_lsh_pairs(empty)
+    with pytest.raises(ValueError, match="dim="):
+        lsh_topk(empty, empty)
+    # a null FIRST vector must be skipped, not crash the peek
+    nullfirst = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    ).orderBy("vec_id")
+    out = embedding_lsh_pairs(nullfirst, threshold=0.5)
+    assert out.count() == 0  # only one non-null vector -> no pairs, no crash
