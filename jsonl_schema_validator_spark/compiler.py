@@ -232,6 +232,144 @@ def _repeated_join_fast_path(
     return condition, F.to_json(col)
 
 
+# nullable-subfield null token for the struct fast path (distinct from the
+# separator; no valid value of a _JOIN_FAST_TYPES type can contain either)
+_X02 = "\x02"
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """True if sort_array accepts the type (maps are not orderable)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return not isinstance(dt, getattr(T, "VariantType", ()))
+
+
+def _repeated_struct_fast_path(
+    field: Field, col: Column, elem_type: T.StructType
+) -> tuple[Column, Column] | None:
+    """Codegen-preserving ARRAY_CONTENTS_INVALID for REPEATED STRUCT elements
+    (reference analog: the per-element struct recursion, validate.rs:447-469).
+
+    ``arr.getField(sub)`` on an array<struct> yields array<subtype>
+    (GetArrayStructFields — a codegen expression, NOT a higher-order
+    function), so each subfield validates as its own extracted array:
+
+    - REQUIRED pure-regex sub: the strict array_join screen on the extracted
+      array, exactly as in _repeated_join_fast_path (a null slot breaks the
+      separator count -> flagged; this also fires when the ELEMENT is null,
+      since a null element extracts to a null slot — which is the required
+      semantics, null elements being invalid).
+    - NULLABLE pure-regex sub: array_join with a \\x02 null token and the
+      element pattern (P|\\x02). Sound because (a) the separator-count guard
+      flags any value embedding \\x01, and (b) the count of \\x02 chars must
+      equal the count of null slots — computed WITHOUT a lambda as
+      length(join-with-\\x02) - length(join-with-'') — which flags any value
+      embedding \\x02 (including the exact one-char "\\x02" value that would
+      otherwise masquerade as a null). No VALID value of these types can
+      contain either control char, so there are no false positives.
+    - REQUIRED sub of a trivially-valid storage type (STRING-on-string,
+      native-typed storage): only the null-slot check is needed —
+      get(sort_array(extracted), 0) IS NULL puts nulls first without a HOF
+      and is content-safe (strings may contain the control chars).
+    - NULLABLE trivially-valid sub: no check (parity with the HOF path,
+      whose predicate folds to false).
+
+    A null ELEMENT is itself invalid (validate.rs:246-248). Any present
+    REQUIRED sub's check already fires on null elements (every extracted
+    slot is null); when there is none, an explicit
+    get(sort_array(arr), 0) IS NULL over the whole element array covers it
+    (requires an orderable struct type — no maps).
+
+    Ineligible shapes return None and keep the exists/filter HOF fallback:
+    REPEATED or STRUCT subfields, textual INT64/ANY subs (need per-element
+    try_cast / JSON parse), wide decimals, and unorderable element types
+    where the element-null check would be required. Violation `value`
+    renders the whole array (same trade-off as the scalar fast path).
+    """
+    sub_types = {f.name: f.dataType for f in elem_type.fields}
+    checks: list[Column] = []
+    elem_null_covered = False
+    size = F.size(col)
+
+    def strict_regex(ext: Column, inner: str) -> Column:
+        flat = F.array_join(ext, _JOIN_SEP, _JOIN_SEP)
+        sep_count = F.length(flat) - F.length(
+            F.replace(flat, F.lit(_JOIN_SEP), F.lit(""))
+        )
+        return (sep_count != size - 1) | ~flat.rlike(
+            f"^({inner})({_JOIN_SEP}({inner}))*$"
+        )
+
+    def nullable_regex(ext: Column, inner: str) -> Column:
+        flat2 = F.array_join(ext, _JOIN_SEP, _X02)
+        flat0 = F.array_join(ext, _JOIN_SEP, "")
+        sep_count = F.length(flat2) - F.length(
+            F.replace(flat2, F.lit(_JOIN_SEP), F.lit(""))
+        )
+        null_count = F.length(flat2) - F.length(flat0)
+        x02_count = F.length(flat2) - F.length(
+            F.replace(flat2, F.lit(_X02), F.lit(""))
+        )
+        pat = f"^({inner}|{_X02})({_JOIN_SEP}({inner}|{_X02}))*$"
+        return (
+            (sep_count != size - 1)
+            | (x02_count != null_count)
+            | ~flat2.rlike(pat)
+        )
+
+    for sub in field.fields or []:
+        if sub.mode is Mode.REPEATED or sub.type is FieldType.STRUCT:
+            return None
+        if sub.name not in sub_types:
+            if sub.mode is Mode.REQUIRED:
+                # parity with exists(e -> True): any element -> invalid
+                checks.append(F.lit(True))
+                elem_null_covered = True
+            continue
+        st = sub_types[sub.name]
+        if isinstance(st, T.StringType):
+            if sub.type.value in _JOIN_FAST_TYPES:
+                kind = "regex"
+            elif sub.type is FieldType.STRING:
+                kind = "trivial"
+            else:
+                return None  # INT64 (try_cast bound) / ANY (JSON parse)
+        elif sub.type is FieldType.DECIMAL_29_9 and isinstance(st, T.DecimalType):
+            if st.scale <= 9 and st.precision - st.scale <= 29:
+                kind = "trivial"
+            else:
+                return None  # wide decimal: per-element string-cast check
+        elif _NATIVE_OK.get(sub.type, ()) and isinstance(st, _NATIVE_OK[sub.type]):
+            kind = "trivial"
+        else:
+            return None  # HOF path raises the BindError for this shape
+        ext = col.getField(sub.name)
+        if kind == "regex":
+            inner = ALL_PATTERNS[sub.type.value][1:-1]
+            if sub.mode is Mode.REQUIRED:
+                checks.append(strict_regex(ext, inner))
+                elem_null_covered = True
+            else:
+                checks.append(nullable_regex(ext, inner))
+        elif sub.mode is Mode.REQUIRED:
+            checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
+            elem_null_covered = True
+
+    if not elem_null_covered:
+        if not _orderable(elem_type):
+            return None
+        checks.append(F.get(F.sort_array(col), F.lit(0)).isNull())
+    agg = checks[0]
+    for c in checks[1:]:
+        agg = agg | c
+    condition = col.isNotNull() & (size > 0) & agg
+    return condition, F.to_json(col)
+
+
 def _element_predicate(field: Field, elem_type: T.DataType):
     """Unary-lambda factory for F.exists/F.filter element checks (closure
     capture; see the arity note at the REPEATED-subfield call site)."""
@@ -375,6 +513,12 @@ def _compile_field(
             )
         elem_type = dtype.elementType
         fast = _repeated_join_fast_path(field, col, elem_type)
+        if (
+            fast is None
+            and field.type is FieldType.STRUCT
+            and isinstance(elem_type, T.StructType)
+        ):
+            fast = _repeated_struct_fast_path(field, col, elem_type)
         if fast is not None:
             condition, value = fast
         else:

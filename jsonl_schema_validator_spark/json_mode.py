@@ -560,8 +560,66 @@ def schema_to_string_leaf_type(schema: Schema) -> T.StructType:
     )
 
 
+def repeated_struct_nested_keys(schema: Schema) -> set[str]:
+    """Key names subject to the reference's nested-duplicate quirk.
+
+    The reference's per-element duplicate reset clears only a repeated
+    struct's IMMEDIATE fields (validate.rs:285-293), so any declared key that
+    sits inside a repeated struct's subtree WITHOUT being the immediate child
+    of a (possibly nested) repeated struct stays marked 'seen' across
+    elements — its second occurrence anywhere in the document is
+    FIELD_DUPLICATED, even though the document is plain-JSON-legal.
+    """
+    quirk: set[str] = set()
+
+    def visit(fields, inside_repeated: bool, parent_is_repeated: bool):
+        for f in fields or []:
+            is_rep_struct = f.mode is Mode.REPEATED and f.type is FieldType.STRUCT
+            if inside_repeated and not parent_is_repeated:
+                quirk.add(f.name)
+            if f.fields:
+                visit(
+                    f.fields,
+                    inside_repeated or is_rep_struct,
+                    is_rep_struct,
+                )
+
+    visit(schema.fields, False, False)
+    return quirk
+
+
+def _all_declared_names(fields, acc: list[str]) -> None:
+    for f in fields or []:
+        acc.append(f.name)
+        if f.fields:
+            _all_declared_names(f.fields, acc)
+
+
+def needs_walker(schema: Schema) -> bool:
+    """True when expression-mode validation cannot soundly model the
+    reference's nested-duplicate quirk even with the raw-occurrence screen:
+    some quirk key shares its name with another declared position, so a
+    legal line may contain the token twice and the screen cannot separate
+    'two positions' from 'a duplicate'. Such schemas must use
+    reference_verdicts (the exact walker) or opt into the documented
+    divergence with nested_dup='ignore'."""
+    quirk = repeated_struct_nested_keys(schema)
+    if not quirk:
+        return False
+    names: list[str] = []
+    _all_declared_names(schema.fields, names)
+    from collections import Counter
+
+    counts = Counter(names)
+    return any(counts[k] > 1 for k in quirk)
+
+
 def validate_json_nested(
-    df: DataFrame, schema: Schema, line_col: str = "line", strict_shape: bool = True
+    df: DataFrame,
+    schema: Schema,
+    line_col: str = "line",
+    strict_shape: bool = True,
+    nested_dup: str = "route",
 ) -> DataFrame:
     """Full nested-schema JSON validation, expressions only (scale path).
 
@@ -579,7 +637,25 @@ def validate_json_nested(
     checks (which need a second parse via json_object_keys); NOT_AN_OBJECT
     is then derived from from_json's own null — ONE parse per line total,
     ~1.5x faster. Use when key-set hygiene is enforced upstream.
+
+    nested_dup handles the reference's nested-duplicate QUIRK (see
+    repeated_struct_nested_keys): for schemas with repeated structs holding
+    nested subfields, plain-JSON-legal lines can be FIELD_DUPLICATED per the
+    reference, which no expression can see. 'route' (default) keeps the scale
+    path sound: a pure-string screen counts raw occurrences of each quirk
+    key's '"key"' token — a line where every quirk token appears <=1 time
+    PROVABLY cannot trigger the quirk (raw count >= actual key count) and
+    stays on the expression path; the rare suspect lines (token twice:
+    actual duplicates, or false positives from string values) are validated
+    by the exact walker, whose verdicts are mapped into the violations shape
+    (ord = byte offset, so first-error ordering is byte order; columns are
+    the walker's leaf names). Schemas where a quirk key name is also
+    declared elsewhere are unscreenable — 'route' raises a loud error for
+    those (use reference_verdicts, or nested_dup='ignore' to accept the
+    documented divergence). 'ignore' = pre-round-3 behavior.
     """
+    if nested_dup not in ("route", "ignore"):
+        raise ValueError("nested_dup must be 'route' or 'ignore'")
     from jsonl_schema_validator_spark.compiler import RuleCompiler
 
     line = F.col(line_col)
@@ -643,7 +719,47 @@ def validate_json_nested(
     # field rules only apply to parseable objects
     combined = F.when(not_object, shape).otherwise(F.concat(shape, field_viols))
     out = flat.withColumn("violations", combined).drop("__parsed")
-    return out.withColumn("is_valid", F.size("violations") == F.lit(0))
+    out = out.withColumn("is_valid", F.size("violations") == F.lit(0))
+
+    quirk_keys = repeated_struct_nested_keys(schema)
+    if not quirk_keys or nested_dup == "ignore":
+        return out
+    if needs_walker(schema):
+        raise ValueError(
+            "validate_json_nested cannot soundly screen the reference's "
+            "nested-duplicate quirk for this schema: quirk key(s) "
+            f"{sorted(k for k in quirk_keys)} share names with other declared "
+            "fields. Use reference_verdicts (exact walker) or pass "
+            "nested_dup='ignore' to accept the documented divergence."
+        )
+    # sound screen: raw token count >= actual key-occurrence count, so a
+    # line where every quirk token appears <= once cannot trigger the quirk.
+    # Pure string ops (length/replace), no regex, stays in codegen.
+    line = F.col(line_col)
+    suspect = F.lit(False)
+    for k in sorted(quirk_keys):
+        tok = f'"{k}"'
+        cnt_x_len = F.length(line) - F.length(F.replace(line, F.lit(tok), F.lit("")))
+        suspect = suspect | (cnt_x_len >= 2 * len(tok))
+    suspect = line.isNotNull() & suspect
+    clean = out.where(~suspect)
+    # rare branch: exact walker verdicts mapped to the violations shape
+    # (transform() is a HOF, acceptable off the hot path)
+    walked = reference_verdicts(
+        out.where(suspect).drop("violations", "is_valid"),
+        schema,
+        line_col,
+        mode="all",
+    )
+    walked = walked.withColumn(
+        "violations",
+        F.expr(
+            "transform(errors, e -> struct(cast(e.offset as int) as ord, "
+            "e.variant as rule_id, coalesce(e.field, '') as column, "
+            "cast(null as string) as value))"
+        ),
+    ).drop("errors")
+    return clean.unionByName(walked.select(*clean.columns))
 
 
 def json_rules(

@@ -319,6 +319,99 @@ def test_repeated_join_fast_path_semantics(spark):
             assert r.first_error.rule_id == "ARRAY_CONTENTS_INVALID"
 
 
+def test_repeated_struct_fast_path_semantics(spark):
+    """The round-3 struct fast path (per-subfield getField extraction, no
+    HOFs) must agree with the per-element semantics on every adversarial
+    shape: null element, null REQUIRED sub, null NULLABLE sub, control-char
+    values (the \\x01 separator and the \\x02 null token, including the exact
+    one-char \\x02 value that would masquerade as a null slot), embedded
+    separators with valid-looking fragments, arbitrary control chars inside
+    STRING subs (legal), and reference leniencies."""
+    fields = [
+        {
+            "name": "recs",
+            "type": "STRUCT",
+            "mode": "REPEATED",
+            "fields": [
+                {"name": "d", "type": "DATE"},  # NULLABLE regex sub
+                {"name": "s", "type": "STRING", "mode": "REQUIRED"},  # trivial
+                {"name": "b", "type": "BOOL"},  # NULLABLE regex sub
+            ],
+        }
+    ]
+    ddl = "recs array<struct<d:string,s:string,b:string>>"
+    rows = [
+        (None, True),  # null array: valid (NULLABLE field)
+        ([], True),  # empty array: valid
+        ([("2025-01-01", "x", "true")], True),
+        ([("2025.12.39", "x", None)], True),  # day<=39 leniency; null b ok
+        ([(None, "x", "false")], True),  # null NULLABLE sub ok
+        ([("2025-01-01", None, "true")], False),  # null REQUIRED sub
+        ([None], False),  # null element
+        ([("\x02", "x", "true")], False),  # exact null-token value is NOT null
+        ([("2025-01-01\x012025-01-02", "x", "true")], False),  # embedded SEP
+        ([("2025-01-01", "\x01\x02", "true")], True),  # ctrl chars legal in STRING
+        ([("", "x", "true")], False),  # empty string is not a valid date
+        ([("2025-01-01", "x", "true"), ("bad", "y", "false")], False),
+        ([("2025-01-01", "x", "maybe")], False),  # bad bool
+    ]
+    schema = schema_from_json(fields)
+    df = spark.createDataFrame([(r[0],) for r in rows], ddl)
+    plan = RuleCompiler(schema).bind(df)
+    results = plan.with_verdict(df).collect()
+    got = [r.is_valid for r in results]
+    assert got == [r[1] for r in rows], got
+    for r in results:
+        if not r.is_valid:
+            assert r.first_error.rule_id == "ARRAY_CONTENTS_INVALID"
+            assert r.first_error.column == "recs"
+
+
+def test_repeated_struct_all_nullable_null_element(spark):
+    """With no REQUIRED sub, the element-null check must come from the
+    whole-array sort probe — a [null] element is invalid while a struct of
+    all-null subs is valid."""
+    fields = [
+        {
+            "name": "recs",
+            "type": "STRUCT",
+            "mode": "REPEATED",
+            "fields": [{"name": "d", "type": "DATE"}],
+        }
+    ]
+    ddl = "recs array<struct<d:string>>"
+    rows = [([None],), ([("2025-01-01",), (None,)],), ([(None,)],)]
+    schema = schema_from_json(fields)
+    df = spark.createDataFrame(rows, ddl)
+    plan = RuleCompiler(schema).bind(df)
+    got = [r.is_valid for r in plan.with_verdict(df).collect()]
+    assert got == [False, True, True], got
+
+
+def test_repeated_struct_missing_required_sub(spark):
+    """A REQUIRED sub absent from STORAGE: any non-empty array is invalid
+    (parity with the HOF exists(_ -> True) semantics); empty/null arrays
+    stay valid."""
+    fields = [
+        {
+            "name": "recs",
+            "type": "STRUCT",
+            "mode": "REPEATED",
+            "fields": [
+                {"name": "d", "type": "DATE"},
+                {"name": "gone", "type": "STRING", "mode": "REQUIRED"},
+            ],
+        }
+    ]
+    ddl = "recs array<struct<d:string>>"
+    rows = [([("2025-01-01",)],), ([],), (None,)]
+    schema = schema_from_json(fields)
+    df = spark.createDataFrame(rows, ddl)
+    plan = RuleCompiler(schema).bind(df)
+    got = [r.is_valid for r in plan.with_verdict(df).collect()]
+    assert got == [False, True, True], got
+
+
 def test_constraints(spark):
     fields = [
         {

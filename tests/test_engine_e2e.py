@@ -171,6 +171,51 @@ def test_checkpoint_resume(spark, fixture, cf, tmp_path):
     assert metrics.read_lineage().where("run_id = 'run1'").count() == n_parts
 
 
+def test_checkpoint_single_job_per_partition(spark, fixture, cf, tmp_path):
+    """Round-3: run_with_checkpoint computes rows + total violations +
+    per-rule counts in ONE aggregation (one Spark job) per partition, and
+    the combined pass must report the same metrics the two-pass version did
+    (cross-checked against plan.rule_metrics)."""
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
+    m = CheckpointManifest(str(tmp_path / "manifest"), run_id="jobs1")
+    # buffer all metric writes so the probe counts only validation jobs
+    metrics = MetricsSink(spark, str(tmp_path / "metrics"), None, flush_every=10_000)
+    sc = spark.sparkContext
+    sc.setJobGroup("ckpt-probe", "count jobs per partition")
+    try:
+        s = engine.run_with_checkpoint(
+            cf, "bucket", m, metrics=metrics, input_path="fixture://x"
+        )
+    finally:
+        sc.setJobGroup("", "")
+    n_parts = s["partitions_total"]
+    job_ids = spark.sparkContext.statusTracker().getJobIdsForGroup("ckpt-probe")
+    # ONE aggregation QUERY per partition. Under AQE each aggregate runs as
+    # 2 jobs (shuffle materialization + final stage), plus the distinct-keys
+    # job and the final buffered flush — measured 38 for 16 partitions. The
+    # old two-pass version (separate rows/violations agg + exploded
+    # rule_metrics groupBy) ran 4-5 jobs/partition and trips this bound.
+    assert len(job_ids) <= 2 * n_parts + 8, (len(job_ids), n_parts)
+    # same metrics as the reference two-pass computation
+    plan = engine.bind(cf)
+    expected = {
+        (r.rule_id, r["column"]): r.violation_count
+        for r in plan.rule_metrics(cf).collect()
+    }
+    got_df = (
+        metrics.read_metrics()
+        .groupBy("rule_id", "column")
+        .agg(F.sum("violations").alias("v"))
+        .collect()
+    )
+    got = {(r.rule_id, r["column"]): r.v for r in got_df if r.rule_id != "__scan__"}
+    assert got == expected, (got, expected)
+    # per-partition manifest entries carry the combined pass's rows/violations
+    entries = [e["metrics"] for e in m.completed().values()]
+    assert sum(e["violations"] for e in entries) == sum(expected.values())
+    assert sum(e["rows"] for e in entries) == cf.count()
+
+
 def test_metrics_sink_buffered_and_compact(spark, tmp_path):
     """flush_every>1 batches appends (fewer files), flush() drains the tail,
     compact() rewrites to right-sized files with identical contents."""

@@ -392,3 +392,83 @@ def test_fast_accept_nested_struct_and_any_null_soundness():
     assert validate_line(bad, j2)[0][0] == "ARRAY_CONTENTS_INVALID"
     good = '{"tags":[{"a": null}, 1, "x"]}'
     assert f2.match(good) and validate_line(good, j2) == []
+
+
+def test_validate_json_nested_quirk_routing(spark):
+    """Round-3 closure of the expression-path nested-duplicate gap: the
+    scale path must agree with the walker on the quirk line (a second
+    repeated-struct element whose NESTED subfield duplicates the first's).
+    Sound screen: lines whose quirk tokens appear <=1 time stay on the
+    expression path; suspects (including false positives from string
+    values) get exact walker verdicts."""
+    from jsonl_schema_validator_spark.json_mode import (
+        compile_json_schema,
+        needs_walker,
+        repeated_struct_nested_keys,
+        validate_json_nested,
+    )
+    from jsonl_schema_validator_spark.schema import schema_from_json
+
+    fields = [
+        {"name": "recs", "type": "STRUCT", "mode": "REPEATED",
+         "fields": [
+             {"name": "a", "type": "INT64"},
+             {"name": "inner", "type": "STRUCT",
+              "fields": [{"name": "x", "type": "INT64"}]},
+         ]},
+        {"name": "note", "type": "STRING"},
+    ]
+    schema = schema_from_json(fields)
+    assert repeated_struct_nested_keys(schema) == {"x"}
+    assert not needs_walker(schema)
+
+    quirk_line = '{"recs": [{"a": 1, "inner": {"x": 1}}, {"a": 2, "inner": {"x": 2}}], "note": null}'
+    legal_line = '{"recs": [{"a": 1, "inner": {"x": 1}}], "note": null}'
+    false_suspect = '{"recs": [{"a": 1, "inner": {"x": 1}}], "note": "mentions \\"x\\" twice \\"x\\""}'
+    bad_value = '{"recs": [{"a": "nope"}], "note": null}'  # stays on expr path
+    lines = [quirk_line, legal_line, false_suspect, bad_value]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    out = {r.line: r for r in validate_json_nested(df, schema, "line").collect()}
+
+    # quirk line: expr screen and walker AGREE — FIELD_DUPLICATED on x
+    jschema = compile_json_schema(schema)
+    walker = validate_line(quirk_line, jschema)
+    assert walker and walker[0][0] == "FIELD_DUPLICATED" and walker[0][2] == "x"
+    q = out[quirk_line]
+    assert not q.is_valid
+    assert {(v.rule_id, v["column"]) for v in q.violations} == {("FIELD_DUPLICATED", "x")}
+
+    assert out[legal_line].is_valid
+    assert out[false_suspect].is_valid  # routed to walker, walker says valid
+    bv = out[bad_value]
+    assert not bv.is_valid
+    assert any(v.rule_id == "ARRAY_CONTENTS_INVALID" for v in bv.violations)
+
+    # nested_dup='ignore': the documented old divergence (quirk line valid)
+    old = {r.line: r for r in
+           validate_json_nested(df, schema, "line", nested_dup="ignore").collect()}
+    assert old[quirk_line].is_valid
+
+
+def test_validate_json_nested_unscreenable_raises(spark):
+    """A quirk key sharing its name with another declared field makes the
+    occurrence screen unsound — route mode must raise loudly."""
+    import pytest as _pytest
+    from jsonl_schema_validator_spark.json_mode import needs_walker, validate_json_nested
+    from jsonl_schema_validator_spark.schema import schema_from_json
+
+    fields = [
+        {"name": "x", "type": "INT64"},  # collides with the quirk key below
+        {"name": "recs", "type": "STRUCT", "mode": "REPEATED",
+         "fields": [
+             {"name": "inner", "type": "STRUCT",
+              "fields": [{"name": "x", "type": "INT64"}]},
+         ]},
+    ]
+    schema = schema_from_json(fields)
+    assert needs_walker(schema)
+    df = spark.createDataFrame([('{"x": 1, "recs": []}',)], "line string")
+    with _pytest.raises(ValueError, match="nested-duplicate quirk"):
+        validate_json_nested(df, schema, "line")
+    # explicit opt-out still works
+    assert validate_json_nested(df, schema, "line", nested_dup="ignore").count() == 1

@@ -65,11 +65,14 @@ def test_repeated_regex_types_stay_in_codegen(spark):
     assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
 
 
-def test_repeated_struct_falls_back_to_hof(spark):
-    """Struct elements have no single-regex form: the exists() fallback is
-    expected (documented: interpreted projection, still single-stage)."""
+def test_repeated_struct_stays_in_codegen(spark):
+    """REPEATED STRUCT elements with scalar subfields use the per-subfield
+    getField extraction fast path (round-3): no exists/filter HOFs, the fused
+    projection keeps its WholeStageCodegen star. This was the last
+    interpreted projection in the rule engine — the reference's own sample
+    schema (samples/a-schema.json, GH-Archive events) hits this shape."""
     df = spark.createDataFrame(
-        [([("2025-01-01",)],)], "recs array<struct<d:string>>"
+        [([("2025-01-01", "x")],)], "recs array<struct<d:string,s:string>>"
     )
     schema = schema_from_json(
         [
@@ -77,13 +80,43 @@ def test_repeated_struct_falls_back_to_hof(spark):
                 "name": "recs",
                 "type": "STRUCT",
                 "mode": "REPEATED",
-                "fields": [{"name": "d", "type": "DATE"}],
+                "fields": [
+                    {"name": "d", "type": "DATE"},
+                    {"name": "s", "type": "STRING", "mode": "REQUIRED"},
+                ],
             }
         ]
     )
     plan = RuleCompiler(schema).bind(df)
     p = _plan(plan.with_violations(df))
-    assert "Exchange" not in p  # still one narrow stage, just interpreted
+    assert "lambdafunction" not in p, p
+    assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
+
+
+def test_repeated_struct_hof_fallback_shapes(spark):
+    """Shapes the fast path cannot express stay on the exists() fallback —
+    still one narrow stage, just interpreted: REPEATED subfields, and
+    textual INT64 subs (per-element try_cast bound)."""
+    df = spark.createDataFrame(
+        [([([1], "1")],)], "recs array<struct<tags:array<bigint>,n:string>>"
+    )
+    schema = schema_from_json(
+        [
+            {
+                "name": "recs",
+                "type": "STRUCT",
+                "mode": "REPEATED",
+                "fields": [
+                    {"name": "tags", "type": "INT", "mode": "REPEATED"},
+                    {"name": "n", "type": "INT"},
+                ],
+            }
+        ]
+    )
+    plan = RuleCompiler(schema).bind(df)
+    p = _plan(plan.with_violations(df))
+    assert "Exchange" not in p
+    assert "lambdafunction" in p  # documented fallback
 
 
 def test_violations_projection_prunes_scan(spark, docs):
