@@ -225,7 +225,11 @@ def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # max_shingle_freq=None: explicit exact opt-in to match the exact-set
+    # SQL oracle (the engine default is the 'auto' hot-shingle cap)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_freq=None
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +457,31 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index IVF path (round-3): same fit parameters as
+    q_ivf_topk, corpus assignments materialized as a cell-partitioned
+    parquet index, queries read only probed cells. Must reproduce
+    q_ivf_topk exactly — shares its DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from jsonl_schema_validator_spark.operators import (
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx_dir = tempfile.mkdtemp(prefix="ivf_idx_oracle_")
+    ivf_build_index(emb, idx_dir, num_centroids=16, seed=42, init="prefix")
+    out = ivf_topk_indexed(spark, idx_dir, queries, k=5, nprobe=4)
+    # the driver collects lazily after this returns: materialize the result
+    # locally before removing the index files it reads from
+    rows = out.collect()
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     a = docs.where(F.col("source") == "src0")
@@ -588,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_pairs": q_lsh_pairs,
@@ -1261,6 +1291,7 @@ GROUP BY o_custkey
 """,
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
+        "ivf_topk_indexed": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ks_binned": _ks_width_sql(bins=64),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "lsh_pairs": _lsh_pairs_sql(

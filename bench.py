@@ -122,7 +122,7 @@ def _textual_lineitem(spark, sf_dir: str, replicate: int, cores: int):
 
 
 def run_scaling_job(
-    spark, sf_dir: str, replicate: int, cores: int, prepared=None
+    spark, sf_dir: str, replicate: int, cores: int, prepared=None, salt: int = 0
 ) -> tuple[int, float]:
     """Textual validation of replicated lineitem; returns (rows, seconds).
 
@@ -130,7 +130,12 @@ def run_scaling_job(
     given, ONLY the validation+aggregation is timed — input prep (read,
     repartition, replicate-explode) is identical setup at every parallelism
     level and would otherwise dilute the scaling signal with its own fixed
-    costs."""
+    costs.
+
+    `salt` perturbs the plan per trial (+lit(salt) folded back out of the
+    result): Spark 4 serves byte-identical re-executed queries from a cache
+    (measured ~0.05s for a multi-second scan — round-3 finding), which would
+    turn any repeat-trial methodology into fantasy numbers."""
     df = prepared if prepared is not None else _textual_lineitem(
         spark, sf_dir, replicate, cores
     )
@@ -138,10 +143,10 @@ def run_scaling_job(
     vdf = plan.with_violations(df)
     t0 = time.time()
     out = vdf.agg(
-        F.count(F.lit(1)).alias("rows"),
+        (F.count(F.lit(1)) + F.lit(salt)).alias("rows"),
         F.sum(F.size("violations")).alias("violations"),
     ).collect()[0]
-    return int(out["rows"]), time.time() - t0
+    return int(out["rows"]) - salt, time.time() - t0
 
 
 def prepare_scaling_input(spark, sf_dir: str, replicate: int, cores: int):
@@ -169,13 +174,64 @@ def main() -> None:
     queries["token_count"](spark, sf_dir).collect()
     queries["validate_lineitem"](spark, "/root/testdata/sf0.001").collect()
 
+    # Per-query BEST-OF-2 (round-3 hardening): two timed runs per query,
+    # reporting the min — the second run shares the window, so transient
+    # host-load spikes (the round-2 noise band) cannot masquerade as
+    # regressions. Each trial appends a distinct literal column to the
+    # result: Spark 4 serves byte-identical re-executed queries from a
+    # cache (measured ~30x "speedup" on reruns), so an unvaried second run
+    # would time the cache, not the engine.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
+        trial_times = []
+        n_rows_q = 0
+        for i in range(2):
+            # fn() must be INSIDE the timer: driver-iterative queries
+            # (dup_clusters' convergence loop, plan-time fits) do their work
+            # during construction, not at collect()
+            t0 = time.time()
+            df = fn(spark, sf_dir).select("*", F.lit(i).alias("__bench_trial"))
+            rows = df.collect()
+            trial_times.append(time.time() - t0)
+            n_rows_q = len(rows)
+        timings[name] = round(min(trial_times), 3)
+        print(
+            f"[bench] {name}: {timings[name]}s best-of-2 "
+            f"{[round(t, 3) for t in trial_times]} ({n_rows_q} rows)",
+            file=sys.stderr,
+        )
+
+    # IVF index amortization: first batch = ivf_topk (centroid fit + full
+    # corpus argmax scan per call) vs a repeated batch against the persisted
+    # cell-partitioned index (ivf_topk_indexed reads only probed cells)
+    import shutil
+    import tempfile
+
+    from jsonl_schema_validator_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    iq = emb.where("vec_id < 5")
+    idx_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
         t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+        ivf_topk(emb, iq, k=10, num_centroids=16, nprobe=4).collect()
+        t_first = time.time() - t0
+        ivf_build_index(emb, idx_dir, num_centroids=16)
+        t0 = time.time()
+        ivf_topk_indexed(spark, idx_dir, iq, k=10, nprobe=4).collect()
+        t_indexed = time.time() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    ivf_block = {
+        "first_batch_sec": round(t_first, 3),
+        "indexed_batch_sec": round(t_indexed, 3),
+    }
+    print(f"[bench] ivf index: {ivf_block}", file=sys.stderr)
 
     spark.stop()
 
@@ -185,7 +241,10 @@ def main() -> None:
         app_name="bench-headline", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     run_scaling_job(spark, sf_dir, replicate=2, cores=cpus)  # warm JIT
-    trials = [run_scaling_job(spark, sf_dir, replicate=4, cores=cpus) for _ in range(2)]
+    trials = [
+        run_scaling_job(spark, sf_dir, replicate=4, cores=cpus, salt=i + 1)
+        for i in range(2)
+    ]
     n_rows = trials[0][0]
     t_full = min(t for _, t in trials)
     throughput = n_rows / t_full
@@ -223,7 +282,9 @@ def main() -> None:
             prepared = prepare_scaling_input(sp, sf_dir, replicate=rep, cores=cores)
             if trial == 0:
                 run_scaling_job(sp, sf_dir, rep, cores, prepared=prepared)  # warm JIT
-            r, t = run_scaling_job(sp, sf_dir, rep, cores, prepared=prepared)
+            r, t = run_scaling_job(
+                sp, sf_dir, rep, cores, prepared=prepared, salt=trial + 1
+            )
             rows_n = r
             times[cores].append(t)
             pair[cores] = t
@@ -263,6 +324,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "rows_validated": n_rows,
+                "ivf_index": ivf_block,
                 "scaling": scaling,
                 "elapsed_sec": round(time.time() - t_start, 1),
             }

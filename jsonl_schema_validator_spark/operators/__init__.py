@@ -24,7 +24,9 @@ from jsonl_schema_validator_spark.operators.similarity import (
     brute_force_topk,
     embedding_cosine_pairs,
     embedding_lsh_pairs,
+    ivf_build_index,
     ivf_topk,
+    ivf_topk_indexed,
     lsh_topk,
 )
 from jsonl_schema_validator_spark.operators.codeops import (
@@ -58,7 +60,9 @@ __all__ = [
     "brute_force_topk",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
+    "ivf_build_index",
     "ivf_topk",
+    "ivf_topk_indexed",
     "lsh_topk",
     "code_metrics",
     "secret_scan",

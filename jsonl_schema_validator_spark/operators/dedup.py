@@ -72,13 +72,16 @@ def _shingle_table(
     )
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None | str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
 
@@ -86,10 +89,24 @@ def ngram_jaccard_pairs(
     threshold. Set semantics (distinct shingles).
 
     max_shingle_freq drops shingles appearing in more than that many docs
-    before the self-join (quadratic-blowup guard at scale; None = keep all,
-    exact result).
+    before the self-join. A single shingle shared by f documents produces
+    f^2/2 join rows, so ONE boilerplate line in a 10^9-doc corpus detonates
+    the self-join — 'auto' (default) caps at DEFAULT_MAX_SHINGLE_FREQ
+    (logged; mirrors embedding_cosine_pairs' guarded-by-default max_rows).
+    Shingles above the cap carry ~no similarity signal; pairs whose overlap
+    is ONLY ultra-hot shingles may be missed. Pass an int to tune, or None
+    to opt into the exact unguarded result.
     """
     sh = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq == "auto":
+        max_shingle_freq = DEFAULT_MAX_SHINGLE_FREQ
+        import logging
+
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: auto hot-shingle cap max_shingle_freq=%d "
+            "(pass None for the exact unguarded result)",
+            max_shingle_freq,
+        )
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("shingle")

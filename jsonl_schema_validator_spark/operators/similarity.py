@@ -138,41 +138,19 @@ def embedding_cosine_pairs(
     )
 
 
-def ivf_topk(
+def _fit_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-    seed: int = 42,
-    lloyd_iters: int = 2,
-    init: str = "kmeans",
-) -> DataFrame:
-    """Approximate cosine top-k via an IVF (inverted-file) index.
-
-    Plan-time (driver, numpy on a bounded sample — NOT per-row Python):
-    centroid fit. Execution (pure expressions):
-    - corpus partitioned into centroid cells by argmax centroid-cosine
-      (one narrow projection; centroids are broadcast literals)
-    - each query probes its `nprobe` nearest cells; exact cosine within
-      probed cells only -> work scales with corpus/num_centroids * nprobe
-      instead of the full corpus.
-    Recall is tunable via nprobe (nprobe = num_centroids => exact).
-
-    init:
-    - 'kmeans' (production default): seeded sample + Lloyd iterations.
-    - 'prefix' (cross-engine verifiable): centroids = the `num_centroids`
-      corpus vectors with the smallest ids, order-independent and therefore
-      reproducible in the DuckDB oracle relationally. Cell scores are full
-      cosines rounded to 6 dp with deterministic tiebreaks (argmax: lowest
-      cell; probe order: score desc, cell desc — matching reverse(sort)).
-    """
+    id_col: str,
+    vec_col: str,
+    num_centroids: int,
+    seed: int,
+    lloyd_iters: int,
+    init: str,
+) -> tuple[list[list[float]], list[float]]:
+    """Plan-time centroid fit (driver, numpy on a bounded sample — NOT
+    per-row Python). Returns (centroids, centroid_norms)."""
     import numpy as np
 
-    if nprobe > num_centroids:
-        raise ValueError("nprobe cannot exceed num_centroids")
     if init == "prefix":
         # deterministic regardless of partitioning: lowest ids, bounded collect
         rows = (
@@ -208,6 +186,11 @@ def ivf_topk(
         cent_norms = [1.0] * len(centroids)  # unit by construction
     else:
         raise ValueError(f"unknown init: {init!r}")
+    return centroids, cent_norms
+
+
+def _ivf_exprs(centroids: list[list[float]], cent_norms: list[float]):
+    """(cell_scores, argmax_cell) expression builders for a fitted IVF."""
 
     def cell_scores(vec: Column) -> Column:
         # full cosine per centroid, rounded to 6 dp: rounding makes the
@@ -246,37 +229,49 @@ def ivf_topk(
         )
         return F.array_sort(zipped)[0]["cell"].cast("int")
 
-    c_assign = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
-    )
-    # queries probe their nprobe best cells: rank cell scores, explode top n
+    return cell_scores, argmax_cell
+
+
+def _ivf_probe(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    centroids: list[list[float]],
+    cell_scores,
+) -> DataFrame:
+    """(query_id, qv, cell) — each query exploded to its nprobe best cells
+    (score desc, cell desc tiebreak, matching reverse(sort))."""
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         cell_scores(F.col(vec_col)).alias("scores"),
     )
-    ranked = qs.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.zip_with(
-                            F.col("scores"),
-                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+    return (
+        qs.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.zip_with(
+                                F.col("scores"),
+                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                                lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+                            )
                         )
-                    )
-                ),
-                1,
-                nprobe,
-            )
-        ).alias("probe"),
-    ).select("query_id", "qv", F.col("probe.cell").cast("int").alias("cell"))
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", "qv", F.col("probe.cell").cast("int").alias("cell"))
+    )
 
+
+def _ivf_score_topk(ranked: DataFrame, c_assign: DataFrame, k: int) -> DataFrame:
     scored = (
         ranked.join(c_assign, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -295,6 +290,157 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+    init: str = "kmeans",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Plan-time (driver, numpy on a bounded sample — NOT per-row Python):
+    centroid fit. Execution (pure expressions):
+    - corpus partitioned into centroid cells by argmax centroid-cosine
+      (one narrow projection; centroids are broadcast literals)
+    - each query probes its `nprobe` nearest cells; exact cosine within
+      probed cells only -> work scales with corpus/num_centroids * nprobe
+      instead of the full corpus.
+    Recall is tunable via nprobe (nprobe = num_centroids => exact).
+
+    init:
+    - 'kmeans' (production default): seeded sample + Lloyd iterations.
+    - 'prefix' (cross-engine verifiable): centroids = the `num_centroids`
+      corpus vectors with the smallest ids, order-independent and therefore
+      reproducible in the DuckDB oracle relationally. Cell scores are full
+      cosines rounded to 6 dp with deterministic tiebreaks (argmax: lowest
+      cell; probe order: score desc, cell desc — matching reverse(sort)).
+
+    For repeated query batches against the same corpus, build the index ONCE
+    with ivf_build_index and query with ivf_topk_indexed — the corpus argmax
+    scan is amortized and probes read only the probed cells' files.
+    """
+    if nprobe > num_centroids:
+        raise ValueError("nprobe cannot exceed num_centroids")
+    centroids, cent_norms = _fit_centroids(
+        corpus, id_col, vec_col, num_centroids, seed, lloyd_iters, init
+    )
+    cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
+
+    c_assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
+    )
+    ranked = _ivf_probe(queries, id_col, vec_col, nprobe, centroids, cell_scores)
+    return _ivf_score_topk(ranked, c_assign, k)
+
+
+_IVF_META = "_ivf_meta.json"
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+    init: str = "kmeans",
+) -> dict:
+    """Materialize the IVF index: centroid fit + ONE corpus argmax scan,
+    written as a cell-PARTITIONED parquet table (one directory per inverted
+    list) with a centroid sidecar. Repeated query batches then skip the
+    corpus scan entirely and read only their probed cells' files
+    (ivf_topk_indexed prunes partitions statically).
+
+    At warehouse scale this is the bucketed/partitioned assignment table the
+    CLAUDE.md backlog describes; Hive-style cell= partitioning gives file-
+    level pruning with no catalog dependency (with an Iceberg catalog the
+    same layout is `PARTITIONED BY (cell)`). Within-cell files are sorted by
+    neighbor_id for stable scans.
+    """
+    import json as _json
+
+    centroids, cent_norms = _fit_centroids(
+        corpus, id_col, vec_col, num_centroids, seed, lloyd_iters, init
+    )
+    cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
+    c_assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
+    )
+    (
+        c_assign.repartition("cell")
+        .sortWithinPartitions("neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    meta = {"centroids": centroids, "cent_norms": cent_norms}
+    # centroid sidecar through the same FS abstraction the checkpoint
+    # manifests use (works on file:// and object stores alike)
+    from jsonl_schema_validator_spark.plans.checkpoint import (
+        _HadoopFS,
+        _LocalFS,
+        _is_local,
+    )
+
+    fs = (
+        _LocalFS(path)
+        if _is_local(path)
+        else _HadoopFS(path, corpus.sparkSession)
+    )
+    fs.write_atomic(_IVF_META, _json.dumps(meta))
+    return meta
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Cosine top-k against a persisted IVF index (see ivf_build_index).
+
+    The query batch's probed cells are computed at the driver (bounded:
+    <= num_centroids values) and applied as a STATIC `cell IN (...)`
+    predicate, so the parquet scan lists and reads ONLY the probed cell
+    directories — second and later batches never touch the rest of the
+    corpus. Results are identical to ivf_topk with the same fit parameters
+    (pinned by test + the shared oracle-checked query).
+    """
+    import json as _json
+
+    from jsonl_schema_validator_spark.plans.checkpoint import (
+        _HadoopFS,
+        _LocalFS,
+        _is_local,
+    )
+
+    fs = _LocalFS(path) if _is_local(path) else _HadoopFS(path, spark)
+    meta = _json.loads(fs.read_text(_IVF_META))
+    centroids, cent_norms = meta["centroids"], meta["cent_norms"]
+    if nprobe > len(centroids):
+        raise ValueError("nprobe cannot exceed num_centroids")
+    cell_scores, _ = _ivf_exprs(centroids, cent_norms)
+    ranked = _ivf_probe(queries, id_col, vec_col, nprobe, centroids, cell_scores)
+    # bounded driver collect: the distinct probed cells of this batch
+    cells = [r.cell for r in ranked.select("cell").distinct().collect()]
+    c_assign = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    return _ivf_score_topk(ranked, c_assign, k)
 
 
 def _hyperplanes(dim: int, nb: int, seed: int) -> list[list[float]]:

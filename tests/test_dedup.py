@@ -221,3 +221,20 @@ def test_duplicate_clusters_matches_union_find(spark):
         df = spark.createDataFrame(sorted(edges), "id_a bigint, id_b bigint")
         got = {r.id: r.cluster_id for r in duplicate_clusters(df, max_iter=60).collect()}
         assert got == expect
+
+
+def test_ngram_jaccard_default_cap_in_plan(spark):
+    """Default call must carry the hot-shingle anti-join guard (auto cap);
+    max_shingle_freq=None is the explicit exact opt-in without it. At the
+    test's tiny frequency scale the results are identical."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    guarded = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    exact = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, max_shingle_freq=None
+    )
+    p_guarded = guarded._jdf.queryExecution().executedPlan().toString()
+    p_exact = exact._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p_guarded  # the hot-shingle filter
+    assert "LeftAnti" not in p_exact
+    assert {tuple(r) for r in guarded.collect()} == {tuple(r) for r in exact.collect()}

@@ -142,6 +142,43 @@ def test_fast_accept_rejects_planted_defects(obj, field):
 
 
 @given(conformant_object())
+@settings(max_examples=200, deadline=None)
+def test_fast_accept_re2_agrees_with_python_re(obj):
+    """Round-3: the Spark-side screen runs the SAME pattern through Arrow's
+    RE2 (vectorized batch pass). RE2-match must imply python-re-match on
+    both conformant and defect-planted lines, so the proven invariant
+    (fast-match => walker-valid) transfers to the vectorized screen."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lines = []
+    for seps in ((",", ":"), (", ", ": ")):
+        lines.append(json.dumps(obj, separators=seps))
+    broken = dict(obj)
+    broken["d"] = "2024-99-99x"  # invalid date; must match in NEITHER engine
+    lines.append(json.dumps(broken))
+    re2 = pc.match_substring_regex(pa.array(lines), FAST_RE.pattern).to_pylist()
+    pyre = [FAST_RE.match(l) is not None for l in lines]
+    assert re2 == pyre, list(zip(lines, re2, pyre))
+
+
+def test_fast_accept_lookahead_patterns_fall_back():
+    """REQUIRED ANY emits a lookahead, which RE2 rejects — the screen must
+    detect that at plan time and keep the compiled-re loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonl_schema_validator_spark.json_mode import build_fast_accept
+
+    s = schema_from_json([{"name": "p", "type": "ANY", "mode": "REQUIRED"}])
+    pat = build_fast_accept(s).pattern
+    assert "(?!" in pat
+    # note: must probe with a NON-empty array — RE2 compiles lazily
+    with pytest.raises(Exception):
+        pc.match_substring_regex(pa.array(["probe"]), pat)
+
+
+@given(conformant_object())
 @settings(max_examples=150, deadline=None)
 def test_key_order_and_whitespace_insensitive_verdict(obj):
     line1 = json.dumps(obj)

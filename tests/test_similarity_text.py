@@ -208,3 +208,35 @@ def test_dim_peek_guard_on_empty_or_null(spark):
     ).orderBy("vec_id")
     out = embedding_lsh_pairs(nullfirst, threshold=0.5)
     assert out.count() == 0  # only one non-null vector -> no pairs, no crash
+
+
+def test_ivf_index_persisted_matches_unpersisted(spark, tmp_path):
+    """ivf_build_index + ivf_topk_indexed must return EXACTLY ivf_topk's
+    results for the same fit parameters, and the indexed scan must prune to
+    the probed cell partitions (static PartitionFilters, no full-corpus
+    read on repeated batches)."""
+    import random as _random
+
+    from jsonl_schema_validator_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = _random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.where("vec_id < 6")
+    path = str(tmp_path / "ivf_idx")
+
+    base = ivf_topk(df, queries, k=5, num_centroids=8, nprobe=3, init="prefix")
+    ivf_build_index(df, path, num_centroids=8, init="prefix")
+    idx = ivf_topk_indexed(spark, path, queries, k=5, nprobe=3)
+    to_set = lambda d: {(r.query_id, r.neighbor_id, r.score, r.rank) for r in d.collect()}
+    assert to_set(idx) == to_set(base)
+
+    # partition pruning visible in the physical plan: cell is a partition
+    # column and the probe predicate is a static IN list
+    p = idx._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert scans and "cell" in scans[0], p[:2000]
