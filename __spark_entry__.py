@@ -642,9 +642,21 @@ sh AS (
 
 def _minhash_parts(threshold: float) -> tuple[str, str]:
     """(CTE chain, final SELECT) of the MinHash+LSH pair query — composable
-    so the duplicate-clusters oracle can build on the same pair set."""
+    so the duplicate-clusters oracle can build on the same pair set.
+
+    Universal-hash family (round-3): base = the 32-bit md5 prefix as bigint
+    (DuckDB ('0x'||hex)::BIGINT == Spark conv(hex,16,10)), h_s = (a_s*base
+    + b_s) % P with the SAME (a_s, b_s) literals the engine derives from
+    (num_hashes=16, seed=42)."""
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        minhash_hash_params,
+    )
+
+    base = "(('0x' || substr(md5(shingle), 1, 8))::BIGINT)"
     hashes = ",\n    ".join(
-        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(16)
+        f"min(({a} * {base} + {b}) % {_MINHASH_PRIME}) AS h{s}"
+        for s, (a, b) in enumerate(minhash_hash_params(16, 42))
     )
     band_selects = []
     for b in range(4):

@@ -17,16 +17,63 @@ Scale notes (100 TB):
   the token explode dominates — partition by input split, no skew (ids are
   unique).
 
-The md5-lexicographic-min MinHash is deliberately engine-portable: identical
-results in Spark and DuckDB (no JVM/duckdb-specific hash), which is what the
-driver's oracle check requires. A salted xxhash64 variant would be ~2x faster
-JVM-side but unverifiable cross-engine.
+MinHash portability: the default 'universal' family computes ONE md5 per
+shingle (base = the 32-bit hex prefix) and derives each of the S hashes as
+(a_s*base + b_s) mod P — a classic universal-hash MinHash. It is exactly
+reproducible in the DuckDB oracle (('0x'||substr(md5(x),1,8))::BIGINT and
+the same (a_s, b_s) literals) while doing 1 md5 + S multiply-mods per
+shingle instead of the S md5 evaluations of the round-1/2 'md5' family
+(kept as hash_family='md5' for comparability). a < 2^31 and base < 2^32
+keep every product below 2^63 — no bigint overflow in either engine.
 """
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# smallest prime above 2^32: the universal-hash modulus
+_MINHASH_PRIME = 4294967311
+
+
+def minhash_hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_s, b_s) coefficients of the universal MinHash family
+    h_s(x) = (a_s*x + b_s) mod P. Plan-time constants — the DuckDB oracle
+    regenerates the identical literals from (num_hashes, seed)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def _minhash_base(shingle: Column) -> Column:
+    """32-bit base hash: the md5 hex prefix as a bigint (engine-portable)."""
+    return F.conv(F.substring(F.md5(shingle.cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _minhash_sig_aggs(num_hashes: int, seed: int, hash_family: str) -> list[Column]:
+    """The S min-aggregations of a signature build (over a shingle column)."""
+    if hash_family == "universal":
+        base = _minhash_base(F.col("shingle"))
+        return [
+            F.min(
+                F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MINHASH_PRIME))
+            ).alias(f"h{s}")
+            for s, (a, b) in enumerate(minhash_hash_params(num_hashes, seed))
+        ]
+    if hash_family == "md5":
+        return [
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
 
 
 def _tokens(col: Column) -> Column:
@@ -146,21 +193,20 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 16,
+    hash_family: str = "universal",
+    seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per doc: (id, h0..h{S-1}).
 
-    h_s(doc) = lexicographic min over shingles of md5('<s>:' || shingle).
-    Engine-portable (md5 only); one shuffle: groupBy(id) with S min-aggs,
-    all map-side combinable.
+    hash_family='universal' (default): h_s(doc) = min over shingles of
+    (a_s*base + b_s) mod P with base = the 32-bit md5 prefix — ONE md5 per
+    shingle, S cheap multiply-mods (see module docstring; ~10x less hashing
+    than 'md5'). 'md5': the round-1 family, h_s = lexicographic min of
+    md5('<s>:' || shingle). Both engine-portable; one shuffle: groupBy(id)
+    with S min-aggs, all map-side combinable.
     """
     sh = _shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(
-            f"h{s}"
-        )
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    return sh.groupBy("id").agg(*_minhash_sig_aggs(num_hashes, seed, hash_family))
 
 
 def minhash_lsh_pairs(
@@ -171,12 +217,14 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_family: str = "universal",
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     LSH recall: P(candidate) = 1 - (1 - j^R)^B with R = num_hashes/bands.
     Returns (id_a, id_b, jaccard) for verified candidates (round 6) >=
-    threshold, id_a < id_b.
+    threshold, id_a < id_b. hash_family: see minhash_signatures.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -190,12 +238,9 @@ def minhash_lsh_pairs(
     sh = _shingle_table(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig_aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))
-        ).alias(f"h{s}")
-        for s in range(num_hashes)
-    ] + [F.count(F.lit(1)).alias("n_shingles")]  # sizes folded into same agg
+    sig_aggs = _minhash_sig_aggs(num_hashes, seed, hash_family) + [
+        F.count(F.lit(1)).alias("n_shingles")  # sizes folded into same agg
+    ]
     sig = sh.groupBy("id").agg(*sig_aggs)
     band_cols = [
         F.struct(

@@ -77,7 +77,7 @@ def test_ngram_jaccard_pairs(spark):
     assert all(a >= 100 for (a, b) in pairs)
 
 
-def _py_minhash(text: str, num_hashes: int = 16, n: int = 3) -> list[str]:
+def _py_minhash_md5(text: str, num_hashes: int = 16, n: int = 3) -> list[str]:
     sh = _py_shingles(text, n)
     return [
         min(hashlib.md5(f"{s}:{g}".encode()).hexdigest() for g in sh)
@@ -85,14 +85,39 @@ def _py_minhash(text: str, num_hashes: int = 16, n: int = 3) -> list[str]:
     ]
 
 
+def _py_minhash_universal(
+    text: str, num_hashes: int = 16, n: int = 3, seed: int = 42
+) -> list[int]:
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        minhash_hash_params,
+    )
+
+    sh = _py_shingles(text, n)
+    bases = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in sh]
+    return [
+        min((a * x + b) % _MINHASH_PRIME for x in bases)
+        for a, b in minhash_hash_params(num_hashes, seed)
+    ]
+
+
 def test_minhash_signature_matches_python(spark):
+    """Both hash families reproduce an independent python reimplementation
+    exactly (the same invariant the DuckDB oracle checks cross-engine)."""
     df, texts = _corpus(spark)
-    sig = {
+    sig_u = {
         r.id: [r[f"h{s}"] for s in range(16)]
         for r in minhash_signatures(df, "doc_id", "text").collect()
     }
+    sig_m = {
+        r.id: [r[f"h{s}"] for s in range(16)]
+        for r in minhash_signatures(
+            df, "doc_id", "text", hash_family="md5"
+        ).collect()
+    }
     for doc_id in (0, 100, 101):
-        assert sig[doc_id] == _py_minhash(texts[doc_id]), doc_id
+        assert sig_u[doc_id] == _py_minhash_universal(texts[doc_id]), doc_id
+        assert sig_m[doc_id] == _py_minhash_md5(texts[doc_id]), doc_id
 
 
 def test_minhash_lsh_pairs(spark):
