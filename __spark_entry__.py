@@ -273,6 +273,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_metrics(docs, "doc_id", "text")
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals (round-3 operator)."""
+    from jsonl_schema_validator_spark.operators import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return language_guess(docs, "doc_id", "text")
@@ -606,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "text_metrics": q_text_metrics,
+        "repetition_documents": q_repetition_documents,
         "langid": q_langid,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -1204,6 +1213,28 @@ SELECT doc_id AS id, n_chars, n_tokens,
         + (n_uniq / (n_tokens * 1.0)) * 0.4
         + least(n_stop / greatest(n_tokens * 0.05, 1.0), 1.0) * 0.2, 6) AS quality_score
 FROM m
+""",
+        "repetition_documents": """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+base AS (
+  SELECT doc_id AS id,
+    CAST(len(l) AS BIGINT) AS n_lines,
+    round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_line_frac,
+    round(CAST(list_sum(list_transform(l, x -> length(x)))
+               - list_sum(list_transform(list_distinct(l), x -> length(x))) AS DOUBLE)
+          / NULLIF(list_sum(list_transform(l, x -> length(x))), 0), 6) AS dup_line_char_frac
+  FROM ls),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id AS id,
+               round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+        FROM cnt GROUP BY doc_id)
+SELECT base.id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac
+FROM base LEFT JOIN agg ON base.id = agg.id
 """,
         "langid": f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

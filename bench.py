@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "token_count",
     "fingerprint",
     "secret_scan",
+    "repetition_documents",
     "tumbling_events",
     "pricing_summary",
 ]

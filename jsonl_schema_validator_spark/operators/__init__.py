@@ -34,6 +34,7 @@ from jsonl_schema_validator_spark.operators.codeops import (
     secret_scan,
 )
 from jsonl_schema_validator_spark.operators.textops import (
+    repetition_metrics,
     text_metrics,
     language_guess,
     token_count,
@@ -66,6 +67,7 @@ __all__ = [
     "lsh_topk",
     "code_metrics",
     "secret_scan",
+    "repetition_metrics",
     "text_metrics",
     "language_guess",
     "token_count",

@@ -127,6 +127,68 @@ def token_count(
     return df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals:
+    (id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac).
+
+    - dup_line_frac: 1 - distinct_lines / lines (newline-split).
+    - dup_line_char_frac: characters in repeated line OCCURRENCES beyond the
+      first, over all line characters (the repetition-filter signal:
+      boilerplate headers/footers repeat verbatim).
+    - top_bigram_frac: occurrences of the most frequent word bigram over all
+      bigram occurrences (catches "foo bar foo bar ..." degenerate text).
+
+    Line metrics are a narrow projection (array ops, no shuffle); the bigram
+    mode needs a per-(id, bigram) count -> two map-side-combinable
+    aggregations keyed by id — scales linearly, no skew (ids unique). NULL
+    fractions (empty text / <2 tokens) use try_divide, never a crash.
+    """
+    col = F.col(text_col)
+    ls = F.split(col, "\n")
+    n_lines = F.size(ls)
+    # sum of line lengths = text length minus the newline separators
+    chars_all = F.length(col) - (n_lines - F.lit(1))
+    chars_distinct = F.aggregate(
+        F.array_distinct(ls), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.size(F.array_distinct(ls)), n_lines), 6
+        ).alias("dup_line_frac"),
+        F.round(F.try_divide(chars_all - chars_distinct, chars_all), 6).alias(
+            "dup_line_char_frac"
+        ),
+    )
+    toks = F.split(col, " ")
+    n_toks = F.size(toks)
+    # single transform lambda (nested transform lambdas mis-bind, see
+    # fingerprint()); the when() guard keeps sequence/element_at off the
+    # n<2 rows (ANSI: sequence(1,0) counts DOWN and would index 0)
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.round(F.try_divide(F.max("c"), F.sum("c")), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return base.join(counts, "id", "left")
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str,

@@ -240,3 +240,34 @@ def test_ivf_index_persisted_matches_unpersisted(spark, tmp_path):
     p = idx._jdf.queryExecution().executedPlan().toString()
     scans = [l for l in p.splitlines() if "PartitionFilters" in l]
     assert scans and "cell" in scans[0], p[:2000]
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style repetition signals on crafted inputs: boilerplate line
+    repetition, degenerate bigram loops, and the empty/short edge cases."""
+    from jsonl_schema_validator_spark.operators import repetition_metrics
+
+    rows = [
+        # 4 lines, 'header' repeated 3x: dup_line_frac = 1 - 2/4
+        (1, "header\nbody text here\nheader\nheader"),
+        (2, "all unique\nlines in\nthis doc"),
+        (3, "spam ham " * 10 + "spam ham"),  # one dominant bigram
+        (4, "single"),       # 1 token: no bigrams -> null frac
+        (5, ""),             # empty: char frac null
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+
+    assert got[1].n_lines == 4
+    assert got[1].dup_line_frac == 0.5
+    # repeated 'header' occurrences beyond the first: 2*6 chars of 32 total
+    assert got[1].dup_line_char_frac == round(12 / 32, 6)
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].dup_line_char_frac == 0.0
+    # 'spam ham spam ham ...': bigrams alternate (spam ham)/(ham spam);
+    # 22 tokens -> 21 bigrams, 'spam ham' wins with 11
+    assert got[3].top_bigram_frac == round(11 / 21, 6)
+    assert got[4].top_bigram_frac is None
+    assert got[4].dup_line_frac == 0.0
+    assert got[5].dup_line_char_frac is None
+    assert got[5].n_lines == 1
