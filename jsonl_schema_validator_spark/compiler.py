@@ -306,18 +306,19 @@ def _repeated_struct_fast_path(
 
     def nullable_regex(ext: Column, inner: str) -> Column:
         flat2 = F.array_join(ext, _JOIN_SEP, _X02)
-        flat0 = F.array_join(ext, _JOIN_SEP, "")
         sep_count = F.length(flat2) - F.length(
             F.replace(flat2, F.lit(_JOIN_SEP), F.lit(""))
         )
-        null_count = F.length(flat2) - F.length(flat0)
-        x02_count = F.length(flat2) - F.length(
-            F.replace(flat2, F.lit(_X02), F.lit(""))
-        )
         pat = f"^({inner}|{_X02})({_JOIN_SEP}({inner}|{_X02}))*$"
+        # the one hole in the \x02-as-null encoding is a stored value of
+        # EXACTLY "\x02" (same rendering as a null slot, matches the
+        # alternative): one array_position scan flags it — cheaper than the
+        # second array_join + length diffs used pre-round-3. Values merely
+        # CONTAINING \x02 fail the pattern; values containing the separator
+        # break the separator count.
         return (
             (sep_count != size - 1)
-            | (x02_count != null_count)
+            | (F.array_position(ext, F.lit(_X02)) != 0)
             | ~flat2.rlike(pat)
         )
 

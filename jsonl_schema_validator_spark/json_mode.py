@@ -551,12 +551,21 @@ def reference_verdicts(
                     )
                 else:
                     ok = [s is not None and fmatch(s) is not None for s in lines]
-            errs = []
-            for i, s in enumerate(lines):
-                if s is None or (ok is not None and ok[i]):
-                    errs.append([])  # null line / provably-valid canonical form
-                else:
-                    errs.append(validate_line(s, jschema, collect_all))
+            if ok is not None:
+                import numpy as np
+
+                # prefill every line as valid, walk ONLY the screen misses —
+                # an all-conforming batch does zero per-line Python
+                errs: list = [[]] * len(pdf)
+                for i in np.flatnonzero(~np.asarray(ok, dtype=bool)):
+                    s = lines.iloc[int(i)]
+                    if s is not None:
+                        errs[int(i)] = validate_line(s, jschema, collect_all)
+            else:
+                errs = [
+                    [] if s is None else validate_line(s, jschema, collect_all)
+                    for s in lines
+                ]
             pdf = pdf.copy()
             pdf["errors"] = errs
             pdf["is_valid"] = [not e for e in errs]
