@@ -203,14 +203,22 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
+    # driver_threshold=0 forces the distributed label-propagation path
+    # (the default size dispatch would run this tiny graph at the driver)
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=2)
+        duplicate_clusters(chain, max_iter=2, driver_threshold=0)
     # enough rounds -> one component rooted at 0
-    got = {r.cluster_id for r in duplicate_clusters(chain, max_iter=10).collect()}
+    got = {
+        r.cluster_id
+        for r in duplicate_clusters(chain, max_iter=10, driver_threshold=0).collect()
+    }
     assert got == {0}
     # max_iter EXACTLY the rounds needed: the last round carries the final
     # change; the post-loop check must recognize convergence, not raise
-    got = {r.cluster_id for r in duplicate_clusters(chain, max_iter=8).collect()}
+    got = {
+        r.cluster_id
+        for r in duplicate_clusters(chain, max_iter=8, driver_threshold=0).collect()
+    }
     assert got == {0}
 
 
@@ -244,8 +252,16 @@ def test_duplicate_clusters_matches_union_find(spark):
             comp.setdefault(find(x), []).append(x)
         expect = {x: min(members) for members in comp.values() for x in members}
         df = spark.createDataFrame(sorted(edges), "id_a bigint, id_b bigint")
-        got = {r.id: r.cluster_id for r in duplicate_clusters(df, max_iter=60).collect()}
-        assert got == expect
+        # BOTH dispatch paths must equal the ground truth: the driver-side
+        # union-find (default for small graphs) and the distributed
+        # label propagation (driver_threshold=0)
+        got_drv = {r.id: r.cluster_id for r in duplicate_clusters(df).collect()}
+        got_dist = {
+            r.id: r.cluster_id
+            for r in duplicate_clusters(df, max_iter=60, driver_threshold=0).collect()
+        }
+        assert got_drv == expect
+        assert got_dist == expect
 
 
 def test_ngram_jaccard_default_cap_in_plan(spark):
