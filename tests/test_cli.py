@@ -1,0 +1,95 @@
+"""CLI + packaging e2e: the reference's `jsonsv -f -s -x -t` surface
+(main.rs:25-43) driven as a real subprocess (own Spark session), and the
+spark-submit --py-files zip verified importable.
+
+These are the §2.1 exit-code-sink / CLI-surface claims as durable pytest
+evidence (previously only drive-verified). One fresh JVM per invocation
+(~25s each) — kept to a minimal matrix.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCHEMA = [
+    {"name": "id", "type": "STRING", "mode": "REQUIRED"},
+    {"name": "n", "type": "INT64", "mode": "REQUIRED"},
+    {"name": "when", "type": "DATE"},
+]
+
+
+@pytest.fixture(scope="module")
+def cli_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    schema_path = d / "schema.json"
+    schema_path.write_text(json.dumps(SCHEMA))
+    bad = d / "bad.jsonl"
+    lines = [
+        '{"id": "a", "n": 1, "when": "2024-01-01"}',
+        '{"id": "b", "n": 2}',
+        '{"id": "c", "n": "oops", "when": "2024-01-01"}',  # line 3: bad INT64
+        '{"id": "d", "n": 4, "when": "nope"}',  # line 4: bad DATE
+    ]
+    bad.write_text("\n".join(lines) + "\n")
+    good = d / "good.jsonl"
+    good.write_text("\n".join(lines[:2]) + "\n")
+    return str(schema_path), str(bad), str(good)
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "jsonsv.py"), *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+    )
+
+
+def test_jsonsv_exit_codes_and_report(cli_files):
+    schema, bad, good = cli_files
+    r = _run(["-f", bad, "-s", schema, "-t", "2"])
+    assert r.returncode == 1, r.stderr[-2000:]
+    # per-line first errors on stderr with byte offsets (exact walker mode)
+    assert "line 3: FIELD_VALUE_INVALID at byte" in r.stderr
+    assert "line 4: FIELD_VALUE_INVALID at byte" in r.stderr
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["lines"] == 4 and summary["errors"] == 2
+    assert summary["bytes"] > 0
+
+    r = _run(["-f", good, "-s", schema, "-t", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["lines"] == 2 and summary["errors"] == 0
+
+
+def test_packaging_zip_importable(tmp_path):
+    """tools/package.py builds the --py-files zip; the package must import
+    from the zip ALONE (zipimport), proving the spark-submit ship path."""
+    from tools.package import build
+
+    out = build(REPO, out=str(tmp_path / "pkg.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import jsonl_schema_validator_spark as m; "
+        "assert %r in m.__file__, m.__file__; "
+        "from jsonl_schema_validator_spark.schema import schema_from_json; "
+        "s = schema_from_json([{'name': 'x', 'type': 'INT64'}]); "
+        "print(len(s.fields))" % (out, os.path.basename(out))
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=str(tmp_path),  # NOT the repo root: the zip must self-suffice
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "1"
