@@ -200,6 +200,8 @@ def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_quantity", "l_extendedprice", "l_returnflag"],
         distinct_mode="exact",
+        percentiles=[0.5, 0.95],
+        percentile_mode="exact",  # matches DuckDB quantile_cont at round 6
     )
 
 
@@ -1079,6 +1081,8 @@ SELECT * FROM (
   UNION ALL SELECT 'l_quantity', 'max', round(max(l_quantity), 6) FROM lineitem
   UNION ALL SELECT 'l_quantity', 'avg', round(avg(l_quantity), 6) FROM lineitem
   UNION ALL SELECT 'l_quantity', 'stddev', round(stddev_samp(l_quantity), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'p50', round(quantile_cont(l_quantity::DOUBLE, 0.5), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'p95', round(quantile_cont(l_quantity::DOUBLE, 0.95), 6) FROM lineitem
   UNION ALL SELECT 'l_extendedprice', 'count', round(count(l_extendedprice)::DOUBLE, 6) FROM lineitem
   UNION ALL SELECT 'l_extendedprice', 'nulls', round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::DOUBLE, 6) FROM lineitem
   UNION ALL SELECT 'l_extendedprice', 'distinct', round(count(DISTINCT l_extendedprice)::DOUBLE, 6) FROM lineitem
@@ -1086,6 +1090,8 @@ SELECT * FROM (
   UNION ALL SELECT 'l_extendedprice', 'max', round(max(l_extendedprice), 6) FROM lineitem
   UNION ALL SELECT 'l_extendedprice', 'avg', round(avg(l_extendedprice), 6) FROM lineitem
   UNION ALL SELECT 'l_extendedprice', 'stddev', round(stddev_samp(l_extendedprice), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'p50', round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'p95', round(quantile_cont(l_extendedprice::DOUBLE, 0.95), 6) FROM lineitem
   UNION ALL SELECT 'l_returnflag', 'count', round(count(l_returnflag)::DOUBLE, 6) FROM lineitem
   UNION ALL SELECT 'l_returnflag', 'nulls', round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::DOUBLE, 6) FROM lineitem
   UNION ALL SELECT 'l_returnflag', 'distinct', round(count(DISTINCT l_returnflag)::DOUBLE, 6) FROM lineitem

@@ -29,17 +29,25 @@ def column_stats(
     columns: list[str] | None = None,
     round_to: int | None = 6,
     distinct_mode: str | None = "approx",
+    percentiles: list[float] | None = None,
+    percentile_mode: str = "approx",
 ) -> DataFrame:
     """Per-column stats, long form: (column, metric, value:double).
 
     Metrics: count (non-null), nulls, distinct, and for numeric columns
-    min/max/avg/stddev; for strings, length-based min/max/avg len. All in
-    ONE agg. distinct_mode: 'approx' (HLL sketch, one pass — the scale
-    default), 'exact' (exact count-distinct, adds an expand — used when an
-    engine-independent answer is needed, e.g. oracle checks), or None.
+    min/max/avg/stddev (+ optional percentiles as p50/p95/... rows); for
+    strings, length-based min/max/avg len. All in ONE agg. distinct_mode:
+    'approx' (HLL sketch, one pass — the scale default), 'exact' (exact
+    count-distinct, adds an expand — used when an engine-independent answer
+    is needed, e.g. oracle checks), or None. percentile_mode: 'approx'
+    (KLL-style sketch via percentile_approx — the scale default), 'exact'
+    (true linear-interpolated percentile; matches DuckDB quantile_cont
+    bit-for-bit at round 6, probe-verified — the oracle mode).
     """
     if distinct_mode not in ("approx", "exact", None):
         raise ValueError(f"unknown distinct_mode: {distinct_mode}")
+    if percentile_mode not in ("approx", "exact"):
+        raise ValueError(f"unknown percentile_mode: {percentile_mode}")
     columns = columns or [f.name for f in df.schema.fields]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
@@ -64,6 +72,14 @@ def column_stats(
             add(c, "max", F.max(col).cast("double"))
             add(c, "avg", F.avg(col).cast("double"))
             add(c, "stddev", F.stddev(col).cast("double"))
+            for q in percentiles or []:
+                label = f"p{q * 100:g}"
+                expr = (
+                    F.percentile(col, F.lit(float(q)))
+                    if percentile_mode == "exact"
+                    else F.percentile_approx(col, F.lit(float(q)), F.lit(10000))
+                )
+                add(c, label, expr.cast("double"))
         elif isinstance(dt, T.StringType):
             length = F.length(col)
             add(c, "min_length", F.min(length).cast("double"))

@@ -360,3 +360,27 @@ def test_ri_bloom_mixed_numeric_width_falls_back(spark):
     assert bloom == exact
     # 2^60+1 joins the double parent under coercion: NOT an orphan
     assert {v for v, _ in exact} == {'{"fk":456}'}
+
+
+def test_column_stats_percentiles(spark):
+    """Exact percentiles match numpy's linear interpolation; approx mode
+    lands within sketch tolerance; p-label rows appear only for numeric
+    columns."""
+    import numpy as np
+
+    vals = [float(v) for v in range(1, 202)]  # 1..201
+    df = spark.createDataFrame([(v, "x") for v in vals], "v double, s string")
+    exact = {
+        (r["column"], r.metric): r.value
+        for r in column_stats(
+            df, ["v", "s"], percentiles=[0.5, 0.9], percentile_mode="exact"
+        ).collect()
+    }
+    assert exact[("v", "p50")] == round(float(np.percentile(vals, 50)), 6)
+    assert exact[("v", "p90")] == round(float(np.percentile(vals, 90)), 6)
+    assert ("s", "p50") not in exact  # strings get no percentile rows
+    approx = {
+        (r["column"], r.metric): r.value
+        for r in column_stats(df, ["v"], percentiles=[0.5]).collect()
+    }
+    assert abs(approx[("v", "p50")] - exact[("v", "p50")]) <= 1.0
