@@ -1,6 +1,7 @@
 from jsonl_schema_validator_spark.streaming.validate_stream import (
     validate_stream,
     windowed_chi2_drift,
+    windowed_ri_orphans,
     windowed_ks_vs_profile,
     windowed_violation_counts,
     start_violations_sink,
@@ -9,6 +10,7 @@ from jsonl_schema_validator_spark.streaming.validate_stream import (
 __all__ = [
     "validate_stream",
     "windowed_chi2_drift",
+    "windowed_ri_orphans",
     "windowed_ks_vs_profile",
     "windowed_violation_counts",
     "start_violations_sink",

@@ -214,3 +214,51 @@ def windowed_ks_vs_profile(
     if threshold is not None:
         out = out.withColumn("drifted", F.col("ks_d") > F.lit(threshold))
     return out
+
+
+def windowed_ri_orphans(
+    sdf: DataFrame,
+    keys: list[str],
+    dim: DataFrame,
+    dim_keys: list[str] | None = None,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous referential integrity: per event-time window, the count
+    and distinct-key count of stream rows whose key tuple has no match in a
+    STATIC dimension (the streaming analog of operators.referential; north
+    rule: RI of repo/commit keys).
+
+    Stream-static left_anti join — Spark broadcasts the static side per
+    micro-batch (re-read each batch, so a slowly-refreshed dim parquet is
+    picked up without restarting the query), then one watermarked windowed
+    aggregation. Null stream keys are not RI violations (SQL FK semantics),
+    matching the batch operator.
+
+    Output per window: (window, orphan_rows, orphan_keys).
+    """
+    dim_keys = dim_keys or keys
+    if len(dim_keys) != len(keys):
+        raise ValueError("keys and dim_keys must have the same arity")
+    child = sdf.select(F.col(ts_col), *[F.col(k) for k in keys])
+    for k in keys:
+        child = child.where(F.col(k).isNotNull())
+    parent = dim.select(
+        *[F.col(dk).alias(f"__p_{i}") for i, dk in enumerate(dim_keys)]
+    ).dropDuplicates()
+    cond = None
+    for i, k in enumerate(keys):
+        c = child[k] == parent[f"__p_{i}"]
+        cond = c if cond is None else (cond & c)
+    orphans = child.join(F.broadcast(parent), on=cond, how="left_anti")
+    return (
+        orphans.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.approx_count_distinct(F.concat_ws("\x01", *keys)).alias(
+                "orphan_keys"
+            ),
+        )
+    )

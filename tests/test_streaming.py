@@ -215,3 +215,59 @@ def test_windowed_ks_vs_profile(spark, tmp_path):
         spark.createDataFrame([(v,) for v in hour0], "v double"), "v", prof_path
     ).collect()[0]
     assert got[0].ks_d == batch.ks_d
+
+
+def test_windowed_ri_orphans(spark, tmp_path):
+    """Streaming RI monitor: stream-static anti join against a dim table,
+    per-window orphan counts cross-checked against the batch ri_violations
+    operator on the same rows. Null keys are not violations."""
+    from jsonl_schema_validator_spark.operators import ri_violations
+    from jsonl_schema_validator_spark.streaming import windowed_ri_orphans
+
+    dim = spark.createDataFrame(
+        [("r1", "c1"), ("r1", "c2"), ("r2", "c1")], "repo string, commit string"
+    )
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # hour 0: 10 valid + 3 orphans of 2 distinct keys + 1 null key
+    for i in range(10):
+        rows.append((t0 + dt.timedelta(seconds=i), "r1", "c1"))
+    rows += [
+        (t0 + dt.timedelta(seconds=20), "rX", "c1"),
+        (t0 + dt.timedelta(seconds=21), "rX", "c1"),
+        (t0 + dt.timedelta(seconds=22), "r1", "cZ"),
+        (t0 + dt.timedelta(seconds=23), None, "c1"),
+    ]
+    # hour 1: all valid
+    t1 = t0 + dt.timedelta(hours=1)
+    rows += [(t1 + dt.timedelta(seconds=i), "r2", "c1") for i in range(5)]
+    src = str(tmp_path / "ri_src")
+    spark.createDataFrame(rows, "ts timestamp, repo string, commit string").coalesce(
+        1
+    ).write.parquet(src)
+
+    sdf = spark.readStream.schema("ts timestamp, repo string, commit string").parquet(src)
+    out = windowed_ri_orphans(
+        sdf, ["repo", "commit"], dim, ts_col="ts", window_duration="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ri_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window.start.hour: r for r in spark.sql("select * from ri_windows").collect()}
+    assert got[0].orphan_rows == 3 and got[0].orphan_keys == 2
+    assert 1 not in got  # no orphans -> no row for hour 1
+    # batch cross-check: distinct orphan keys + total occurrences agree
+    batch = ri_violations(
+        spark.createDataFrame(
+            [(r[1], r[2]) for r in rows if r[0] < t1], "repo string, commit string"
+        ),
+        ["repo", "commit"],
+        dim,
+    ).collect()
+    assert sum(b.orphan_count for b in batch) == got[0].orphan_rows
+    assert len(batch) == got[0].orphan_keys
