@@ -283,6 +283,24 @@ def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher keep/drop filter (round-3): signals + tripped
+    reasons + keep verdict, same formulas as the individually-oracled
+    text_metrics/repetition_metrics queries."""
+    from jsonl_schema_validator_spark.operators import document_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return document_quality(
+        docs,
+        "doc_id",
+        "text",
+        min_tokens=20,
+        min_quality_score=0.5,
+        max_dup_line_frac=0.3,
+        max_top_bigram_frac=0.2,
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return language_guess(docs, "doc_id", "text")
@@ -617,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "text_metrics": q_text_metrics,
         "repetition_documents": q_repetition_documents,
+        "doc_quality": q_doc_quality,
         "langid": q_langid,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -1241,6 +1260,48 @@ agg AS (SELECT doc_id AS id,
         FROM cnt GROUP BY doc_id)
 SELECT base.id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac
 FROM base LEFT JOIN agg ON base.id = agg.id
+""",
+        "doc_quality": f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({sw}, x))) AS n_stop,
+    len(list_distinct(toks)) AS n_uniq
+  FROM t),
+q AS (
+  SELECT doc_id, n_tokens,
+    round(least(n_tokens / 20.0, 1.0) * 0.4
+          + (n_uniq / (n_tokens * 1.0)) * 0.4
+          + least(n_stop / greatest(n_tokens * 0.05, 1.0), 1.0) * 0.2, 6) AS quality_score
+  FROM m),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+rep AS (
+  SELECT doc_id,
+    round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_line_frac
+  FROM ls),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+        FROM cnt GROUP BY doc_id),
+j AS (
+  SELECT q.doc_id AS id, q.n_tokens, q.quality_score,
+         rep.dup_line_frac, agg.top_bigram_frac,
+         concat_ws(',',
+           CASE WHEN coalesce(q.n_tokens, 0) < 20 THEN 'too_few_tokens' END,
+           CASE WHEN q.quality_score < 0.5 THEN 'low_quality' END,
+           CASE WHEN rep.dup_line_frac > 0.3 THEN 'repetitive_lines' END,
+           CASE WHEN agg.top_bigram_frac > 0.2 THEN 'repetitive_bigrams' END
+         ) AS reasons
+  FROM q JOIN rep ON q.doc_id = rep.doc_id
+  LEFT JOIN agg ON q.doc_id = agg.doc_id)
+SELECT id, n_tokens, quality_score, dup_line_frac, top_bigram_frac,
+       reasons, (reasons = '') AS keep
+FROM j
 """,
         "langid": f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -21,6 +21,7 @@ from jsonl_schema_validator_spark.operators.dedup import (
     word_shingles,
 )
 from jsonl_schema_validator_spark.operators.similarity import (
+    ann_recall,
     brute_force_topk,
     embedding_cosine_pairs,
     embedding_lsh_pairs,
@@ -34,6 +35,7 @@ from jsonl_schema_validator_spark.operators.codeops import (
     secret_scan,
 )
 from jsonl_schema_validator_spark.operators.textops import (
+    document_quality,
     repetition_metrics,
     text_metrics,
     language_guess,
@@ -58,6 +60,7 @@ __all__ = [
     "simhash64",
     "simhash_near_pairs",
     "word_shingles",
+    "ann_recall",
     "brute_force_topk",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
@@ -67,6 +70,7 @@ __all__ = [
     "lsh_topk",
     "code_metrics",
     "secret_scan",
+    "document_quality",
     "repetition_metrics",
     "text_metrics",
     "language_guess",

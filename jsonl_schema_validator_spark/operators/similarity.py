@@ -443,6 +443,55 @@ def ivf_topk_indexed(
     return _ivf_score_topk(ranked, c_assign, k)
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    (query_id, hits, exact_k, recall) + one __overall__ row (macro average).
+
+    The standard ANN quality gauge for tuning nprobe/num_planes: run
+    ivf_topk/lsh_topk and brute_force_topk on a SAMPLE of queries, compare.
+    Pure joins + aggregation; both inputs are top-k outputs (tiny), so this
+    broadcast-joins and never touches the corpus.
+    """
+    a = approx.select(
+        F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("n")
+    )
+    e = exact.select(
+        F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("n")
+    )
+    hits = a.join(e, ["query_id", "n"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    per_q = (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("exact_k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            "exact_k",
+            F.round(
+                F.try_divide(F.coalesce("hits", F.lit(0)), F.col("exact_k")), 6
+            ).alias("recall"),
+        )
+    )
+    overall = per_q.agg(
+        F.sum("hits").alias("hits"),
+        F.sum("exact_k").alias("exact_k"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+    ).select(F.lit("__overall__").alias("query_id"), "hits", "exact_k", "recall")
+    return per_q.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "hits",
+        "exact_k",
+        "recall",
+    ).unionByName(overall)
+
+
 def _hyperplanes(dim: int, nb: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nb)]

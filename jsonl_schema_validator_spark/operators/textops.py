@@ -203,6 +203,67 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return base.join(counts, "id", "left")
 
 
+def document_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    min_quality_score: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    allowed_langs: list[str] | None = None,
+) -> DataFrame:
+    """C4/Gopher-style composite training-data filter: one row per doc with
+    the key quality signals, a comma-joined `reasons` string of every
+    threshold tripped ('' = clean), and the `keep` verdict.
+
+    Composes text_metrics + repetition_metrics (+ language_guess when
+    allowed_langs is given) with identical formulas, joined on id. NULL
+    signals (empty docs) never trip a threshold by themselves except the
+    token minimum. Reason labels, in fixed order: too_few_tokens,
+    low_quality, repetitive_lines, repetitive_bigrams, lang.
+    """
+    tm = text_metrics(df, id_col, text_col).select(
+        "id", "n_tokens", "quality_score"
+    )
+    rep = repetition_metrics(df, id_col, text_col).select(
+        "id", "dup_line_frac", "top_bigram_frac"
+    )
+    j = tm.join(rep, "id")
+    cols = ["id", "n_tokens", "quality_score", "dup_line_frac", "top_bigram_frac"]
+    reason_parts = [
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) < F.lit(min_tokens),
+            F.lit("too_few_tokens"),
+        ),
+        F.when(
+            F.col("quality_score") < F.lit(min_quality_score), F.lit("low_quality")
+        ),
+        F.when(
+            F.col("dup_line_frac") > F.lit(max_dup_line_frac),
+            F.lit("repetitive_lines"),
+        ),
+        F.when(
+            F.col("top_bigram_frac") > F.lit(max_top_bigram_frac),
+            F.lit("repetitive_bigrams"),
+        ),
+    ]
+    if allowed_langs is not None:
+        lg = language_guess(df, id_col, text_col).select("id", "lang_guess")
+        j = j.join(lg, "id")
+        cols.append("lang_guess")
+        reason_parts.append(
+            F.when(~F.col("lang_guess").isin(*allowed_langs), F.lit("lang"))
+        )
+    # concat_ws skips NULLs in both Spark and DuckDB: untripped checks vanish
+    reasons = F.concat_ws(",", *reason_parts)
+    return j.select(
+        *cols,
+        reasons.alias("reasons"),
+        (reasons == F.lit("")).alias("keep"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str,

@@ -271,3 +271,77 @@ def test_repetition_metrics(spark):
     assert got[4].dup_line_frac == 0.0
     assert got[5].dup_line_char_frac is None
     assert got[5].n_lines == 1
+
+
+def test_ann_recall(spark):
+    """Recall@k gauge: exact-vs-exact is 1.0; a known partial overlap is
+    counted per query and macro-averaged; IVF with full probes reaches 1.0."""
+    from jsonl_schema_validator_spark.operators import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)], "query_id bigint, neighbor_id bigint"
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id bigint, neighbor_id bigint"
+    )
+    got = {r.query_id: r for r in ann_recall(approx, exact).collect()}
+    assert got["1"].recall == 1.0
+    assert got["2"].recall == 0.5
+    assert got["__overall__"].recall == 0.75
+    assert got["__overall__"].hits == 3 and got["__overall__"].exact_k == 4
+
+    import random as _random
+    rng = _random.Random(3)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = df.where("vec_id < 4")
+    ex = brute_force_topk(df, q, k=5)
+    full = ivf_topk(df, q, k=5, num_centroids=4, nprobe=4, init="prefix")
+    r = {x.query_id: x.recall for x in ann_recall(full, ex).collect()}
+    assert r["__overall__"] == 1.0  # nprobe == num_centroids => exact
+
+
+def test_document_quality(spark):
+    """Composite keep/drop: each reason label trips on its crafted doc, a
+    clean doc keeps, and the lang gate only applies when allowed_langs is
+    given."""
+    from jsonl_schema_validator_spark.operators import document_quality
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and then it runs to the "
+        "old mill where many other animals wait for food in that warm barn"
+    )
+    rows = [
+        (1, clean),
+        (2, "short text"),  # too_few_tokens (+low_quality)
+        (3, "spam ham " * 30 + "spam ham"),  # repetitive_bigrams (+low quality)
+        (4, "\n".join(["the same header line of this page today"] * 10)),  # rep lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.id: r
+        for r in document_quality(
+            df, "doc_id", "text", min_tokens=15, min_quality_score=0.5,
+            max_dup_line_frac=0.3, max_top_bigram_frac=0.2,
+        ).collect()
+    }
+    assert got[1].keep and got[1].reasons == ""
+    assert "too_few_tokens" in got[2].reasons and not got[2].keep
+    assert "repetitive_bigrams" in got[3].reasons and not got[3].keep
+    assert "repetitive_lines" in got[4].reasons and not got[4].keep
+
+    langed = {
+        r.id: r
+        for r in document_quality(
+            df, "doc_id", "text", min_tokens=1, min_quality_score=0.0,
+            max_dup_line_frac=1.0, max_top_bigram_frac=1.0,
+            allowed_langs=["de"],
+        ).collect()
+    }
+    assert "lang" in langed[1].reasons  # English doc vs de-only gate
