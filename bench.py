@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "secret_scan",
     "repetition_documents",
+    "doc_quality",
     "tumbling_events",
     "pricing_summary",
 ]
