@@ -542,9 +542,13 @@ def reference_verdicts(
             ok = None
             if fast_re is not None and len(pdf):
                 if use_re2:
+                    # explicit string type: an all-null batch would otherwise
+                    # infer a null-typed array, for which the RE2 kernel has
+                    # no implementation (review finding, round 3)
                     ok = (
                         pc.match_substring_regex(
-                            pa.array(lines, from_pandas=True), fast_re.pattern
+                            pa.array(lines, type=pa.string(), from_pandas=True),
+                            fast_re.pattern,
                         )
                         .fill_null(False)
                         .to_numpy(zero_copy_only=False)
@@ -790,21 +794,42 @@ def validate_json_nested(
     suspect = line.isNotNull() & suspect
     clean = out.where(~suspect)
     # rare branch: exact walker verdicts mapped to the violations shape
-    # (transform() is a HOF, acceptable off the hot path)
+    # (transform()/filter() are HOFs, acceptable off the hot path).
+    # NOTE on cost: the union evaluates the source twice (clean + suspect
+    # branch each scan it); at pure-scale with a trusted upstream,
+    # nested_dup='ignore' restores the single-scan plan at the price of the
+    # documented quirk divergence.
     walked = reference_verdicts(
         out.where(suspect).drop("violations", "is_valid"),
         schema,
         line_col,
         mode="all",
     )
-    walked = walked.withColumn(
-        "violations",
-        F.expr(
-            "transform(errors, e -> struct(cast(e.offset as int) as ord, "
-            "e.variant as rule_id, coalesce(e.field, '') as column, "
-            "cast(null as string) as value))"
-        ),
-    ).drop("errors")
+    if not strict_shape:
+        # the caller disabled the top-level dup/unknown-key checks: routed
+        # rows must not re-enable them (review finding) — keep only the
+        # verdicts the expression path would emit PLUS the nested-duplicate
+        # quirk (FIELD_DUPLICATED on a quirk key, the reason we routed)
+        quirk_lit = ", ".join(f"'{k}'" for k in sorted(quirk_keys))
+        walked = walked.withColumn(
+            "errors",
+            F.expr(
+                "filter(errors, e -> e.variant != 'FIELD_UNRECOGNISED' AND "
+                f"NOT (e.variant = 'FIELD_DUPLICATED' AND e.field NOT IN ({quirk_lit})))"
+            ),
+        )
+    walked = (
+        walked.withColumn(
+            "violations",
+            F.expr(
+                "transform(errors, e -> struct(cast(e.offset as int) as ord, "
+                "e.variant as rule_id, coalesce(e.field, '') as column, "
+                "cast(null as string) as value))"
+            ),
+        )
+        .withColumn("is_valid", F.size("violations") == F.lit(0))
+        .drop("errors")
+    )
     return clean.unionByName(walked.select(*clean.columns))
 
 

@@ -33,6 +33,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # smallest prime above 2^32: the universal-hash modulus
 _MINHASH_PRIME = 4294967311
@@ -324,12 +325,15 @@ def duplicate_clusters(
     on a real cluster set spark.sparkContext.setCheckpointDir to reliable
     storage and swap localCheckpoint() for checkpoint().
     """
+    # null ids carry no identity: pairs with a null endpoint are dropped in
+    # BOTH dispatch paths (a null key can neither match nor label a cluster)
+    pairs_nn = pairs.where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     rows = None
     if driver_threshold:
         # probe and fetch in ONE job: collect up to threshold+1 edges; if the
         # limit wasn't hit these ARE the edges (no second pass over the
         # upstream pair query, which may itself be an expensive LSH join)
-        probed = pairs.select(F.col(id_a), F.col(id_b)).limit(
+        probed = pairs_nn.select(F.col(id_a), F.col(id_b)).limit(
             driver_threshold + 1
         ).collect()
         if len(probed) <= driver_threshold:
@@ -353,14 +357,22 @@ def duplicate_clusters(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)  # min-id root = cluster_id
         out = [(x, find(x)) for x in parent]
-        schema = pairs.select(
-            F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")
-        ).schema
+        # id type = the UNION coercion of id_a/id_b (mixed-width pairs, e.g.
+        # int id_a vs bigint id_b, must not truncate the cluster_id)
+        id_type = (
+            pairs.select(F.col(id_a).alias("id"))
+            .unionByName(pairs.select(F.col(id_b).alias("id")))
+            .schema[0]
+            .dataType
+        )
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+        )
         return pairs.sparkSession.createDataFrame(out, schema)
 
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs_nn.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs_nn.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates()
         .persist()
     )

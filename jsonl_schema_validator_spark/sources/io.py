@@ -56,12 +56,14 @@ def with_line_numbers(
     repo). If the upstream plan contains a shuffle, sample, or other
     nondeterministic step, intra-partition order can differ between the two
     jobs — numbers stay UNIQUE but no longer reflect one stable order. Pass
-    cache=True to pin a single materialization (the counts job populates the
-    cache); unpersist downstream when done.
+    cache=True to pin a single materialization via an eager localCheckpoint
+    — unlike persist(), its blocks are released by the ContextCleaner when
+    the returned DataFrame is garbage-collected, so there is no cache-
+    registry entry the caller would have to (and could not) unpersist.
     """
     tagged = df.withColumn("__mid", F.monotonically_increasing_id())
     if cache:
-        tagged = tagged.persist()
+        tagged = tagged.localCheckpoint()
     tagged = tagged.withColumn(
         "__pid", F.shiftright("__mid", 33).cast("long")
     ).withColumn("__pos", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))

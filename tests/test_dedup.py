@@ -279,3 +279,23 @@ def test_ngram_jaccard_default_cap_in_plan(spark):
     assert "LeftAnti" in p_guarded  # the hot-shingle filter
     assert "LeftAnti" not in p_exact
     assert {tuple(r) for r in guarded.collect()} == {tuple(r) for r in exact.collect()}
+
+
+def test_duplicate_clusters_null_ids_and_mixed_types(spark):
+    """Null-endpoint pairs are dropped in both dispatch paths (no identity);
+    mixed int/bigint id columns coerce to the union type without truncation
+    (review findings)."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (2, 5)], "id_a bigint, id_b bigint"
+    )
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {r.id: r.cluster_id for r in duplicate_clusters(pairs, **kw).collect()}
+        assert got == {1: 1, 2: 1, 5: 1}, (kw, got)
+    mixed = spark.createDataFrame(
+        [(1, 2**40)], "id_a int, id_b bigint"
+    )
+    out = duplicate_clusters(mixed)
+    assert dict(out.dtypes)["cluster_id"] == "bigint"
+    assert {(r.id, r.cluster_id) for r in out.collect()} == {(1, 1), (2**40, 1)}

@@ -472,3 +472,50 @@ def test_validate_json_nested_unscreenable_raises(spark):
         validate_json_nested(df, schema, "line")
     # explicit opt-out still works
     assert validate_json_nested(df, schema, "line", nested_dup="ignore").count() == 1
+
+
+def test_reference_verdicts_all_null_batch(spark):
+    """An Arrow batch whose lines are ALL null must not crash the RE2
+    screen (null-typed array has no RE2 kernel — review finding)."""
+    from jsonl_schema_validator_spark.schema import schema_from_json
+
+    schema = schema_from_json(BASE)
+    df = spark.createDataFrame(
+        [(None,)] * 5, "line string"
+    ).repartition(1)
+    out = reference_verdicts(df, schema, "line").collect()
+    assert len(out) == 5 and all(r.is_valid for r in out)
+
+
+def test_quirk_routing_respects_strict_shape_false(spark):
+    """Routed rows must not re-enable the shape checks the caller disabled:
+    with strict_shape=False an unknown top-level key stays un-flagged even
+    when the line is quirk-suspect, while the nested-duplicate quirk itself
+    is still reported (review finding)."""
+    from jsonl_schema_validator_spark.json_mode import validate_json_nested
+    from jsonl_schema_validator_spark.schema import schema_from_json
+
+    fields = [
+        {"name": "recs", "type": "STRUCT", "mode": "REPEATED",
+         "fields": [{"name": "inner", "type": "STRUCT",
+                     "fields": [{"name": "x", "type": "INT64"}]}]},
+    ]
+    schema = schema_from_json(fields)
+    # suspect ('"x"' twice via the quirk) + unknown top-level key
+    quirk_and_unknown = '{"recs": [{"inner": {"x": 1}}, {"inner": {"x": 2}}], "zzz": 1}'
+    # suspect via a string VALUE mentioning "x" twice + unknown key: walker
+    # says FIELD_UNRECOGNISED, but strict_shape=False must suppress it
+    false_suspect_unknown = '{"recs": [{"inner": {"x": 1}}], "zzz": "has \\"x\\" and \\"x\\""}'
+    df = spark.createDataFrame(
+        [(quirk_and_unknown,), (false_suspect_unknown,)], "line string"
+    )
+    out = {r.line: r for r in
+           validate_json_nested(df, schema, "line", strict_shape=False).collect()}
+    q = out[quirk_and_unknown]
+    assert {v.rule_id for v in q.violations} == {"FIELD_DUPLICATED"}  # no UNRECOGNISED
+    assert out[false_suspect_unknown].is_valid
+    # strict_shape=True keeps full walker verdicts on routed rows
+    out2 = {r.line: r for r in
+            validate_json_nested(df, schema, "line", strict_shape=True).collect()}
+    assert any(v.rule_id == "FIELD_UNRECOGNISED"
+               for v in out2[false_suspect_unknown].violations)
