@@ -51,7 +51,9 @@ def column_stats(
     columns = columns or [f.name for f in df.schema.fields]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
+    pctl_aggs = []  # see the exact-distinct note below
     emit: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
+    pctl_emit: list[tuple[str, str, str, int]] = []  # (col, metric, alias, idx)
 
     def add(col_name: str, metric: str, expr):
         alias = f"{col_name}__{metric}"
@@ -72,14 +74,26 @@ def column_stats(
             add(c, "max", F.max(col).cast("double"))
             add(c, "avg", F.avg(col).cast("double"))
             add(c, "stddev", F.stddev(col).cast("double"))
-            for q in percentiles or []:
-                label = f"p{q * 100:g}"
+            if percentiles:
+                # ONE buffer per column (array of quantiles), not one per
+                # quantile. When exact COUNT DISTINCT is also requested the
+                # percentile aggregates go into a SEPARATE single-row
+                # aggregation: the distinct rewrite Expands every input row
+                # once per distinct aggregate, and dragging value-buffering
+                # percentile aggregates through that Expand measured 12s vs
+                # ~2s split (sf0.1 lineitem). The two 1-row results are
+                # cross-joined back — still no shuffle wider than the agg.
+                qarr = F.array(*[F.lit(float(q)) for q in percentiles])
                 expr = (
-                    F.percentile(col, F.lit(float(q)))
+                    F.percentile(col, qarr)
                     if percentile_mode == "exact"
-                    else F.percentile_approx(col, F.lit(float(q)), F.lit(10000))
+                    else F.percentile_approx(col, qarr, F.lit(10000))
                 )
-                add(c, label, expr.cast("double"))
+                alias = f"{c}__pctls"
+                target = pctl_aggs if distinct_mode == "exact" else aggs
+                target.append(expr.alias(alias))
+                for i, q in enumerate(percentiles):
+                    pctl_emit.append((c, f"p{q * 100:g}", alias, i))
         elif isinstance(dt, T.StringType):
             length = F.length(col)
             add(c, "min_length", F.min(length).cast("double"))
@@ -87,6 +101,34 @@ def column_stats(
             add(c, "avg_length", F.avg(length).cast("double"))
 
     wide = df.agg(*aggs)
+    if pctl_aggs:
+        wide = wide.crossJoin(df.agg(*pctl_aggs))
+    if pctl_emit:
+        # flatten the per-column quantile arrays to one column per metric,
+        # slotted right after that column's stddev row for stable ordering
+        flat = wide.select(
+            "*",
+            *[
+                F.element_at(F.col(alias), i + 1)
+                .cast("double")
+                .alias(f"{c}__{metric}")
+                for c, metric, alias, i in pctl_emit
+            ],
+        )
+        wide = flat
+        by_col: dict[str, list[tuple[str, str]]] = {}
+        for c, metric, _alias, _i in pctl_emit:
+            by_col.setdefault(c, []).append((metric, f"{c}__{metric}"))
+        merged: list[tuple[str, str, str]] = []
+        for col_name, metric, alias in emit:
+            merged.append((col_name, metric, alias))
+            if metric == "stddev" and col_name in by_col:
+                for m, a in by_col.pop(col_name):
+                    merged.append((col_name, m, a))
+        for col_name, extras in by_col.items():  # numeric col without stddev
+            for m, a in extras:
+                merged.append((col_name, m, a))
+        emit = merged
     # unpivot to long form with a single stack() expression
     n = len(emit)
     stack_args = ", ".join(
