@@ -517,3 +517,73 @@ def test_single_stage_plan(spark):
     plan = RuleCompiler(schema).bind(df)
     explained = plan.with_violations(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
+
+
+def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
+    """Seeded randomized equivalence: for random sub-schemas (types x modes)
+    and adversarial element data (valid/invalid values, empty strings, the
+    \\x01 separator and \\x02 null-token control chars, null subs, null
+    elements, empty/null arrays), the codegen fast path and the exists() HOF
+    fallback must produce IDENTICAL verdicts. This is the soundness pin for
+    every encoding trick in _repeated_struct_fast_path."""
+    import random as _random
+
+    from jsonl_schema_validator_spark import compiler as C
+
+    rng = _random.Random(1234)
+    type_pool = ["DATE", "BOOL", "STRING", "FLOAT64", "TIMESTAMP", "BYTES"]
+    value_pool = {
+        "DATE": ["2025-01-01", "2025.12.39", "not-a-date", "", "\x02"],
+        "BOOL": ["true", "false", "maybe", "", "\x01"],
+        "STRING": ["plain", "", "\x01\x02", "with \x02 inside", "null"],
+        "FLOAT64": ["1.5", "-0.25", "1e3", "x", ""],
+        "TIMESTAMP": ["2025-01-01T10:00:00Z", "2025-01-01 25:99:00", "\x02\x02"],
+        "BYTES": ["aGVsbG8=", "a===", "", "ab\x01cd"],
+    }
+    for trial in range(6):
+        n_subs = rng.randint(1, 3)
+        subs = []
+        for j in range(n_subs):
+            t = rng.choice(type_pool)
+            mode = rng.choice(["NULLABLE", "REQUIRED"])
+            subs.append({"name": f"f{j}", "type": t, "mode": mode})
+        schema = schema_from_json(
+            [{"name": "recs", "type": "STRUCT", "mode": "REPEATED", "fields": subs}]
+        )
+        ddl = "recs array<struct<" + ",".join(f"f{j}:string" for j in range(n_subs)) + ">>"
+        rows = []
+        for _ in range(40):
+            pick = rng.random()
+            if pick < 0.1:
+                rows.append((None,))
+            elif pick < 0.2:
+                rows.append(([],))
+            else:
+                arr = []
+                for _e in range(rng.randint(1, 4)):
+                    if rng.random() < 0.12:
+                        arr.append(None)
+                    else:
+                        arr.append(
+                            tuple(
+                                None
+                                if rng.random() < 0.2
+                                else rng.choice(value_pool[s["type"]])
+                                for s in subs
+                            )
+                        )
+                rows.append((arr,))
+        df = spark.createDataFrame(rows, ddl)
+
+        def verdicts():
+            plan = C.RuleCompiler(schema).bind(df)
+            return [r.is_valid for r in plan.with_verdict(df).collect()]
+
+        fast = verdicts()
+        orig = C._repeated_struct_fast_path
+        C._repeated_struct_fast_path = lambda *a, **k: None
+        try:
+            hof = verdicts()
+        finally:
+            C._repeated_struct_fast_path = orig
+        assert fast == hof, (trial, subs, [r for r, a, b in zip(rows, fast, hof) if a != b])
