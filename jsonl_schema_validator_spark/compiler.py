@@ -265,12 +265,12 @@ def _repeated_struct_fast_path(
       semantics, null elements being invalid).
     - NULLABLE pure-regex sub: array_join with a \\x02 null token and the
       element pattern (P|\\x02). Sound because (a) the separator-count guard
-      flags any value embedding \\x01, and (b) the count of \\x02 chars must
-      equal the count of null slots — computed WITHOUT a lambda as
-      length(join-with-\\x02) - length(join-with-'') — which flags any value
-      embedding \\x02 (including the exact one-char "\\x02" value that would
-      otherwise masquerade as a null). No VALID value of these types can
-      contain either control char, so there are no false positives.
+      flags any value embedding \\x01, (b) any value merely CONTAINING \\x02
+      fails the pattern, and (c) the one remaining hole — a value of EXACTLY
+      "\\x02", which renders identically to a null slot — is flagged by a
+      single array_position(ext, '\\x02') scan (load-bearing: do not remove).
+      No VALID value of these types can contain either control char, so
+      there are no false positives.
     - REQUIRED sub of a trivially-valid storage type (STRING-on-string,
       native-typed storage): only the null-slot check is needed —
       get(sort_array(extracted), 0) IS NULL puts nulls first without a HOF

@@ -810,7 +810,10 @@ def validate_json_nested(
         # rows must not re-enable them (review finding) — keep only the
         # verdicts the expression path would emit PLUS the nested-duplicate
         # quirk (FIELD_DUPLICATED on a quirk key, the reason we routed)
-        quirk_lit = ", ".join(f"'{k}'" for k in sorted(quirk_keys))
+        quirk_lit = ", ".join(
+            "'" + k.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for k in sorted(quirk_keys)
+        )
         walked = walked.withColumn(
             "errors",
             F.expr(

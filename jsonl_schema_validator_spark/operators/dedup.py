@@ -297,18 +297,22 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster_id) with
     cluster_id = the smallest id in the component (the canonical survivor a
     dedup pipeline keeps).
 
-    Size dispatch (round-3, same pattern as the KS dispatcher): a bounded
-    `limit(threshold+1).count()` probe routes SMALL pair sets (default <=1M
-    edges) to a driver-side union-find — one collect, O(E a(E)), no
-    per-round Spark jobs, which removes ~8 rounds of fixed job overhead on
-    the graphs near-dup detection actually produces at test scale. Larger
-    graphs take the distributed path:
+    Size dispatch (round-3, same pattern as the KS dispatcher): the probe
+    collects up to driver_threshold+1 edges in ONE job; when the limit is
+    not hit, those rows ARE the edge set and a driver-side union-find
+    labels it — O(E a(E)), no per-round Spark jobs, removing ~8 rounds of
+    fixed job overhead on the graphs near-dup detection actually produces
+    at test scale. The default threshold (200k edges, a few tens of MB of
+    Rows) is sized for modest driver heaps; raise it on big drivers, set 0
+    to force the distributed path (a >threshold graph pays one bounded
+    threshold-sized transfer before falling back). Larger graphs take the
+    distributed path:
 
     Hash-min label propagation: every vertex starts labeled with itself; each
     round takes the min of its own label and its neighbors' labels; converges

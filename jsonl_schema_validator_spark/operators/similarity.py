@@ -457,12 +457,14 @@ def ann_recall(
     Pure joins + aggregation; both inputs are top-k outputs (tiny), so this
     broadcast-joins and never touches the corpus.
     """
+    # dedup both sides: an approx result repeating a (query, neighbor) pair
+    # (e.g. emitted from two LSH bands) must not inflate hits past exact_k
     a = approx.select(
         F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("n")
-    )
+    ).dropDuplicates()
     e = exact.select(
         F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("n")
-    )
+    ).dropDuplicates()
     hits = a.join(e, ["query_id", "n"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("hits")
     )

@@ -106,10 +106,15 @@ def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for lang in order
     ]
     # null-text rows produce no exploded tokens; the left join keeps them in
-    # the output ('und', null score — the pre-round-3 behavior)
-    counted = df.select(F.col(id_col).alias("id")).join(
-        toks.groupBy("id").agg(*aggs), "id", "left"
-    )
+    # the output ('und', null score — the pre-round-3 behavior). eqNullSafe:
+    # a NULL id is a legal (if odd) document key and must still match its
+    # own token counts; duplicate ids merge their counts — the same id
+    # semantics as every other groupBy(id) operator in this package.
+    grouped = toks.groupBy("id").agg(*aggs)
+    base = df.select(F.col(id_col).alias("id"))
+    counted = base.join(
+        grouped, base["id"].eqNullSafe(grouped["id"]), "left"
+    ).select(base["id"], *[grouped[c] for c in grouped.columns if c != "id"])
     guess = F.lit("und")
     best = F.lit(0)
     # argmax with first-in-order-wins tie-break: process in order, replace

@@ -31,7 +31,7 @@ def read_jsonl(spark: SparkSession, path: str, line_col: str = "line") -> DataFr
 
 
 def with_line_numbers(
-    df: DataFrame, col_name: str = "line_no", cache: bool = False
+    df: DataFrame, col_name: str = "line_no", cache: bool | str = False
 ) -> DataFrame:
     """True 1-based line numbers WITHOUT a global sort.
 
@@ -60,9 +60,18 @@ def with_line_numbers(
     — unlike persist(), its blocks are released by the ContextCleaner when
     the returned DataFrame is garbage-collected, so there is no cache-
     registry entry the caller would have to (and could not) unpersist.
+    Caveat: localCheckpoint blocks are executor-local and NOT recomputable
+    (lineage truncated) — a lost executor fails the downstream job. On
+    clusters with dynamic allocation / preemption, pass cache='reliable' to
+    use a reliable checkpoint instead (requires
+    spark.sparkContext.setCheckpointDir to durable storage).
     """
+    if cache not in (False, True, "reliable"):
+        raise ValueError("cache must be False, True, or 'reliable'")
     tagged = df.withColumn("__mid", F.monotonically_increasing_id())
-    if cache:
+    if cache == "reliable":
+        tagged = tagged.checkpoint()
+    elif cache:
         tagged = tagged.localCheckpoint()
     tagged = tagged.withColumn(
         "__pid", F.shiftright("__mid", 33).cast("long")

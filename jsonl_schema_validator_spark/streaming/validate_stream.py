@@ -236,7 +236,9 @@ def windowed_ri_orphans(
     aggregation. Null stream keys are not RI violations (SQL FK semantics),
     matching the batch operator.
 
-    Output per window: (window, orphan_rows, orphan_keys).
+    Output per window: (window, orphan_rows, approx_orphan_keys) — the key
+    count is an HLL sketch (exact count-distinct is not available inside a
+    streaming aggregation); orphan_rows is exact.
     """
     dim_keys = dim_keys or keys
     if len(dim_keys) != len(keys):
@@ -258,7 +260,7 @@ def windowed_ri_orphans(
         .agg(
             F.count(F.lit(1)).alias("orphan_rows"),
             F.approx_count_distinct(F.concat_ws("\x01", *keys)).alias(
-                "orphan_keys"
+                "approx_orphan_keys"
             ),
         )
     )

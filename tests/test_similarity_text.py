@@ -345,3 +345,40 @@ def test_document_quality(spark):
         ).collect()
     }
     assert "lang" in langed[1].reasons  # English doc vs de-only gate
+
+
+def test_ann_recall_duplicate_approx_rows(spark):
+    """Duplicate (query, neighbor) rows in the approximate result (e.g. a
+    pair emitted from two LSH bands) must not inflate recall (review
+    finding)."""
+    from jsonl_schema_validator_spark.operators import ann_recall
+
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10)], "query_id bigint, neighbor_id bigint"
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id bigint, neighbor_id bigint"
+    )
+    got = {r.query_id: r for r in ann_recall(approx, exact).collect()}
+    assert got["1"].hits == 1 and got["1"].recall == 0.5
+
+
+def test_language_guess_null_and_duplicate_ids(spark):
+    """Null-id rows must still get their own guess (eqNullSafe join);
+    duplicate ids merge token counts — the package-wide groupBy(id)
+    semantics (review finding)."""
+    df = spark.createDataFrame(
+        [(None, "the cat is in the house and it is big"),
+         (7, "der hund ist nicht gross"),
+         (7, "und die katze ist auf dem sofa")],
+        "doc_id bigint, text string",
+    )
+    from jsonl_schema_validator_spark.operators import language_guess
+
+    rows = language_guess(df, "doc_id", "text").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert by_id[None][0].lang_guess == "en"
+    assert by_id[None][0].lang_score is not None
+    assert all(r.lang_guess == "de" for r in by_id[7]) and len(by_id[7]) == 2

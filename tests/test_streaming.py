@@ -259,7 +259,7 @@ def test_windowed_ri_orphans(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {r.window.start.hour: r for r in spark.sql("select * from ri_windows").collect()}
-    assert got[0].orphan_rows == 3 and got[0].orphan_keys == 2
+    assert got[0].orphan_rows == 3 and got[0].approx_orphan_keys == 2
     assert 1 not in got  # no orphans -> no row for hour 1
     # batch cross-check: distinct orphan keys + total occurrences agree
     batch = ri_violations(
@@ -270,4 +270,4 @@ def test_windowed_ri_orphans(spark, tmp_path):
         dim,
     ).collect()
     assert sum(b.orphan_count for b in batch) == got[0].orphan_rows
-    assert len(batch) == got[0].orphan_keys
+    assert len(batch) == got[0].approx_orphan_keys  # exact at test scale
