@@ -284,13 +284,16 @@ def _repeated_struct_fast_path(
     get(sort_array(arr), 0) IS NULL over the whole element array covers it
     (requires an orderable struct type — no maps).
 
+    REQUIRED nested sub-structs are handled by chaining getField (see
+    process_level); NULLABLE sub-structs are not expressible (their legal
+    nulls conflate with violations in the extracted arrays).
+
     Ineligible shapes return None and keep the exists/filter HOF fallback:
-    REPEATED or STRUCT subfields, textual INT64/ANY subs (need per-element
-    try_cast / JSON parse), wide decimals, and unorderable element types
-    where the element-null check would be required. Violation `value`
-    renders the whole array (same trade-off as the scalar fast path).
+    REPEATED subfields, NULLABLE sub-structs, textual INT64/ANY subs (need
+    per-element try_cast / JSON parse), wide decimals, and unorderable
+    struct types where a null-slot check would be required. Violation
+    `value` renders the whole array (same trade-off as the scalar path).
     """
-    sub_types = {f.name: f.dataType for f in elem_type.fields}
     checks: list[Column] = []
     elem_null_covered = False
     size = F.size(col)
@@ -322,43 +325,78 @@ def _repeated_struct_fast_path(
             | ~flat2.rlike(pat)
         )
 
-    for sub in field.fields or []:
-        if sub.mode is Mode.REPEATED or sub.type is FieldType.STRUCT:
-            return None
-        if sub.name not in sub_types:
-            if sub.mode is Mode.REQUIRED:
-                # parity with exists(e -> True): any element -> invalid
-                checks.append(F.lit(True))
+    def process_level(fields, st_type: T.StructType, parent) -> bool:
+        """Emit checks for one struct level; extraction chains getField
+        through `parent` (the enclosing array-of-struct column). Returns
+        False when the level has a shape the fast path cannot express.
+
+        REQUIRED nested sub-structs (round-3 extension): chained
+        getField yields the leaf values as arrays where a null slot means
+        element-null OR any-ancestor-null OR leaf-null. That conflation is
+        SOUND exactly when every ancestor on the chain is REQUIRED — an
+        ancestor-null is then invalid in its own right (flagged by the
+        ancestor's sort_array null-slot check), so a nullable leaf's
+        \\x02-tolerated null slot never masks a violation. NULLABLE inner
+        structs break the invariant (inner-null is legal but produces the
+        same null slots a REQUIRED-leaf check would flag) -> HOF fallback.
+        """
+        nonlocal elem_null_covered
+        level_types = {f.name: f.dataType for f in st_type.fields}
+        for sub in fields or []:
+            if sub.mode is Mode.REPEATED:
+                return False
+            if sub.name not in level_types:
+                if sub.mode is Mode.REQUIRED:
+                    # parity with exists(e -> True): any element -> invalid
+                    checks.append(F.lit(True))
+                    elem_null_covered = True
+                continue
+            st = level_types[sub.name]
+            ext = parent.getField(sub.name)
+            if sub.type is FieldType.STRUCT:
+                if sub.mode is not Mode.REQUIRED:
+                    return False  # nullable inner struct: see docstring
+                if not isinstance(st, T.StructType) or not _orderable(st):
+                    return False
+                checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
                 elem_null_covered = True
-            continue
-        st = sub_types[sub.name]
-        if isinstance(st, T.StringType):
-            if sub.type.value in _JOIN_FAST_TYPES:
-                kind = "regex"
-            elif sub.type is FieldType.STRING:
+                if not process_level(sub.fields, st, ext):
+                    return False
+                continue
+            if isinstance(st, T.StringType):
+                if sub.type.value in _JOIN_FAST_TYPES:
+                    kind = "regex"
+                elif sub.type is FieldType.STRING:
+                    kind = "trivial"
+                else:
+                    return False  # INT64 (try_cast bound) / ANY (JSON parse)
+            elif sub.type is FieldType.DECIMAL_29_9 and isinstance(
+                st, T.DecimalType
+            ):
+                if st.scale <= 9 and st.precision - st.scale <= 29:
+                    kind = "trivial"
+                else:
+                    return False  # wide decimal: per-element string-cast
+            elif _NATIVE_OK.get(sub.type, ()) and isinstance(
+                st, _NATIVE_OK[sub.type]
+            ):
                 kind = "trivial"
             else:
-                return None  # INT64 (try_cast bound) / ANY (JSON parse)
-        elif sub.type is FieldType.DECIMAL_29_9 and isinstance(st, T.DecimalType):
-            if st.scale <= 9 and st.precision - st.scale <= 29:
-                kind = "trivial"
-            else:
-                return None  # wide decimal: per-element string-cast check
-        elif _NATIVE_OK.get(sub.type, ()) and isinstance(st, _NATIVE_OK[sub.type]):
-            kind = "trivial"
-        else:
-            return None  # HOF path raises the BindError for this shape
-        ext = col.getField(sub.name)
-        if kind == "regex":
-            inner = ALL_PATTERNS[sub.type.value][1:-1]
-            if sub.mode is Mode.REQUIRED:
-                checks.append(strict_regex(ext, inner))
+                return False  # HOF path raises the BindError for this shape
+            if kind == "regex":
+                inner = ALL_PATTERNS[sub.type.value][1:-1]
+                if sub.mode is Mode.REQUIRED:
+                    checks.append(strict_regex(ext, inner))
+                    elem_null_covered = True
+                else:
+                    checks.append(nullable_regex(ext, inner))
+            elif sub.mode is Mode.REQUIRED:
+                checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
                 elem_null_covered = True
-            else:
-                checks.append(nullable_regex(ext, inner))
-        elif sub.mode is Mode.REQUIRED:
-            checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
-            elem_null_covered = True
+        return True
+
+    if not process_level(field.fields, elem_type, col):
+        return None
 
     if not elem_null_covered:
         if not _orderable(elem_type):

@@ -540,17 +540,46 @@ def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
         "TIMESTAMP": ["2025-01-01T10:00:00Z", "2025-01-01 25:99:00", "\x02\x02"],
         "BYTES": ["aGVsbG8=", "a===", "", "ab\x01cd"],
     }
-    for trial in range(6):
+    def rand_sub(j, depth):
+        # ~30% nested struct (REQUIRED or NULLABLE — nullable exercises the
+        # HOF-fallback decision) up to depth 2, else a scalar leaf
+        if depth < 2 and rng.random() < 0.3:
+            inner = [rand_sub(k, depth + 1) for k in range(rng.randint(1, 2))]
+            return {
+                "name": f"f{j}",
+                "type": "STRUCT",
+                "mode": rng.choice(["NULLABLE", "REQUIRED"]),
+                "fields": inner,
+            }
+        return {
+            "name": f"f{j}",
+            "type": rng.choice(type_pool),
+            "mode": rng.choice(["NULLABLE", "REQUIRED"]),
+        }
+
+    def ddl_of(sub):
+        if sub["type"] == "STRUCT":
+            return (
+                f"{sub['name']}:struct<"
+                + ",".join(ddl_of(s) for s in sub["fields"])
+                + ">"
+            )
+        return f"{sub['name']}:string"
+
+    def rand_value(sub):
+        if rng.random() < 0.2:
+            return None
+        if sub["type"] == "STRUCT":
+            return tuple(rand_value(s) for s in sub["fields"])
+        return rng.choice(value_pool[sub["type"]])
+
+    for trial in range(10):
         n_subs = rng.randint(1, 3)
-        subs = []
-        for j in range(n_subs):
-            t = rng.choice(type_pool)
-            mode = rng.choice(["NULLABLE", "REQUIRED"])
-            subs.append({"name": f"f{j}", "type": t, "mode": mode})
+        subs = [rand_sub(j, 0) for j in range(n_subs)]
         schema = schema_from_json(
             [{"name": "recs", "type": "STRUCT", "mode": "REPEATED", "fields": subs}]
         )
-        ddl = "recs array<struct<" + ",".join(f"f{j}:string" for j in range(n_subs)) + ">>"
+        ddl = "recs array<struct<" + ",".join(ddl_of(s) for s in subs) + ">>"
         rows = []
         for _ in range(40):
             pick = rng.random()
@@ -564,14 +593,7 @@ def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
                     if rng.random() < 0.12:
                         arr.append(None)
                     else:
-                        arr.append(
-                            tuple(
-                                None
-                                if rng.random() < 0.2
-                                else rng.choice(value_pool[s["type"]])
-                                for s in subs
-                            )
-                        )
+                        arr.append(tuple(rand_value(s) for s in subs))
                 rows.append((arr,))
         df = spark.createDataFrame(rows, ddl)
 

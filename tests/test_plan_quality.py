@@ -93,6 +93,33 @@ def test_repeated_struct_stays_in_codegen(spark):
     assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
 
 
+def test_repeated_required_nested_struct_stays_in_codegen(spark):
+    """REQUIRED nested sub-structs ride the chained-getField fast path
+    (round-3 extension); NULLABLE inner structs fall back (their legal
+    nulls conflate with violations in the extracted leaf arrays)."""
+    ddl = "recs array<struct<inner:struct<d:string,s:string>,b:string>>"
+    df = spark.createDataFrame([([(("2025-01-01", "x"), "true")],)], ddl)
+    base = {
+        "name": "recs", "type": "STRUCT", "mode": "REPEATED",
+        "fields": [
+            {"name": "inner", "type": "STRUCT", "mode": "REQUIRED",
+             "fields": [{"name": "d", "type": "DATE"},
+                        {"name": "s", "type": "STRING", "mode": "REQUIRED"}]},
+            {"name": "b", "type": "BOOL"},
+        ],
+    }
+    plan = RuleCompiler(schema_from_json([base])).bind(df)
+    p = _plan(plan.with_violations(df))
+    assert "lambdafunction" not in p, p
+    assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
+
+    nullable = dict(base)
+    nullable["fields"] = [dict(base["fields"][0], mode="NULLABLE"), base["fields"][1]]
+    plan2 = RuleCompiler(schema_from_json([nullable])).bind(df)
+    p2 = _plan(plan2.with_violations(df))
+    assert "lambdafunction" in p2  # documented fallback
+
+
 def test_repeated_struct_hof_fallback_shapes(spark):
     """Shapes the fast path cannot express stay on the exists() fallback —
     still one narrow stage, just interpreted: REPEATED subfields, and
