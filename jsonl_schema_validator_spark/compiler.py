@@ -295,7 +295,6 @@ def _repeated_struct_fast_path(
     `value` renders the whole array (same trade-off as the scalar path).
     """
     checks: list[Column] = []
-    elem_null_covered = False
     size = F.size(col)
 
     def strict_regex(ext: Column, inner: str) -> Column:
@@ -325,10 +324,16 @@ def _repeated_struct_fast_path(
             | ~flat2.rlike(pat)
         )
 
-    def process_level(fields, st_type: T.StructType, parent) -> bool:
+    def process_level(fields, st_type: T.StructType, parent) -> tuple[bool, bool]:
         """Emit checks for one struct level; extraction chains getField
         through `parent` (the enclosing array-of-struct column). Returns
-        False when the level has a shape the fast path cannot express.
+        (eligible, covered): eligible=False when the level has a shape the
+        fast path cannot express; covered=True when some emitted check at
+        this level (or below) flags EVERY null slot of this level's
+        extracted arrays — i.e. a present REQUIRED sub check, which also
+        fires for element-null and every-ancestor-null. A covered nested
+        struct needs no sort_array null-slot probe of its own (the probe is
+        only emitted when no REQUIRED descendant covers it).
 
         REQUIRED nested sub-structs (round-3 extension): chained
         getField yields the leaf values as arrays where a null slot means
@@ -340,28 +345,34 @@ def _repeated_struct_fast_path(
         structs break the invariant (inner-null is legal but produces the
         same null slots a REQUIRED-leaf check would flag) -> HOF fallback.
         """
-        nonlocal elem_null_covered
+        covered = False
         level_types = {f.name: f.dataType for f in st_type.fields}
         for sub in fields or []:
             if sub.mode is Mode.REPEATED:
-                return False
+                return False, covered
             if sub.name not in level_types:
                 if sub.mode is Mode.REQUIRED:
                     # parity with exists(e -> True): any element -> invalid
                     checks.append(F.lit(True))
-                    elem_null_covered = True
+                    covered = True
                 continue
             st = level_types[sub.name]
             ext = parent.getField(sub.name)
             if sub.type is FieldType.STRUCT:
                 if sub.mode is not Mode.REQUIRED:
-                    return False  # nullable inner struct: see docstring
-                if not isinstance(st, T.StructType) or not _orderable(st):
-                    return False
-                checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
-                elem_null_covered = True
-                if not process_level(sub.fields, st, ext):
-                    return False
+                    return False, covered  # nullable inner struct
+                if not isinstance(st, T.StructType):
+                    return False, covered
+                ok, child_covered = process_level(sub.fields, st, ext)
+                if not ok:
+                    return False, covered
+                if not child_covered:
+                    # no REQUIRED descendant flags this struct's null slots:
+                    # probe them directly (needs an orderable struct type)
+                    if not _orderable(st):
+                        return False, covered
+                    checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
+                covered = True  # either the child check or our probe covers
                 continue
             if isinstance(st, T.StringType):
                 if sub.type.value in _JOIN_FAST_TYPES:
@@ -369,33 +380,34 @@ def _repeated_struct_fast_path(
                 elif sub.type is FieldType.STRING:
                     kind = "trivial"
                 else:
-                    return False  # INT64 (try_cast bound) / ANY (JSON parse)
+                    return False, covered  # INT64 / ANY textual subs
             elif sub.type is FieldType.DECIMAL_29_9 and isinstance(
                 st, T.DecimalType
             ):
                 if st.scale <= 9 and st.precision - st.scale <= 29:
                     kind = "trivial"
                 else:
-                    return False  # wide decimal: per-element string-cast
+                    return False, covered  # wide decimal
             elif _NATIVE_OK.get(sub.type, ()) and isinstance(
                 st, _NATIVE_OK[sub.type]
             ):
                 kind = "trivial"
             else:
-                return False  # HOF path raises the BindError for this shape
+                return False, covered  # HOF path raises the BindError
             if kind == "regex":
                 inner = ALL_PATTERNS[sub.type.value][1:-1]
                 if sub.mode is Mode.REQUIRED:
                     checks.append(strict_regex(ext, inner))
-                    elem_null_covered = True
+                    covered = True
                 else:
                     checks.append(nullable_regex(ext, inner))
             elif sub.mode is Mode.REQUIRED:
                 checks.append(F.get(F.sort_array(ext), F.lit(0)).isNull())
-                elem_null_covered = True
-        return True
+                covered = True
+        return True, covered
 
-    if not process_level(field.fields, elem_type, col):
+    ok, elem_null_covered = process_level(field.fields, elem_type, col)
+    if not ok:
         return None
 
     if not elem_null_covered:

@@ -542,7 +542,10 @@ def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
     }
     def rand_sub(j, depth):
         # ~30% nested struct (REQUIRED or NULLABLE — nullable exercises the
-        # HOF-fallback decision) up to depth 2, else a scalar leaf
+        # HOF-fallback decision) up to depth 2, ~10% a REPEATED scalar
+        # (always a fallback shape), else a scalar leaf; ~12% of subs are
+        # declared but OMITTED from storage (missing-required semantics)
+        omitted = rng.random() < 0.12
         if depth < 2 and rng.random() < 0.3:
             inner = [rand_sub(k, depth + 1) for k in range(rng.randint(1, 2))]
             return {
@@ -550,36 +553,52 @@ def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
                 "type": "STRUCT",
                 "mode": rng.choice(["NULLABLE", "REQUIRED"]),
                 "fields": inner,
+                "_omit": omitted,
             }
+        mode = rng.choice(["NULLABLE", "REQUIRED", "REPEATED"])
         return {
             "name": f"f{j}",
             "type": rng.choice(type_pool),
-            "mode": rng.choice(["NULLABLE", "REQUIRED"]),
+            "mode": mode,
+            "_omit": omitted,
         }
 
     def ddl_of(sub):
         if sub["type"] == "STRUCT":
-            return (
-                f"{sub['name']}:struct<"
-                + ",".join(ddl_of(s) for s in sub["fields"])
-                + ">"
-            )
+            parts = [ddl_of(s) for s in sub["fields"] if not s["_omit"]]
+            return f"{sub['name']}:struct<" + ",".join(parts or ["__pad:string"]) + ">"
+        if sub["mode"] == "REPEATED":
+            return f"{sub['name']}:array<string>"
         return f"{sub['name']}:string"
 
     def rand_value(sub):
         if rng.random() < 0.2:
             return None
         if sub["type"] == "STRUCT":
-            return tuple(rand_value(s) for s in sub["fields"])
+            vals = tuple(
+                rand_value(s) for s in sub["fields"] if not s["_omit"]
+            )
+            return vals if vals else (None,)  # __pad slot
+        if sub["mode"] == "REPEATED":
+            return [rng.choice(value_pool[sub["type"]]) for _ in range(rng.randint(0, 2))]
         return rng.choice(value_pool[sub["type"]])
+
+    def strip_marks(sub):
+        out = {k: v for k, v in sub.items() if k != "_omit"}
+        if "fields" in out:
+            out["fields"] = [strip_marks(s) for s in out["fields"]]
+        return out
 
     for trial in range(10):
         n_subs = rng.randint(1, 3)
         subs = [rand_sub(j, 0) for j in range(n_subs)]
         schema = schema_from_json(
-            [{"name": "recs", "type": "STRUCT", "mode": "REPEATED", "fields": subs}]
+            [{"name": "recs", "type": "STRUCT", "mode": "REPEATED",
+              "fields": [strip_marks(s) for s in subs]}]
         )
-        ddl = "recs array<struct<" + ",".join(ddl_of(s) for s in subs) + ">>"
+        stored = [s for s in subs if not s["_omit"]]
+        parts = [ddl_of(s) for s in stored] or ["__pad:string"]
+        ddl = "recs array<struct<" + ",".join(parts) + ">>"
         rows = []
         for _ in range(40):
             pick = rng.random()
@@ -592,8 +611,10 @@ def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
                 for _e in range(rng.randint(1, 4)):
                     if rng.random() < 0.12:
                         arr.append(None)
+                    elif stored:
+                        arr.append(tuple(rand_value(s) for s in stored))
                     else:
-                        arr.append(tuple(rand_value(s) for s in subs))
+                        arr.append((None,))  # __pad-only storage
                 rows.append((arr,))
         df = spark.createDataFrame(rows, ddl)
 
