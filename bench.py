@@ -235,6 +235,50 @@ def main() -> None:
     }
     print(f"[bench] ivf index: {ivf_block}", file=sys.stderr)
 
+    # checkpoint batching (round-4): the same resumable validation over
+    # N_PARTS partitions, one job per partition (batch_size=1, the round-3
+    # shape) vs one job per 16 partitions. Orchestration overhead — job
+    # submit + a scan that mostly filters — dominates the per-partition
+    # loop; the batched run should approach the single-scan floor. The
+    # batched config runs FIRST so Spark 4's result cache (identical
+    # distinct-keys query) can only flatter the slow per-partition run —
+    # the reported speedup is conservative.
+    from jsonl_schema_validator_spark.engine import ValidationEngine
+    from jsonl_schema_validator_spark.plans.checkpoint import CheckpointManifest
+
+    n_parts = 48
+    ck_df = _textual_lineitem(spark, sf_dir, replicate=1, cores=cpus).withColumn(
+        "bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_parts))
+    )
+    ck_df = prepare_df = ck_df.persist()
+    ck_df.count()
+    ck_engine = ValidationEngine(SCALING_SCHEMA)
+    ck_times = {}
+    try:
+        for bs in (16, 1):
+            mdir = tempfile.mkdtemp(prefix=f"bench_ckpt_bs{bs}_")
+            try:
+                t0 = time.time()
+                s = ck_engine.run_with_checkpoint(
+                    ck_df,
+                    "bucket",
+                    CheckpointManifest(mdir, run_id=f"bench-bs{bs}"),
+                    batch_size=bs,
+                )
+                ck_times[bs] = round(time.time() - t0, 3)
+                assert s["partitions_processed"] == n_parts
+            finally:
+                shutil.rmtree(mdir, ignore_errors=True)
+    finally:
+        prepare_df.unpersist()
+    ckpt_block = {
+        "partitions": n_parts,
+        "per_partition_sec": ck_times[1],
+        "batch16_sec": ck_times[16],
+        "speedup": round(ck_times[1] / ck_times[16], 2),
+    }
+    print(f"[bench] checkpoint batching: {ckpt_block}", file=sys.stderr)
+
     spark.stop()
 
     # flagship validation throughput at full parallelism, in a FRESH session
@@ -327,6 +371,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "rows_validated": n_rows,
                 "ivf_index": ivf_block,
+                "checkpoint_batching": ckpt_block,
                 "scaling": scaling,
                 "elapsed_sec": round(time.time() - t_start, 1),
             }

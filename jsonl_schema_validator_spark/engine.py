@@ -8,10 +8,12 @@ One call validates a table against a full rule set:
 - per-partition checkpoint/resume via CheckpointManifest
 - rule-level metrics + lineage via MetricsSink
 
-At cluster scale the per-partition loop (run_partitioned) issues one job per
-Iceberg partition, each pruned at the source by the partition predicate; the
-single-shot `run()` path does the whole table in one pass when resumability
-isn't needed.
+At cluster scale the checkpoint path batches K partitions per Spark job
+(run_partitioned_batched): one `partition_col IN (batch)` scan, pruned at
+the source, aggregated groupBy(partition_col) — jobs drop K-fold vs the
+one-job-per-partition loop while resume stays per-partition. The single-shot
+`run()` path does the whole table in one pass when resumability isn't
+needed.
 """
 
 from __future__ import annotations
@@ -26,7 +28,11 @@ from jsonl_schema_validator_spark.compiler import RuleCompiler, ValidationPlan
 from jsonl_schema_validator_spark.operators.referential import ri_violations
 from jsonl_schema_validator_spark.operators.uniqueness import uniqueness_violations
 from jsonl_schema_validator_spark.operators.drift import chi2_drift, ks_drift
-from jsonl_schema_validator_spark.plans.checkpoint import CheckpointManifest, run_partitioned
+from jsonl_schema_validator_spark.plans.checkpoint import (
+    CheckpointManifest,
+    run_partitioned,  # noqa: F401 — re-exported; per-partition path still public
+    run_partitioned_batched,
+)
 from jsonl_schema_validator_spark.plans.metrics import MetricsSink, ruleset_fingerprint
 from jsonl_schema_validator_spark.schema import Schema, schema_from_json
 
@@ -174,48 +180,73 @@ class ValidationEngine:
         metrics: MetricsSink | None = None,
         input_path: str = "",
         invariants: list[Invariant] | None = None,
+        batch_size: int = 32,
     ) -> dict:
-        """Resumable per-partition validation: each partition is validated,
-        its rule metrics written, then its manifest entry committed. A kill
-        between partitions loses nothing; a kill mid-partition reprocesses
-        only that partition on resume."""
+        """Resumable partitioned validation, `batch_size` partitions per
+        Spark job (round-4: was one job per partition — at a 10^5-partition
+        backfill job-submit overhead dominated and small partitions idled
+        the cluster; see run_partitioned_batched). A kill mid-batch commits
+        none of that batch's manifest entries, so exactly those partitions
+        reprocess on resume; committed partitions are skipped individually.
+        batch_size=1 reproduces the old one-job-per-partition behavior."""
         plan = self.bind(df)
 
-        def process(part_df: DataFrame, key):
-            t0 = time.time()
-            # ONE aggregation per partition (round-3: was two scans — one for
-            # rows/violations, one for rule_metrics). Each rule fires at most
-            # one violation struct per row, so total violations = sum of
-            # per-rule fired counts; the per-rule conditional sums ARE the
-            # rule metrics. All conditions evaluate in one fused codegen pass
-            # with map-side partial aggregation — at a 10^5-partition
-            # backfill this halves per-partition IO.
+        def process_batch(batch_df: DataFrame, batch_keys: list) -> dict:
+            # ONE aggregation per BATCH (round-3 fused the per-partition
+            # two-pass into one agg; round-4 groups K partitions into one
+            # job). Each rule fires at most one violation struct per row, so
+            # total violations = sum of per-rule fired counts; the per-rule
+            # conditional sums ARE the rule metrics. All conditions evaluate
+            # in one fused codegen pass with map-side partial aggregation,
+            # keyed by the partition column — the batch result is exactly
+            # the K per-partition results of the old loop.
             aggs = [F.count(F.lit(1)).alias("__rows")]
             aggs += [
                 F.sum(r.condition.cast("long")).alias(f"__r{i}")
                 for i, r in enumerate(plan.rules)
             ]
-            agg = part_df.agg(*aggs).collect()[0]
-            counts = [
-                (r.rule_id, r.column, int(agg[f"__r{i}"] or 0))
-                for i, r in enumerate(plan.rules)
-                if agg[f"__r{i}"]
-            ]
-            n_violations = sum(c for _, _, c in counts)
-            wall = time.time() - t0
-            if metrics is not None:
-                metrics.write_rule_metrics(
-                    manifest.run_id, key, counts, agg["__rows"], wall
-                )
-                metrics.write_lineage(
-                    manifest.run_id, key, input_path, self.fingerprint
-                )
-            return {
-                "rows": int(agg["__rows"]),
-                "violations": int(n_violations),
-            }
+            t0 = time.time()
+            rows = batch_df.groupBy(partition_col).agg(*aggs).collect()
+            # one job covers the whole batch; the metrics table records the
+            # batch wall on every member (the per-key split is unknowable)
+            wall = round(time.time() - t0, 3)
+            out = {}
+            for agg in rows:
+                counts = [
+                    (r.rule_id, r.column, int(agg[f"__r{i}"] or 0))
+                    for i, r in enumerate(plan.rules)
+                    if agg[f"__r{i}"]
+                ]
+                n_violations = sum(c for _, _, c in counts)
+                key = agg[partition_col]
+                if metrics is not None:
+                    metrics.write_rule_metrics(
+                        manifest.run_id, key, counts, agg["__rows"], wall
+                    )
+                    metrics.write_lineage(
+                        manifest.run_id, key, input_path, self.fingerprint
+                    )
+                out[str(key)] = {
+                    "rows": int(agg["__rows"]),
+                    "violations": int(n_violations),
+                }
+            # keys with no surviving rows produce no group — commit them as
+            # empty (matches the old per-partition agg's all-zero row)
+            for key in batch_keys:
+                if str(key) not in out:
+                    if metrics is not None:
+                        metrics.write_rule_metrics(
+                            manifest.run_id, key, [], 0, wall
+                        )
+                        metrics.write_lineage(
+                            manifest.run_id, key, input_path, self.fingerprint
+                        )
+                    out[str(key)] = {"rows": 0, "violations": 0}
+            return out
 
-        summary = run_partitioned(df, partition_col, process, manifest)
+        summary = run_partitioned_batched(
+            df, partition_col, process_batch, manifest, batch_size=batch_size
+        )
         if metrics is not None:
             metrics.flush()  # drain any buffered tail (flush_every > 1)
         return summary

@@ -172,16 +172,17 @@ def test_checkpoint_resume(spark, fixture, cf, tmp_path):
 
 
 def test_checkpoint_single_job_per_partition(spark, fixture, cf, tmp_path):
-    """Round-3: run_with_checkpoint computes rows + total violations +
-    per-rule counts in ONE aggregation (one Spark job) per partition, and
-    the combined pass must report the same metrics the two-pass version did
-    (cross-checked against plan.rule_metrics)."""
+    """Round-4: run_with_checkpoint processes batch_size partitions per
+    Spark job (one groupBy(partition_col) agg per batch — was one job per
+    partition through round 3), and the grouped pass must report the same
+    metrics the per-partition version did (cross-checked against
+    plan.rule_metrics)."""
     engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
     m = CheckpointManifest(str(tmp_path / "manifest"), run_id="jobs1")
     # buffer all metric writes so the probe counts only validation jobs
     metrics = MetricsSink(spark, str(tmp_path / "metrics"), None, flush_every=10_000)
     sc = spark.sparkContext
-    sc.setJobGroup("ckpt-probe", "count jobs per partition")
+    sc.setJobGroup("ckpt-probe", "count jobs per batch")
     try:
         s = engine.run_with_checkpoint(
             cf, "bucket", m, metrics=metrics, input_path="fixture://x"
@@ -189,13 +190,12 @@ def test_checkpoint_single_job_per_partition(spark, fixture, cf, tmp_path):
     finally:
         sc.setJobGroup("", "")
     n_parts = s["partitions_total"]
+    assert n_parts > 1  # all 16 fixture buckets fit one default batch...
     job_ids = spark.sparkContext.statusTracker().getJobIdsForGroup("ckpt-probe")
-    # ONE aggregation QUERY per partition. Under AQE each aggregate runs as
-    # 2 jobs (shuffle materialization + final stage), plus the distinct-keys
-    # job and the final buffered flush — measured 38 for 16 partitions. The
-    # old two-pass version (separate rows/violations agg + exploded
-    # rule_metrics groupBy) ran 4-5 jobs/partition and trips this bound.
-    assert len(job_ids) <= 2 * n_parts + 8, (len(job_ids), n_parts)
+    # ...so the whole run is ONE aggregation QUERY (2-3 jobs under AQE) plus
+    # the distinct-keys job — independent of partition count. The round-3
+    # per-partition loop ran ~2 jobs per partition and trips this bound.
+    assert len(job_ids) <= 8, (len(job_ids), n_parts)
     # same metrics as the reference two-pass computation
     plan = engine.bind(cf)
     expected = {
@@ -214,6 +214,67 @@ def test_checkpoint_single_job_per_partition(spark, fixture, cf, tmp_path):
     entries = [e["metrics"] for e in m.completed().values()]
     assert sum(e["violations"] for e in entries) == sum(expected.values())
     assert sum(e["rows"] for e in entries) == cf.count()
+
+
+def test_checkpoint_batched_equals_per_partition(spark, fixture, cf, tmp_path):
+    """Round-4: batch_size=K commits identical manifest rows/violations (and
+    identical metrics-table rule counts) to the batch_size=1 per-partition
+    run, in ceil(n/K) jobs-worth of batches; resume after a mid-run kill
+    reprocesses exactly the uncommitted keys."""
+    engine = ValidationEngine(CODE_FILES_SCHEMA_DOC, key_cols=["row_id"])
+
+    def manifest_metrics(bs, tag):
+        m = CheckpointManifest(str(tmp_path / f"manifest_{tag}"), run_id=tag)
+        sink = MetricsSink(spark, str(tmp_path / f"metrics_{tag}"), None,
+                           flush_every=10_000)
+        engine.run_with_checkpoint(cf, "bucket", m, metrics=sink,
+                                   input_path="fixture://x", batch_size=bs)
+        per_key = {
+            k: (e["metrics"]["rows"], e["metrics"]["violations"])
+            for k, e in m.completed().items()
+        }
+        rule_counts = {
+            (r.rule_id, r["column"], r.partition_key): r.violations
+            for r in sink.read_metrics().collect()
+        }
+        return per_key, rule_counts
+
+    k1, r1 = manifest_metrics(1, "bs1")
+    k5, r5 = manifest_metrics(5, "bs5")  # 16 buckets -> batches of 5,5,5,1
+    assert k1 == k5
+    assert r1 == r5
+
+    # kill/resume at batch granularity: drop 3 manifest entries spanning two
+    # would-be batches; the resume run reprocesses exactly those keys
+    mdir = str(tmp_path / "manifest_bs5")
+    victims = sorted(os.listdir(mdir))[:3]
+    for v in victims:
+        os.remove(os.path.join(mdir, v))
+    m_resume = CheckpointManifest(mdir, run_id="resume")
+    s = engine.run_with_checkpoint(cf, "bucket", m_resume, batch_size=2)
+    assert s["partitions_processed"] == 3
+    assert s["partitions_skipped_committed"] == s["partitions_total"] - 3
+    assert {k: (e["metrics"]["rows"], e["metrics"]["violations"])
+            for k, e in m_resume.completed().items()} == k1
+
+
+def test_run_partitioned_batched_requires_full_key_coverage(spark, tmp_path):
+    """A batch_process_fn that silently drops a requested key must raise —
+    otherwise an empty/missing partition would never get a manifest entry
+    and every resume would rescan it."""
+    from jsonl_schema_validator_spark.plans.checkpoint import (
+        run_partitioned_batched,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "p int, v string")
+    m = CheckpointManifest(str(tmp_path / "m"), run_id="cov")
+    with pytest.raises(ValueError, match="missing|covered"):
+        run_partitioned_batched(
+            df, "p", lambda bdf, keys: {str(keys[0]): {"rows": 1}}, m,
+            keys=[1, 2, 3], batch_size=10,
+        )
+    # nothing committed for the failed batch
+    assert m.completed() == {}
 
 
 def test_metrics_sink_buffered_and_compact(spark, tmp_path):
