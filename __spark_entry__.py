@@ -563,6 +563,49 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return secret_scan(docs, "doc_id", "content")
 
 
+def _with_pii_content(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing rendering of documents (both engines build
+    the identical string) so the PII patterns actually fire."""
+    return docs.withColumn(
+        "content",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("\ncontact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("\ncall (555) 123-4567 now")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nserver at 192.168.1.42")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0, F.lit("\nssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 0, F.lit("\ncard 4111 1111 1111 1111 exp")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screening (emails, phones, IPv4, SSN, card-shaped numbers) over
+    documents — training-data hygiene gate beside secret_scan; portable
+    regex battery, pure expressions."""
+    from jsonl_schema_validator_spark.operators import pii_scan
+
+    docs = _with_pii_content(_t(spark, sf_dir, "documents"))
+    return pii_scan(docs, "doc_id", "content")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction mode of the PII battery: every match replaced with its
+    bracket token, applied in PII_PATTERNS order (the oracle replays the
+    same sequence with regexp_replace 'g')."""
+    from jsonl_schema_validator_spark.operators import pii_redact
+
+    docs = _with_pii_content(_t(spark, sf_dir, "documents"))
+    return pii_redact(docs, "doc_id", "content")
+
+
 def q_code_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file shape metrics (lines, lengths, comment/blank ratios) over a
     deterministic multi-line rendering."""
@@ -652,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_pairs": q_lsh_pairs,
         "secret_scan": q_secret_scan,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
         "code_metrics": q_code_metrics,
         "multimodal_metadata": q_multimodal_metadata,
     }
@@ -967,6 +1012,61 @@ SELECT doc_id AS id, {", ".join(SECRET_PATTERNS)},
        CAST({total} AS INT) AS secret_hits,
        ({total}) > 0 AS has_secret
 FROM m
+"""
+
+
+_PII_CONTENT_SQL = """text
+  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'call (555) 123-4567 now' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'server at 192.168.1.42' ELSE '' END
+  || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'ssn 123-45-6789' ELSE '' END
+  || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'card 4111 1111 1111 1111 exp' ELSE '' END"""
+
+
+def _pii_scan_sql() -> str:
+    """Same pattern battery as operators/codeops.py (single source of truth:
+    PII_PATTERNS), counted with regexp_extract_all (non-overlapping leftmost,
+    like Spark's regexp_count; alternation preference is leftmost-first in
+    both RE2 and Java regex)."""
+    from jsonl_schema_validator_spark.operators.codeops import PII_PATTERNS
+
+    count_cols = ",\n  ".join(
+        "CAST(coalesce(len(regexp_extract_all(content, '"
+        + pat.replace("'", "''")
+        + f"')), 0) AS INT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(PII_PATTERNS)
+    return f"""
+WITH c AS (SELECT doc_id, {_PII_CONTENT_SQL} AS content FROM documents),
+m AS (SELECT doc_id,
+  {count_cols}
+FROM c)
+SELECT doc_id AS id, {", ".join(PII_PATTERNS)},
+       CAST({total} AS INT) AS pii_hits,
+       ({total}) > 0 AS has_pii
+FROM m
+"""
+
+
+def _pii_redact_sql() -> str:
+    """Sequential global regexp_replace in PII_PATTERNS order — the same
+    progressive-redaction contract pii_redact applies in Spark."""
+    from jsonl_schema_validator_spark.operators.codeops import (
+        PII_PATTERNS,
+        PII_REDACTION_TOKENS,
+    )
+
+    expr = "content"
+    for name, pat in PII_PATTERNS.items():
+        expr = (
+            "regexp_replace(" + expr + ", '" + pat.replace("'", "''")
+            + "', '" + PII_REDACTION_TOKENS[name] + "', 'g')"
+        )
+    return f"""
+WITH c AS (SELECT doc_id, {_PII_CONTENT_SQL} AS content FROM documents)
+SELECT doc_id AS id, {expr} AS redacted
+FROM c
 """
 
 
@@ -1408,6 +1508,8 @@ GROUP BY o_custkey
             threshold=0.3, num_planes=4, seed=42, dim=EMB_DIM
         ),
         "secret_scan": _secret_scan_sql(),
+        "pii_scan": _pii_scan_sql(),
+        "pii_redact": _pii_redact_sql(),
         "code_metrics": _CODE_METRICS_SQL,
         "multimodal_metadata": """
 SELECT doc_id AS id,

@@ -32,6 +32,8 @@ from jsonl_schema_validator_spark.operators.similarity import (
 )
 from jsonl_schema_validator_spark.operators.codeops import (
     code_metrics,
+    pii_redact,
+    pii_scan,
     secret_scan,
 )
 from jsonl_schema_validator_spark.operators.textops import (
@@ -69,6 +71,8 @@ __all__ = [
     "ivf_topk_indexed",
     "lsh_topk",
     "code_metrics",
+    "pii_redact",
+    "pii_scan",
     "secret_scan",
     "document_quality",
     "repetition_metrics",

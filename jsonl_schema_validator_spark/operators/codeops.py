@@ -60,6 +60,82 @@ def secret_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# portable PII patterns (RE2 + Java-regex compatible: no backrefs or
+# lookaround; \b is the ASCII word boundary in both). Like SECRET_PATTERNS
+# these are structural screens, not validators — a card-shaped number is
+# flagged without a Luhn check (not regex-expressible), an IPv4 needs
+# strict octets. Dict order is the redaction order and part of the
+# contract: both engines apply replacements in this sequence.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    # NANP-shaped phone: optional +1, optional parens, 3-3-4 digit groups
+    # with space/dash separators. No leading \b: '(' is a non-word char, so
+    # a boundary assertion before it can never hold after whitespace.
+    "phone": "(\\+1[ -])?\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}\\b",
+    # strict dotted-quad: each octet 0-255 (alternation is leftmost-first in
+    # both Java regex and RE2, so 25x/2xx/1xx/low order matters)
+    "ipv4": "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b",
+    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    # 13-16 digit card-shaped number, optional per-group space/dash
+    "card": "\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\\b",
+}
+
+PII_REDACTION_TOKENS: dict[str, str] = {
+    "email": "[EMAIL]",
+    "phone": "[PHONE]",
+    "ipv4": "[IP]",
+    "ssn": "[SSN]",
+    "card": "[CARD]",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts + verdict:
+    (id, email, phone, ipv4, ssn, card, pii_hits, has_pii).
+
+    Training-data hygiene twin of secret_scan: a narrow regexp_count
+    projection over the scan — no shuffle, no skew surface, fully codegen.
+    The patterns are the shared single source of truth (PII_PATTERNS) for
+    Spark and the DuckDB oracle.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(col, F.lit(pat)).cast("int").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(name)
+        total = c if total is None else (total + c)
+    return out.withColumn("pii_hits", total.cast("int")).withColumn(
+        "has_pii", F.col("pii_hits") > 0
+    )
+
+
+def pii_redact(
+    df: DataFrame, id_col: str, text_col: str, kinds: list[str] | None = None
+) -> DataFrame:
+    """Replace every PII match with its bracket token: (id, redacted).
+
+    Replacements apply in PII_PATTERNS order on the progressively redacted
+    string (deterministic: Spark and the oracle both do non-overlapping
+    leftmost replacement in the same sequence). `kinds` restricts to a
+    subset, e.g. kinds=["email", "ssn"]. Null text redacts to null —
+    the row count is preserved so downstream joins stay keyed.
+    """
+    for kind in kinds or []:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}; have {list(PII_PATTERNS)}")
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        if kinds is not None and name not in kinds:
+            continue
+        col = F.regexp_replace(col, F.lit(pat), F.lit(PII_REDACTION_TOKENS[name]))
+    return df.select(F.col(id_col).alias("id"), col.alias("redacted"))
+
+
 def code_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-file shape metrics over the line structure:
     (id, n_lines, max_line_len, avg_line_len, comment_lines, blank_lines,

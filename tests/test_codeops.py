@@ -63,3 +63,56 @@ def test_code_metrics(spark):
         "content",
     ).collect()[0]
     assert r2.n_lines == 1 and r2.blank_lines == 0 and r2.comment_lines == 0
+
+
+def test_pii_scan(spark):
+    from jsonl_schema_validator_spark.operators import pii_scan
+
+    rows = [
+        (1, "mail a.b+c@test.example.org and x@y.io today"),  # 2 emails
+        (2, "call (555) 123-4567 or +1 555-987-6543"),  # 2 phones
+        (3, "hosts 10.0.0.1 and 255.255.255.255 but not 999.1.1.1 or 1.2.3.256"),
+        (4, "ssn 123-45-6789 here"),
+        (5, "card 4111 1111 1111 1111 and 4111-1111-1111-1111 and 4111111111111111"),
+        (6, "clean text, version 1.2.3, meeting 10-11"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content string")
+    got = {r.id: r for r in pii_scan(df, "doc_id", "content").collect()}
+    assert got[1].email == 2 and got[1].has_pii
+    assert got[2].phone == 2
+    assert got[3].ipv4 == 2  # strict octets: 999.x and .256 rejected
+    assert got[4].ssn == 1
+    assert got[5].card == 3
+    assert got[6].pii_hits == 0 and not got[6].has_pii
+    assert got[7].pii_hits == 0 and not got[7].has_pii  # null content
+
+
+def test_pii_redact_roundtrip(spark):
+    """After redaction the scanner must find nothing, the tokens must be
+    present, and non-PII text must survive byte-identical."""
+    from jsonl_schema_validator_spark.operators import pii_redact, pii_scan
+
+    rows = [
+        (1, "reach me at jane@corp.example or (555) 123-4567, box 10.0.0.7,"
+            " ssn 123-45-6789, card 4111-1111-1111-1111. thanks!"),
+        (2, "no pii at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content string")
+    red = pii_redact(df, "doc_id", "content")
+    got = {r.id: r.redacted for r in red.collect()}
+    assert got[1] == ("reach me at [EMAIL] or [PHONE], box [IP],"
+                      " ssn [SSN], card [CARD]. thanks!")
+    assert got[2] == "no pii at all"
+    assert got[3] is None  # null text stays null, row preserved
+    rescan = pii_scan(red, "id", "redacted")
+    assert all(r.pii_hits == 0 for r in rescan.collect())
+    # kinds= subset: only emails redacted, phone untouched
+    sub = pii_redact(df, "doc_id", "content", kinds=["email"]).collect()
+    s1 = {r.id: r.redacted for r in sub}[1]
+    assert "[EMAIL]" in s1 and "(555) 123-4567" in s1
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        pii_redact(df, "doc_id", "content", kinds=["dna"])
