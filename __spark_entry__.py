@@ -270,6 +270,31 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.3)
 
 
+def q_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: pairs sharing a verbatim 8-token span (k=8
+    because the synthetic docs are short; real corpora use the k=20+
+    default). Exercises the md5-span join with the auto hot-span cap (no
+    span is hot at this sf, so the result equals the exact one)."""
+    from jsonl_schema_validator_spark.operators import shared_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(docs, "doc_id", "text", k=8)
+
+
+def q_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: IVF cell assignment (prefix-init
+    centroids -> relationally reproducible), intra-cell cosine pairs,
+    connected components, keep = min-id per cluster. threshold=0.35 because
+    the synthetic embeddings are near-random (max pairwise cosine ~0.51);
+    real corpora use the 0.95 default."""
+    from jsonl_schema_validator_spark.operators import semantic_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_duplicates(
+        emb, threshold=0.35, num_centroids=16, init="prefix"
+    )
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text_metrics(docs, "doc_id", "text")
@@ -673,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "semantic_dup": q_semantic_dup,
+        "span_pairs": q_span_pairs,
         "simhash_documents": q_simhash_documents,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -788,6 +815,84 @@ reach(id, label) AS (
   FROM reach r JOIN edges e ON e.src = r.id
   WHERE r.label < e.dst)
 SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _semantic_dup_sql(threshold: float, num_centroids: int) -> str:
+    """DuckDB replica of semantic_duplicates(init='prefix'): prefix
+    centroids (lowest vec_ids), argmax cell with lowest-cell tiebreak (the
+    Spark argmax_cell sort), intra-cell pairs with round(cosine,6) >=
+    threshold, then min-label connected components via the same recursive
+    CTE as the dup_clusters oracle; unpaired ids keep themselves."""
+    return f"""
+WITH RECURSIVE {_EX_NORMS_CTE},
+cent AS (
+  SELECT vec_id AS cvid,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {num_centroids})),
+cex AS (
+  SELECT c.cell, e.pos, e.val, n.nrm AS cnrm
+  FROM cent c
+  JOIN ex e ON e.vec_id = c.cvid
+  JOIN norms n ON n.vec_id = c.cvid),
+cs AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.val * c.val) / (max(n.nrm) * max(c.cnrm)), 6) AS score
+  FROM ex e
+  JOIN cex c ON c.pos = e.pos
+  JOIN norms n ON n.vec_id = e.vec_id
+  GROUP BY e.vec_id, c.cell),
+assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+        FROM cs)
+  WHERE rn = 1),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT cand.id_a, cand.id_b, sum(x.val * y.val) AS dot
+  FROM cand
+  JOIN ex x ON x.vec_id = cand.id_a
+  JOIN ex y ON y.vec_id = cand.id_b AND y.pos = x.pos
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d.id_a, d.id_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.label < e.dst),
+cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT emb.vec_id AS id,
+       coalesce(cc.cluster_id, emb.vec_id) AS cluster_id,
+       emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS keep
+FROM embeddings emb
+LEFT JOIN cc ON cc.id = emb.vec_id
+"""
+
+
+_SPAN_PAIRS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS span_hash
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) g
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_spans
+FROM sh a JOIN sh b ON a.span_hash = b.span_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
 
 
@@ -1265,6 +1370,8 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
 """,
         "minhash_pairs": _minhash_sql(0.8),
         "dup_clusters": _dup_clusters_sql(0.8),
+        "semantic_dup": _semantic_dup_sql(threshold=0.35, num_centroids=16),
+        "span_pairs": _SPAN_PAIRS_SQL,
         "simhash_documents": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -12,10 +12,12 @@ from jsonl_schema_validator_spark.operators.drift import (
 )
 from jsonl_schema_validator_spark.operators.dedup import (
     duplicate_clusters,
+    semantic_duplicates,
     exact_duplicates,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
+    shared_span_pairs,
     simhash64,
     simhash_near_pairs,
     word_shingles,
@@ -55,10 +57,12 @@ __all__ = [
     "ks_drift_exact",
     "ks_drift_binned",
     "duplicate_clusters",
+    "semantic_duplicates",
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "shared_span_pairs",
     "simhash64",
     "simhash_near_pairs",
     "word_shingles",

@@ -188,6 +188,72 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_spans: int = 1,
+    max_span_freq: int | None | str = "auto",
+) -> DataFrame:
+    """Substring-level dedup screen: (id_a, id_b, shared_spans) with
+    id_a < id_b — document pairs sharing at least `min_spans` DISTINCT
+    verbatim k-token spans (the Lee-et-al-style shared-substring signal
+    exact whole-document dedup misses, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — detection shape only; the
+    reference engine has no dedup operators).
+
+    Each doc explodes to its distinct k-token rolling spans (word_shingles
+    is already array_distinct), spans are md5-hashed so the equality
+    shuffle moves 32-char keys instead of k-token strings, and the
+    span-keyed self-join counts co-occurrences per pair. The only shuffles
+    are (span_hash) for the join and (id_a, id_b) for the count — no
+    all-pairs product.
+
+    max_span_freq mirrors ngram_jaccard_pairs' hot-shingle cap: a span
+    shared by f docs produces f^2/2 join rows, so boilerplate (license
+    headers, templated text) detonates the self-join at corpus scale;
+    'auto' (default) drops spans in more than DEFAULT_MAX_SHINGLE_FREQ
+    docs (logged). Pairs whose only overlap is such boilerplate are
+    missed — usually the desired semantics, since boilerplate is not
+    duplication evidence. None opts into the exact unguarded result.
+    """
+    # explode first, hash second (a generator cannot nest inside md5)
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("span"),
+    ).select("id", F.md5(F.col("span").cast("binary")).alias("span_hash"))
+    if max_span_freq == "auto":
+        max_span_freq = DEFAULT_MAX_SHINGLE_FREQ
+        import logging
+
+        logging.getLogger(__name__).info(
+            "shared_span_pairs: auto hot-span cap max_span_freq=%d "
+            "(pass None for the exact unguarded result)",
+            max_span_freq,
+        )
+    if max_span_freq is not None:
+        hot = (
+            spans.groupBy("span_hash")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(F.col("freq") > max_span_freq)
+            .select("span_hash")
+        )
+        spans = spans.join(F.broadcast(hot), "span_hash", "left_anti")
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.span_hash") == F.col("b.span_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .where(F.col("shared_spans") >= F.lit(min_spans))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -433,6 +499,92 @@ def duplicate_clusters(
             "switch to a large-star/small-star implementation for deep graphs"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def semantic_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 3,
+    init: str = "kmeans",
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column:
+    (id, cluster_id, keep) for EVERY corpus row — cluster_id is the
+    smallest id in the duplicate component, keep = (id == cluster_id)
+    (singletons keep themselves).
+
+    Pipeline (cluster-then-prune, the standard shape from Abbas et al.,
+    "SemDeDup", arXiv:2303.09540):
+    1. plan-time IVF centroid fit (bounded driver sample) — centroids
+       become literals, so cell assignment is a narrow argmax projection
+       over the scan, no shuffle (reuses _fit_centroids/_ivf_exprs);
+    2. intra-cell cosine pairs >= threshold: the self-join shuffles on
+       `cell` only — candidate work is sum(|cell|^2), never the corpus
+       all-pairs product. Cross-cell near-duplicates are missed BY DESIGN
+       (SemDeDup semantics: dedup within semantic clusters; raise
+       num_centroids for tighter cells, lower it for higher recall);
+    3. duplicate_clusters (size-dispatched connected components) labels
+       the pair graph; unpaired rows re-join as singleton keepers.
+
+    At 100 TB: one scan assigns cells, one cell-keyed shuffle builds
+    pairs; skewed (dense) cells are the hotspot — num_centroids should
+    scale so the biggest cell's pair product fits an executor, the same
+    sizing rule as the LSH band tables.
+
+    init='prefix' makes the whole pipeline relationally reproducible
+    (the DuckDB oracle replays it); 'kmeans' is the quality default.
+    """
+    from jsonl_schema_validator_spark.operators.similarity import (
+        _fit_centroids,
+        _ivf_exprs,
+        cosine,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    centroids, cent_norms = _fit_centroids(
+        corpus, id_col, vec_col, num_centroids, seed, lloyd_iters, init
+    )
+    cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
+    # three consumers (both join sides + the singleton re-join) — persist
+    # the assignment once; at warehouse scale this is the materialized
+    # cell-assignment table (same lifecycle note as the shingle table).
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = assigned.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    clusters = duplicate_clusters(
+        pairs, driver_threshold=driver_threshold
+    )
+    return (
+        assigned.select("id")
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("id") == F.col("cluster_id"))
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

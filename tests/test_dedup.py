@@ -299,3 +299,98 @@ def test_duplicate_clusters_null_ids_and_mixed_types(spark):
     out = duplicate_clusters(mixed)
     assert dict(out.dtypes)["cluster_id"] == "bigint"
     assert {(r.id, r.cluster_id) for r in out.collect()} == {(1, 1), (2**40, 1)}
+
+
+def test_semantic_duplicates(spark):
+    """Planted near-identical embedding groups cluster to the min id; noise
+    vectors stay singleton keepers; every input row appears exactly once."""
+    import math
+    import random
+
+    from jsonl_schema_validator_spark.operators import semantic_duplicates
+
+    rng = random.Random(7)
+    dim = 8
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def jitter(v, eps):
+        return unit([x + rng.uniform(-eps, eps) for x in v])
+
+    base_a = unit([rng.gauss(0, 1) for _ in range(dim)])
+    base_b = unit([rng.gauss(0, 1) for _ in range(dim)])
+    rows = []
+    # group A: ids 10,11,12 nearly identical; group B: ids 20,21
+    for i in (10, 11, 12):
+        rows.append((i, jitter(base_a, 0.01)))
+    for i in (20, 21):
+        rows.append((i, jitter(base_b, 0.01)))
+    # noise: orthogonal-ish singletons
+    for i in (30, 31, 32):
+        rows.append((i, unit([rng.gauss(0, 1) for _ in range(dim)])))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_duplicates(
+        df, threshold=0.99, num_centroids=4, init="kmeans", seed=3
+    ).collect()
+    got = {r.id: (r.cluster_id, r.keep) for r in out}
+    assert len(got) == len(rows)  # every row labeled exactly once
+    assert got[10] == (10, True)
+    assert got[11] == (10, False) and got[12] == (10, False)
+    assert got[20] == (20, True) and got[21] == (20, False)
+    for i in (30, 31, 32):
+        assert got[i] == (i, True), (i, got[i])
+    # distributed CC path agrees
+    out2 = semantic_duplicates(
+        df, threshold=0.99, num_centroids=4, init="kmeans", seed=3,
+        driver_threshold=0,
+    ).collect()
+    assert {r.id: (r.cluster_id, r.keep) for r in out2} == got
+
+
+def test_shared_span_pairs(spark):
+    """Docs sharing a verbatim k-token span pair up; distinct-span counts
+    are right; the hot-span cap drops boilerplate-only pairs."""
+    from jsonl_schema_validator_spark.operators import shared_span_pairs
+
+    boiler = "licensed under the apache license version two zero"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+        (2, "intro words alpha beta gamma delta epsilon zeta eta theta end"),
+        (3, "totally different text with no overlap at all whatsoever"),
+        (4, boiler + " body of file four"),
+        (5, boiler + " body of file five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.shared_spans
+        for r in shared_span_pairs(df, "doc_id", "text", k=8, max_span_freq=None).collect()
+    }
+    # docs 1,2 share the 8-token run "alpha..theta" -> exactly 1 distinct span
+    assert got[(1, 2)] == 1
+    # docs 4,5 share the 11-token "licensed .. body of file" prefix -> 4
+    # overlapping 8-token spans
+    assert got[(4, 5)] == 4
+    assert (1, 3) not in got and (2, 3) not in got
+    # every shared span above appears in exactly 2 docs, so cap=1 (freq > 1
+    # dropped) kills all pairs and cap=2 keeps them — the freq>cap boundary
+    capped1 = shared_span_pairs(df, "doc_id", "text", k=8, max_span_freq=1).collect()
+    assert capped1 == []
+    capped2 = {
+        (r.id_a, r.id_b)
+        for r in shared_span_pairs(df, "doc_id", "text", k=8, max_span_freq=2).collect()
+    }
+    assert capped2 == {(1, 2), (4, 5)}
+    # min_spans raises the evidence bar: only the 4-span pair survives
+    strict = shared_span_pairs(
+        df, "doc_id", "text", k=8, min_spans=2, max_span_freq=None
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in strict} == {(4, 5)}
+    # a shared span longer than k yields multiple overlapping k-spans
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x a b c d e f g h i j y")],
+        "doc_id bigint, text string",
+    )
+    r2 = shared_span_pairs(df2, "doc_id", "text", k=8, max_span_freq=None).collect()
+    assert {(r.id_a, r.id_b): r.shared_spans for r in r2} == {(1, 2): 3}
