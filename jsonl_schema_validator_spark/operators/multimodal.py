@@ -1,16 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-mapInPandas signatures, partition preservation. The actual media decode is
-STUBBED behind backends, because codec libraries (PIL/ffmpeg/librosa) are
-not in this container:
+mapInPandas signatures, partition preservation. Decode backends:
 
+- backend='raw'   : REAL decode of uncompressed container formats with
+                    stdlib struct + numpy only — BMP (24bpp, BI_RGB) and
+                    PPM (P6) images, RIFF/WAV (PCM16) audio. No codec
+                    library needed; this is the production path for
+                    uncompressed media.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
-- backend='pil' / 'ffmpeg': raise NotImplementedError with guidance — the
-                    mapInPandas plumbing is identical; only the per-batch
-                    decode function changes.
+- backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
+                    compressed formats (JPEG/PNG/MP3/MP4) need codec libs
+                    not in this container; the mapInPandas plumbing is
+                    identical, only the per-batch decode function changes.
 
 Scale notes: binary payloads ride the scan; metadata extraction is a narrow
 map. Arrow batch size is bounded via spark.sql.execution.arrow.
@@ -42,6 +46,155 @@ def make_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     payload = hashlib.sha256(f"{sample_rate}:{n_samples}:{seed}".encode()).digest()
     payload = (payload * (n_samples * 2 // len(payload) + 1))[: n_samples * 2]
     return _AUD_MAGIC + struct.pack(">II", sample_rate, n_samples) + payload
+
+
+# --- uncompressed-format encoders (fixture writers AND real encoders) ------
+
+
+def encode_bmp(pixels) -> bytes:
+    """24bpp BI_RGB bottom-up BMP from an (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) RGB")
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        row = px[r][:, ::-1].tobytes()  # RGB -> BGR on disk
+        body += row + b"\x00" * (row_bytes - len(row))
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary P6 PPM from an (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) RGB")
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
+    """RIFF/WAVE PCM16 from an int16 sample array (mono or (n, channels))."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s.reshape(-1, 1)
+    channels = s.shape[1]
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+# --- uncompressed-format parsers (numpy, no codecs) -------------------------
+
+
+def _parse_bmp(raw: bytes):
+    """(w, h, pixel_bytes ndarray) for a 24bpp BI_RGB BMP, else None."""
+    import numpy as np
+
+    if raw is None or len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", raw[10:14])[0]
+    w, h = struct.unpack("<ii", raw[18:26])
+    bpp = struct.unpack("<H", raw[28:30])[0]
+    comp = struct.unpack("<I", raw[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, h = h < 0, abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(raw) < data_off + row_bytes * h:
+        return None
+    rows = np.frombuffer(
+        raw, np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows.reshape(-1)
+
+
+def _parse_ppm(raw: bytes):
+    """(w, h, pixel_bytes ndarray) for a binary P6 PPM (maxval<=255)."""
+    import numpy as np
+
+    if raw is None or len(raw) < 2 or raw[:2] != b"P6":
+        return None
+    # header: three whitespace-separated ints, '#' comments allowed
+    vals, i, n = [], 2, len(raw)
+    while len(vals) < 3 and i < n:
+        c = raw[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and raw[i : i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and raw[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(raw[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or not (0 < vals[2] <= 255):
+        return None
+    i += 1  # exactly ONE whitespace byte after maxval, per spec
+    w, h = vals[0], vals[1]
+    if w <= 0 or h <= 0 or len(raw) < i + w * h * 3:
+        return None
+    return w, h, np.frombuffer(raw, np.uint8, count=w * h * 3, offset=i)
+
+
+def _parse_wav(raw: bytes):
+    """(sample_rate, channels, samples int16 ndarray (n, ch)) for PCM16."""
+    import numpy as np
+
+    if raw is None or len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        sz = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels = struct.unpack("<HH", fmt[:4])
+    rate = struct.unpack("<I", fmt[4:8])[0]
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None
+    frame = channels * 2
+    usable = len(data) // frame * frame
+    samples = np.frombuffer(data, "<i2", count=usable // 2).reshape(-1, channels)
+    return rate, channels, samples
 
 
 def binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
@@ -84,25 +237,48 @@ def decode_images(
     backend: str = "fake",
 ) -> DataFrame:
     """(id, width, height, n_bytes, mean_byte, sha256) via Arrow-batched
-    mapInPandas. Swap the per-batch decode for PIL at deployment; the Spark
-    plumbing (schema, batching, partitioning) is identical."""
+    mapInPandas.
+
+    backend='raw' really decodes uncompressed BMP (24bpp) and PPM (P6)
+    bytes — mean_byte is the mean over the actual RGB pixel values
+    (padding and headers excluded); undecodable rows yield metadata nulls,
+    never a crash. backend='fake' parses the FIMG fixture header.
+    backend='pil' is the compressed-format slot (JPEG/PNG) — not available
+    in this container; the plumbing is identical, only the per-batch
+    decode function changes."""
     if backend == "pil":
         raise NotImplementedError(
             "PIL is not available in this container; plug a PIL-based "
-            "batch decoder into the same mapInPandas plumbing"
+            "batch decoder into the same mapInPandas plumbing "
+            "(backend='raw' already decodes uncompressed BMP/PPM)"
         )
-    if backend != "fake":
+    if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")
     out_schema = T.StructType(
         [T.StructField("id", T.LongType())] + list(IMAGE_FEATURES_SCHEMA.fields)
     )
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
+    def decode_raw(raw: bytes) -> tuple:
+        parsed = _parse_bmp(raw) or _parse_ppm(raw)
+        if parsed is None:
+            return (None, None, len(raw) if raw is not None else None, None, None)
+        w, h, px = parsed
+        return (
+            w,
+            h,
+            len(raw),
+            round(float(px.mean()) if px.size else 0.0, 6),
+            hashlib.sha256(raw).hexdigest(),
+        )
+
+    decode = decode_raw if backend == "raw" else _decode_fake_image
+
     def run(batches: Iterator):
         import pandas as pd
 
         for pdf in batches:
-            feats = [_decode_fake_image(r) for r in pdf["raw"]]
+            feats = [decode(r) for r in pdf["raw"]]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values,
@@ -117,6 +293,104 @@ def decode_images(
     return cols.mapInPandas(run, out_schema)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("max_abs", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    backend: str = "raw",
+) -> DataFrame:
+    """(id, sample_rate, channels, n_samples, duration_sec, rms, max_abs,
+    sha256) via Arrow-batched mapInPandas.
+
+    backend='raw' really decodes RIFF/WAV PCM16 (chunk walk, word-aligned;
+    rms/max_abs over the actual int16 samples, all channels). 'fake'
+    parses the FAUD fixture header, treating its payload as '<i2' mono.
+    'ffmpeg' is the compressed-format slot (MP3/AAC/video audio) — not in
+    this container."""
+    if backend == "ffmpeg":
+        raise NotImplementedError(
+            "ffmpeg is not available in this container; plug an ffmpeg "
+            "batch decoder into the same mapInPandas plumbing "
+            "(backend='raw' already decodes RIFF/WAV PCM16)"
+        )
+    if backend not in ("fake", "raw"):
+        raise ValueError(f"unknown backend: {backend}")
+    import math
+
+    import numpy as np
+
+    def stats(rate: int, channels: int, samples) -> tuple:
+        n = int(samples.shape[0])
+        rms = (
+            round(math.sqrt(float((samples.astype(np.float64) ** 2).mean())), 6)
+            if samples.size
+            else 0.0
+        )
+        mx = int(np.abs(samples.astype(np.int32)).max()) if samples.size else 0
+        return (
+            rate,
+            channels,
+            n,
+            round(n / rate, 6),
+            rms,
+            mx,
+        )
+
+    def decode(raw: bytes) -> tuple:
+        nulls = (None, None, None, None, None, None)
+        if backend == "raw":
+            parsed = _parse_wav(raw)
+            if parsed is None:
+                return nulls + (None,)
+            return stats(*parsed) + (hashlib.sha256(raw).hexdigest(),)
+        if raw is None or len(raw) < 12 or raw[:4] != _AUD_MAGIC:
+            return nulls + (None,)
+        rate, n = struct.unpack(">II", raw[4:12])
+        body = raw[12 : 12 + n * 2]
+        samples = np.frombuffer(
+            body, "<i2", count=len(body) // 2
+        ).reshape(-1, 1)
+        return stats(rate, 1, samples) + (hashlib.sha256(raw).hexdigest(),)
+
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType())] + list(AUDIO_FEATURES_SCHEMA.fields)
+    )
+    cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode(r) for r in pdf["raw"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "sample_rate": [f[0] for f in feats],
+                    "channels": [f[1] for f in feats],
+                    "n_samples": [f[2] for f in feats],
+                    "duration_sec": [f[3] for f in feats],
+                    "rms": [f[4] for f in feats],
+                    "max_abs": [f[5] for f in feats],
+                    "sha256": [f[6] for f in feats],
+                }
+            )
+
+    return cols.mapInPandas(run, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     binary_col: str,
@@ -124,11 +398,24 @@ def frame_sample(
     every_n: int = 10,
     backend: str = "fake",
 ) -> DataFrame:
-    """Video frame sampling stub: emits one row per sampled 'frame'
-    (id, frame_idx, frame_sha256). Fake backend treats each 256-byte block
-    of the payload as a frame — the explode/batch shape of real sampling."""
-    if backend != "fake":
-        raise NotImplementedError("real video decode not available here")
+    """Media frame/segment sampling: one row per sampled frame
+    (id, frame_idx, frame_sha256).
+
+    backend='raw' really segments WAV PCM16 audio into one-second windows
+    (sample_rate frames of int16*channels) and hashes every every_n-th
+    window — the standard audio-chunk sampling a training pipeline feeds
+    to a feature extractor. backend='fake' treats each 256-byte block of
+    the FIMG/FAUD payload as a frame (the explode/batch shape of real
+    sampling). backend='ffmpeg' is the compressed-video slot — not in
+    this container."""
+    if backend == "ffmpeg":
+        raise NotImplementedError(
+            "ffmpeg is not available in this container; compressed video "
+            "frame sampling plugs into the same mapInPandas plumbing "
+            "(backend='raw' already segments WAV PCM16 audio)"
+        )
+    if backend not in ("fake", "raw"):
+        raise ValueError(f"unknown backend: {backend}")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -138,16 +425,28 @@ def frame_sample(
     )
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
+    def frames_of(raw: bytes) -> list:
+        if raw is None:
+            return []
+        if backend == "raw":
+            parsed = _parse_wav(raw)
+            if parsed is None:
+                return []
+            rate, channels, samples = parsed
+            return [
+                samples[o : o + rate].tobytes()
+                for o in range(0, samples.shape[0], rate)
+            ]
+        body = raw[12:]
+        return [body[o : o + 256] for o in range(0, len(body), 256)]
+
     def run(batches: Iterator):
         import pandas as pd
 
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for i, raw in zip(pdf["id"], pdf["raw"]):
-                if raw is None:
-                    continue
-                body = raw[12:]
-                frames = [body[o : o + 256] for o in range(0, len(body), 256)]
+                frames = frames_of(raw)
                 for k in range(0, len(frames), every_n):
                     ids.append(i)
                     idxs.append(k)

@@ -56,3 +56,124 @@ def test_frame_sample(spark, images):
     assert sorted(by_id[1]) == [0, 2, 4, 6, 8, 10]
     # 8x8 payload = 64 bytes = 1 frame
     assert by_id[2] == [0]
+
+
+def test_decode_images_raw_bmp_and_ppm(spark):
+    """backend='raw' really decodes uncompressed BMP/PPM: exact dims and
+    exact pixel means (BMP row padding excluded), nulls for undecodable."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    # 2x3 RGB with known values; w=3 -> BMP rows pad 9 bytes to 12, which
+    # must NOT leak into mean_byte
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+    expected_mean = round(float(px.mean()), 6)
+    rows = [
+        (1, encode_bmp(px)),
+        (2, encode_ppm(px)),
+        (3, b"BMgarbage"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "img_id bigint, img binary")
+    out = {r.id: r for r in decode_images(df, "img", "img_id", backend="raw").collect()}
+    for i in (1, 2):
+        assert (out[i].width, out[i].height) == (3, 2), out[i]
+        assert out[i].mean_byte == expected_mean
+    assert out[3].width is None and out[4].width is None
+    # PPM with a comment line in the header still parses
+    commented = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    df2 = spark.createDataFrame([(5, commented)], "img_id bigint, img binary")
+    r5 = decode_images(df2, "img", "img_id", backend="raw").collect()[0]
+    assert (r5.width, r5.height, r5.mean_byte) == (3, 2, expected_mean)
+
+
+def test_decode_audio_raw_wav(spark):
+    """backend='raw' decodes RIFF/WAV PCM16: exact sample stats for mono
+    and stereo, nulls for non-WAV bytes."""
+    import math
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    mono = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+    stereo = np.array([[100, -100], [200, -200], [300, -300]], dtype=np.int16)
+    rows = [
+        (1, encode_wav(8000, mono)),
+        (2, encode_wav(44100, stereo)),
+        (3, b"RIFFnope"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "aud_id bigint, aud binary")
+    out = {r.id: r for r in decode_audio(df, "aud", "aud_id", backend="raw").collect()}
+    assert (out[1].sample_rate, out[1].channels, out[1].n_samples) == (8000, 1, 4)
+    assert out[1].duration_sec == round(4 / 8000, 6)
+    assert out[1].rms == round(math.sqrt(float((mono.astype(np.float64) ** 2).mean())), 6)
+    assert out[1].max_abs == 32767
+    assert (out[2].sample_rate, out[2].channels, out[2].n_samples) == (44100, 2, 3)
+    assert out[2].max_abs == 300
+    assert out[3].sample_rate is None and out[4].sample_rate is None
+
+
+def test_decode_audio_fake_backend(spark):
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_audio,
+        make_fake_audio,
+    )
+
+    raw = make_fake_audio(16000, 1024, seed=3)
+    df = spark.createDataFrame([(1, raw)], "aud_id bigint, aud binary")
+    r = decode_audio(df, "aud", "aud_id", backend="fake").collect()[0]
+    assert (r.sample_rate, r.channels, r.n_samples) == (16000, 1, 1024)
+    assert r.duration_sec == round(1024 / 16000, 6)
+
+
+def test_frame_sample_raw_wav(spark):
+    """backend='raw' segments WAV audio into one-second windows and hashes
+    every every_n-th; hashes match a direct recomputation."""
+    import hashlib as _h
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        encode_wav,
+        frame_sample,
+    )
+
+    rate = 4
+    samples = np.arange(14, dtype=np.int16)  # 3.5 seconds -> 4 windows
+    df = spark.createDataFrame(
+        [(1, encode_wav(rate, samples))], "aud_id bigint, aud binary"
+    )
+    out = frame_sample(df, "aud", "aud_id", every_n=2, backend="raw").collect()
+    got = {r.frame_idx: r.frame_sha256 for r in out}
+    assert sorted(got) == [0, 2]
+    win0 = samples[0:4].reshape(-1, 1).tobytes()
+    win2 = samples[8:12].reshape(-1, 1).tobytes()
+    assert got[0] == _h.sha256(win0).hexdigest()
+    assert got[2] == _h.sha256(win2).hexdigest()
+
+
+def test_multimodal_ffmpeg_stubs(spark):
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_audio,
+        frame_sample,
+    )
+
+    df = spark.createDataFrame([(1, b"x")], "aud_id bigint, aud binary")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_audio(df, "aud", "aud_id", backend="ffmpeg")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        frame_sample(df, "aud", "aud_id", backend="ffmpeg")
