@@ -150,8 +150,9 @@ def ngram_jaccard_pairs(
         max_shingle_freq = DEFAULT_MAX_SHINGLE_FREQ
         import logging
 
-        logging.getLogger(__name__).info(
-            "ngram_jaccard_pairs: auto hot-shingle cap max_shingle_freq=%d "
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: auto hot-shingle cap max_shingle_freq=%d — "
+            "pairs whose only overlap is hotter shingles are dropped "
             "(pass None for the exact unguarded result)",
             max_shingle_freq,
         )
@@ -227,8 +228,9 @@ def shared_span_pairs(
         max_span_freq = DEFAULT_MAX_SHINGLE_FREQ
         import logging
 
-        logging.getLogger(__name__).info(
-            "shared_span_pairs: auto hot-span cap max_span_freq=%d "
+        logging.getLogger(__name__).warning(
+            "shared_span_pairs: auto hot-span cap max_span_freq=%d — "
+            "pairs whose only overlap is hotter spans are dropped "
             "(pass None for the exact unguarded result)",
             max_span_freq,
         )

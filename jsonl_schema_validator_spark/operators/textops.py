@@ -31,6 +31,37 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """Per-row quality expressions shared by text_metrics and
+    document_quality — one definition, identical formulas by construction."""
+    col = F.col(text_col)
+    toks = _tokens(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(col)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    # chars that are not alnum or space
+    n_punct = n_chars - F.length(F.regexp_replace(col, "[^a-zA-Z0-9 ]", ""))
+    quality = F.round(
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.coalesce(F.try_divide(n_uniq, n_tokens), F.lit(0.0)) * 0.4
+        + F.least(
+            n_stop / F.greatest(n_tokens * F.lit(0.05), F.lit(1.0)), F.lit(1.0)
+        )
+        * 0.2,
+        6,
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_stop": n_stop,
+        "n_uniq": n_uniq,
+        "n_punct": n_punct,
+        "quality": quality,
+    }
+
+
 def text_metrics(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -42,17 +73,9 @@ def text_metrics(
     vocabulary diversity, and (English) stopword presence — the
     length/punct/stopword-ratio heuristic family.
     """
-    col = F.col(text_col)
-    toks = _tokens(col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(col)
-    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_uniq = F.size(F.array_distinct(toks))
-    # chars that are not alnum or space
-    n_punct = n_chars - F.length(
-        F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
-    )
+    q = _quality_exprs(text_col)
+    n_tokens, n_chars = q["n_tokens"], q["n_chars"]
+    n_stop, n_uniq, n_punct = q["n_stop"], q["n_uniq"], q["n_punct"]
     # try_divide: ANSI-safe (empty text -> n_chars=0); null ratio, not a crash
     avg_token_len = F.round(
         F.try_divide(n_chars - (n_tokens - 1), n_tokens), 6
@@ -60,15 +83,7 @@ def text_metrics(
     stopword_ratio = F.round(F.try_divide(n_stop, n_tokens), 6)
     punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
     uniq_ratio = F.round(F.try_divide(n_uniq, n_tokens), 6)
-    quality = F.round(
-        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
-        + F.coalesce(F.try_divide(n_uniq, n_tokens), F.lit(0.0)) * 0.4
-        + F.least(
-            n_stop / F.greatest(n_tokens * F.lit(0.05), F.lit(1.0)), F.lit(1.0)
-        )
-        * 0.2,
-        6,
-    )
+    quality = q["quality"]
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
@@ -79,6 +94,44 @@ def text_metrics(
         uniq_ratio.alias("uniq_token_ratio"),
         quality.alias("quality_score"),
     )
+
+
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _lang_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-id stopword-hit counts (id, lang_n_tokens, s_en, s_de, ...) — ONE
+    row per distinct id (duplicate ids merge their counts; a NULL id is a
+    legal key and forms its own group). Shared by language_guess and
+    document_quality; per-id uniqueness is what makes the eqNullSafe join
+    back onto per-row frames row-preserving."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    aggs = [F.count(F.lit(1)).alias("lang_n_tokens")] + [
+        F.sum(F.col("tok").isin(*LANG_STOPWORDS[lang]).cast("int")).alias(
+            f"s_{lang}"
+        )
+        for lang in _LANG_ORDER
+    ]
+    return toks.groupBy("id").agg(*aggs)
+
+
+def _lang_guess_exprs() -> tuple[Column, Column]:
+    """(lang_guess, lang_score) argmax expressions over _lang_counts columns.
+    First-in-order-wins tie-break: process in order, replace only on
+    strictly-greater score. NULL counts (no tokens) leave 'und'/null —
+    the 'no evidence' verdict, not a crash."""
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang in _LANG_ORDER:
+        s = F.col(f"s_{lang}")
+        new_guess = F.when(s > best, F.lit(lang)).otherwise(guess)
+        best = F.when(s > best, s).otherwise(best)
+        guess = new_guess
+    score = F.round(F.try_divide(best, F.col("lang_n_tokens")), 6)
+    return guess, score
 
 
 def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -94,40 +147,21 @@ def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     interpreted, O(tokens x stopwords) per language per row, measured ~2s
     for 5000 docs vs this shape's sub-second.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_tokens(F.col(text_col))).alias("tok"),
-    )
-    order = ["en", "de", "fr", "es"]
-    aggs = [F.count(F.lit(1)).alias("n_tokens")] + [
-        F.sum(F.col("tok").isin(*LANG_STOPWORDS[lang]).cast("int")).alias(
-            f"s_{lang}"
-        )
-        for lang in order
-    ]
     # null-text rows produce no exploded tokens; the left join keeps them in
     # the output ('und', null score — the pre-round-3 behavior). eqNullSafe:
     # a NULL id is a legal (if odd) document key and must still match its
     # own token counts; duplicate ids merge their counts — the same id
     # semantics as every other groupBy(id) operator in this package.
-    grouped = toks.groupBy("id").agg(*aggs)
+    grouped = _lang_counts(df, id_col, text_col)
     base = df.select(F.col(id_col).alias("id"))
     counted = base.join(
         grouped, base["id"].eqNullSafe(grouped["id"]), "left"
     ).select(base["id"], *[grouped[c] for c in grouped.columns if c != "id"])
-    guess = F.lit("und")
-    best = F.lit(0)
-    # argmax with first-in-order-wins tie-break: process in order, replace
-    # only on strictly-greater score
-    for lang in order:
-        s = F.col(f"s_{lang}")
-        new_guess = F.when(s > best, F.lit(lang)).otherwise(guess)
-        best = F.when(s > best, s).otherwise(best)
-        guess = new_guess
+    guess, score = _lang_guess_exprs()
     return counted.select(
         "id",
         guess.alias("lang_guess"),
-        F.round(F.try_divide(best, F.col("n_tokens")), 6).alias("lang_score"),
+        score.alias("lang_score"),
     )
 
 
@@ -146,6 +180,58 @@ def token_count(
     return df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
 
 
+def _line_exprs(text_col: str) -> dict[str, Column]:
+    """Per-row line-repetition expressions shared by repetition_metrics and
+    document_quality."""
+    col = F.col(text_col)
+    ls = F.split(col, "\n")
+    n_lines = F.size(ls)
+    # sum of line lengths = text length minus the newline separators
+    chars_all = F.length(col) - (n_lines - F.lit(1))
+    chars_distinct = F.aggregate(
+        F.array_distinct(ls), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": F.round(
+            F.lit(1.0) - F.try_divide(F.size(F.array_distinct(ls)), n_lines), 6
+        ),
+        "dup_line_char_frac": F.round(
+            F.try_divide(chars_all - chars_distinct, chars_all), 6
+        ),
+    }
+
+
+def _top_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-id (id, top_bigram_frac) — ONE row per distinct id (bigrams of
+    duplicate-id rows merge; NULL id is its own group), so an eqNullSafe
+    join back onto a per-row frame is row-preserving. Shared by
+    repetition_metrics and document_quality."""
+    col = F.col(text_col)
+    toks = F.split(col, " ")
+    n_toks = F.size(toks)
+    # bigrams as arrays_zip of two shifted slices — pure codegen array ops,
+    # measured 8.5x over a transform(sequence, element_at) lambda (HOFs run
+    # interpreted). Grouping by the (t1, t2) STRUCT pair is count-identical
+    # to grouping by the 't1 t2' concat the oracle uses: tokens cannot
+    # contain the space separator, so the mapping is bijective.
+    bigrams = F.when(
+        n_toks >= 2,
+        F.arrays_zip(F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.round(F.try_divide(F.max("c"), F.sum("c")), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals:
     (id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac).
@@ -161,48 +247,28 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mode needs a per-(id, bigram) count -> two map-side-combinable
     aggregations keyed by id — scales linearly, no skew (ids unique). NULL
     fractions (empty text / <2 tokens) use try_divide, never a crash.
+
+    Id semantics (match language_guess): a NULL id is a legal key — the
+    eqNullSafe join still attaches its bigram stats. For DUPLICATE ids the
+    line metrics stay per input ROW while top_bigram_frac is computed over
+    the bigrams of ALL rows sharing the id and joined back onto each —
+    mixed granularity; deduplicate ids upstream if per-row bigram stats
+    are needed.
     """
-    col = F.col(text_col)
-    ls = F.split(col, "\n")
-    n_lines = F.size(ls)
-    # sum of line lengths = text length minus the newline separators
-    chars_all = F.length(col) - (n_lines - F.lit(1))
-    chars_distinct = F.aggregate(
-        F.array_distinct(ls), F.lit(0), lambda acc, x: acc + F.length(x)
-    )
+    line = _line_exprs(text_col)
     base = df.select(
         F.col(id_col).alias("id"),
-        n_lines.cast("long").alias("n_lines"),
-        F.round(
-            F.lit(1.0) - F.try_divide(F.size(F.array_distinct(ls)), n_lines), 6
-        ).alias("dup_line_frac"),
-        F.round(F.try_divide(chars_all - chars_distinct, chars_all), 6).alias(
-            "dup_line_char_frac"
-        ),
+        line["n_lines"].cast("long").alias("n_lines"),
+        line["dup_line_frac"].alias("dup_line_frac"),
+        line["dup_line_char_frac"].alias("dup_line_char_frac"),
     )
-    toks = F.split(col, " ")
-    n_toks = F.size(toks)
-    # bigrams as arrays_zip of two shifted slices — pure codegen array ops,
-    # measured 8.5x over a transform(sequence, element_at) lambda (HOFs run
-    # interpreted). Grouping by the (t1, t2) STRUCT pair is count-identical
-    # to grouping by the 't1 t2' concat the oracle uses: tokens cannot
-    # contain the space separator, so the mapping is bijective.
-    bigrams = F.when(
-        n_toks >= 2,
-        F.arrays_zip(F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)),
-    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
-    counts = (
-        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
-        .groupBy("id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(
-            F.round(F.try_divide(F.max("c"), F.sum("c")), 6).alias(
-                "top_bigram_frac"
-            )
-        )
+    counts = _top_bigram_counts(df, id_col, text_col)
+    return base.join(
+        counts, base["id"].eqNullSafe(counts["id"]), "left"
+    ).select(
+        *[base[c] for c in base.columns],
+        *[counts[c] for c in counts.columns if c != "id"],
     )
-    return base.join(counts, "id", "left")
 
 
 def document_quality(
@@ -219,19 +285,36 @@ def document_quality(
     the key quality signals, a comma-joined `reasons` string of every
     threshold tripped ('' = clean), and the `keep` verdict.
 
-    Composes text_metrics + repetition_metrics (+ language_guess when
-    allowed_langs is given) with identical formulas, joined on id. NULL
-    signals (empty docs) never trip a threshold by themselves except the
-    token minimum. Reason labels, in fixed order: too_few_tokens,
-    low_quality, repetitive_lines, repetitive_bigrams, lang.
+    Built from the SAME expression builders as text_metrics /
+    repetition_metrics / language_guess (identical formulas by
+    construction), but structured as ONE per-row projection over the scan
+    plus eqNullSafe LEFT joins against the per-id aggregates
+    (_top_bigram_counts, _lang_counts). Because the aggregate sides are
+    unique per id (NULL id included), the output row set ALWAYS equals the
+    input row set — null-id docs stay in the report and duplicate ids never
+    multiply (joining the per-row operator outputs instead would cross-match
+    duplicate/NULL ids). Per-row signals stay per row; bigram/lang signals
+    are per id, shared across duplicate-id rows — the repetition_metrics id
+    semantics. NULL signals (empty docs) never trip a threshold by
+    themselves except the token minimum. Reason labels, in fixed order:
+    too_few_tokens, low_quality, repetitive_lines, repetitive_bigrams, lang.
     """
-    tm = text_metrics(df, id_col, text_col).select(
-        "id", "n_tokens", "quality_score"
+    q = _quality_exprs(text_col)
+    line = _line_exprs(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality"].alias("quality_score"),
+        line["dup_line_frac"].alias("dup_line_frac"),
     )
-    rep = repetition_metrics(df, id_col, text_col).select(
-        "id", "dup_line_frac", "top_bigram_frac"
+    bg = _top_bigram_counts(df, id_col, text_col)
+    j = base.join(bg, base["id"].eqNullSafe(bg["id"]), "left").select(
+        base["id"],
+        "n_tokens",
+        "quality_score",
+        "dup_line_frac",
+        bg["top_bigram_frac"],
     )
-    j = tm.join(rep, "id")
     cols = ["id", "n_tokens", "quality_score", "dup_line_frac", "top_bigram_frac"]
     reason_parts = [
         F.when(
@@ -251,8 +334,17 @@ def document_quality(
         ),
     ]
     if allowed_langs is not None:
-        lg = language_guess(df, id_col, text_col).select("id", "lang_guess")
-        j = j.join(lg, "id")
+        lc = _lang_counts(df, id_col, text_col)
+        guess, _score = _lang_guess_exprs()
+        # per-id aggregate, computed guess BEFORE the join so the row absent
+        # from lc (null text -> no tokens) coalesces to 'und' like
+        # language_guess's left-join path does
+        lg = lc.select("id", guess.alias("lang_guess"))
+        j = j.join(lg, j["id"].eqNullSafe(lg["id"]), "left").select(
+            j["id"],
+            *[c for c in cols if c != "id"],
+            F.coalesce(lg["lang_guess"], F.lit("und")).alias("lang_guess"),
+        )
         cols.append("lang_guess")
         reason_parts.append(
             F.when(~F.col("lang_guess").isin(*allowed_langs), F.lit("lang"))
