@@ -535,6 +535,35 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_ivf_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized persisted IVF index (round-4): same prefix-init fit as
+    q_ivf_topk, but inverted lists store symmetric int8 codes (~4x less
+    probed-cell IO); the query stage scores the codes, shortlists the top
+    k*rescore_factor per query, and rescores that bounded set at full
+    precision. The DuckDB oracle replicates the quantization (round(val /
+    (max|val|/127))) and both ranking stages relationally."""
+    import shutil
+    import tempfile
+
+    from jsonl_schema_validator_spark.operators import (
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    idx_dir = tempfile.mkdtemp(prefix="ivf_q8_oracle_")
+    ivf_build_index(
+        emb, idx_dir, num_centroids=16, seed=42, init="prefix", quantize="int8"
+    )
+    out = ivf_topk_indexed(
+        spark, idx_dir, queries, k=5, nprobe=4, rescore=emb, rescore_factor=3
+    )
+    rows = out.collect()
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     a = docs.where(F.col("source") == "src0")
@@ -718,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
+        "ivf_topk_q8": q_ivf_topk_q8,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_pairs": q_lsh_pairs,
@@ -1005,14 +1035,10 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
-def _ivf_sql(k: int, num_centroids: int, nprobe: int, query_bound: int) -> str:
-    """DuckDB replica of ivf_topk(init='prefix'): centroids = the
-    num_centroids lowest-id corpus vectors (order-independent); cell scores
-    are full cosines rounded to 6 dp; argmax ties -> lowest cell (Spark
-    array_position takes the first max); probe order score DESC, cell DESC
-    (Spark reverse(array_sort) on (s, cell) structs)."""
+def _ivf_head_sql(num_centroids: int, nprobe: int, query_bound: int) -> str:
+    """Shared IVF head CTEs (prefix-init centroids -> assign + probes),
+    reused by the float and int8-quantized oracle replicas."""
     return f"""
-WITH {_EX_NORMS_CTE},
 cent AS (
   SELECT vec_id AS cvid,
          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
@@ -1042,10 +1068,66 @@ probes AS (
                row_number() OVER (
                  PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
         FROM cs WHERE vec_id < {query_bound})
-  WHERE rn <= {nprobe}),
+  WHERE rn <= {nprobe})"""
+
+
+def _ivf_sql(k: int, num_centroids: int, nprobe: int, query_bound: int) -> str:
+    """DuckDB replica of ivf_topk(init='prefix'): centroids = the
+    num_centroids lowest-id corpus vectors (order-independent); cell scores
+    are full cosines rounded to 6 dp; argmax ties -> lowest cell (Spark
+    array_position takes the first max); probe order score DESC, cell DESC
+    (Spark reverse(array_sort) on (s, cell) structs)."""
+    return f"""
+WITH {_EX_NORMS_CTE},
+{_ivf_head_sql(num_centroids, nprobe, query_bound)},
 cand AS (
   SELECT p.query_id, a.neighbor_id
   FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id),
+{_TOPK_TAIL_SQL.format(k=k)}"""
+
+
+def _ivf_q8_sql(
+    k: int,
+    num_centroids: int,
+    nprobe: int,
+    query_bound: int,
+    rescore_factor: int,
+) -> str:
+    """DuckDB replica of the int8-quantized indexed IVF path: the same
+    prefix-init assign/probe head; candidate scoring over symmetric int8
+    codes qval = round(val / (max|val|/127)) (cosine is invariant under the
+    per-vector scale, so only the codes matter); per-query shortlist of
+    k*rescore_factor by (quantized score DESC, neighbor_id); exact-cosine
+    rescore of the shortlist via the shared top-k tail."""
+    return f"""
+WITH {_EX_NORMS_CTE},
+{_ivf_head_sql(num_centroids, nprobe, query_bound)},
+cand0 AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id),
+qsc AS (SELECT vec_id, max(abs(val)) / 127.0 AS s FROM ex GROUP BY vec_id),
+qcodes AS (
+  SELECT e.vec_id, e.pos,
+         CASE WHEN q.s > 0 THEN round(e.val / q.s) ELSE 0 END AS qval
+  FROM ex e JOIN qsc q ON q.vec_id = e.vec_id),
+qnorms AS (SELECT vec_id, sqrt(sum(qval * qval)) AS nrm FROM qcodes GROUP BY vec_id),
+qdots AS (
+  SELECT c.query_id, c.neighbor_id, sum(a.val * b.qval) AS dot
+  FROM cand0 c
+  JOIN ex a ON a.vec_id = c.query_id
+  JOIN qcodes b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+  GROUP BY 1, 2),
+qscored AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (na.nrm * nb.nrm), 6) AS qscore
+  FROM qdots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN qnorms nb ON nb.vec_id = d.neighbor_id),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rn
+        FROM qscored)
+  WHERE rn <= {k * rescore_factor}),
 {_TOPK_TAIL_SQL.format(k=k)}"""
 
 
@@ -1609,6 +1691,9 @@ GROUP BY o_custkey
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ivf_topk_indexed": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
+        "ivf_topk_q8": _ivf_q8_sql(
+            k=5, num_centroids=16, nprobe=4, query_bound=5, rescore_factor=3
+        ),
         "ks_binned": _ks_width_sql(bins=64),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "lsh_pairs": _lsh_pairs_sql(

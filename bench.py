@@ -49,8 +49,11 @@ BENCH_QUERIES = [
     "token_count",
     "fingerprint",
     "secret_scan",
+    "pii_scan",
     "repetition_documents",
     "doc_quality",
+    "semantic_dup",
+    "span_pairs",
     "tumbling_events",
     "pricing_summary",
 ]
@@ -219,6 +222,15 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     iq = emb.where("vec_id < 5")
     idx_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    q8_dir = tempfile.mkdtemp(prefix="bench_ivf_q8_")
+
+    def _du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
     try:
         t0 = time.time()
         ivf_topk(emb, iq, k=10, num_centroids=16, nprobe=4).collect()
@@ -227,11 +239,26 @@ def main() -> None:
         t0 = time.time()
         ivf_topk_indexed(spark, idx_dir, iq, k=10, nprobe=4).collect()
         t_indexed = time.time() - t0
+        # int8-quantized index (round-4): same fit, inverted lists store int8
+        # codes — the IO cut is the index-bytes ratio; the batch rescoring
+        # the top candidates at full precision is timed for parity
+        ivf_build_index(emb, q8_dir, num_centroids=16, quantize="int8")
+        t0 = time.time()
+        ivf_topk_indexed(
+            spark, q8_dir, iq, k=10, nprobe=4, rescore=emb, rescore_factor=3
+        ).collect()
+        t_q8 = time.time() - t0
+        idx_bytes, q8_bytes = _du(idx_dir), _du(q8_dir)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(q8_dir, ignore_errors=True)
     ivf_block = {
         "first_batch_sec": round(t_first, 3),
         "indexed_batch_sec": round(t_indexed, 3),
+        "q8_indexed_batch_sec": round(t_q8, 3),
+        "index_bytes": idx_bytes,
+        "q8_index_bytes": q8_bytes,
+        "q8_io_ratio": round(q8_bytes / idx_bytes, 3),
     }
     print(f"[bench] ivf index: {ivf_block}", file=sys.stderr)
 

@@ -242,6 +242,85 @@ def test_ivf_index_persisted_matches_unpersisted(spark, tmp_path):
     assert scans and "cell" in scans[0], p[:2000]
 
 
+def test_ivf_index_int8_quantized(spark, tmp_path):
+    """quantize='int8' (round-4): the index stores int8 codes (no float
+    vectors), the on-disk inverted lists shrink, quantized scoring stays
+    high-recall vs the float index, and full-precision rescore recovers the
+    exact result set. Edge: an all-zero vector quantizes to all-zero codes
+    without a crash."""
+    import os
+    import random as _random
+
+    from jsonl_schema_validator_spark.operators.similarity import (
+        ann_recall,
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+
+    rng = _random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.where("vec_id < 8")
+    fpath, qpath = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q")
+
+    ivf_build_index(df, fpath, num_centroids=8, init="prefix")
+    meta = ivf_build_index(
+        df, qpath, num_centroids=8, init="prefix", quantize="int8"
+    )
+    assert meta["quantize"] == "int8"
+    stored = spark.read.parquet(qpath)
+    assert set(stored.columns) == {"neighbor_id", "cq", "cscale", "cell"}
+    assert dict(stored.dtypes)["cq"] == "array<tinyint>"
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    assert du(qpath) < du(fpath) * 0.6, (du(qpath), du(fpath))
+
+    base = ivf_topk_indexed(spark, fpath, queries, k=5, nprobe=3)
+    raw = ivf_topk_indexed(spark, qpath, queries, k=5, nprobe=3)
+    overall = (
+        ann_recall(raw, base).where("query_id = '__overall__'").collect()[0]
+    )
+    assert overall.recall >= 0.95, overall
+
+    resc = ivf_topk_indexed(
+        spark, qpath, queries, k=5, nprobe=3, rescore=df, rescore_factor=3
+    )
+    to_set = lambda d: {
+        (r.query_id, r.neighbor_id, r.score, r.rank) for r in d.collect()
+    }
+    assert to_set(resc) == to_set(base)
+
+    # all-zero vector: quantization expressions yield all-zero codes with no
+    # divide-by-zero (expression-level: the IVF build scan itself rejects
+    # zero vectors earlier — their cosine cell score is undefined)
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.similarity import _q8_exprs
+
+    zdf = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cq, cscale = _q8_exprs(F.col("embedding"))
+    zrows = {
+        r.vec_id: r
+        for r in zdf.select(
+            "vec_id", cq.alias("cq"), cscale.alias("cscale")
+        ).collect()
+    }
+    assert list(zrows[1].cq) == [0, 0] and zrows[1].cscale == 0.0
+    assert list(zrows[2].cq) == [127, 64]  # 0.5/(1/127)=63.5 rounds HALF_UP
+
+    with pytest.raises(ValueError, match="quantize"):
+        ivf_build_index(df, str(tmp_path / "x"), quantize="int4")
+
+
 def test_repetition_metrics(spark):
     """Gopher-style repetition signals on crafted inputs: boilerplate line
     repetition, degenerate bigram loops, and the empty/short edge cases."""
