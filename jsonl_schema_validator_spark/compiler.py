@@ -122,13 +122,44 @@ class RuleCompiler:
     values provably came through a successful JSON parse already (e.g.
     validate_json_nested's from_json output), where re-parsing each value
     with try_parse_json would only re-prove what from_json established.
+
+    struct_fast_path: plan dispatch for REPEATED STRUCT rules (round-4).
+    'auto' (default) uses the codegen getField fast path only when the
+    schema has OTHER rules whose whole-stage codegen the fast path
+    protects; on a struct-ONLY schema there is no codegen contagion to
+    avoid and one interpreted exists() is measured faster than the
+    multi-join screen (HOF 0.43-1.29s vs fast 0.61-1.79s across 1-3-sub
+    struct-only synthetics at 4M rows — BENCH.md round 4), so 'auto'
+    keeps the HOF there. 'always'/'never' force one arm (used by the
+    equivalence fuzz pin and plan-quality tests).
     """
 
-    def __init__(self, schema: Schema, skip_any_check: bool = False):
+    def __init__(
+        self,
+        schema: Schema,
+        skip_any_check: bool = False,
+        struct_fast_path: str = "auto",
+    ):
+        if struct_fast_path not in ("auto", "always", "never"):
+            raise ValueError(
+                f"struct_fast_path must be 'auto', 'always' or 'never', "
+                f"got {struct_fast_path!r}"
+            )
         self.schema = schema
         self.skip_any_check = skip_any_check
+        self.struct_fast_path = struct_fast_path
 
     def bind(self, df: DataFrame) -> "ValidationPlan":
+        if self.struct_fast_path == "always":
+            use_struct_fast = True
+        elif self.struct_fast_path == "never":
+            use_struct_fast = False
+        else:
+            # fast path iff some other rule's codegen needs protecting
+            use_struct_fast = any(
+                not (f.mode is Mode.REPEATED and f.type is FieldType.STRUCT)
+                for f in self.schema.fields
+            )
         rules: list[CompiledRule] = []
         df_fields = {f.name: f for f in df.schema.fields}
         for field in self.schema.fields:
@@ -147,7 +178,13 @@ class RuleCompiler:
                 continue
             sf = df_fields[field.name]
             rules.extend(
-                _compile_field(field, F.col(field.name), field.name, sf.dataType)
+                _compile_field(
+                    field,
+                    F.col(field.name),
+                    field.name,
+                    sf.dataType,
+                    use_struct_fast=use_struct_fast,
+                )
             )
         if self.skip_any_check:
             any_cols = {
@@ -518,13 +555,16 @@ def _struct_value_invalid(field: Field, col: Column, dtype: T.DataType) -> Colum
 
 
 def _compile_field(
-    field: Field, col: Column, path: str, dtype: T.DataType, guard: Column | None = None
+    field: Field, col: Column, path: str, dtype: T.DataType, guard: Column | None = None,
+    use_struct_fast: bool = True,
 ) -> list[CompiledRule]:
     """Emit the rules for one schema field bound to a concrete column.
 
     ``guard`` is the non-null predicate of enclosing structs (a subfield check
     only fires when the parent struct value is present, matching the
     reference's recursion which only descends into present structs).
+    ``use_struct_fast`` is the RuleCompiler's struct_fast_path dispatch
+    decision (see its docstring).
     """
     rules: list[CompiledRule] = []
     base = field.idx * _ORD_STRIDE
@@ -570,6 +610,7 @@ def _compile_field(
         fast = _repeated_join_fast_path(field, col, elem_type)
         if (
             fast is None
+            and use_struct_fast
             and field.type is FieldType.STRUCT
             and isinstance(elem_type, T.StructType)
         ):
@@ -623,6 +664,7 @@ def _compile_field(
                     sub_path,
                     sub_types[sub.name],
                     guard=inner_guard,
+                    use_struct_fast=use_struct_fast,
                 )
             )
         return rules

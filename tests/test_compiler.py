@@ -357,7 +357,9 @@ def test_repeated_struct_fast_path_semantics(spark):
     ]
     schema = schema_from_json(fields)
     df = spark.createDataFrame([(r[0],) for r in rows], ddl)
-    plan = RuleCompiler(schema).bind(df)
+    # 'always': the fast path is what this test pins (struct-only schema
+    # would auto-dispatch to the HOF)
+    plan = RuleCompiler(schema, struct_fast_path="always").bind(df)
     results = plan.with_verdict(df).collect()
     got = [r.is_valid for r in results]
     assert got == [r[1] for r in rows], got
@@ -383,7 +385,7 @@ def test_repeated_struct_all_nullable_null_element(spark):
     rows = [([None],), ([("2025-01-01",), (None,)],), ([(None,)],)]
     schema = schema_from_json(fields)
     df = spark.createDataFrame(rows, ddl)
-    plan = RuleCompiler(schema).bind(df)
+    plan = RuleCompiler(schema, struct_fast_path="always").bind(df)
     got = [r.is_valid for r in plan.with_verdict(df).collect()]
     assert got == [False, True, True], got
 
@@ -407,7 +409,7 @@ def test_repeated_struct_missing_required_sub(spark):
     rows = [([("2025-01-01",)],), ([],), (None,)]
     schema = schema_from_json(fields)
     df = spark.createDataFrame(rows, ddl)
-    plan = RuleCompiler(schema).bind(df)
+    plan = RuleCompiler(schema, struct_fast_path="always").bind(df)
     got = [r.is_valid for r in plan.with_verdict(df).collect()]
     assert got == [False, True, True], got
 
@@ -619,7 +621,9 @@ def test_repeated_struct_fast_path_equals_hof_fuzz(spark):
         df = spark.createDataFrame(rows, ddl)
 
         def verdicts():
-            plan = C.RuleCompiler(schema).bind(df)
+            # 'always': the fuzz schema is struct-only, where 'auto' would
+            # dispatch BOTH arms to the HOF and pin nothing
+            plan = C.RuleCompiler(schema, struct_fast_path="always").bind(df)
             return [r.is_valid for r in plan.with_verdict(df).collect()]
 
         fast = verdicts()

@@ -87,10 +87,46 @@ def test_repeated_struct_stays_in_codegen(spark):
             }
         ]
     )
-    plan = RuleCompiler(schema).bind(df)
+    # struct_fast_path='always': this schema is struct-only, where 'auto'
+    # deliberately dispatches to the (faster there) HOF — pinned below in
+    # test_struct_fast_path_auto_dispatch
+    plan = RuleCompiler(schema, struct_fast_path="always").bind(df)
     p = _plan(plan.with_violations(df))
     assert "lambdafunction" not in p, p
     assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
+
+
+def test_struct_fast_path_auto_dispatch(spark):
+    """Round-4 plan dispatch: on a struct-ONLY schema there is no other
+    codegen to protect and one interpreted exists() is measured faster, so
+    'auto' compiles the HOF; adding any scalar rule flips it to the
+    codegen fast path (whole projection keeps its star)."""
+    df = spark.createDataFrame(
+        [([("2025-01-01", "x")], "7")],
+        "recs array<struct<d:string,s:string>>, n string",
+    )
+    struct_field = {
+        "name": "recs",
+        "type": "STRUCT",
+        "mode": "REPEATED",
+        "fields": [
+            {"name": "d", "type": "DATE"},
+            {"name": "s", "type": "STRING", "mode": "REQUIRED"},
+        ],
+    }
+    only = schema_from_json([struct_field])
+    p = _plan(RuleCompiler(only).bind(df).with_violations(df))
+    assert "lambdafunction" in p, p  # auto -> HOF on struct-only
+
+    mixed = schema_from_json([struct_field, {"name": "n", "type": "INT64"}])
+    p2 = _plan(RuleCompiler(mixed).bind(df).with_violations(df))
+    assert "lambdafunction" not in p2, p2  # auto -> fast on mixed
+    assert p2.splitlines()[0].lstrip().startswith("*("), p2.splitlines()[0]
+
+    p3 = _plan(
+        RuleCompiler(mixed, struct_fast_path="never").bind(df).with_violations(df)
+    )
+    assert "lambdafunction" in p3, p3  # forced HOF
 
 
 def test_repeated_required_nested_struct_stays_in_codegen(spark):
@@ -108,14 +144,14 @@ def test_repeated_required_nested_struct_stays_in_codegen(spark):
             {"name": "b", "type": "BOOL"},
         ],
     }
-    plan = RuleCompiler(schema_from_json([base])).bind(df)
+    plan = RuleCompiler(schema_from_json([base]), struct_fast_path="always").bind(df)
     p = _plan(plan.with_violations(df))
     assert "lambdafunction" not in p, p
     assert p.splitlines()[0].lstrip().startswith("*("), p.splitlines()[0]
 
     nullable = dict(base)
     nullable["fields"] = [dict(base["fields"][0], mode="NULLABLE"), base["fields"][1]]
-    plan2 = RuleCompiler(schema_from_json([nullable])).bind(df)
+    plan2 = RuleCompiler(schema_from_json([nullable]), struct_fast_path="always").bind(df)
     p2 = _plan(plan2.with_violations(df))
     assert "lambdafunction" in p2  # documented fallback
 
