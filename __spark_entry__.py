@@ -281,6 +281,20 @@ def q_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(docs, "doc_id", "text", k=8)
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: docs from the non-src0 sources sharing a
+    verbatim 8-token gram with a src0 'benchmark' doc. Exercises the
+    broadcast benchmark-shingle join (the corpus side never shuffles)."""
+    from jsonl_schema_validator_spark.operators import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return benchmark_overlap(
+        corpus, bench, "doc_id", "text", n=8, min_overlap=1
+    )
+
+
 def q_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup: IVF cell assignment (prefix-init
     centroids -> relationally reproducible), intra-cell cosine pairs,
@@ -729,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "semantic_dup": q_semantic_dup,
         "span_pairs": q_span_pairs,
+        "decontam": q_decontam,
         "simhash_documents": q_simhash_documents,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -910,6 +925,25 @@ SELECT emb.vec_id AS id,
        emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS keep
 FROM embeddings emb
 LEFT JOIN cc ON cc.id = emb.vec_id
+"""
+
+
+_DECONTAM_SQL = """
+WITH ctoks AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE source <> 'src0'),
+btoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE source = 'src0'),
+csh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM ctoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) g),
+bsh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM btoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) g)
+SELECT c.doc_id AS id, b.doc_id AS bench_id, count(*) AS shared_ngrams
+FROM csh c JOIN bsh b ON b.h = c.h
+GROUP BY 1, 2
 """
 
 
@@ -1454,6 +1488,7 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "dup_clusters": _dup_clusters_sql(0.8),
         "semantic_dup": _semantic_dup_sql(threshold=0.35, num_centroids=16),
         "span_pairs": _SPAN_PAIRS_SQL,
+        "decontam": _DECONTAM_SQL,
         "simhash_documents": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -12,6 +12,7 @@ from jsonl_schema_validator_spark.operators.drift import (
 )
 from jsonl_schema_validator_spark.operators.dedup import (
     duplicate_clusters,
+    benchmark_overlap,
     semantic_duplicates,
     exact_duplicates,
     ngram_jaccard_pairs,
@@ -57,6 +58,7 @@ __all__ = [
     "ks_drift_exact",
     "ks_drift_binned",
     "duplicate_clusters",
+    "benchmark_overlap",
     "semantic_duplicates",
     "exact_duplicates",
     "ngram_jaccard_pairs",

@@ -256,6 +256,57 @@ def shared_span_pairs(
     )
 
 
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Decontamination screen: (id, bench_id, shared_ngrams) — corpus
+    documents sharing at least `min_overlap` DISTINCT verbatim n-token
+    grams with a benchmark/eval document (the GPT-3/PaLM-style train-test
+    overlap check; detection shape only — the reference engine has no
+    dedup operators). Drop contaminated docs downstream with
+    ``corpus.join(overlap.select('id').distinct(), 'id', 'left_anti')``.
+
+    100 TB design: the benchmark side (eval sets) is tiny relative to the
+    corpus — its distinct (bench_id, ngram-hash) table is BROADCAST
+    (default), so the corpus-side scan never shuffles at all: explode,
+    hash-join against the in-memory benchmark table, partial-aggregate the
+    (id, bench_id) counts map-side. Pass broadcast_benchmark=False for a
+    benchmark too large to broadcast (falls back to a hash shuffle on the
+    ngram hash). N-grams are md5-hashed so the join key is 32 chars
+    regardless of n.
+    """
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    bsh = (
+        benchmark.select(
+            F.col(bid).alias("bench_id"),
+            F.explode(word_shingles(F.col(btx), n)).alias("g"),
+        )
+        .select("bench_id", F.md5(F.col("g").cast("binary")).alias("h"))
+        .dropDuplicates()
+    )
+    csh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    ).select("id", F.md5(F.col("g").cast("binary")).alias("h"))
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    return (
+        csh.join(bsh, "h")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= F.lit(min_overlap))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

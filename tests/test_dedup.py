@@ -394,3 +394,50 @@ def test_shared_span_pairs(spark):
     )
     r2 = shared_span_pairs(df2, "doc_id", "text", k=8, max_span_freq=None).collect()
     assert {(r.id_a, r.id_b): r.shared_spans for r in r2} == {(1, 2): 3}
+
+
+def test_benchmark_overlap(spark):
+    """Decontamination screen: a corpus doc quoting an 8-token benchmark
+    gram verbatim is flagged against THAT benchmark doc; a 7-token partial
+    quote is not; min_overlap raises the evidence bar; the benchmark side
+    broadcasts (corpus never shuffles)."""
+    from jsonl_schema_validator_spark.operators import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "completely different benchmark question about rivers and lakes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes 8+ consecutive benchmark tokens -> contaminated vs 100
+            (1, "intro text the quick brown fox jumps over the lazy dog closing"),
+            # only 7 consecutive tokens shared -> clean at n=8
+            (2, "the quick brown fox jumps over the cat"),
+            (3, "nothing in common with any benchmark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = benchmark_overlap(corpus, bench, "doc_id", "text", n=8)
+    got = {(r.id, r.bench_id): r.shared_ngrams for r in out.collect()}
+    assert set(got) == {(1, 100)}
+    # "the quick...dog" is 9 tokens -> two overlapping 8-grams, plus
+    # "...over the lazy dog today"? no: 'today' is not quoted by doc 1
+    assert got[(1, 100)] == 2
+
+    # min_overlap=3 filters the 2-gram hit
+    strict = benchmark_overlap(corpus, bench, "doc_id", "text", n=8, min_overlap=3)
+    assert strict.count() == 0
+
+    # broadcast plan: benchmark side must hash-broadcast, no shuffle on corpus
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p[:1500]
+
+    # opt-out falls back to a shuffle join
+    ns = benchmark_overlap(
+        corpus, bench, "doc_id", "text", n=8, broadcast_benchmark=False
+    )
+    got2 = {(r.id, r.bench_id): r.shared_ngrams for r in ns.collect()}
+    assert got2 == got
