@@ -897,18 +897,19 @@ assign AS (
 cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-dots AS (
-  SELECT cand.id_a, cand.id_b, sum(x.val * y.val) AS dot
-  FROM cand
-  JOIN ex x ON x.vec_id = cand.id_a
-  JOIN ex y ON y.vec_id = cand.id_b AND y.pos = x.pos
-  GROUP BY 1, 2),
+-- pre-normalized values: the Spark operator normalizes each vector ONCE
+-- (cosine then reduces to a single dot per pair); the replica mirrors the
+-- same normalize-then-dot formula so both engines round identical sums
+nex AS (
+  SELECT e.vec_id, e.pos, e.val / n.nrm AS val
+  FROM ex e JOIN norms n ON n.vec_id = e.vec_id),
 pairs AS (
-  SELECT d.id_a, d.id_b
-  FROM dots d
-  JOIN norms na ON na.vec_id = d.id_a
-  JOIN norms nb ON nb.vec_id = d.id_b
-  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {threshold}),
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN nex x ON x.vec_id = cand.id_a
+  JOIN nex y ON y.vec_id = cand.id_b AND y.pos = x.pos
+  GROUP BY 1, 2
+  HAVING round(sum(x.val * y.val), 6) >= {threshold}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
