@@ -281,6 +281,29 @@ def q_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(docs, "doc_id", "text", k=8)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split: a doc's split is a
+    pure function of (salt, id) — stable under re-runs, re-partitioning,
+    and corpus growth. One narrow projection, no shuffle."""
+    from jsonl_schema_validator_spark.operators import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
+    ).select(F.col("doc_id").alias("id"), "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-lang top-5 docs by md5 hash
+    order (uniform within stratum, stable as the corpus grows)."""
+    from jsonl_schema_validator_spark.operators import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "lang", "doc_id", 5, salt="r4"
+    ).select(F.col("doc_id").alias("id"), "lang", "sample_rank")
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination screen: docs from the non-src0 sources sharing a
     verbatim 8-token gram with a src0 'benchmark' doc. Exercises the
@@ -744,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup": q_semantic_dup,
         "span_pairs": q_span_pairs,
         "decontam": q_decontam,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "simhash_documents": q_simhash_documents,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -926,6 +951,49 @@ SELECT emb.vec_id AS id,
        emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS keep
 FROM embeddings emb
 LEFT JOIN cc ON cc.id = emb.vec_id
+"""
+
+
+def _hash_split_sql(weights: dict[str, float], salt: str) -> str:
+    """DuckDB replica of hash_split: decode the first 6 hex digits of
+    md5('<salt>:<id>') with strpos (the simhash oracle's digit trick) and
+    compare against the SAME integer thresholds the Spark operator embeds
+    (floor(cum_weight * 16^6), computed identically here)."""
+    digit = (
+        "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1) * {mult}"
+    )
+    value = " + ".join(
+        digit.format(i=i + 1, mult=16 ** (5 - i)) for i in range(6)
+    )
+    names = list(weights)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name]
+        cases.append(f"WHEN v < {int(cum * 16**6)} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5('{salt}:' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents),
+v AS (SELECT doc_id, {value} AS v FROM h)
+SELECT doc_id AS id, {case} AS split FROM v
+"""
+
+
+def _stratified_sample_sql(n: int, salt: str) -> str:
+    """DuckDB replica of stratified_hash_sample over (lang, doc_id): md5
+    strings compare identically in both engines, so the per-stratum order
+    (hash asc, id asc) is reproducible relationally."""
+    return f"""
+SELECT doc_id AS id, lang, sample_rank
+FROM (SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{salt}:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS INT) AS sample_rank
+      FROM documents)
+WHERE sample_rank <= {n}
 """
 
 
@@ -1490,6 +1558,10 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "semantic_dup": _semantic_dup_sql(threshold=0.35, num_centroids=16),
         "span_pairs": _SPAN_PAIRS_SQL,
         "decontam": _DECONTAM_SQL,
+        "hash_split": _hash_split_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
+        ),
+        "stratified_sample": _stratified_sample_sql(5, salt="r4"),
         "simhash_documents": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -33,6 +33,10 @@ from jsonl_schema_validator_spark.operators.similarity import (
     ivf_topk_indexed,
     lsh_topk,
 )
+from jsonl_schema_validator_spark.operators.sampling import (
+    hash_split,
+    stratified_hash_sample,
+)
 from jsonl_schema_validator_spark.operators.codeops import (
     code_metrics,
     pii_redact,
@@ -59,6 +63,8 @@ __all__ = [
     "ks_drift_binned",
     "duplicate_clusters",
     "benchmark_overlap",
+    "hash_split",
+    "stratified_hash_sample",
     "semantic_duplicates",
     "exact_duplicates",
     "ngram_jaccard_pairs",

@@ -1,0 +1,108 @@
+"""Deterministic sampling for training-data pipelines: hash-based
+train/val/test splits and stratified top-n samples.
+
+Determinism is the design constraint (the reference engine has no sampling;
+these extend the pipeline-op set): every assignment is a pure function of
+(salt, id), so re-running the pipeline — or running it on two engines —
+yields byte-identical splits. No rand(): Spark's rand(seed) is
+partitioning-dependent and irreproducible across engines, while md5 is
+bit-identical everywhere (the same cross-engine primitive the dedup
+operators use).
+
+Scale notes:
+- hash_split is ONE narrow projection over the scan — no shuffle, no state;
+  resharding or re-reading the table cannot change any row's split.
+- stratified_hash_sample shuffles on the stratum key only; the rank<=n
+  predicate triggers Spark's WindowGroupLimit push-down (each task keeps a
+  bounded top-n heap instead of sorting whole strata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 6 hex digits = 24 bits of hash; plenty for split fractions and small
+# enough that the integer thresholds are exact in both engines
+_HASH_DIGITS = 6
+_HASH_SPACE = 16 ** _HASH_DIGITS
+
+
+def _hash_bucket(id_col: str, salt: str):
+    """Uniform integer in [0, 16^6) as a pure function of (salt, id):
+    the first 6 hex digits of md5('<salt>:<id>'). DuckDB replicates the
+    digit decode with strpos (same trick as the simhash oracle)."""
+    key = F.concat(
+        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+    ).cast("binary")
+    return F.conv(F.substring(F.md5(key), 1, _HASH_DIGITS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Append a deterministic `split` column ('train'/'val'/... per
+    `weights`, which must sum to 1) assigned by hash bucket — the standard
+    leakage-safe train/test split: a document's split depends only on
+    (salt, id), never on row order, partitioning, or corpus size, so
+    incremental re-runs keep every existing assignment stable.
+
+    Rows with a NULL id hash the literal '<salt>:' key deterministically
+    (they all land in the same split) — filter them upstream if that is
+    not wanted. Boundaries are exact integer thresholds floor(cum_w * 16^6)
+    computed at plan time, so engines cannot disagree on edge buckets.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    bucket = _hash_bucket(id_col, salt)
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])  # last split takes the remainder
+    thresholds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += weights[name]
+        thresholds.append((name, int(cum * _HASH_SPACE)))
+    for name, bound in reversed(thresholds):
+        expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sample: the `n_per_stratum` rows of each
+    stratum with the smallest md5('<salt>:<id>') hashes (ties broken by
+    id). Within a stratum this is a uniform sample — md5 order is
+    independent of any data attribute — and it is STABLE: adding rows to a
+    stratum only ever displaces the largest-hash members.
+
+    Output = input columns + `sample_rank` (1-based within the stratum).
+    One shuffle on the stratum key; rank<=n lets Spark's WindowGroupLimit
+    keep a bounded per-task heap, so giant strata never fully sort.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    key = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -384,3 +384,84 @@ def test_column_stats_percentiles(spark):
         for r in column_stats(df, ["v"], percentiles=[0.5]).collect()
     }
     assert abs(approx[("v", "p50")] - exact[("v", "p50")]) <= 1.0
+
+
+def test_hash_split(spark):
+    """Deterministic hash split: pure function of (salt, id) — stable under
+    repartitioning and corpus growth; proportions near the weights; bad
+    weights rejected; no shuffle in the plan."""
+    from jsonl_schema_validator_spark.operators import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="s")
+    got = {r.doc_id: r.split for r in out.collect()}
+    n = len(got)
+    frac = {s: sum(1 for v in got.values() if v == s) / n
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.05 and abs(frac["val"] - 0.1) < 0.03
+
+    # stability: same ids, different partitioning and extra rows -> same splits
+    df2 = spark.range(4000).withColumnRenamed("id", "doc_id").repartition(7)
+    got2 = {r.doc_id: r.split
+            for r in hash_split(df2, "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1},
+                                salt="s").collect()}
+    assert all(got2[k] == v for k, v in got.items())
+    # a different salt reshuffles
+    got3 = {r.doc_id: r.split
+            for r in hash_split(df, "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1},
+                                salt="other").collect()}
+    assert any(got3[k] != v for k, v in got.items())
+
+    # narrow plan: no Exchange
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:800]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="two splits"):
+        hash_split(df, "doc_id", {"a": 1.0})
+
+
+def test_stratified_hash_sample(spark):
+    """Exact n per stratum, deterministic membership, stable under growth
+    (new rows only displace the largest-hash members), WindowGroupLimit
+    push-down in the plan."""
+    from jsonl_schema_validator_spark.operators import stratified_hash_sample
+
+    rows = [(i, f"lang{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_hash_sample(df, "lang", "doc_id", 7, salt="s")
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+        assert 1 <= r.sample_rank <= 7
+    assert all(len(v) == 7 for v in per.values()), {k: len(v) for k, v in per.items()}
+
+    # determinism across partitioning
+    got2 = stratified_hash_sample(df.repartition(11), "lang", "doc_id", 7,
+                                  salt="s").collect()
+    assert {(r.lang, r.doc_id) for r in got2} == {(r.lang, r.doc_id) for r in got}
+
+    # growth stability: the old sample minus displaced members is a subset
+    bigger = spark.createDataFrame(rows + [(i, f"lang{i % 3}") for i in range(300, 600)],
+                                   "doc_id bigint, lang string")
+    got3 = {(r.lang, r.doc_id)
+            for r in stratified_hash_sample(bigger, "lang", "doc_id", 7,
+                                            salt="s").collect()}
+    # every selected doc in the bigger corpus that existed before must have
+    # been in (or hash-before) the old sample: old sample ⊇ surviving olds
+    surviving_old = {(l, d) for (l, d) in got3 if d < 300}
+    assert surviving_old <= {(r.lang, r.doc_id) for r in got}
+
+    # bounded per-task heap: WindowGroupLimit in the physical plan
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p, p[:1200]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_hash_sample(df, "lang", "doc_id", 0)
