@@ -974,7 +974,7 @@ def _hash_split_sql(weights: dict[str, float], salt: str) -> str:
     case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
     return f"""
 WITH h AS (
-  SELECT doc_id, md5('{salt}:' || CAST(doc_id AS VARCHAR)) AS m
+  SELECT doc_id, md5('{salt}:' || coalesce(CAST(doc_id AS VARCHAR), '')) AS m
   FROM documents),
 v AS (SELECT doc_id, {value} AS v FROM h)
 SELECT doc_id AS id, {case} AS split FROM v
@@ -990,7 +990,7 @@ SELECT doc_id AS id, lang, sample_rank
 FROM (SELECT doc_id, lang,
              CAST(row_number() OVER (
                PARTITION BY lang
-               ORDER BY md5('{salt}:' || CAST(doc_id AS VARCHAR)) ASC,
+               ORDER BY md5('{salt}:' || coalesce(CAST(doc_id AS VARCHAR), '')) ASC,
                         doc_id ASC) AS INT) AS sample_rank
       FROM documents)
 WHERE sample_rank <= {n}

@@ -123,6 +123,42 @@ def _shingle_table(
 DEFAULT_MAX_SHINGLE_FREQ = 10_000
 
 
+def _apply_hot_cap(
+    table: DataFrame, key_col: str, cap: int | None | str, op_name: str
+) -> DataFrame:
+    """Resolve the 'auto' hot-key cap and anti-join keys hotter than it.
+
+    A key shared by f rows produces f^2/2 self-join rows, so one
+    boilerplate shingle/span detonates the join at corpus scale; 'auto'
+    caps at DEFAULT_MAX_SHINGLE_FREQ with a WARNING (capped results are
+    inexact for pairs whose only overlap is hotter keys), None opts into
+    the exact unguarded result. One definition for every shingle-family
+    operator — the cap semantics and the warning cannot drift apart.
+    """
+    if cap == "auto":
+        cap = DEFAULT_MAX_SHINGLE_FREQ
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: auto hot-key cap %d on %s — pairs whose only overlap is "
+            "hotter keys are dropped (pass None for the exact unguarded "
+            "result)",
+            op_name,
+            cap,
+            key_col,
+        )
+    if cap is None:
+        return table
+    hot = (
+        table.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > cap)
+        .select(key_col)
+    )
+    return table.join(F.broadcast(hot), key_col, "left_anti")
+
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -154,24 +190,7 @@ def ngram_jaccard_pairs(
     sh = _shingle_table(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if max_shingle_freq == "auto":
-        max_shingle_freq = DEFAULT_MAX_SHINGLE_FREQ
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "ngram_jaccard_pairs: auto hot-shingle cap max_shingle_freq=%d — "
-            "pairs whose only overlap is hotter shingles are dropped "
-            "(pass None for the exact unguarded result)",
-            max_shingle_freq,
-        )
-    if max_shingle_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .where(F.col("freq") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _apply_hot_cap(sh, "shingle", max_shingle_freq, "ngram_jaccard_pairs")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -242,24 +261,7 @@ def shared_span_pairs(
         .select("id", F.md5(F.col("span").cast("binary")).alias("span_hash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if max_span_freq == "auto":
-        max_span_freq = DEFAULT_MAX_SHINGLE_FREQ
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "shared_span_pairs: auto hot-span cap max_span_freq=%d — "
-            "pairs whose only overlap is hotter spans are dropped "
-            "(pass None for the exact unguarded result)",
-            max_span_freq,
-        )
-    if max_span_freq is not None:
-        hot = (
-            spans.groupBy("span_hash")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .where(F.col("freq") > max_span_freq)
-            .select("span_hash")
-        )
-        spans = spans.join(F.broadcast(hot), "span_hash", "left_anti")
+    spans = _apply_hot_cap(spans, "span_hash", max_span_freq, "shared_span_pairs")
     a = spans.alias("a")
     b = spans.alias("b")
     return (
@@ -628,11 +630,21 @@ def semantic_duplicates(
     # term; the normalization itself is O(rows)) — measured 1.59x
     # end-to-end at sf0.1. The oracle mirrors the same
     # normalize-then-dot formula; round(...,6) absorbs sum-order ulp noise.
+    # try_divide + the nrm>0 guard: an all-zero embedding (a common
+    # missing-embedding sentinel) has no direction — a plain division would
+    # either raise (ANSI) or breed NaNs that Spark sorts ABOVE every real
+    # cosine and falsely merge the zero vector's whole cell into one
+    # cluster. Instead its normalized vector is null (null dot -> no pairs)
+    # and it lands in sentinel cell -1, so it always keeps itself.
     nrm = _norm(F.col(vec_col))
     assigned = corpus.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("v"),
-        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
+        F.transform(
+            F.col(vec_col), lambda x: F.try_divide(x.cast("double"), nrm)
+        ).alias("v"),
+        F.when(
+            nrm > 0, argmax_cell(cell_scores(F.col(vec_col)))
+        ).otherwise(F.lit(-1)).alias("cell"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         "cell", F.col("id").alias("id_a"), F.col("v").alias("va")

@@ -86,12 +86,14 @@ def encode_ppm(pixels) -> bytes:
 
 
 def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
-    """RIFF/WAVE PCM16 from an int16 sample array (mono or (n, channels))."""
+    """RIFF/WAVE PCM16 from an int16 sample array. 2-D input is (n,
+    channels) and overrides the `channels` argument; 1-D input is treated
+    as interleaved frames of `channels` samples (default mono)."""
     import numpy as np
 
     s = np.asarray(samples, dtype="<i2")
     if s.ndim == 1:
-        s = s.reshape(-1, 1)
+        s = s.reshape(-1, max(1, int(channels)))
     channels = s.shape[1]
     data = s.tobytes()
     byte_rate = sample_rate * channels * 2
@@ -359,6 +361,10 @@ def decode_audio(
         if raw is None or len(raw) < 12 or raw[:4] != _AUD_MAGIC:
             return nulls + (None,)
         rate, n = struct.unpack(">II", raw[4:12])
+        if rate <= 0:
+            # corrupted header: undecodable row -> nulls, never a task crash
+            # (parity with the raw WAV path's rate<=0 guard)
+            return nulls + (None,)
         body = raw[12 : 12 + n * 2]
         samples = np.frombuffer(
             body, "<i2", count=len(body) // 2

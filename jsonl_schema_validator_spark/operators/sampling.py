@@ -29,16 +29,24 @@ _HASH_DIGITS = 6
 _HASH_SPACE = 16 ** _HASH_DIGITS
 
 
+def _hash_key(id_col: str, salt: str):
+    """'<salt>:<id>' hash input; a NULL id hashes the bare '<salt>:' key
+    (concat null-propagates, so the coalesce is load-bearing — without it
+    NULL-id rows would get a NULL bucket and silently fall through every
+    threshold into the LAST split)."""
+    return F.concat(
+        F.lit(f"{salt}:"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    ).cast("binary")
+
+
 def _hash_bucket(id_col: str, salt: str):
     """Uniform integer in [0, 16^6) as a pure function of (salt, id):
     the first 6 hex digits of md5('<salt>:<id>'). DuckDB replicates the
     digit decode with strpos (same trick as the simhash oracle)."""
-    key = F.concat(
-        F.lit(f"{salt}:"), F.col(id_col).cast("string")
-    ).cast("binary")
-    return F.conv(F.substring(F.md5(key), 1, _HASH_DIGITS), 16, 10).cast(
-        "bigint"
-    )
+    return F.conv(
+        F.substring(F.md5(_hash_key(id_col, salt)), 1, _HASH_DIGITS), 16, 10
+    ).cast("bigint")
 
 
 def hash_split(
@@ -54,8 +62,8 @@ def hash_split(
     incremental re-runs keep every existing assignment stable.
 
     Rows with a NULL id hash the literal '<salt>:' key deterministically
-    (they all land in the same split) — filter them upstream if that is
-    not wanted. Boundaries are exact integer thresholds floor(cum_w * 16^6)
+    (they all land in the SAME, hash-chosen split) — filter them upstream
+    if that is not wanted. Boundaries are exact integer thresholds floor(cum_w * 16^6)
     computed at plan time, so engines cannot disagree on edge buckets.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -96,11 +104,7 @@ def stratified_hash_sample(
     """
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be >= 1")
-    key = F.md5(
-        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")).cast(
-            "binary"
-        )
-    )
+    key = F.md5(_hash_key(id_col, salt))
     w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

@@ -62,6 +62,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_by_score(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (query_id, neighbor_id, score): rank by
+    (score DESC, neighbor_id ASC) — ONE definition of the ranking/tie-break
+    contract every ANN operator and the oracle's shared top-k tail SQL must
+    agree on."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,15 +105,7 @@ def brute_force_topk(
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_by_score(scored, k)
 
 
 def embedding_cosine_pairs(
@@ -282,14 +289,7 @@ def _ivf_score_topk(ranked: DataFrame, c_assign: DataFrame, k: int) -> DataFrame
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _topk_by_score(scored, k)
 
 
 def ivf_topk(
@@ -347,8 +347,11 @@ def _q8_exprs(cv: Column) -> tuple[Column, Column]:
     """Symmetric int8 quantization expressions: (codes, scale).
     cq[i] = round(cv[i] / cscale), cscale = max|cv|/127. An all-zero vector
     (cscale 0) yields all-zero codes via try_divide+coalesce, never a
-    divide-by-zero (note the IVF build scan would reject such a vector
-    earlier anyway — its cosine cell score is undefined)."""
+    divide-by-zero. (A zero vector never actually reaches this point: the
+    IVF build scan FAILS LOUDLY on it first — its cosine cell score divides
+    by the zero norm, an ANSI DIVIDE_BY_ZERO error — which is the intended
+    contract: cosine ANN over a zero vector is undefined; clean such
+    sentinels out upstream.)"""
     cscale = (
         F.array_max(F.transform(cv, lambda x: F.abs(x.cast("double"))))
         / F.lit(127.0)
@@ -512,14 +515,7 @@ def ivf_topk_indexed(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return exact.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _topk_by_score(exact, k)
 
 
 def ann_recall(
@@ -734,11 +730,4 @@ def lsh_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _topk_by_score(scored, k)

@@ -206,7 +206,13 @@ def run_partitioned(
     pending = manifest.pending(keys)
     processed, skipped = [], len(keys) - len(pending)
     for key in pending:
-        part = df.where(F.col(partition_col) == F.lit(key))
+        # null-safe: a NULL partition key is a legal group; `== lit(None)`
+        # would match NOTHING and silently commit an empty result for it
+        part = df.where(
+            F.col(partition_col).isNull()
+            if key is None
+            else F.col(partition_col) == F.lit(key)
+        )
         t0 = time.time()
         metrics = process_fn(part, key) or {}
         metrics["wall_sec"] = round(time.time() - t0, 3)
@@ -263,10 +269,17 @@ def run_partitioned_batched(
     bs = max(1, int(batch_size))
     for i in range(0, len(pending), bs):
         batch = pending[i : i + bs]
-        t0 = time.time()
-        results = batch_process_fn(
-            df.where(F.col(partition_col).isin(batch)), batch
+        # null-safe batch predicate: isin() never matches a NULL key, which
+        # would silently validate the NULL partition as 0 rows and commit
+        # it done — OR in an isNull() arm when the batch contains None
+        nonnull = [k for k in batch if k is not None]
+        pred = (
+            F.col(partition_col).isin(nonnull) if nonnull else F.lit(False)
         )
+        if len(nonnull) != len(batch):
+            pred = pred | F.col(partition_col).isNull()
+        t0 = time.time()
+        results = batch_process_fn(df.where(pred), batch)
         wall = round(time.time() - t0, 3)
         missing = [k for k in batch if str(k) not in results]
         if missing:

@@ -441,3 +441,28 @@ def test_benchmark_overlap(spark):
     )
     got2 = {(r.id, r.bench_id): r.shared_ngrams for r in ns.collect()}
     assert got2 == got
+
+
+def test_semantic_duplicates_zero_vector(spark):
+    """An all-zero embedding (missing-embedding sentinel) must neither
+    crash the cell-assignment scan (ANSI divide-by-zero) nor breed NaN
+    cosines that falsely merge its cell: it keeps itself, and real
+    duplicates still cluster."""
+    from jsonl_schema_validator_spark.operators import semantic_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),       # prefix centroid 0
+        (2, [0.0, 1.0, 0.0, 0.0]),       # prefix centroid 1
+        (3, [0.999, 0.01, 0.0, 0.0]),    # near-dup pair in cell 0 ...
+        (4, [0.998, 0.02, 0.0, 0.0]),    # ... with doc 3
+        (5, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.id: r for r in semantic_duplicates(
+        df, threshold=0.99, num_centroids=2, init="prefix").collect()}
+    assert len(out) == 5
+    assert out[5].cluster_id == 5 and out[5].keep      # zero keeps itself
+    # 1, 3, 4 share cell 0 and are mutually >= 0.99 cosine -> one cluster
+    assert out[3].cluster_id == 1 and not out[3].keep
+    assert out[4].cluster_id == 1 and not out[4].keep
+    assert out[2].cluster_id == 2 and out[2].keep

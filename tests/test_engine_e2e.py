@@ -277,6 +277,47 @@ def test_run_partitioned_batched_requires_full_key_coverage(spark, tmp_path):
     assert m.completed() == {}
 
 
+def test_run_partitioned_batched_null_partition_key(spark, tmp_path):
+    """A NULL partition key is a legal group: the batch predicate must
+    include those rows (isin() alone never matches NULL, which would
+    silently validate the NULL partition as 0 rows and commit it done)."""
+    from jsonl_schema_validator_spark.plans.checkpoint import (
+        run_partitioned,
+        run_partitioned_batched,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "x"), (None, "y"), (2, "b")], "p int, v string"
+    )
+    seen = {}
+
+    def fn(bdf, keys):
+        counts = {r.p: r.c for r in
+                  bdf.groupBy("p").agg(F.count(F.lit(1)).alias("c")).collect()}
+        out = {}
+        for k in keys:
+            n = int(counts.get(k, 0))
+            seen[k] = n
+            out[str(k)] = {"rows": n}
+        return out
+
+    m = CheckpointManifest(str(tmp_path / "m"), run_id="nullkey")
+    run_partitioned_batched(df, "p", fn, m, batch_size=10)
+    assert seen[None] == 2, seen  # NULL partition's rows actually scanned
+    assert seen[1] == 1 and seen[2] == 1
+    assert m.completed()["None"]["metrics"]["rows"] == 2
+
+    # the per-partition loop takes the isNull() arm too
+    m2 = CheckpointManifest(str(tmp_path / "m2"), run_id="nullkey2")
+    got = {}
+    run_partitioned(
+        df, "p",
+        lambda part, key: got.__setitem__(key, part.count()) or {"rows": got[key]},
+        m2,
+    )
+    assert got[None] == 2, got
+
+
 def test_metrics_sink_buffered_and_compact(spark, tmp_path):
     """flush_every>1 batches appends (fewer files), flush() drains the tail,
     compact() rewrites to right-sized files with identical contents."""
