@@ -304,6 +304,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("id"), "lang", "sample_rank")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document line dedup: long duplicated lines
+    keep only their first corpus-wide occurrence; docs are rebuilt."""
+    from jsonl_schema_validator_spark.operators import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_lines(docs, "doc_id", "text", min_line_chars=15)
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination screen: docs from the non-src0 sources sharing a
     verbatim 8-token gram with a src0 'benchmark' doc. Exercises the
@@ -767,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup": q_semantic_dup,
         "span_pairs": q_span_pairs,
         "decontam": q_decontam,
+        "dedup_lines": q_dedup_lines,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "simhash_documents": q_simhash_documents,
@@ -994,6 +1004,34 @@ FROM (SELECT doc_id, lang,
                         doc_id ASC) AS INT) AS sample_rank
       FROM documents)
 WHERE sample_rank <= {n}
+"""
+
+
+_DEDUP_LINES_SQL = """
+WITH lx AS (
+  SELECT doc_id, i AS pos, t[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+longl AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lx WHERE length(line) >= 15),
+kept AS (
+  SELECT doc_id, pos, line FROM lx WHERE length(line) < 15
+  UNION ALL
+  SELECT doc_id, pos, line FROM longl WHERE rn = 1),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, text IS NOT NULL AS had_text,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         FROM documents)
+SELECT b.doc_id AS id,
+       CASE WHEN b.had_text THEN coalesce(r.text, '') END AS text,
+       b.n_lines,
+       CAST(b.n_lines - coalesce(r.kept_n, 0) AS BIGINT) AS n_lines_removed
+FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
 """
 
 
@@ -1558,6 +1596,7 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "semantic_dup": _semantic_dup_sql(threshold=0.35, num_centroids=16),
         "span_pairs": _SPAN_PAIRS_SQL,
         "decontam": _DECONTAM_SQL,
+        "dedup_lines": _DEDUP_LINES_SQL,
         "hash_split": _hash_split_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
         ),

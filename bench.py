@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "doc_quality",
     "semantic_dup",
     "span_pairs",
+    "dedup_lines",
+    "decontam",
     "tumbling_events",
     "pricing_summary",
 ]

@@ -13,6 +13,7 @@ from jsonl_schema_validator_spark.operators.drift import (
 from jsonl_schema_validator_spark.operators.dedup import (
     duplicate_clusters,
     benchmark_overlap,
+    dedup_lines,
     semantic_duplicates,
     exact_duplicates,
     ngram_jaccard_pairs,
@@ -63,6 +64,7 @@ __all__ = [
     "ks_drift_binned",
     "duplicate_clusters",
     "benchmark_overlap",
+    "dedup_lines",
     "hash_split",
     "stratified_hash_sample",
     "semantic_duplicates",

@@ -276,6 +276,85 @@ def shared_span_pairs(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_chars: int = 15,
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-document line-level dedup (the C4/RefinedWeb boilerplate
+    remover): every line of length >= `min_line_chars` keeps only its FIRST
+    corpus-wide occurrence (ordered by doc id, then position); later
+    occurrences are removed and each doc's text is rebuilt. Shorter lines
+    (blank lines, lone braces, list bullets) are structural and never
+    deduplicated. Returns (id, text, n_lines, n_lines_removed).
+
+    keep='first' is the only policy (explicit for forward-compat); it makes
+    the result deterministic and idempotent — re-running on the output
+    removes nothing.
+
+    Scale shape: posexplode -> ONE shuffle keyed by the line (the rn=1
+    filter triggers WindowGroupLimit, so a boilerplate line occurring 10^9
+    times keeps a bounded per-task heap, not a 10^9-row sort) -> one
+    groupBy(id) rebuild keyed by doc. Null-text docs pass through
+    unchanged (eqNullSafe left join back onto the input id set — output
+    rows always equal input rows).
+    """
+    if keep != "first":
+        raise ValueError("only keep='first' is supported")
+    col = F.col(text_col)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(col, "\n")).alias("pos", "line"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("line").orderBy(F.col("id").asc(), F.col("pos").asc())
+    short = F.length("line") < min_line_chars
+    # short lines bypass the window ENTIRELY (not a CASE around rn): only
+    # then does the rn=1 filter stay a plain WindowGroupLimit over the long
+    # lines, and structural lines never enter the per-line shuffle at all
+    long_first = (
+        lines.where(~short)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = lines.where(short).unionByName(long_first)
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        col.isNotNull().alias("__had_text"),
+        F.size(F.split(col, "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(
+        rebuilt, base["id"].eqNullSafe(rebuilt["id"]), "left"
+    ).select(
+        base["id"],
+        # a doc whose EVERY line was removed had text and keeps text: ''
+        # (no rebuilt group), distinct from a null-text doc (stays null)
+        F.when(
+            F.col("__had_text"), F.coalesce(rebuilt["text"], F.lit(""))
+        ).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
 def benchmark_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

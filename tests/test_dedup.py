@@ -466,3 +466,52 @@ def test_semantic_duplicates_zero_vector(spark):
     assert out[3].cluster_id == 1 and not out[3].keep
     assert out[4].cluster_id == 1 and not out[4].keep
     assert out[2].cluster_id == 2 and out[2].keep
+
+
+def test_dedup_lines(spark):
+    """Cross-document line dedup: a long duplicated line survives only at
+    its first (doc, pos) occurrence; short/structural lines are untouched;
+    null-text docs pass through; idempotent; WindowGroupLimit in the plan."""
+    from jsonl_schema_validator_spark.operators import dedup_lines
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = [
+        (1, f"{boiler}\nunique first doc content line\n}}"),
+        (2, f"second doc opening line text\n{boiler}\n}}"),
+        (3, f"{boiler}"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_lines(df, "doc_id", "text", min_line_chars=15)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 5
+    # doc 1 owns the first occurrence -> unchanged
+    assert got[1].text == rows[0][1] and got[1].n_lines_removed == 0
+    # doc 2 loses the boilerplate line but keeps its short '}' line
+    assert got[2].text == "second doc opening line text\n}"
+    assert got[2].n_lines_removed == 1 and got[2].n_lines == 3
+    # doc 3 was ONLY the boilerplate -> empty text
+    assert got[3].text == "" and got[3].n_lines_removed == 1
+    # null text passes through as null; empty text is a short line, kept
+    assert got[4].text is None and got[4].n_lines is None
+    assert got[5].text == "" and got[5].n_lines_removed == 0
+
+    # idempotent: re-running on the output removes nothing
+    again = dedup_lines(
+        out.select(F.col("id").alias("doc_id"), "text"), "doc_id", "text",
+        min_line_chars=15,
+    )
+    assert {r.id: r.text for r in again.collect()} == {
+        r.id: r.text for r in out.collect()
+    }
+    assert all(r.n_lines_removed in (0, None) for r in again.collect())
+
+    # plan: the rn=1 filter must be a WindowGroupLimit (bounded per-task
+    # heap on hot boilerplate lines), not a full per-line sort
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p, p[:1500]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep"):
+        dedup_lines(df, "doc_id", "text", keep="all")
