@@ -304,6 +304,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("id"), "lang", "sample_rank")
 
 
+def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call cleaning verdict: exact dedup + quality/repetition filter +
+    benchmark decontamination (src0 docs) + deterministic split, composed
+    by clean_corpus over the non-src0 documents."""
+    from jsonl_schema_validator_spark.operators import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return clean_corpus(
+        corpus, "doc_id", "text", benchmark=bench, decontam_n=8,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_salt="r4",
+    )
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-document line dedup: long duplicated lines
     keep only their first corpus-wide occurrence; docs are rebuilt."""
@@ -777,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_pairs": q_span_pairs,
         "decontam": q_decontam,
         "dedup_lines": q_dedup_lines,
+        "clean_docs": q_clean_docs,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "simhash_documents": q_simhash_documents,
@@ -961,6 +978,115 @@ SELECT emb.vec_id AS id,
        emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS keep
 FROM embeddings emb
 LEFT JOIN cc ON cc.id = emb.vec_id
+"""
+
+
+def _hash_digit_value_sql() -> str:
+    """The 6-hex-digit md5 decode expression body over alias m (shared by
+    the hash_split and clean_docs replicas)."""
+    digit = "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1) * {mult}"
+    return " + ".join(
+        digit.format(i=i + 1, mult=16 ** (5 - i)) for i in range(6)
+    )
+
+
+def _split_case_sql(weights: dict[str, float]) -> str:
+    names = list(weights)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name]
+        cases.append(f"WHEN v < {int(cum * 16**6)} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def _clean_docs_sql(weights: dict[str, float], salt: str) -> str:
+    """DuckDB replica of clean_corpus over corpus = non-src0 docs with the
+    src0 docs as the decontamination benchmark: the doc_quality chain
+    (same formulas) + an exact-dup min-id window over md5(text) + the
+    decontam 8-gram contaminated-id set + the hash-split case, with
+    reasons in the operator's fixed order (duplicate, contaminated,
+    quality reasons)."""
+    sw = _stopword_list_sql(QUALITY_STOPWORDS)
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({sw}, x))) AS n_stop,
+    len(list_distinct(toks)) AS n_uniq
+  FROM t),
+q AS (
+  SELECT doc_id, n_tokens,
+    round(least(n_tokens / 20.0, 1.0) * 0.4
+          + (n_uniq / (n_tokens * 1.0)) * 0.4
+          + least(n_stop / greatest(n_tokens * 0.05, 1.0), 1.0) * 0.2, 6)
+      AS quality_score
+  FROM m),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+rep AS (
+  SELECT doc_id,
+    round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+      AS dup_line_frac
+  FROM ls),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+        FROM cnt GROUP BY doc_id),
+dup AS (
+  SELECT doc_id,
+         text IS NOT NULL
+           AND doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+           AS is_duplicate
+  FROM corpus),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+btoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE source = 'src0'),
+csh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM ctoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) g),
+bsh AS (
+  SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM btoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-7, 1))) AS i) g),
+cont AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON b.h = c.h),
+hv AS (
+  SELECT doc_id,
+         md5('{salt}:' || coalesce(CAST(doc_id AS VARCHAR), '')) AS m
+  FROM corpus),
+sp AS (SELECT doc_id, {_hash_digit_value_sql()} AS v FROM hv),
+spl AS (SELECT doc_id, {_split_case_sql(weights)} AS split FROM sp),
+j AS (
+  SELECT q.doc_id AS id, q.n_tokens, q.quality_score,
+         rep.dup_line_frac, agg.top_bigram_frac,
+         dup.is_duplicate,
+         (cont.doc_id IS NOT NULL) AS is_contaminated,
+         spl.split,
+         concat_ws(',',
+           CASE WHEN dup.is_duplicate THEN 'duplicate' END,
+           CASE WHEN cont.doc_id IS NOT NULL THEN 'contaminated' END,
+           nullif(concat_ws(',',
+             CASE WHEN coalesce(q.n_tokens, 0) < 20 THEN 'too_few_tokens' END,
+             CASE WHEN q.quality_score < 0.5 THEN 'low_quality' END,
+             CASE WHEN rep.dup_line_frac > 0.3 THEN 'repetitive_lines' END,
+             CASE WHEN agg.top_bigram_frac > 0.2 THEN 'repetitive_bigrams' END
+           ), '')
+         ) AS reasons
+  FROM q JOIN rep ON q.doc_id = rep.doc_id
+  LEFT JOIN agg ON q.doc_id = agg.doc_id
+  JOIN dup ON q.doc_id = dup.doc_id
+  LEFT JOIN cont ON q.doc_id = cont.doc_id
+  JOIN spl ON q.doc_id = spl.doc_id)
+SELECT id, n_tokens, quality_score, dup_line_frac, top_bigram_frac,
+       is_duplicate, is_contaminated, split, reasons,
+       (reasons = '') AS keep
+FROM j
 """
 
 
@@ -1597,6 +1723,9 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "span_pairs": _SPAN_PAIRS_SQL,
         "decontam": _DECONTAM_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "clean_docs": _clean_docs_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
+        ),
         "hash_split": _hash_split_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
         ),

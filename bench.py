@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "span_pairs",
     "dedup_lines",
     "decontam",
+    "clean_docs",
     "tumbling_events",
     "pricing_summary",
 ]

@@ -34,6 +34,7 @@ from jsonl_schema_validator_spark.operators.similarity import (
     ivf_topk_indexed,
     lsh_topk,
 )
+from jsonl_schema_validator_spark.operators.pipeline import clean_corpus
 from jsonl_schema_validator_spark.operators.sampling import (
     hash_split,
     stratified_hash_sample,
@@ -64,6 +65,7 @@ __all__ = [
     "ks_drift_binned",
     "duplicate_clusters",
     "benchmark_overlap",
+    "clean_corpus",
     "dedup_lines",
     "hash_split",
     "stratified_hash_sample",

@@ -1,0 +1,121 @@
+"""One-call corpus cleaning: the standard training-data preparation pass
+(exact dedup + quality/repetition filter + optional language filter +
+optional benchmark decontamination + deterministic split) composed from
+this package's oracle-checked operators into a single per-document verdict
+table.
+
+A user of the individual operators wires these joins by hand; clean_corpus
+is the composition with the id semantics and reason ordering fixed once.
+
+Scale shape: document_quality's one-projection-plus-per-id-aggregates
+plan, ONE window over md5(text) for the duplicate flag (partition-only
+min, map-side combinable), a broadcast join against the contaminated-id
+set (bounded: ids that overlap the benchmark), and the shuffle-free
+hash-split projection. Nothing here adds an all-pairs shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jsonl_schema_validator_spark.operators.dedup import benchmark_overlap
+from jsonl_schema_validator_spark.operators.sampling import hash_split
+from jsonl_schema_validator_spark.operators.textops import document_quality
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    min_quality_score: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    allowed_langs: list[str] | None = None,
+    benchmark: DataFrame | None = None,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    decontam_n: int = 8,
+    split_weights: dict[str, float] | None = None,
+    split_salt: str = "",
+) -> DataFrame:
+    """Per-document cleaning verdict: one row per input doc with the
+    quality signals, `is_duplicate` (exact content dup that is NOT the
+    min-id keeper), `is_contaminated` (shares a verbatim `decontam_n`-gram
+    with `benchmark`, when given), an optional deterministic `split`
+    column (when `split_weights` is given), the comma-joined `reasons`
+    string — fixed order: duplicate, contaminated, then the
+    document_quality reasons — and the final `keep` verdict.
+
+    PRECONDITION: ids must be unique and non-null (the usual corpus
+    contract — exact dedup is about duplicate CONTENT under distinct ids).
+    Duplicate ids would cross-match in the per-row flag join.
+
+    Duplicate policy: the smallest id of each identical-content group is
+    the keeper (same canon as exact_duplicates); null-TEXT docs are never
+    duplicates of each other (no content to compare — they fail the token
+    minimum instead).
+    """
+    dq = document_quality(
+        df,
+        id_col,
+        text_col,
+        min_tokens=min_tokens,
+        min_quality_score=min_quality_score,
+        max_dup_line_frac=max_dup_line_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        allowed_langs=allowed_langs,
+    )
+    h = F.md5(F.col(text_col).cast("binary"))
+    wdup = Window.partitionBy("h")
+    flags = (
+        df.select(F.col(id_col).alias("id"), h.alias("h"))
+        .withColumn(
+            "is_duplicate",
+            F.col("h").isNotNull() & (F.col("id") != F.min("id").over(wdup)),
+        )
+        .drop("h")
+    )
+    if benchmark is not None:
+        cont = (
+            benchmark_overlap(
+                df,
+                benchmark,
+                id_col,
+                text_col,
+                bench_id_col=bench_id_col,
+                bench_text_col=bench_text_col,
+                n=decontam_n,
+            )
+            .select("id")
+            .distinct()
+            .withColumn("is_contaminated", F.lit(True))
+        )
+        flags = flags.join(F.broadcast(cont), "id", "left").withColumn(
+            "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("is_contaminated", F.lit(False))
+    if split_weights is not None:
+        flags = hash_split(flags, "id", split_weights, salt=split_salt)
+    out_flags = ["is_duplicate", "is_contaminated"] + (
+        ["split"] if split_weights is not None else []
+    )
+    j = dq.join(flags, "id").select(
+        *[c for c in dq.columns if c not in ("reasons", "keep")],
+        *out_flags,
+        dq["reasons"].alias("__q_reasons"),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("is_duplicate"), F.lit("duplicate")),
+        F.when(F.col("is_contaminated"), F.lit("contaminated")),
+        F.nullif(F.col("__q_reasons"), F.lit("")),
+    )
+    return j.select(
+        *[c for c in j.columns if c != "__q_reasons"],
+        reasons.alias("reasons"),
+        (reasons == F.lit("")).alias("keep"),
+    )

@@ -465,3 +465,48 @@ def test_stratified_hash_sample(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_per_stratum"):
         stratified_hash_sample(df, "lang", "doc_id", 0)
+
+
+def test_clean_corpus(spark):
+    """The one-call cleaning pass: duplicate keeper = min id, contaminated
+    via benchmark 8-gram overlap, reasons in fixed order (duplicate,
+    contaminated, quality), split deterministic, null text never a
+    duplicate, optional stages omit their columns."""
+    from jsonl_schema_validator_spark.operators import clean_corpus
+
+    good = ("the a of and to in is it that for " * 4).strip()
+    bench = spark.createDataFrame(
+        [(100, "leaked benchmark answer text appears verbatim in the corpus today")],
+        "doc_id bigint, text string",
+    )
+    rows = [
+        (1, good + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, good + " alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "leaked benchmark answer text appears verbatim in the corpus "
+            + good),                                                   # contaminated
+        (4, "short"),                                                  # too few tokens
+        (5, None),                                                     # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.id: r for r in clean_corpus(
+        df, "doc_id", "text", benchmark=bench,
+        split_weights={"train": 0.5, "test": 0.5}, split_salt="t",
+    ).collect()}
+    assert len(out) == 5
+    assert out[1].keep and not out[1].is_duplicate
+    assert out[2].is_duplicate and out[2].reasons == "duplicate"
+    assert out[3].is_contaminated and out[3].reasons.startswith("contaminated")
+    assert "too_few_tokens" in out[4].reasons and not out[4].is_duplicate
+    assert not out[5].is_duplicate  # null text is not duplicate content
+    assert all(r.split in ("train", "test") for r in out.values())
+
+    # a doc that is BOTH duplicate and low-quality lists duplicate first
+    rows2 = rows + [(6, "short")]
+    out2 = {r.id: r for r in clean_corpus(
+        spark.createDataFrame(rows2, "doc_id bigint, text string"),
+        "doc_id", "text").collect()}
+    assert out2[6].reasons.startswith("duplicate,too_few_tokens")
+    # no benchmark / no split -> no split column, is_contaminated all false
+    sample = next(iter(out2.values()))
+    assert "split" not in sample.__fields__
+    assert not any(r.is_contaminated for r in out2.values())
