@@ -305,7 +305,9 @@ def _repeated_struct_fast_path(
       flags any value embedding \\x01, (b) any value merely CONTAINING \\x02
       fails the pattern, and (c) the one remaining hole — a value of EXACTLY
       "\\x02", which renders identically to a null slot — is flagged by a
-      single array_position(ext, '\\x02') scan (load-bearing: do not remove).
+      single array_contains(ext, '\\x02') scan (load-bearing: do not
+      remove; round-4 — coalesced to false, since array_contains is NULL
+      on null-slot arrays with no match).
       No VALID value of these types can contain either control char, so
       there are no false positives.
     - REQUIRED sub of a trivially-valid storage type (STRING-on-string,
