@@ -1091,29 +1091,15 @@ FROM j
 
 
 def _hash_split_sql(weights: dict[str, float], salt: str) -> str:
-    """DuckDB replica of hash_split: decode the first 6 hex digits of
-    md5('<salt>:<id>') with strpos (the simhash oracle's digit trick) and
-    compare against the SAME integer thresholds the Spark operator embeds
-    (floor(cum_weight * 16^6), computed identically here)."""
-    digit = (
-        "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1) * {mult}"
-    )
-    value = " + ".join(
-        digit.format(i=i + 1, mult=16 ** (5 - i)) for i in range(6)
-    )
-    names = list(weights)
-    cum = 0.0
-    cases = []
-    for name in names[:-1]:
-        cum += weights[name]
-        cases.append(f"WHEN v < {int(cum * 16**6)} THEN '{name}'")
-    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    """DuckDB replica of hash_split, built from the SAME digit-decode and
+    threshold-case helpers as the clean_docs replica (one source of truth
+    for the split-boundary arithmetic)."""
     return f"""
 WITH h AS (
   SELECT doc_id, md5('{salt}:' || coalesce(CAST(doc_id AS VARCHAR), '')) AS m
   FROM documents),
-v AS (SELECT doc_id, {value} AS v FROM h)
-SELECT doc_id AS id, {case} AS split FROM v
+v AS (SELECT doc_id, {_hash_digit_value_sql()} AS v FROM h)
+SELECT doc_id AS id, {_split_case_sql(weights)} AS split FROM v
 """
 
 
@@ -1157,7 +1143,7 @@ SELECT b.doc_id AS id,
        CASE WHEN b.had_text THEN coalesce(r.text, '') END AS text,
        b.n_lines,
        CAST(b.n_lines - coalesce(r.kept_n, 0) AS BIGINT) AS n_lines_removed
-FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
+FROM base b LEFT JOIN reb r ON r.doc_id IS NOT DISTINCT FROM b.doc_id
 """
 
 

@@ -93,7 +93,13 @@ def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
 
     s = np.asarray(samples, dtype="<i2")
     if s.ndim == 1:
-        s = s.reshape(-1, max(1, int(channels)))
+        ch = max(1, int(channels))
+        if s.size % ch:
+            raise ValueError(
+                f"flat sample array of length {s.size} is not divisible by "
+                f"channels={ch}"
+            )
+        s = s.reshape(-1, ch)
     channels = s.shape[1]
     data = s.tobytes()
     byte_rate = sample_rate * channels * 2

@@ -9,9 +9,10 @@ is the composition with the id semantics and reason ordering fixed once.
 
 Scale shape: document_quality's one-projection-plus-per-id-aggregates
 plan, ONE window over md5(text) for the duplicate flag (partition-only
-min, map-side combinable), a broadcast join against the contaminated-id
-set (bounded: ids that overlap the benchmark), and the shuffle-free
-hash-split projection. Nothing here adds an all-pairs shape.
+min, map-side combinable), a left join against the contaminated-id set
+(bounded by the corpus, so NOT force-broadcast — AQE broadcasts it when
+small), and the shuffle-free hash-split projection. Nothing here adds an
+all-pairs shape.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def clean_corpus(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     decontam_n: int = 8,
+    broadcast_benchmark: bool = True,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "",
 ) -> DataFrame:
@@ -52,6 +54,9 @@ def clean_corpus(
     PRECONDITION: ids must be unique and non-null (the usual corpus
     contract — exact dedup is about duplicate CONTENT under distinct ids).
     Duplicate ids would cross-match in the per-row flag join.
+
+    `broadcast_benchmark` passes through to benchmark_overlap (set False
+    for a benchmark too large to broadcast).
 
     Duplicate policy: the smallest id of each identical-content group is
     the keeper (same canon as exact_duplicates); null-TEXT docs are never
@@ -88,12 +93,17 @@ def clean_corpus(
                 bench_id_col=bench_id_col,
                 bench_text_col=bench_text_col,
                 n=decontam_n,
+                broadcast_benchmark=broadcast_benchmark,
             )
             .select("id")
             .distinct()
             .withColumn("is_contaminated", F.lit(True))
         )
-        flags = flags.join(F.broadcast(cont), "id", "left").withColumn(
+        # plain left join: the contaminated-id set is bounded by the CORPUS,
+        # not the benchmark — one viral benchmark 8-gram can contaminate a
+        # large corpus fraction, so forcing a broadcast here could blow the
+        # driver; AQE still broadcasts it when it is actually small
+        flags = flags.join(cont, "id", "left").withColumn(
             "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
         )
     else:

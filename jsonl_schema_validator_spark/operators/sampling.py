@@ -62,7 +62,8 @@ def hash_split(
     incremental re-runs keep every existing assignment stable.
 
     Rows with a NULL id hash the literal '<salt>:' key deterministically
-    (they all land in the SAME, hash-chosen split) — filter them upstream
+    (they all land in the SAME, hash-chosen split — identical to an
+    empty-STRING id, which hashes the same key) — filter them upstream
     if that is not wanted. Boundaries are exact integer thresholds floor(cum_w * 16^6)
     computed at plan time, so engines cannot disagree on edge buckets.
     """

@@ -184,6 +184,25 @@ class CheckpointManifest:
         return [k for k in all_keys if str(k) not in done]
 
 
+def _check_unambiguous_keys(keys: list) -> None:
+    """The manifest and batch-result maps key partitions by str(key), so two
+    distinct keys with the same string form — None vs the literal string
+    'None' is the realistic case after CSV ingestion — would share one
+    manifest entry and one partition would be silently skipped on resume.
+    Refuse loudly instead."""
+    seen: dict[str, object] = {}
+    for k in keys:
+        s = str(k)
+        if s in seen and seen[s] is not k and seen[s] != k:
+            raise ValueError(
+                f"ambiguous partition keys: {seen[s]!r} and {k!r} both map to "
+                f"manifest key {s!r} — disambiguate the partition column "
+                "(e.g. fill NULLs with a sentinel distinct from the string "
+                "'None')"
+            )
+        seen[s] = k
+
+
 def run_partitioned(
     df: DataFrame,
     partition_col: str,
@@ -203,6 +222,7 @@ def run_partitioned(
             r[0]
             for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
         ]
+    _check_unambiguous_keys(keys)
     pending = manifest.pending(keys)
     processed, skipped = [], len(keys) - len(pending)
     for key in pending:
@@ -264,6 +284,7 @@ def run_partitioned_batched(
             r[0]
             for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
         ]
+    _check_unambiguous_keys(keys)
     pending = manifest.pending(keys)
     processed, skipped = [], len(keys) - len(pending)
     bs = max(1, int(batch_size))

@@ -388,3 +388,22 @@ def test_skew_helpers(spark, cf):
     rep = salted_repartition(cf, "repo", 16)
     assert rep.rdd.getNumPartitions() == 16
     assert rep.count() == cf.count()
+
+
+def test_run_partitioned_ambiguous_str_keys_raise(spark, tmp_path):
+    """None and the literal string 'None' share str(key) in the manifest
+    and batch-result maps — the runners must refuse loudly rather than
+    silently skip one partition on resume."""
+    from jsonl_schema_validator_spark.plans.checkpoint import (
+        run_partitioned,
+        run_partitioned_batched,
+    )
+
+    df = spark.createDataFrame([("None", 1), (None, 2)], "p string, v int")
+    m = CheckpointManifest(str(tmp_path / "m"), run_id="amb")
+    with pytest.raises(ValueError, match="ambiguous"):
+        run_partitioned_batched(
+            df, "p", lambda b, k: {}, m, batch_size=10
+        )
+    with pytest.raises(ValueError, match="ambiguous"):
+        run_partitioned(df, "p", lambda part, key: {}, m)

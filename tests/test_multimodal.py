@@ -177,3 +177,20 @@ def test_multimodal_ffmpeg_stubs(spark):
         decode_audio(df, "aud", "aud_id", backend="ffmpeg")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         frame_sample(df, "aud", "aud_id", backend="ffmpeg")
+
+
+def test_encode_wav_flat_channels(spark):
+    """1-D input is interleaved frames of `channels`; a non-divisible
+    length raises a clear error instead of a numpy reshape crash."""
+    import pytest as _pytest
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_wav,
+        encode_wav,
+    )
+
+    raw = encode_wav(8000, [1, -2, 3, -4], channels=2)
+    rate, channels, samples = _parse_wav(raw)
+    assert (rate, channels) == (8000, 2) and samples.shape == (2, 2)
+    with _pytest.raises(ValueError, match="divisible"):
+        encode_wav(8000, [1, 2, 3], channels=2)
