@@ -597,6 +597,15 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ANN hygiene validator: one-row null/NaN/zero-norm/dimension
+    report + healthy-vector norm distribution, one aggregation."""
+    from jsonl_schema_validator_spark.operators import embedding_health
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_health(emb, "embedding", dim=EMB_DIM)
+
+
 def q_ivf_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized persisted IVF index (round-4): same prefix-init fit as
     q_ivf_topk, but inverted lists store symmetric int8 codes (~4x less
@@ -815,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_topk_q8": q_ivf_topk_q8,
+        "embedding_health": q_embedding_health,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_pairs": q_lsh_pairs,
@@ -1953,6 +1963,28 @@ GROUP BY o_custkey
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ivf_topk_indexed": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
+        "embedding_health": """
+WITH ex AS (
+  SELECT vec_id, u.val::DOUBLE AS val
+  FROM embeddings, LATERAL (SELECT unnest(embedding) AS val) u),
+st AS (
+  SELECT e.vec_id,
+         len(e.embedding) <> 64 AS wrong_dim,
+         coalesce((SELECT bool_or(isnan(x.val))
+                   FROM (SELECT unnest(e.embedding)::DOUBLE AS val) x(val)), FALSE)
+           AS has_nan,
+         sqrt((SELECT sum(val * val) FROM ex WHERE ex.vec_id = e.vec_id)) AS nrm
+  FROM embeddings e WHERE e.embedding IS NOT NULL)
+SELECT
+  (SELECT count(*) FROM embeddings) AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE embedding IS NULL) AS n_null,
+  CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+  CAST(sum(CASE WHEN NOT wrong_dim AND NOT has_nan AND nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+  round(avg(CASE WHEN NOT wrong_dim AND NOT has_nan AND nrm > 0 THEN nrm END), 6) AS norm_mean,
+  round(stddev_pop(CASE WHEN NOT wrong_dim AND NOT has_nan AND nrm > 0 THEN nrm END), 6) AS norm_std
+FROM st
+""",
         "ivf_topk_q8": _ivf_q8_sql(
             k=5, num_centroids=16, nprobe=4, query_bound=5, rescore_factor=3
         ),

@@ -26,6 +26,7 @@ from jsonl_schema_validator_spark.operators.dedup import (
 )
 from jsonl_schema_validator_spark.operators.similarity import (
     ann_recall,
+    embedding_health,
     brute_force_topk,
     embedding_cosine_pairs,
     embedding_lsh_pairs,
@@ -79,6 +80,7 @@ __all__ = [
     "simhash_near_pairs",
     "word_shingles",
     "ann_recall",
+    "embedding_health",
     "brute_force_topk",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",

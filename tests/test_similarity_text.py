@@ -461,3 +461,31 @@ def test_language_guess_null_and_duplicate_ids(spark):
     assert by_id[None][0].lang_guess == "en"
     assert by_id[None][0].lang_score is not None
     assert all(r.lang_guess == "de" for r in by_id[7]) and len(by_id[7]) == 2
+
+
+def test_embedding_health(spark):
+    """The pre-ANN hygiene report counts each failure class exactly once
+    and computes norm stats over healthy vectors only."""
+    from jsonl_schema_validator_spark.operators import embedding_health
+
+    rows = [
+        (1, [3.0, 4.0]),            # healthy, norm 5
+        (2, [0.0, 0.0]),            # zero norm
+        (3, None),                  # null
+        (4, [1.0, 2.0, 3.0]),       # wrong dim
+        (5, [float("nan"), 1.0]),   # NaN
+        (6, [6.0, 8.0]),            # healthy, norm 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = embedding_health(df, "embedding", dim=2).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_wrong_dim, r.n_nan, r.n_zero_norm) == (
+        6, 1, 1, 1, 1,
+    )
+    assert r.norm_mean == 7.5 and r.norm_std == 2.5  # norms {5, 10}
+
+    # dim peek path: uniform corpus, no explicit dim
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    r2 = embedding_health(ok).collect()[0]
+    assert r2.n_wrong_dim == 0 and r2.norm_mean == 1.0
