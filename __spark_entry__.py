@@ -598,12 +598,26 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-ANN hygiene validator: one-row null/NaN/zero-norm/dimension
-    report + healthy-vector norm distribution, one aggregation."""
+    """Pre-ANN hygiene validator: one-row null/NaN/null-element/zero-norm/
+    dimension report + healthy-vector norm distribution, one aggregation.
+    The corpus is augmented with one crafted vector PER failure class
+    (mirrored verbatim in the oracle's VALUES) — without them the clean
+    fixture would leave every failure branch comparing 0 == 0."""
     from jsonl_schema_validator_spark.operators import embedding_health
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_health(emb, "embedding", dim=EMB_DIM)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    elem_t = emb.schema["embedding"].dataType.simpleString()
+    dirty = spark.createDataFrame(
+        [
+            (1000001, None),
+            (1000002, [0.0] * EMB_DIM),
+            (1000003, [1.0] * (EMB_DIM - 1)),
+            (1000004, [float("nan")] + [1.0] * (EMB_DIM - 1)),
+            (1000005, [None] + [1.0] * (EMB_DIM - 1)),
+        ],
+        "vec_id bigint, embedding array<double>",
+    ).selectExpr("vec_id", f"CAST(embedding AS {elem_t}) AS embedding")
+    return embedding_health(emb.unionByName(dirty), "embedding", dim=EMB_DIM)
 
 
 def q_ivf_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,6 +1004,14 @@ FROM embeddings emb
 LEFT JOIN cc ON cc.id = emb.vec_id
 """
 
+
+# crafted dirty vectors for the embedding_health oracle (one per failure
+# class); identical values are appended on the Spark side in
+# q_embedding_health
+_EH_ZERO = "[" + ", ".join(["0.0"] * EMB_DIM) + "]"
+_EH_SHORT = "[" + ", ".join(["1.0"] * (EMB_DIM - 1)) + "]"
+_EH_NAN = "[CAST('nan' AS DOUBLE), " + ", ".join(["1.0"] * (EMB_DIM - 1)) + "]"
+_EH_NULLELEM = "[NULL, " + ", ".join(["1.0"] * (EMB_DIM - 1)) + "]"
 
 def _hash_digit_value_sql() -> str:
     """The 6-hex-digit md5 decode expression body over alias m (shared by
@@ -1963,27 +1985,43 @@ GROUP BY o_custkey
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ivf_topk_indexed": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
-        "embedding_health": """
-WITH ex AS (
-  SELECT vec_id, u.val::DOUBLE AS val
-  FROM embeddings, LATERAL (SELECT unnest(embedding) AS val) u),
+        "embedding_health": f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT * FROM (VALUES
+    (1000001, NULL),
+    (1000002, {_EH_ZERO}),
+    (1000003, {_EH_SHORT}),
+    (1000004, {_EH_NAN}),
+    (1000005, {_EH_NULLELEM})) t(vec_id, embedding)),
 st AS (
-  SELECT e.vec_id,
-         len(e.embedding) <> 64 AS wrong_dim,
-         coalesce((SELECT bool_or(isnan(x.val))
-                   FROM (SELECT unnest(e.embedding)::DOUBLE AS val) x(val)), FALSE)
-           AS has_nan,
-         sqrt((SELECT sum(val * val) FROM ex WHERE ex.vec_id = e.vec_id)) AS nrm
-  FROM embeddings e WHERE e.embedding IS NOT NULL)
-SELECT
-  (SELECT count(*) FROM embeddings) AS n_rows,
-  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE embedding IS NULL) AS n_null,
-  CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
-  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
-  CAST(sum(CASE WHEN NOT wrong_dim AND NOT has_nan AND nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-  round(avg(CASE WHEN NOT wrong_dim AND NOT has_nan AND nrm > 0 THEN nrm END), 6) AS norm_mean,
-  round(stddev_pop(CASE WHEN NOT wrong_dim AND NOT has_nan AND nrm > 0 THEN nrm END), 6) AS norm_std
-FROM st
+  SELECT
+    e.embedding IS NULL AS is_null,
+    e.embedding IS NOT NULL AND len(e.embedding) <> {EMB_DIM} AS wrong_dim,
+    coalesce((SELECT bool_or(x.val IS NULL)
+              FROM (SELECT unnest(e.embedding) AS val) x(val)), FALSE)
+      AS has_null_elem,
+    coalesce((SELECT bool_or(isnan(x.val::DOUBLE))
+              FROM (SELECT unnest(e.embedding) AS val) x(val)
+              WHERE x.val IS NOT NULL), FALSE) AS has_nan,
+    (SELECT sqrt(sum(x.val::DOUBLE * x.val::DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS val) x(val)) AS nrm
+  FROM allv e),
+cl AS (
+  SELECT *,
+         NOT is_null AND NOT wrong_dim AND NOT has_null_elem AND NOT has_nan
+           AS healthy
+  FROM st)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  coalesce(CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_null,
+  coalesce(CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_wrong_dim,
+  coalesce(CAST(sum(CASE WHEN NOT is_null AND has_null_elem THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_null_elem,
+  coalesce(CAST(sum(CASE WHEN NOT is_null AND has_nan THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_nan,
+  coalesce(CAST(sum(CASE WHEN healthy AND nrm = 0 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_zero_norm,
+  round(avg(CASE WHEN healthy AND nrm > 0 THEN nrm END), 6) AS norm_mean,
+  round(stddev_pop(CASE WHEN healthy AND nrm > 0 THEN nrm END), 6) AS norm_std
+FROM cl
 """,
         "ivf_topk_q8": _ivf_q8_sql(
             k=5, num_centroids=16, nprobe=4, query_bound=5, rescore_factor=3

@@ -522,32 +522,44 @@ def embedding_health(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
     """One-row health report for an embedding column — the pre-ANN hygiene
-    validator (zero vectors crash/poison cosine ranking, NaNs sort above
-    every real score, dimension drift breaks dot products):
-    (n_rows, n_null, n_wrong_dim, n_nan, n_zero_norm, norm_mean, norm_std).
+    validator (zero vectors crash/poison cosine ranking, NaNs and NULL
+    elements turn every dot product null/NaN, dimension drift breaks dot
+    products): (n_rows, n_null, n_wrong_dim, n_null_elem, n_nan,
+    n_zero_norm, norm_mean, norm_std).
 
-    norm_mean/std cover only healthy vectors (non-null, right dim, no NaN,
-    nonzero norm). ONE aggregation over a narrow projection — a single
-    scan at any corpus size, map-side combinable. `dim` defaults to a
-    plan-time one-row peek.
+    Every count coalesces to 0 (an empty corpus reports zeros, not nulls);
+    norm_mean/std cover only healthy vectors (non-null, right dim, no NULL
+    element, no NaN, nonzero norm). ONE aggregation over a narrow
+    projection — a single scan at any corpus size, map-side combinable.
+    `dim` defaults to a plan-time one-row peek.
     """
     if dim is None:
         dim = _peek_dim(df, vec_col)
     v = F.col(vec_col)
+    has_null_elem = F.coalesce(
+        F.exists(v, lambda x: x.isNull()), F.lit(False)
+    )
     has_nan = F.coalesce(
         F.exists(v, lambda x: F.isnan(x.cast("double"))), F.lit(False)
     )
     wrong_dim = v.isNotNull() & (F.size(v) != dim)
     nrm = _norm(v)
-    healthy_base = v.isNotNull() & ~wrong_dim & ~has_nan
+    healthy_base = (
+        v.isNotNull() & ~wrong_dim & ~has_null_elem & ~has_nan
+    )
     zero = healthy_base & (nrm == 0)
     good_norm = F.when(healthy_base & (nrm > 0), nrm)
+
+    def cnt(cond):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(v.isNull().cast("long")).alias("n_null"),
-        F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
-        F.sum((v.isNotNull() & has_nan).cast("long")).alias("n_nan"),
-        F.sum(zero.cast("long")).alias("n_zero_norm"),
+        cnt(v.isNull()).alias("n_null"),
+        cnt(wrong_dim).alias("n_wrong_dim"),
+        cnt(v.isNotNull() & has_null_elem).alias("n_null_elem"),
+        cnt(v.isNotNull() & has_nan).alias("n_nan"),
+        cnt(zero).alias("n_zero_norm"),
         F.round(F.avg(good_norm), 6).alias("norm_mean"),
         F.round(F.stddev_pop(good_norm), 6).alias("norm_std"),
     )

@@ -170,9 +170,13 @@ class CheckpointManifest:
         return out
 
     def mark_complete(self, key, metrics: dict | None = None) -> None:
-        """Atomically commit a partition: tmp file + rename."""
+        """Atomically commit a partition: tmp file + rename. key_is_null
+        disambiguates a NULL key from the literal string 'None' across
+        RUNS (str() conflates them; see _check_unambiguous_keys for the
+        within-run guard)."""
         rec = {
             "partition_key": str(key),
+            "key_is_null": key is None,
             "run_id": self.run_id,
             "committed_at": time.time(),
             "metrics": metrics or {},
@@ -180,8 +184,22 @@ class CheckpointManifest:
         self._io.write_atomic(self._entry_name(key), json.dumps(rec))
 
     def pending(self, all_keys: list) -> list:
-        done = set(self.completed())
-        return [k for k in all_keys if str(k) not in done]
+        done = self.completed()
+        out = []
+        for k in all_keys:
+            rec = done.get(str(k))
+            # a committed entry only covers this key if the null-ness
+            # matches — a NULL key must not be silently skipped because a
+            # previous run committed the STRING key 'None' (and vice
+            # versa). Legacy records without the flag match by string (the
+            # pre-round-4 behavior; they were written before NULL keys
+            # were processable at all).
+            if rec is not None and rec.get("key_is_null", k is None) == (
+                k is None
+            ):
+                continue
+            out.append(k)
+        return out
 
 
 def _check_unambiguous_keys(keys: list) -> None:

@@ -407,3 +407,24 @@ def test_run_partitioned_ambiguous_str_keys_raise(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="ambiguous"):
         run_partitioned(df, "p", lambda part, key: {}, m)
+
+
+def test_manifest_null_key_distinct_from_none_string_across_runs(spark, tmp_path):
+    """A manifest entry committed for the STRING key 'None' must not make a
+    later run skip the NULL partition (and vice versa): str() conflates
+    them, so records carry key_is_null and pending() matches on it."""
+    m = CheckpointManifest(str(tmp_path / "m"), run_id="r1")
+    m.mark_complete("None", {"rows": 1})
+    m2 = CheckpointManifest(str(tmp_path / "m"), run_id="r2")
+    assert m2.pending([None]) == [None]      # NULL key still pending
+    assert m2.pending(["None"]) == []        # the string key is done
+    m2.mark_complete(None, {"rows": 2})
+    # NOTE: both entries share one manifest FILE name (str-keyed), so the
+    # last write wins on disk — pending() can only vouch for the surviving
+    # record. That is exactly why the runners REFUSE mixed batches up
+    # front (test_run_partitioned_ambiguous_str_keys_raise); this test
+    # pins the cross-run half: a lone committed entry never silently
+    # covers the other-typed key.
+    m3 = CheckpointManifest(str(tmp_path / "m"), run_id="r3")
+    assert m3.pending(["None"]) == ["None"]  # overwritten by the NULL rec
+    assert m3.pending([None]) == []

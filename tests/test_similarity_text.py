@@ -475,13 +475,22 @@ def test_embedding_health(spark):
         (4, [1.0, 2.0, 3.0]),       # wrong dim
         (5, [float("nan"), 1.0]),   # NaN
         (6, [6.0, 8.0]),            # healthy, norm 10
+        (7, [None, 1.0]),           # NULL element (poisons dot like NaN)
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     r = embedding_health(df, "embedding", dim=2).collect()[0]
-    assert (r.n_rows, r.n_null, r.n_wrong_dim, r.n_nan, r.n_zero_norm) == (
-        6, 1, 1, 1, 1,
-    )
+    assert (
+        r.n_rows, r.n_null, r.n_wrong_dim, r.n_null_elem, r.n_nan,
+        r.n_zero_norm,
+    ) == (7, 1, 1, 1, 1, 1)
     assert r.norm_mean == 7.5 and r.norm_std == 2.5  # norms {5, 10}
+
+    # empty corpus: all counts 0 (not NULL), norm stats null
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    r0 = embedding_health(empty, "embedding", dim=2).collect()[0]
+    assert (r0.n_rows, r0.n_null, r0.n_wrong_dim, r0.n_null_elem, r0.n_nan,
+            r0.n_zero_norm) == (0, 0, 0, 0, 0, 0)
+    assert r0.norm_mean is None
 
     # dim peek path: uniform corpus, no explicit dim
     ok = spark.createDataFrame(
