@@ -597,6 +597,25 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning gauge as a first-class oracle query: recall@5 of
+    multiprobe lsh_topk against brute_force_topk on the same 5-query
+    batch — per-query rows plus the __overall__ macro average."""
+    from jsonl_schema_validator_spark.operators import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = lsh_topk(
+        emb, queries, k=5, num_planes=6, seed=42, multiprobe=True, dim=EMB_DIM
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    return ann_recall(approx, exact)
+
+
 def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-ANN hygiene validator: one-row null/NaN/null-element/zero-norm/
     dimension report + healthy-vector norm distribution, one aggregation.
@@ -839,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_topk_q8": q_ivf_topk_q8,
         "embedding_health": q_embedding_health,
+        "ann_recall": q_ann_recall,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_pairs": q_lsh_pairs,
@@ -1274,6 +1294,79 @@ bk AS (
   SELECT vec_id,
          string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
   FROM pd GROUP BY vec_id)"""
+
+
+def _ann_recall_sql(
+    k: int, num_planes: int, seed: int, dim: int, query_bound: int
+) -> str:
+    """DuckDB replica of ann_recall(lsh_topk, brute_force_topk): the lsh
+    candidate CTE (bucket hamming <= 1) and the exact all-candidates CTE
+    each run the shared score/rank tail as inline CTEs, then recall =
+    |approx ∩ exact| / k per query plus the __overall__ macro-average row
+    (same dedup-first semantics as the Spark operator)."""
+    return f"""
+WITH {_EX_NORMS_CTE},
+{_bucket_cte(num_planes, seed, dim)},
+acand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {query_bound}
+    AND len(list_filter(generate_series(1, {num_planes}),
+            i -> substr(q.bucket, i, 1) <> substr(c.bucket, i, 1))) <= 1),
+adots AS (
+  SELECT acand.query_id, acand.neighbor_id, sum(a.val * b.val) AS dot
+  FROM acand
+  JOIN ex a ON a.vec_id = acand.query_id
+  JOIN ex b ON b.vec_id = acand.neighbor_id AND b.pos = a.pos
+  GROUP BY 1, 2),
+ascored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS score
+  FROM adots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+atop AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM ascored)
+  WHERE rank <= {k}),
+edots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.val * b.val) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {query_bound} GROUP BY 1, 2),
+escored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS score
+  FROM edots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id),
+etop AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM escored)
+  WHERE rank <= {k}),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM atop a JOIN etop e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1),
+perq AS (
+  SELECT e.query_id,
+         coalesce(h.hits, 0) AS hits,
+         CAST(count(*) AS BIGINT) AS exact_k,
+         round(coalesce(h.hits, 0) / (count(*) * 1.0), 6) AS recall
+  FROM etop e LEFT JOIN hits h ON h.query_id = e.query_id
+  GROUP BY e.query_id, h.hits)
+SELECT CAST(query_id AS VARCHAR) AS query_id, hits, exact_k, recall FROM perq
+UNION ALL
+SELECT '__overall__',
+       CAST(sum(hits) AS BIGINT),
+       CAST(sum(exact_k) AS BIGINT),
+       round(avg(recall), 6)
+FROM perq
+"""
 
 
 def _lsh_sql(k: int, num_planes: int, seed: int, dim: int, query_bound: int) -> str:
@@ -1985,6 +2078,9 @@ GROUP BY o_custkey
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ivf_topk_indexed": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
+        "ann_recall": _ann_recall_sql(
+            k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5
+        ),
         "embedding_health": f"""
 WITH allv AS (
   SELECT vec_id, embedding FROM embeddings
