@@ -1245,26 +1245,36 @@ ex AS (
                        unnest(generate_series(1, len(embedding))) AS pos) u),
 norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ex GROUP BY vec_id)"""
 
-# exact cosine over candidate pairs -> per-query rank -> top-k (the shared
-# verification tail of lsh_topk / ivf_topk; `cand(query_id, neighbor_id)`
-# must be defined by the head)
-_TOPK_TAIL_SQL = """
-dots AS (
+def _topk_cte(p: str, cand: str) -> str:
+    """The exact-cosine score/rank CTE chain over a candidate CTE
+    `cand(query_id, neighbor_id)`, emitted as {p}dots/{p}scored/{p}r —
+    ONE SQL definition of the ranking/tie-break contract (score DESC,
+    neighbor_id ASC after 6-dp rounding), mirroring _topk_by_score on the
+    Spark side. Shared by the top-k tail template and the ann_recall
+    replica's two inline rankings."""
+    return f"""{p}dots AS (
   SELECT cand.query_id, cand.neighbor_id, sum(a.val * b.val) AS dot
-  FROM cand
+  FROM {cand} cand
   JOIN ex a ON a.vec_id = cand.query_id
   JOIN ex b ON b.vec_id = cand.neighbor_id AND b.pos = a.pos
   GROUP BY 1, 2),
-scored AS (
+{p}scored AS (
   SELECT d.query_id, d.neighbor_id, round(d.dot / (na.nrm * nb.nrm), 6) AS score
-  FROM dots d
+  FROM {p}dots d
   JOIN norms na ON na.vec_id = d.query_id
   JOIN norms nb ON nb.vec_id = d.neighbor_id),
-r AS (SELECT *, CAST(row_number() OVER (
+{p}r AS (SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
-      FROM scored)
-SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
-"""
+      FROM {p}scored)"""
+
+
+# exact cosine over candidate pairs -> per-query rank -> top-k (the shared
+# verification tail of lsh_topk / ivf_topk; `cand(query_id, neighbor_id)`
+# must be defined by the head)
+_TOPK_TAIL_SQL = (
+    _topk_cte("", "cand")
+    + "\nSELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}\n"
+)
 
 
 def _plane_rows(dim: int, num_planes: int, seed: int) -> str:
@@ -1299,54 +1309,24 @@ bk AS (
 def _ann_recall_sql(
     k: int, num_planes: int, seed: int, dim: int, query_bound: int
 ) -> str:
-    """DuckDB replica of ann_recall(lsh_topk, brute_force_topk): the lsh
-    candidate CTE (bucket hamming <= 1) and the exact all-candidates CTE
-    each run the shared score/rank tail as inline CTEs, then recall =
-    |approx ∩ exact| / k per query plus the __overall__ macro-average row
-    (same dedup-first semantics as the Spark operator)."""
+    """DuckDB replica of ann_recall(lsh_topk, brute_force_topk): the shared
+    lsh candidate CTE (_lsh_cand_cte) and an exact all-candidates CTE each
+    run the SHARED score/rank chain (_topk_cte — the one definition of the
+    ranking/tie-break contract), then recall = |approx ∩ exact| / k per
+    query plus the __overall__ macro-average row (same dedup-first
+    semantics as the Spark operator)."""
     return f"""
 WITH {_EX_NORMS_CTE},
 {_bucket_cte(num_planes, seed, dim)},
-acand AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM bk q JOIN bk c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < {query_bound}
-    AND len(list_filter(generate_series(1, {num_planes}),
-            i -> substr(q.bucket, i, 1) <> substr(c.bucket, i, 1))) <= 1),
-adots AS (
-  SELECT acand.query_id, acand.neighbor_id, sum(a.val * b.val) AS dot
-  FROM acand
-  JOIN ex a ON a.vec_id = acand.query_id
-  JOIN ex b ON b.vec_id = acand.neighbor_id AND b.pos = a.pos
-  GROUP BY 1, 2),
-ascored AS (
-  SELECT d.query_id, d.neighbor_id,
-         round(d.dot / (na.nrm * nb.nrm), 6) AS score
-  FROM adots d
-  JOIN norms na ON na.vec_id = d.query_id
-  JOIN norms nb ON nb.vec_id = d.neighbor_id),
-atop AS (
-  SELECT DISTINCT query_id, neighbor_id
-  FROM (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        FROM ascored)
-  WHERE rank <= {k}),
-edots AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.val * b.val) AS dot
-  FROM ex a JOIN ex b ON a.pos = b.pos AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < {query_bound} GROUP BY 1, 2),
-escored AS (
-  SELECT d.query_id, d.neighbor_id,
-         round(d.dot / (na.nrm * nb.nrm), 6) AS score
-  FROM edots d
-  JOIN norms na ON na.vec_id = d.query_id
-  JOIN norms nb ON nb.vec_id = d.neighbor_id),
-etop AS (
-  SELECT DISTINCT query_id, neighbor_id
-  FROM (SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        FROM escored)
-  WHERE rank <= {k}),
+{_lsh_cand_cte("acand", num_planes, query_bound)},
+{_topk_cte("a", "acand")},
+atop AS (SELECT DISTINCT query_id, neighbor_id FROM ar WHERE rank <= {k}),
+ecand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM (SELECT DISTINCT vec_id FROM ex WHERE vec_id < {query_bound}) a
+  JOIN (SELECT DISTINCT vec_id FROM ex) b ON b.vec_id <> a.vec_id),
+{_topk_cte("e", "ecand")},
+etop AS (SELECT DISTINCT query_id, neighbor_id FROM er WHERE rank <= {k}),
 hits AS (
   SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
   FROM atop a JOIN etop e
@@ -1369,6 +1349,18 @@ FROM perq
 """
 
 
+def _lsh_cand_cte(name: str, num_planes: int, query_bound: int) -> str:
+    """The multiprobe LSH candidate CTE (own bucket + every 1-bit flip ==
+    hamming <= 1) over the shared `bk` bucket CTE — one definition for the
+    lsh_topk and ann_recall replicas."""
+    return f"""{name} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {query_bound}
+    AND len(list_filter(generate_series(1, {num_planes}),
+            i -> substr(q.bucket, i, 1) <> substr(c.bucket, i, 1))) <= 1)"""
+
+
 def _lsh_sql(k: int, num_planes: int, seed: int, dim: int, query_bound: int) -> str:
     """DuckDB replica of lsh_topk: the hyperplanes are a pure function of
     (dim, num_planes, seed) — regenerated here and embedded as literals.
@@ -1377,12 +1369,7 @@ def _lsh_sql(k: int, num_planes: int, seed: int, dim: int, query_bound: int) -> 
     return f"""
 WITH {_EX_NORMS_CTE},
 {_bucket_cte(num_planes, seed, dim)},
-cand AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM bk q JOIN bk c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < {query_bound}
-    AND len(list_filter(generate_series(1, {num_planes}),
-            i -> substr(q.bucket, i, 1) <> substr(c.bucket, i, 1))) <= 1),
+{_lsh_cand_cte("cand", num_planes, query_bound)},
 {_TOPK_TAIL_SQL.format(k=k)}"""
 
 

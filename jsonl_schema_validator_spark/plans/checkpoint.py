@@ -45,9 +45,21 @@ def _safe(key) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "_", str(key))
 
 
+# canonical encoding of a NULL partition key: gives None its OWN manifest
+# filename and completed()-map slot so it can never collide with the
+# literal string 'None' (str() conflates them). The \x00 control char
+# cannot appear in any sane string key; a string key containing it would
+# be caught by _check_unambiguous_keys within a run.
+_NULL_KEY = "\x00<null-key>"
+
+
+def _raw_key(key) -> str:
+    return _NULL_KEY if key is None else str(key)
+
+
 def _key_tag(key) -> str:
     """Collision-proof filename fragment: sanitized key + raw-key hash."""
-    raw = str(key)
+    raw = _raw_key(key)
     return f"{_safe(raw)}-{hashlib.sha1(raw.encode()).hexdigest()[:8]}"
 
 
@@ -155,14 +167,23 @@ class CheckpointManifest:
         return f"partition={_key_tag(key)}.json"
 
     def completed(self) -> dict[str, dict]:
-        """{partition_key_str: manifest_record} for all committed partitions."""
+        """{canonical_key_str: manifest_record} for all committed
+        partitions. A NULL key maps to the _NULL_KEY marker, NOT 'None' —
+        legacy records without the key_is_null flag were written before
+        NULL keys were processable, so they can only be string keys and
+        keep their str form."""
         out = {}
         for name in self._io.list_names():
             if not (name.startswith("partition=") and name.endswith(".json")):
                 continue
             try:
                 rec = json.loads(self._io.read_text(name))
-                out[str(rec["partition_key"])] = rec
+                k = (
+                    _NULL_KEY
+                    if rec.get("key_is_null", False)
+                    else str(rec["partition_key"])
+                )
+                out[k] = rec
             except (json.JSONDecodeError, KeyError, OSError):
                 # torn write can only be a *tmp* file (rename is atomic);
                 # a malformed committed entry is treated as not-done
@@ -184,22 +205,8 @@ class CheckpointManifest:
         self._io.write_atomic(self._entry_name(key), json.dumps(rec))
 
     def pending(self, all_keys: list) -> list:
-        done = self.completed()
-        out = []
-        for k in all_keys:
-            rec = done.get(str(k))
-            # a committed entry only covers this key if the null-ness
-            # matches — a NULL key must not be silently skipped because a
-            # previous run committed the STRING key 'None' (and vice
-            # versa). Legacy records without the flag match by string (the
-            # pre-round-4 behavior; they were written before NULL keys
-            # were processable at all).
-            if rec is not None and rec.get("key_is_null", k is None) == (
-                k is None
-            ):
-                continue
-            out.append(k)
-        return out
+        done = set(self.completed())
+        return [k for k in all_keys if _raw_key(k) not in done]
 
 
 def _check_unambiguous_keys(keys: list) -> None:

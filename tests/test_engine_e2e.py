@@ -305,7 +305,9 @@ def test_run_partitioned_batched_null_partition_key(spark, tmp_path):
     run_partitioned_batched(df, "p", fn, m, batch_size=10)
     assert seen[None] == 2, seen  # NULL partition's rows actually scanned
     assert seen[1] == 1 and seen[2] == 1
-    assert m.completed()["None"]["metrics"]["rows"] == 2
+    from jsonl_schema_validator_spark.plans.checkpoint import _NULL_KEY
+
+    assert m.completed()[_NULL_KEY]["metrics"]["rows"] == 2
 
     # the per-partition loop takes the isNull() arm too
     m2 = CheckpointManifest(str(tmp_path / "m2"), run_id="nullkey2")
@@ -410,21 +412,34 @@ def test_run_partitioned_ambiguous_str_keys_raise(spark, tmp_path):
 
 
 def test_manifest_null_key_distinct_from_none_string_across_runs(spark, tmp_path):
-    """A manifest entry committed for the STRING key 'None' must not make a
-    later run skip the NULL partition (and vice versa): str() conflates
-    them, so records carry key_is_null and pending() matches on it."""
+    """A NULL partition key gets its OWN manifest filename and completed()
+    slot (the \x00 marker), so it can never collide with the literal
+    string 'None' in any run order — both commits coexist on disk and
+    each covers only its own key. A legacy record without the key_is_null
+    flag never covers a NULL key (NULL keys were unprocessable before the
+    flag existed), so resume reprocesses idempotently instead of
+    silently skipping."""
+    import json
+    import os
+
     m = CheckpointManifest(str(tmp_path / "m"), run_id="r1")
     m.mark_complete("None", {"rows": 1})
     m2 = CheckpointManifest(str(tmp_path / "m"), run_id="r2")
     assert m2.pending([None]) == [None]      # NULL key still pending
     assert m2.pending(["None"]) == []        # the string key is done
     m2.mark_complete(None, {"rows": 2})
-    # NOTE: both entries share one manifest FILE name (str-keyed), so the
-    # last write wins on disk — pending() can only vouch for the surviving
-    # record. That is exactly why the runners REFUSE mixed batches up
-    # front (test_run_partitioned_ambiguous_str_keys_raise); this test
-    # pins the cross-run half: a lone committed entry never silently
-    # covers the other-typed key.
     m3 = CheckpointManifest(str(tmp_path / "m"), run_id="r3")
-    assert m3.pending(["None"]) == ["None"]  # overwritten by the NULL rec
+    assert m3.pending(["None"]) == []        # both coexist now
     assert m3.pending([None]) == []
+    assert len(os.listdir(str(tmp_path / "m"))) == 2  # two distinct files
+
+    # legacy record (no key_is_null) claiming partition_key 'None' must NOT
+    # cover a NULL key
+    legacy_dir = tmp_path / "legacy"
+    legacy_dir.mkdir()
+    with open(legacy_dir / "partition=legacy.json", "w") as fh:
+        json.dump({"partition_key": "None", "run_id": "old",
+                   "committed_at": 0, "metrics": {}}, fh)
+    ml = CheckpointManifest(str(legacy_dir), run_id="r4")
+    assert ml.pending([None]) == [None]
+    assert ml.pending(["None"]) == []
