@@ -597,6 +597,33 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+LICENSE_FIXTURE_ROWS = [
+    (1000001, "x Permission is hereby granted, free of charge to use"),
+    (1000002, "Licensed under the Apache License, Version 2.0 (the License)"),
+    (1000003, "terms of the GNU General Public License as published"),
+    (1000004, "Redistribution and use in source and binary forms, with or without"),
+    (1000005, "subject to the terms of the Mozilla Public License, v. 2.0"),
+    (1000006, "SPDX-License-Identifier: BSD-3-Clause"),
+    (1000007, "SPDX-License-Identifier: MIT and GNU General Public License text"),
+    (1000008, "no license information here"),
+]
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus license compliance scan: SPDX tag extraction + the
+    distinctive-phrase battery, one codegen projection. The corpus is
+    augmented with one crafted doc per license class (mirrored in the
+    oracle's VALUES) so every branch is exercised — the synthetic
+    documents contain no license text."""
+    from jsonl_schema_validator_spark.operators import license_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    crafted = spark.createDataFrame(
+        LICENSE_FIXTURE_ROWS, "doc_id bigint, text string"
+    )
+    return license_scan(docs.unionByName(crafted), "doc_id", "text")
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN tuning gauge as a first-class oracle query: recall@5 of
     multiprobe lsh_topk against brute_force_topk on the same 5-query
@@ -859,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_q8": q_ivf_topk_q8,
         "embedding_health": q_embedding_health,
         "ann_recall": q_ann_recall,
+        "license_scan": q_license_scan,
         "ks_binned": q_ks_binned,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lsh_pairs": q_lsh_pairs,
@@ -1032,6 +1060,46 @@ _EH_ZERO = "[" + ", ".join(["0.0"] * EMB_DIM) + "]"
 _EH_SHORT = "[" + ", ".join(["1.0"] * (EMB_DIM - 1)) + "]"
 _EH_NAN = "[CAST('nan' AS DOUBLE), " + ", ".join(["1.0"] * (EMB_DIM - 1)) + "]"
 _EH_NULLELEM = "[NULL, " + ", ".join(["1.0"] * (EMB_DIM - 1)) + "]"
+
+def _license_scan_sql() -> str:
+    """DuckDB replica of license_scan over documents + the same crafted
+    fixture rows; the patterns come from LICENSE_PATTERNS (one source of
+    truth) and regexp_extract returns '' on no match in BOTH engines."""
+    from jsonl_schema_validator_spark.operators.codeops import (
+        _LICENSE_ORDER,
+        _SPDX_PATTERN,
+        LICENSE_PATTERNS,
+    )
+
+    values = ",\n    ".join(
+        f"({i}, '{t}')" for i, t in LICENSE_FIXTURE_ROWS
+    )
+    def cname(n):
+        return "has_" + n.lower().replace("-", "_").replace(".", "_")
+    flag_cols = ",\n  ".join(
+        f"regexp_matches(text, '{pat}') AS {cname(n)}"
+        for n, pat in LICENSE_PATTERNS.items()
+    )
+    guess = "CASE WHEN spdx_tag <> '' THEN spdx_tag "
+    for n in _LICENSE_ORDER:
+        guess += f"WHEN {cname(n)} THEN '{n}' "
+    guess += "ELSE 'unknown' END"
+    return f"""
+WITH allv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {values}) t(doc_id, text)),
+m AS (
+  SELECT doc_id AS id,
+  regexp_extract(text, '{_SPDX_PATTERN}', 1) AS spdx_tag,
+  {flag_cols}
+  FROM allv)
+SELECT id, spdx_tag, {", ".join(cname(n) for n in LICENSE_PATTERNS)},
+       {guess} AS license_guess
+FROM m
+"""
+
 
 def _hash_digit_value_sql() -> str:
     """The 6-hex-digit md5 decode expression body over alias m (shared by
@@ -2065,6 +2133,7 @@ GROUP BY o_custkey
         "lsh_topk": _lsh_sql(k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5),
         "ivf_topk": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
         "ivf_topk_indexed": _ivf_sql(k=5, num_centroids=16, nprobe=4, query_bound=5),
+        "license_scan": _license_scan_sql(),
         "ann_recall": _ann_recall_sql(
             k=5, num_planes=6, seed=42, dim=EMB_DIM, query_bound=5
         ),

@@ -42,6 +42,7 @@ from jsonl_schema_validator_spark.operators.sampling import (
 )
 from jsonl_schema_validator_spark.operators.codeops import (
     code_metrics,
+    license_scan,
     pii_redact,
     pii_scan,
     secret_scan,
@@ -89,6 +90,7 @@ __all__ = [
     "ivf_topk_indexed",
     "lsh_topk",
     "code_metrics",
+    "license_scan",
     "pii_redact",
     "pii_scan",
     "secret_scan",

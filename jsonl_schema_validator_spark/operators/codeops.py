@@ -173,3 +173,54 @@ def code_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "comment_ratio"
         ),
     )
+
+
+# Distinctive license phrases, exact-case (portable across Java regex, RE2
+# and DuckDB); the SPDX tag is extracted separately. ONE source of truth
+# for the Spark expressions and the DuckDB oracle, like SECRET_PATTERNS.
+LICENSE_PATTERNS: dict[str, str] = {
+    "MIT": "Permission is hereby granted, free of charge",
+    "Apache-2.0": "Licensed under the Apache License, Version 2[.]0",
+    "GPL": "GNU General Public License",
+    "BSD": "Redistribution and use in source and binary forms",
+    "MPL": "Mozilla Public License",
+}
+
+_SPDX_PATTERN = "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)"
+
+# fixed guess priority when no SPDX tag is present (most-specific first)
+_LICENSE_ORDER = ["MIT", "Apache-2.0", "BSD", "MPL", "GPL"]
+
+
+def license_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-file license detection for code-corpus compliance:
+    (id, spdx_tag, has_<license>..., license_guess).
+
+    spdx_tag is the machine-readable SPDX-License-Identifier value ('' if
+    absent — both engines' regexp_extract return empty, not null, on no
+    match); has_* flags fire on distinctive license phrases
+    (LICENSE_PATTERNS); license_guess prefers the SPDX tag, then the first
+    phrase hit in fixed priority order, else 'unknown'. Pure regexp
+    expressions in one codegen projection — no shuffle, a single scan at
+    corpus size (the same plan shape as secret_scan); feed the output to
+    a groupBy(repo) for per-repo license rollups.
+    """
+    col = F.col(text_col)
+    spdx = F.regexp_extract(col, _SPDX_PATTERN, 1)
+    flags = {
+        name: F.regexp_count(col, F.lit(pat)) > 0
+        for name, pat in LICENSE_PATTERNS.items()
+    }
+    guess = F.lit("unknown")
+    for name in reversed(_LICENSE_ORDER):
+        guess = F.when(flags[name], F.lit(name)).otherwise(guess)
+    guess = F.when(spdx != "", spdx).otherwise(guess)
+    return df.select(
+        F.col(id_col).alias("id"),
+        spdx.alias("spdx_tag"),
+        *[
+            flags[name].alias(f"has_{name.lower().replace('-', '_').replace('.', '_')}")
+            for name in LICENSE_PATTERNS
+        ],
+        guess.alias("license_guess"),
+    )

@@ -116,3 +116,38 @@ def test_pii_redact_roundtrip(spark):
 
     with pytest.raises(ValueError, match="unknown PII kind"):
         pii_redact(df, "doc_id", "content", kinds=["dna"])
+
+
+def test_license_scan(spark):
+    """SPDX tag wins over phrase hits; each phrase class fires its flag;
+    priority order breaks multi-phrase ties; no hit -> 'unknown'."""
+    from jsonl_schema_validator_spark.operators import license_scan
+
+    rows = [
+        (1, "Permission is hereby granted, free of charge to any person"),
+        (2, "Licensed under the Apache License, Version 2.0 (the License)"),
+        (3, "under the GNU General Public License v3"),
+        (4, "SPDX-License-Identifier: BSD-3-Clause\nwhatever"),
+        # SPDX beats the GPL phrase; phrase flag still reported
+        (5, "SPDX-License-Identifier: MIT\nGNU General Public License"),
+        # MIT phrase beats GPL phrase in priority order
+        (6, "Permission is hereby granted, free of charge\n"
+            "GNU General Public License"),
+        (7, "plain code, no license text"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in license_scan(df, "doc_id", "text").collect()}
+    assert got[1].license_guess == "MIT" and got[1].has_mit
+    assert got[2].license_guess == "Apache-2.0" and got[2].has_apache_2_0
+    assert got[3].license_guess == "GPL" and got[3].has_gpl
+    assert got[4].license_guess == "BSD-3-Clause" and got[4].spdx_tag == "BSD-3-Clause"
+    assert got[5].license_guess == "MIT" and got[5].has_gpl
+    assert got[6].license_guess == "MIT" and got[6].has_gpl and got[6].has_mit
+    assert got[7].license_guess == "unknown" and got[7].spdx_tag == ""
+    # null text: regexp exprs yield nulls -> guess falls through to unknown?
+    assert got[8].license_guess in ("unknown", None)
+
+    # plan: single codegen projection, no shuffle
+    p = license_scan(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:800]
