@@ -210,11 +210,14 @@ class CheckpointManifest:
 
 
 def _check_unambiguous_keys(keys: list) -> None:
-    """The manifest and batch-result maps key partitions by str(key), so two
-    distinct keys with the same string form — None vs the literal string
-    'None' is the realistic case after CSV ingestion — would share one
-    manifest entry and one partition would be silently skipped on resume.
-    Refuse loudly instead."""
+    """Two distinct keys with the same string form — None vs the literal
+    string 'None' after CSV ingestion, or int 1 vs string '1' — would
+    collide in the str()-keyed BATCH-RESULTS map (run_partitioned_batched's
+    batch_process_fn contract), committing one partition's metrics under
+    the other's entry. Refuse loudly. (The manifest itself no longer
+    conflates None with 'None' — NULL keys get their own _NULL_KEY
+    filename and completed() slot — but the results-map contract still
+    str()-keys, and mixed-type key domains are pathological anyway.)"""
     seen: dict[str, object] = {}
     for k in keys:
         s = str(k)
