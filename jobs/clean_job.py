@@ -1,0 +1,113 @@
+"""spark-submit entry point: the one-call corpus cleaning pass
+(clean_corpus) as a deployable job.
+
+    spark-submit --py-files dist/jsonl_schema_validator_spark.zip \
+        jobs/clean_job.py \
+        --input /path/docs.parquet --id-col doc_id --text-col text \
+        --output /path/out \
+        [--benchmark /path/eval.parquet] [--decontam-n 8] \
+        [--allowed-langs en,de] [--min-tokens 20] \
+        [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
+        [--drop] [--fail-on-drop-frac 0.5]
+
+Outputs under --output: report/ (the per-doc verdict table: signals,
+is_duplicate, is_contaminated, split, reasons, keep) and, with --drop,
+kept/ (the input rows with keep=true, original columns + split). Exit
+code 1 when the drop fraction exceeds --fail-on-drop-frac (a cleaning
+pass that rejects most of a corpus usually means a misconfigured
+threshold, not a dirty corpus — fail loudly rather than train on the
+remainder).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--output", required=True)
+    p.add_argument("--benchmark", default=None, help="eval-set parquet for decontamination")
+    p.add_argument("--decontam-n", type=int, default=8)
+    p.add_argument("--allowed-langs", default="", help="comma-separated; empty = no language filter")
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--min-quality-score", type=float, default=0.5)
+    p.add_argument("--max-dup-line-frac", type=float, default=0.3)
+    p.add_argument("--max-top-bigram-frac", type=float, default=0.2)
+    p.add_argument("--split", default=None, help="name=weight,... (weights sum to 1)")
+    p.add_argument("--split-salt", default="")
+    p.add_argument("--drop", action="store_true", help="also write kept/ with keep=true rows")
+    p.add_argument("--fail-on-drop-frac", type=float, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators import clean_corpus
+
+    spark = SparkSession.builder.appName("jsv-clean").getOrCreate()
+    df = spark.read.parquet(args.input)
+    benchmark = (
+        spark.read.parquet(args.benchmark) if args.benchmark else None
+    )
+    langs = [s for s in args.allowed_langs.split(",") if s] or None
+    weights = None
+    if args.split:
+        weights = {
+            name: float(w)
+            for name, w in (kv.split("=", 1) for kv in args.split.split(","))
+        }
+    report = clean_corpus(
+        df,
+        args.id_col,
+        args.text_col,
+        min_tokens=args.min_tokens,
+        min_quality_score=args.min_quality_score,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        allowed_langs=langs,
+        benchmark=benchmark,
+        decontam_n=args.decontam_n,
+        split_weights=weights,
+        split_salt=args.split_salt,
+    )
+    report.write.mode("overwrite").parquet(f"{args.output}/report")
+    report = spark.read.parquet(f"{args.output}/report")  # re-read: one compute
+
+    counts = report.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum((~F.col("keep")).cast("long")), F.lit(0)).alias(
+            "dropped"
+        ),
+    ).collect()[0]
+    n, dropped = int(counts["n"]), int(counts["dropped"])
+    frac = dropped / n if n else 0.0
+    print(f"[clean] docs={n} dropped={dropped} drop_frac={frac:.4f}")
+
+    if args.drop:
+        kept_cols = ["id"] + (["split"] if weights else [])
+        kept_ids = report.where("keep").select(*kept_cols)
+        kept = df.join(
+            kept_ids, df[args.id_col] == kept_ids["id"]
+        ).drop("id")
+        kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+
+    if args.fail_on_drop_frac is not None and frac > args.fail_on_drop_frac:
+        print(
+            f"[clean] drop fraction {frac:.4f} exceeds "
+            f"--fail-on-drop-frac {args.fail_on_drop_frac}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,3 +93,40 @@ def test_packaging_zip_importable(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "1"
+
+
+def test_clean_job_e2e(spark, tmp_path):
+    """jobs/clean_job.py end-to-end in-process: report + kept outputs,
+    split column, and the --fail-on-drop-frac exit code."""
+    import jobs.clean_job as cj
+
+    good = ("the a of and to in is it that for " * 4).strip()
+    rows = [(i, good + f" doc {i} unique tail words here") for i in range(8)]
+    rows += [(100, "short"), (101, rows[0][1])]  # low-quality + exact dup
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inp = str(tmp_path / "docs")
+    df.write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    rc = cj.main([
+        "--input", inp, "--output", out, "--drop",
+        "--split", "train=0.5,test=0.5", "--split-salt", "s",
+        "--fail-on-drop-frac", "0.5",
+    ])
+    assert rc == 0
+    report = spark.read.parquet(f"{out}/report")
+    rep = {r.id: r for r in report.collect()}
+    assert len(rep) == 10
+    assert not rep[100].keep and "too_few_tokens" in rep[100].reasons
+    assert not rep[101].keep and rep[101].reasons.startswith("duplicate")
+    assert all(r.split in ("train", "test") for r in rep.values())
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.count() == sum(1 for r in rep.values() if r.keep)
+    assert "split" in kept.columns and "text" in kept.columns
+
+    # drop fraction above the bar -> exit 1
+    rc2 = cj.main([
+        "--input", inp, "--output", str(tmp_path / "out2"),
+        "--min-tokens", "1000", "--fail-on-drop-frac", "0.5",
+    ])
+    assert rc2 == 1
