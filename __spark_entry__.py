@@ -1069,15 +1069,15 @@ def _license_scan_sql() -> str:
         _LICENSE_ORDER,
         _SPDX_PATTERN,
         LICENSE_PATTERNS,
+        license_flag_column as cname,
     )
 
     values = ",\n    ".join(
-        f"({i}, '{t}')" for i, t in LICENSE_FIXTURE_ROWS
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in LICENSE_FIXTURE_ROWS
     )
-    def cname(n):
-        return "has_" + n.lower().replace("-", "_").replace(".", "_")
     flag_cols = ",\n  ".join(
-        f"regexp_matches(text, '{pat}') AS {cname(n)}"
+        f"regexp_matches(coalesce(text, '') , '{pat}') AS {cname(n)}"
         for n, pat in LICENSE_PATTERNS.items()
     )
     guess = "CASE WHEN spdx_tag <> '' THEN spdx_tag "
@@ -1092,7 +1092,7 @@ WITH allv AS (
     {values}) t(doc_id, text)),
 m AS (
   SELECT doc_id AS id,
-  regexp_extract(text, '{_SPDX_PATTERN}', 1) AS spdx_tag,
+  regexp_extract(coalesce(text, ''), '{_SPDX_PATTERN}', 1) AS spdx_tag,
   {flag_cols}
   FROM allv)
 SELECT id, spdx_tag, {", ".join(cname(n) for n in LICENSE_PATTERNS)},

@@ -57,7 +57,7 @@ def main(argv=None) -> int:
     benchmark = (
         spark.read.parquet(args.benchmark) if args.benchmark else None
     )
-    langs = [s for s in args.allowed_langs.split(",") if s] or None
+    langs = [s.strip() for s in args.allowed_langs.split(",") if s.strip()] or None
     weights = None
     if args.split:
         weights = {
@@ -91,14 +91,9 @@ def main(argv=None) -> int:
     frac = dropped / n if n else 0.0
     print(f"[clean] docs={n} dropped={dropped} drop_frac={frac:.4f}")
 
-    if args.drop:
-        kept_cols = ["id"] + (["split"] if weights else [])
-        kept_ids = report.where("keep").select(*kept_cols)
-        kept = df.join(
-            kept_ids, df[args.id_col] == kept_ids["id"]
-        ).drop("id")
-        kept.write.mode("overwrite").parquet(f"{args.output}/kept")
-
+    # the drop-fraction gate fires BEFORE kept/ is written: its whole point
+    # is that a misconfigured threshold must not leave a mostly-empty kept
+    # dataset on disk for something downstream to train on
     if args.fail_on_drop_frac is not None and frac > args.fail_on_drop_frac:
         print(
             f"[clean] drop fraction {frac:.4f} exceeds "
@@ -106,6 +101,18 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
+
+    if args.drop:
+        # reserved join-key alias: a plain 'id' would make drop('id') eat
+        # the corpus id column too (name-based drop removes BOTH sides)
+        kept_cols = [F.col("id").alias("__jsv_keep_id")] + (
+            [F.col("split")] if weights else []
+        )
+        kept_ids = report.where("keep").select(*kept_cols)
+        kept = df.join(
+            kept_ids, df[args.id_col] == kept_ids["__jsv_keep_id"]
+        ).drop("__jsv_keep_id")
+        kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     return 0
 
 

@@ -188,6 +188,12 @@ LICENSE_PATTERNS: dict[str, str] = {
 
 _SPDX_PATTERN = "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)"
 
+
+def license_flag_column(name: str) -> str:
+    """has_* column name for a LICENSE_PATTERNS key — the ONE definition
+    shared by the operator and the DuckDB oracle builder."""
+    return "has_" + name.lower().replace("-", "_").replace(".", "_")
+
 # fixed guess priority when no SPDX tag is present (most-specific first)
 _LICENSE_ORDER = ["MIT", "Apache-2.0", "BSD", "MPL", "GPL"]
 
@@ -205,7 +211,10 @@ def license_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus size (the same plan shape as secret_scan); feed the output to
     a groupBy(repo) for per-repo license rollups.
     """
-    col = F.col(text_col)
+    # coalesce like secret_scan/pii_scan: NULL text reports '' / false, so
+    # compliance rollups (sum(has_gpl), NOT has_x filters) never silently
+    # exclude rows
+    col = F.coalesce(F.col(text_col), F.lit(""))
     spdx = F.regexp_extract(col, _SPDX_PATTERN, 1)
     flags = {
         name: F.regexp_count(col, F.lit(pat)) > 0
@@ -218,9 +227,6 @@ def license_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
         spdx.alias("spdx_tag"),
-        *[
-            flags[name].alias(f"has_{name.lower().replace('-', '_').replace('.', '_')}")
-            for name in LICENSE_PATTERNS
-        ],
+        *[flags[name].alias(license_flag_column(name)) for name in LICENSE_PATTERNS],
         guess.alias("license_guess"),
     )

@@ -124,9 +124,22 @@ def test_clean_job_e2e(spark, tmp_path):
     assert kept.count() == sum(1 for r in rep.values() if r.keep)
     assert "split" in kept.columns and "text" in kept.columns
 
-    # drop fraction above the bar -> exit 1
+    # drop fraction above the bar -> exit 1 and NO kept/ written
+    import os
+
+    out2 = str(tmp_path / "out2")
     rc2 = cj.main([
-        "--input", inp, "--output", str(tmp_path / "out2"),
+        "--input", inp, "--output", out2, "--drop",
         "--min-tokens", "1000", "--fail-on-drop-frac", "0.5",
     ])
     assert rc2 == 1
+    assert not os.path.exists(f"{out2}/kept")
+
+    # an id column literally named 'id' must survive into kept/
+    inp2 = str(tmp_path / "docs2")
+    df.withColumnRenamed("doc_id", "id").write.parquet(inp2)
+    out3 = str(tmp_path / "out3")
+    assert cj.main(["--input", inp2, "--id-col", "id",
+                    "--output", out3, "--drop"]) == 0
+    kept3 = spark.read.parquet(f"{out3}/kept")
+    assert "id" in kept3.columns and kept3.count() > 0

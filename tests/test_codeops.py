@@ -145,8 +145,10 @@ def test_license_scan(spark):
     assert got[5].license_guess == "MIT" and got[5].has_gpl
     assert got[6].license_guess == "MIT" and got[6].has_gpl and got[6].has_mit
     assert got[7].license_guess == "unknown" and got[7].spdx_tag == ""
-    # null text: regexp exprs yield nulls -> guess falls through to unknown?
-    assert got[8].license_guess in ("unknown", None)
+    # null text coalesces like secret_scan/pii_scan: '' tag, false flags,
+    # 'unknown' guess — compliance rollups never silently exclude rows
+    assert got[8].license_guess == "unknown"
+    assert got[8].spdx_tag == "" and got[8].has_mit is False
 
     # plan: single codegen projection, no shuffle
     p = license_scan(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
