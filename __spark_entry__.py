@@ -329,6 +329,19 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, "doc_id", "text", min_line_chars=15)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style span REMOVAL: every verbatim 8-token span keeps only
+    its first corpus-wide (doc_id, pos) occurrence; covered tokens of later
+    occurrences are cut and affected docs rebuilt. Completes the
+    detection-only shared_span_pairs (span_pairs query) with the cleaning
+    half; k=8 matches that query so the two read the same span table
+    shape."""
+    from jsonl_schema_validator_spark.operators import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_spans(docs, "doc_id", "text", k=8)
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination screen: docs from the non-src0 sources sharing a
     verbatim 8-token gram with a src0 'benchmark' doc. Exercises the
@@ -862,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_pairs": q_span_pairs,
         "decontam": q_decontam,
         "dedup_lines": q_dedup_lines,
+        "dedup_spans": q_dedup_spans,
         "clean_docs": q_clean_docs,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1283,6 +1297,54 @@ bsh AS (
 SELECT c.doc_id AS id, b.doc_id AS bench_id, count(*) AS shared_ngrams
 FROM csh c JOIN bsh b ON b.h = c.h
 GROUP BY 1, 2
+"""
+
+
+# replica of dedup_spans(k=8): positional FULL 8-token spans (no truncated
+# short-doc span, unlike the word_shingles-based pair queries), first
+# corpus-wide occurrence by (doc_id, pos), later occurrences' covered token
+# positions unioned and cut, affected docs rebuilt in token order
+_DEDUP_SPANS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8),
+fo AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM sp),
+rem AS (
+  SELECT DISTINCT doc_id, pos + j AS tpos
+  FROM fo, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) u
+  WHERE rn > 1),
+aff AS (SELECT DISTINCT doc_id FROM rem),
+tok AS (
+  SELECT k.doc_id, i - 1 AS tpos, k.t[i] AS tok
+  FROM (SELECT * FROM toks WHERE doc_id IN (SELECT doc_id FROM aff)) k,
+       LATERAL (SELECT unnest(generate_series(1, len(k.t))) AS i) g),
+keptt AS (
+  SELECT k.doc_id, k.tpos, k.tok FROM tok k
+  LEFT JOIN rem r ON r.doc_id = k.doc_id AND r.tpos = k.tpos
+  WHERE r.doc_id IS NULL),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text,
+         count(*) AS kept_n
+  FROM keptt GROUP BY doc_id),
+base AS (SELECT doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents)
+SELECT b.doc_id AS id,
+       CASE WHEN a.doc_id IS NOT NULL THEN coalesce(r.text, '')
+            ELSE b.text END AS text,
+       b.n_tokens,
+       CAST(CASE WHEN a.doc_id IS NOT NULL
+                 THEN b.n_tokens - coalesce(r.kept_n, 0)
+                 ELSE 0 END AS BIGINT) AS n_tokens_removed
+FROM base b
+LEFT JOIN aff a ON a.doc_id = b.doc_id
+LEFT JOIN reb r ON r.doc_id = b.doc_id
 """
 
 
@@ -1889,6 +1951,7 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "span_pairs": _SPAN_PAIRS_SQL,
         "decontam": _DECONTAM_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "dedup_spans": _DEDUP_SPANS_SQL,
         "clean_docs": _clean_docs_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
         ),

@@ -104,15 +104,31 @@ def main(argv=None) -> int:
 
     if args.drop:
         # reserved join-key alias: a plain 'id' would make drop('id') eat
-        # the corpus id column too (name-based drop removes BOTH sides)
+        # the corpus id column too (name-based drop removes BOTH sides).
+        # The report's split rides under a reserved alias for the same
+        # reason: a corpus that already HAS a 'split' column would
+        # otherwise yield a duplicate column (ambiguous selects / failed
+        # parquet write); the assigned split wins, the stale corpus one
+        # is dropped with a notice.
         kept_cols = [F.col("id").alias("__jsv_keep_id")] + (
-            [F.col("split")] if weights else []
+            [F.col("split").alias("__jsv_split")] if weights else []
         )
         kept_ids = report.where("keep").select(*kept_cols)
         kept = df.join(
             kept_ids, df[args.id_col] == kept_ids["__jsv_keep_id"]
         ).drop("__jsv_keep_id")
+        if weights:
+            if "split" in df.columns:
+                print(
+                    "[clean] input corpus already has a 'split' column; "
+                    "kept/ replaces it with the assignment from --split"
+                )
+                kept = kept.drop(df["split"])
+            kept = kept.withColumnRenamed("__jsv_split", "split")
         kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    # release the cached intermediates the composed operators persisted
+    # (shingle/span/cell-assignment tables) — this entry point is terminal
+    spark.catalog.clearCache()
     return 0
 
 

@@ -180,6 +180,13 @@ def ngram_jaccard_pairs(
     Shingles above the cap carry ~no similarity signal; pairs whose overlap
     is ONLY ultra-hot shingles may be missed. Pass an int to tune, or None
     to opt into the exact unguarded result.
+
+    CACHE LIFECYCLE: the intermediate shingle table is persisted
+    (MEMORY_AND_DISK) and intentionally NOT unpersisted — the returned
+    DataFrame is lazy and still references it. In a long-lived session,
+    release it after a terminal action with spark.catalog.clearCache()
+    (Spark also evicts LRU under memory pressure). Terminal entry points
+    (jobs/clean_job.py) do this.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -245,6 +252,11 @@ def shared_span_pairs(
     docs (logged). Pairs whose only overlap is such boilerplate are
     missed — usually the desired semantics, since boilerplate is not
     duplication evidence. None opts into the exact unguarded result.
+
+    CACHE LIFECYCLE: the span table is persisted and not unpersisted (the
+    returned DataFrame still references it); release with
+    spark.catalog.clearCache() after a terminal action in long-lived
+    sessions — see ngram_jaccard_pairs.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -273,6 +285,128 @@ def shared_span_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_spans"))
         .where(F.col("shared_spans") >= F.lit(min_spans))
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    keep: str = "first",
+) -> DataFrame:
+    """Substring-level dedup REMOVAL (the second half of the Lee-et-al
+    pipeline, arXiv:2107.06499 — shape only; the reference engine has no
+    dedup operators): every verbatim k-token span keeps only its FIRST
+    corpus-wide occurrence (ordered by doc id, then token position); the
+    tokens covered by every later occurrence are cut and each affected
+    doc's text is rebuilt. Overlapping duplicate spans union their covered
+    tokens, so a duplicated run of m >= k tokens is removed in full — the
+    substring analog of dedup_lines. Docs with fewer than k tokens carry
+    no spans and are never cut. Returns (id, text, n_tokens,
+    n_tokens_removed) with exactly one row per input row; null-text docs
+    pass through (null text, 0 removed).
+
+    keep='first' is the only policy (explicit for forward-compat). The
+    pass is idempotent in practice — every surviving span occurrence is
+    corpus-unique afterwards — except the documented pathological case
+    where tokens newly adjacent across a cut form a span that matches
+    elsewhere.
+
+    PRECONDITION: ids unique and non-null (the clean_corpus contract);
+    the first-occurrence order and the rebuild join key both ride on id.
+
+    Scale shape — deliberately NOT the pair-detection shape: removal
+    never builds pairs, so there is no quadratic surface and no hot-span
+    cap to take. First occurrences come from ONE map-side-combinable
+    groupBy(span_hash).min(struct(id, pos)) (a boilerplate span in 10^9
+    docs partial-aggregates, never sorts); each occurrence then joins its
+    span's single first-row (linear), covered positions explode k-wide,
+    and ONLY affected docs are re-tokenized and rebuilt — the untouched
+    bulk of the corpus never shuffles at all.
+    """
+    if keep != "first":
+        raise ValueError("only keep='first' is supported")
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    # positional spans: (id, pos, span_hash), pos 0-based, FULL k-token
+    # windows only (unlike word_shingles there is no truncated-span row —
+    # cutting a sub-k "span" would delete text that was never duplicated)
+    spans = df.where(n_tok >= k).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_tok - k),
+                lambda i: F.md5(
+                    F.array_join(F.slice(toks, i + 1, k), " ").cast("binary")
+                ),
+            )
+        ).alias("pos", "span_hash"),
+    )
+    first = spans.groupBy("span_hash").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("f")
+    )
+    removed_occ = (
+        spans.join(first, "span_hash")
+        .where(F.struct(F.col("id"), F.col("pos")) != F.col("f"))
+        .select("id", "pos")
+    )
+    removed_pos = removed_occ.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tpos"),
+    ).dropDuplicates()
+    affected = removed_pos.select("id").dropDuplicates().withColumn(
+        "__aff", F.lit(True)
+    )
+    # re-tokenize ONLY affected docs; anti-join the cut positions; rebuild
+    kept_toks = (
+        df.join(affected.select("id"), df[id_col] == F.col("id"), "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(toks).alias("tpos", "tok"),
+        )
+        .join(removed_pos, ["id", "tpos"], "left_anti")
+    )
+    rebuilt = kept_toks.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__orig"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(affected, base["id"].eqNullSafe(affected["id"]), "left")
+        .drop(affected["id"])
+        .join(rebuilt, base["id"].eqNullSafe(rebuilt["id"]), "left")
+        .select(
+            base["id"],
+            # an affected doc whose EVERY token was cut keeps text ''
+            # (no rebuilt group), distinct from a null-text doc (null)
+            F.when(
+                F.coalesce(F.col("__aff"), F.lit(False)),
+                F.coalesce(F.col("__text"), F.lit("")),
+            )
+            .otherwise(F.col("__orig"))
+            .alias("text"),
+            F.col("n_tokens"),
+            F.when(
+                F.coalesce(F.col("__aff"), F.lit(False)),
+                F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     )
 
 
@@ -444,6 +578,11 @@ def minhash_lsh_pairs(
     LSH recall: P(candidate) = 1 - (1 - j^R)^B with R = num_hashes/bands.
     Returns (id_a, id_b, jaccard) for verified candidates (round 6) >=
     threshold, id_a < id_b. hash_family: see minhash_signatures.
+
+    CACHE LIFECYCLE: the shingle table is persisted and not unpersisted
+    (the returned DataFrame still references it); release with
+    spark.catalog.clearCache() after a terminal action in long-lived
+    sessions — see ngram_jaccard_pairs.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -653,6 +792,9 @@ def duplicate_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+DEFAULT_MAX_CELL_SIZE = 4096
+
+
 def semantic_duplicates(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -663,6 +805,7 @@ def semantic_duplicates(
     lloyd_iters: int = 3,
     init: str = "kmeans",
     driver_threshold: int = 200_000,
+    max_cell_size: int | None | str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over an embedding column:
     (id, cluster_id, keep) for EVERY corpus row — cluster_id is the
@@ -685,10 +828,29 @@ def semantic_duplicates(
     At 100 TB: one scan assigns cells, one cell-keyed shuffle builds
     pairs; skewed (dense) cells are the hotspot — num_centroids should
     scale so the biggest cell's pair product fits an executor, the same
-    sizing rule as the LSH band tables.
+    sizing rule as the LSH band tables. max_cell_size ENFORCES a bound
+    (the embedding analog of the shingle family's hot-key cap): any cell
+    larger than the cap is salted by md5(id) into ceil(size/cap)
+    sub-blocks and pairs are built within (cell, sub) only, so the
+    worst-case pair product per task is cap^2/2 no matter how degenerate
+    the corpus (a boilerplate cluster holding a large corpus fraction is
+    exactly what semantic dedup hunts). Near-duplicate pairs that land in
+    DIFFERENT sub-blocks of a hot cell are missed — a hot cell's
+    duplicate group then yields ~n_sub keepers instead of 1 (logged, like
+    _apply_hot_cap; the cheap exact alternative for a truly duplicated
+    cell is exact/minhash dedup first). 'auto' caps at
+    DEFAULT_MAX_CELL_SIZE; an int tunes it; None opts into the exact
+    unguarded quadratic. Sizing the cap costs one bounded
+    <= num_centroids+2-row collect over the (already persisted)
+    assignment table; when no cell exceeds the cap the plan is unchanged.
 
     init='prefix' makes the whole pipeline relationally reproducible
     (the DuckDB oracle replays it); 'kmeans' is the quality default.
+
+    CACHE LIFECYCLE: the cell-assignment table is persisted and not
+    unpersisted (the returned DataFrame still references it); release
+    with spark.catalog.clearCache() after a terminal action in
+    long-lived sessions — see ngram_jaccard_pairs.
     """
     from jsonl_schema_validator_spark.operators.similarity import (
         _fit_centroids,
@@ -725,11 +887,53 @@ def semantic_duplicates(
             nrm > 0, argmax_cell(cell_scores(F.col(vec_col)))
         ).otherwise(F.lit(-1)).alias("cell"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # dense-cell guard: one bounded collect (<= num_centroids+2 rows, and
+    # it warms the persisted assignment) sizes every cell; cells over the
+    # cap get a deterministic md5(id) sub-block column so the self-join
+    # key becomes (cell, sub) and no task ever sees more than ~cap^2/2
+    # candidate pairs. No hot cells -> no sub column, plan unchanged.
+    if max_cell_size == "auto":
+        max_cell_size = DEFAULT_MAX_CELL_SIZE
+    join_keys = ["cell"]
+    if max_cell_size is not None:
+        cell_sizes = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        hot = {
+            r["cell"]: -(-r["n"] // max_cell_size)  # ceil(n / cap)
+            for r in cell_sizes
+            if r["n"] > max_cell_size
+        }
+        if hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_duplicates: %d cell(s) exceed max_cell_size=%d "
+                "(largest split into %d sub-blocks) — near-dup pairs "
+                "across sub-blocks of a hot cell are missed (pass "
+                "max_cell_size=None for the exact unguarded quadratic)",
+                len(hot),
+                max_cell_size,
+                max(hot.values()),
+            )
+            salt = F.conv(
+                F.substring(F.md5(F.col("id").cast("string").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            sub = F.lit(0)
+            for cell, n_sub in hot.items():
+                sub = F.when(
+                    F.col("cell") == F.lit(cell), F.pmod(salt, F.lit(n_sub))
+                ).otherwise(sub)
+            assigned = assigned.withColumn("sub", sub.cast("int"))
+            join_keys = ["cell", "sub"]
     a = assigned.select(
-        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
+        *join_keys, F.col("id").alias("id_a"), F.col("v").alias("va")
     )
     b = assigned.select(
-        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        *join_keys, F.col("id").alias("id_b"), F.col("v").alias("vb")
     )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
@@ -737,7 +941,7 @@ def semantic_duplicates(
         lambda acc, v: acc + v,
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
         .where(F.col("cos") >= F.lit(threshold))

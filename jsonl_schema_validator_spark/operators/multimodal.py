@@ -3,18 +3,19 @@
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 mapInPandas signatures, partition preservation. Decode backends:
 
-- backend='raw'   : REAL decode of uncompressed container formats with
-                    stdlib struct + numpy only — BMP (24bpp, BI_RGB) and
-                    PPM (P6) images, RIFF/WAV (PCM16) audio. No codec
-                    library needed; this is the production path for
-                    uncompressed media.
+- backend='raw'   : REAL decode with stdlib + numpy only — BMP (24bpp,
+                    BI_RGB), PPM (P6) and PNG (8-bit grey/RGB/RGBA,
+                    non-interlaced; PNG's only compression is DEFLATE, so
+                    stdlib zlib + numpy unfiltering decodes it with no
+                    codec library) images, RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
-                    compressed formats (JPEG/PNG/MP3/MP4) need codec libs
-                    not in this container; the mapInPandas plumbing is
-                    identical, only the per-batch decode function changes.
+                    the remaining compressed formats (JPEG/MP3/MP4) need
+                    codec libs not in this container; the mapInPandas
+                    plumbing is identical, only the per-batch decode
+                    function changes.
 
 Scale notes: binary payloads ride the scan; metadata extraction is a narrow
 map. Arrow batch size is bounded via spark.sql.execution.arrow.
@@ -117,6 +118,65 @@ def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
     )
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """8-bit RGB (color type 2), non-interlaced PNG from an (h, w, 3) uint8
+    array, every scanline filtered with `filter_type` 0..4 (None/Sub/Up/
+    Average/Paeth — W3C PNG spec §9) — a real encoder AND the fixture
+    writer that exercises each unfilter path in _parse_png round-trips."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    h, w, _ = px.shape
+    rows = px.reshape(h, w * 3).astype(np.int16)
+    prev = np.zeros(w * 3, np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = rows[y]
+        left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            ul = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        out += bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # --- uncompressed-format parsers (numpy, no codecs) -------------------------
 
 
@@ -169,11 +229,96 @@ def _parse_ppm(raw: bytes):
             return None
     if len(vals) < 3 or not (0 < vals[2] <= 255):
         return None
-    i += 1  # exactly ONE whitespace byte after maxval, per spec
+    # exactly ONE whitespace byte after maxval, per spec — and it MUST be
+    # whitespace: a malformed separator would silently shift every pixel by
+    # one byte, so it takes the undecodable-row-yields-nulls exit instead
+    if i >= n or not raw[i : i + 1].isspace():
+        return None
+    i += 1
     w, h = vals[0], vals[1]
     if w <= 0 or h <= 0 or len(raw) < i + w * h * 3:
         return None
     return w, h, np.frombuffer(raw, np.uint8, count=w * h * 3, offset=i)
+
+
+def _parse_png(raw: bytes):
+    """(w, h, pixel_bytes ndarray) for an 8-bit greyscale/RGB/RGBA,
+    non-interlaced PNG — stdlib zlib inflates the IDAT stream, numpy
+    unfilters the scanlines (W3C PNG spec §9: None/Sub/Up/Average/Paeth).
+    No codec library: PNG's only compression IS DEFLATE, so this is a REAL
+    decode path, unlike the JPEG/video stubs. RGBA drops alpha (pixel
+    stats are over color channels, matching BMP/PPM). Anything else
+    (16-bit, palette, interlaced, malformed) returns None — the
+    undecodable-row-yields-nulls contract."""
+    import zlib
+
+    import numpy as np
+
+    if raw is None or len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(raw):
+        ln = struct.unpack(">I", raw[pos : pos + 4])[0]
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if ch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(data) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(data, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256 (vectorized)
+            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if ch == 4:  # RGBA -> RGB (alpha is not a pixel-intensity channel)
+        out = out.reshape(h, w, 4)[:, :, :3].reshape(h, w * 3)
+    return w, h, out.reshape(-1)
 
 
 def _parse_wav(raw: bytes):
@@ -247,18 +392,19 @@ def decode_images(
     """(id, width, height, n_bytes, mean_byte, sha256) via Arrow-batched
     mapInPandas.
 
-    backend='raw' really decodes uncompressed BMP (24bpp) and PPM (P6)
-    bytes — mean_byte is the mean over the actual RGB pixel values
-    (padding and headers excluded); undecodable rows yield metadata nulls,
-    never a crash. backend='fake' parses the FIMG fixture header.
-    backend='pil' is the compressed-format slot (JPEG/PNG) — not available
-    in this container; the plumbing is identical, only the per-batch
-    decode function changes."""
+    backend='raw' really decodes BMP (24bpp), PPM (P6) and PNG (8-bit
+    grey/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy unfilter,
+    no codec library needed) — mean_byte is the mean over the actual
+    RGB/grey pixel values (padding, headers and alpha excluded);
+    undecodable rows yield metadata nulls, never a crash. backend='fake'
+    parses the FIMG fixture header. backend='pil' is the remaining
+    compressed-format slot (JPEG) — not available in this container; the
+    plumbing is identical, only the per-batch decode function changes."""
     if backend == "pil":
         raise NotImplementedError(
             "PIL is not available in this container; plug a PIL-based "
             "batch decoder into the same mapInPandas plumbing "
-            "(backend='raw' already decodes uncompressed BMP/PPM)"
+            "(backend='raw' already decodes BMP/PPM/PNG)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")
@@ -268,7 +414,7 @@ def decode_images(
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def decode_raw(raw: bytes) -> tuple:
-        parsed = _parse_bmp(raw) or _parse_ppm(raw)
+        parsed = _parse_bmp(raw) or _parse_ppm(raw) or _parse_png(raw)
         if parsed is None:
             return (None, None, len(raw) if raw is not None else None, None, None)
         w, h, px = parsed

@@ -102,6 +102,13 @@ def stratified_hash_sample(
     Output = input columns + `sample_rank` (1-based within the stratum).
     One shuffle on the stratum key; rank<=n lets Spark's WindowGroupLimit
     keep a bounded per-task heap, so giant strata never fully sort.
+
+    PRECONDITION: ids must be unique and non-null within each stratum
+    (the same corpus contract clean_corpus documents). Duplicate-id rows
+    share an identical (hash, id) order key, so WHICH duplicate receives
+    rank <= n is engine/run-dependent — the determinism guarantee above
+    only holds under unique ids. NULL ids all hash the same '<salt>:' key
+    and likewise tie.
     """
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be >= 1")

@@ -468,6 +468,100 @@ def test_semantic_duplicates_zero_vector(spark):
     assert out[2].cluster_id == 2 and out[2].keep
 
 
+def test_semantic_duplicates_dense_cell_guard(spark):
+    """One degenerate cell holding the whole corpus (the SemDeDup worst
+    case): max_cell_size salts it into ceil(n/cap) md5(id) sub-blocks, so
+    the pair product is bounded at ~cap^2/2 per task. Every row stays
+    labeled; each nonempty sub-block keeps exactly its min id (replicated
+    bit-for-bit in Python); the unguarded run collapses to ONE keeper."""
+    import hashlib
+    import math
+    import random
+
+    from jsonl_schema_validator_spark.operators import semantic_duplicates
+
+    rng = random.Random(11)
+    dim = 8
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    nrm = math.sqrt(sum(x * x for x in base))
+    base = [x / nrm for x in base]
+    rows = [
+        (i, [x + rng.uniform(-1e-4, 1e-4) for x in base]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_duplicates(
+        df, threshold=0.999, num_centroids=1, init="prefix", max_cell_size=50
+    ).collect()
+    assert len(out) == 300  # every row labeled exactly once
+    # replicate the salting: sub = md5(str(id)) 32-bit prefix mod ceil(300/50)
+    n_sub = -(-300 // 50)
+    expect_sub = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_sub
+        for i in range(300)
+    }
+    expect_keepers = {
+        min(i for i in range(300) if expect_sub[i] == s)
+        for s in set(expect_sub.values())
+    }
+    got = {r.id: (r.cluster_id, r.keep) for r in out}
+    assert {i for i, (_, k) in got.items() if k} == expect_keepers
+    for i, (cid, keep) in got.items():
+        assert cid == min(
+            j for j in range(300) if expect_sub[j] == expect_sub[i]
+        )
+    # unguarded exact run: the whole cell is one component -> one keeper
+    out_none = semantic_duplicates(
+        df, threshold=0.999, num_centroids=1, init="prefix",
+        max_cell_size=None,
+    ).collect()
+    assert sum(r.keep for r in out_none) == 1
+    assert all(r.cluster_id == 0 for r in out_none)
+    # a corpus with no hot cell is untouched by the default 'auto' cap
+    small = spark.createDataFrame(rows[:20], "vec_id bigint, embedding array<double>")
+    out_auto = semantic_duplicates(
+        small, threshold=0.999, num_centroids=1, init="prefix"
+    ).collect()
+    assert sum(r.keep for r in out_auto) == 1 and len(out_auto) == 20
+
+
+def test_dedup_spans(spark):
+    """Span REMOVAL: a duplicated k-token run is cut from every doc but its
+    first corpus-wide occurrence (overlapping spans union, so the whole run
+    goes); intra-doc repeats cut too; a fully-duplicated doc empties to '';
+    short/null docs pass through; idempotent; row set equals input."""
+    from jsonl_schema_validator_spark.operators import dedup_spans
+
+    run = " ".join(f"a{i}" for i in range(1, 11))       # 10-token run
+    brun = " ".join(f"b{i}" for i in range(1, 9))       # 8-token run
+    rows = [
+        (1, run),                                       # first owner: kept
+        (2, f"x1 x2 {run} y1 y2"),                      # run embedded: cut
+        (3, run),                                       # exact dup: -> ''
+        (4, f"{brun} z {brun}"),                        # intra-doc repeat
+        (5, None),                                      # null text
+        (6, "short text"),                              # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_spans(df, "doc_id", "text", k=8)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 6
+    assert got[1].text == run and got[1].n_tokens_removed == 0
+    assert got[2].text == "x1 x2 y1 y2"
+    assert got[2].n_tokens == 14 and got[2].n_tokens_removed == 10
+    assert got[3].text == "" and got[3].n_tokens_removed == 10
+    assert got[4].text == f"{brun} z" and got[4].n_tokens_removed == 8
+    assert got[5].text is None and got[5].n_tokens is None
+    assert got[5].n_tokens_removed == 0
+    assert got[6].text == "short text" and got[6].n_tokens_removed == 0
+
+    # idempotent: every surviving span occurrence is corpus-unique now
+    again = dedup_spans(
+        out.select(F.col("id").alias("doc_id"), "text"), "doc_id", "text", k=8
+    ).collect()
+    assert {r.id: r.text for r in again} == {i: r.text for i, r in got.items()}
+    assert all(r.n_tokens_removed in (0, None) for r in again)
+
+
 def test_dedup_lines(spark):
     """Cross-document line dedup: a long duplicated line survives only at
     its first (doc, pos) occurrence; short/structural lines are untouched;

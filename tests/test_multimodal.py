@@ -96,6 +96,36 @@ def test_decode_images_raw_bmp_and_ppm(spark):
     assert (r5.width, r5.height, r5.mean_byte) == (3, 2, expected_mean)
 
 
+def test_decode_images_raw_png(spark):
+    """backend='raw' really decodes PNG (stdlib zlib + numpy unfilter):
+    exact dims and pixel means for every scanline filter type 0..4, the
+    malformed-separator/truncation cases yield nulls, and the ppm
+    whitespace guard keeps a bad header from shifting pixels."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    expected_mean = round(float(px.mean()), 6)
+    rows = [(ft, encode_png(px, filter_type=ft)) for ft in range(5)]
+    rows += [(100, b"\x89PNG\r\n\x1a\nbroken"), (101, None)]
+    df = spark.createDataFrame(rows, "img_id bigint, img binary")
+    out = {
+        r.id: r
+        for r in decode_images(df, "img", "img_id", backend="raw").collect()
+    }
+    assert len(out) == 7
+    for ft in range(5):
+        assert (out[ft].width, out[ft].height) == (11, 9), out[ft]
+        assert out[ft].mean_byte == expected_mean, f"filter {ft}"
+    assert out[100].width is None and out[100].mean_byte is None
+    assert out[101].width is None and out[101].n_bytes is None
+
+
 def test_decode_audio_raw_wav(spark):
     """backend='raw' decodes RIFF/WAV PCM16: exact sample stats for mono
     and stereo, nulls for non-WAV bytes."""
