@@ -320,6 +320,18 @@ def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_docs_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_corpus with the opt-in near-duplicate stage: MinHash+LSH pairs
+    -> connected components -> min-id keeper, folded into the same
+    verdict/reasons contract (order: duplicate, near_duplicate, quality).
+    Runs over ALL documents so the oracle composes the minhash_pairs and
+    dup_clusters replica CTEs unchanged."""
+    from jsonl_schema_validator_spark.operators import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return clean_corpus(docs, "doc_id", "text", near_dup=True)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-document line dedup: long duplicated lines
     keep only their first corpus-wide occurrence; docs are rebuilt."""
@@ -877,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_spans": q_dedup_spans,
         "clean_docs": q_clean_docs,
+        "clean_docs_near": q_clean_docs_near,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "simhash_documents": q_simhash_documents,
@@ -1134,17 +1147,14 @@ def _split_case_sql(weights: dict[str, float]) -> str:
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
 
 
-def _clean_docs_sql(weights: dict[str, float], salt: str) -> str:
-    """DuckDB replica of clean_corpus over corpus = non-src0 docs with the
-    src0 docs as the decontamination benchmark: the doc_quality chain
-    (same formulas) + an exact-dup min-id window over md5(text) + the
-    decontam 8-gram contaminated-id set + the hash-split case, with
-    reasons in the operator's fixed order (duplicate, contaminated,
-    quality reasons)."""
+def _quality_chain_ctes() -> str:
+    """The document_quality + exact-dup CTE chain over an upstream CTE
+    named `corpus(doc_id, text)` — ONE definition shared by the clean_docs
+    and clean_docs_near replicas (the quality formulas and the dup window
+    cannot drift apart). Emits q/rep/agg/dup; pair with
+    _QUALITY_REASONS_SQL for the quality arm of the reasons string."""
     sw = _stopword_list_sql(QUALITY_STOPWORDS)
-    return f"""
-WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
-t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+    return f"""t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
 m AS (
   SELECT doc_id,
     CAST(len(toks) AS INT) AS n_tokens,
@@ -1177,7 +1187,29 @@ dup AS (
          text IS NOT NULL
            AND doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
            AS is_duplicate
-  FROM corpus),
+  FROM corpus)"""
+
+
+# the fixed-order quality-reason arm of the reasons string (shared by both
+# clean replicas; aliases q/rep/agg as in _quality_chain_ctes)
+_QUALITY_REASONS_SQL = """nullif(concat_ws(',',
+             CASE WHEN coalesce(q.n_tokens, 0) < 20 THEN 'too_few_tokens' END,
+             CASE WHEN q.quality_score < 0.5 THEN 'low_quality' END,
+             CASE WHEN rep.dup_line_frac > 0.3 THEN 'repetitive_lines' END,
+             CASE WHEN agg.top_bigram_frac > 0.2 THEN 'repetitive_bigrams' END
+           ), '')"""
+
+
+def _clean_docs_sql(weights: dict[str, float], salt: str) -> str:
+    """DuckDB replica of clean_corpus over corpus = non-src0 docs with the
+    src0 docs as the decontamination benchmark: the doc_quality chain
+    (same formulas) + an exact-dup min-id window over md5(text) + the
+    decontam 8-gram contaminated-id set + the hash-split case, with
+    reasons in the operator's fixed order (duplicate, contaminated,
+    quality reasons)."""
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+{_quality_chain_ctes()},
 ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
 btoks AS (SELECT doc_id, string_split(text, ' ') AS t
           FROM documents WHERE source = 'src0'),
@@ -1205,12 +1237,7 @@ j AS (
          concat_ws(',',
            CASE WHEN dup.is_duplicate THEN 'duplicate' END,
            CASE WHEN cont.doc_id IS NOT NULL THEN 'contaminated' END,
-           nullif(concat_ws(',',
-             CASE WHEN coalesce(q.n_tokens, 0) < 20 THEN 'too_few_tokens' END,
-             CASE WHEN q.quality_score < 0.5 THEN 'low_quality' END,
-             CASE WHEN rep.dup_line_frac > 0.3 THEN 'repetitive_lines' END,
-             CASE WHEN agg.top_bigram_frac > 0.2 THEN 'repetitive_bigrams' END
-           ), '')
+           {_QUALITY_REASONS_SQL}
          ) AS reasons
   FROM q JOIN rep ON q.doc_id = rep.doc_id
   LEFT JOIN agg ON q.doc_id = agg.doc_id
@@ -1219,6 +1246,55 @@ j AS (
   JOIN spl ON q.doc_id = spl.doc_id)
 SELECT id, n_tokens, quality_score, dup_line_frac, top_bigram_frac,
        is_duplicate, is_contaminated, split, reasons,
+       (reasons = '') AS keep
+FROM j
+"""
+
+
+def _clean_docs_near_sql() -> str:
+    """DuckDB replica of clean_corpus(near_dup=True) over ALL documents
+    (no benchmark, no split): the SAME quality chain + exact-dup window as
+    the clean_docs replica, plus the near-dup flag built from the SAME
+    MinHash+LSH pair CTEs as the minhash_pairs oracle and the SAME
+    recursive min-label connected components as the dup_clusters oracle —
+    is_near_duplicate = the doc sits in a pair component whose smallest id
+    is another doc. Reasons order: duplicate, near_duplicate, (never
+    contaminated here), quality reasons."""
+    mh_ctes, mh_select = _minhash_parts(0.8)
+    return f"""
+WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents),
+{_quality_chain_ctes()},
+{mh_ctes},
+pairs AS ({mh_select}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(nid, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label
+  FROM reach r JOIN edges e ON e.src = r.nid
+  WHERE r.label < e.dst),
+cc AS (SELECT nid, min(label) AS cluster_id FROM reach GROUP BY nid),
+nd AS (SELECT nid AS doc_id FROM cc WHERE nid <> cluster_id),
+j AS (
+  SELECT q.doc_id AS id, q.n_tokens, q.quality_score,
+         rep.dup_line_frac, agg.top_bigram_frac,
+         dup.is_duplicate,
+         (nd.doc_id IS NOT NULL) AS is_near_duplicate,
+         FALSE AS is_contaminated,
+         concat_ws(',',
+           CASE WHEN dup.is_duplicate THEN 'duplicate' END,
+           CASE WHEN nd.doc_id IS NOT NULL THEN 'near_duplicate' END,
+           {_QUALITY_REASONS_SQL}
+         ) AS reasons
+  FROM q JOIN rep ON q.doc_id = rep.doc_id
+  LEFT JOIN agg ON q.doc_id = agg.doc_id
+  JOIN dup ON q.doc_id = dup.doc_id
+  LEFT JOIN nd ON q.doc_id = nd.doc_id)
+SELECT id, n_tokens, quality_score, dup_line_frac, top_bigram_frac,
+       is_duplicate, is_near_duplicate, is_contaminated, reasons,
        (reasons = '') AS keep
 FROM j
 """
@@ -1955,6 +2031,7 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "clean_docs": _clean_docs_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
         ),
+        "clean_docs_near": _clean_docs_near_sql(),
         "hash_split": _hash_split_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
         ),

@@ -6,7 +6,7 @@
         --input /path/docs.parquet --id-col doc_id --text-col text \
         --output /path/out \
         [--benchmark /path/eval.parquet] [--decontam-n 8] \
-        [--allowed-langs en,de] [--min-tokens 20] \
+        [--allowed-langs en,de] [--min-tokens 20] [--near-dup] \
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
         [--drop] [--fail-on-drop-frac 0.5]
 
@@ -34,6 +34,8 @@ def parse_args(argv):
     p.add_argument("--benchmark", default=None, help="eval-set parquet for decontamination")
     p.add_argument("--decontam-n", type=int, default=8)
     p.add_argument("--allowed-langs", default="", help="comma-separated; empty = no language filter")
+    p.add_argument("--near-dup", action="store_true", help="also flag MinHash+LSH near-duplicates")
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--min-quality-score", type=float, default=0.5)
     p.add_argument("--max-dup-line-frac", type=float, default=0.3)
@@ -73,6 +75,8 @@ def main(argv=None) -> int:
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
         allowed_langs=langs,
+        near_dup=args.near_dup,
+        near_dup_threshold=args.near_dup_threshold,
         benchmark=benchmark,
         decontam_n=args.decontam_n,
         split_weights=weights,

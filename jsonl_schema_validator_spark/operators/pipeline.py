@@ -35,6 +35,11 @@ def clean_corpus(
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
     allowed_langs: list[str] | None = None,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.8,
+    near_dup_n: int = 3,
+    near_dup_num_hashes: int = 16,
+    near_dup_bands: int = 4,
     benchmark: DataFrame | None = None,
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
@@ -45,11 +50,23 @@ def clean_corpus(
 ) -> DataFrame:
     """Per-document cleaning verdict: one row per input doc with the
     quality signals, `is_duplicate` (exact content dup that is NOT the
-    min-id keeper), `is_contaminated` (shares a verbatim `decontam_n`-gram
-    with `benchmark`, when given), an optional deterministic `split`
-    column (when `split_weights` is given), the comma-joined `reasons`
-    string — fixed order: duplicate, contaminated, then the
-    document_quality reasons — and the final `keep` verdict.
+    min-id keeper), `is_near_duplicate` (when `near_dup=True`: MinHash+LSH
+    near-dup whose cluster keeper — the smallest id in its connected
+    component — is another doc), `is_contaminated` (shares a verbatim
+    `decontam_n`-gram with `benchmark`, when given), an optional
+    deterministic `split` column (when `split_weights` is given), the
+    comma-joined `reasons` string — fixed order: duplicate,
+    near_duplicate, contaminated, then the document_quality reasons — and
+    the final `keep` verdict.
+
+    near_dup=True composes minhash_lsh_pairs (word `near_dup_n`-gram
+    shingles, `near_dup_num_hashes` hashes in `near_dup_bands` bands,
+    exact-Jaccard verification >= `near_dup_threshold`) with
+    duplicate_clusters into the same min-id-keeper canon as the exact
+    pass; an exact duplicate is also a near-duplicate (jaccard 1.0), so
+    dropped copies usually carry both reasons. The stage adds the LSH
+    band shuffle + candidate verification join — real cleaning passes
+    want it; it is opt-in because it is the one non-linear stage here.
 
     PRECONDITION: ids must be unique and non-null (the usual corpus
     contract — exact dedup is about duplicate CONTENT under distinct ids).
@@ -83,6 +100,33 @@ def clean_corpus(
         )
         .drop("h")
     )
+    if near_dup:
+        from jsonl_schema_validator_spark.operators.dedup import (
+            duplicate_clusters,
+            minhash_lsh_pairs,
+        )
+
+        nd_pairs = minhash_lsh_pairs(
+            df,
+            id_col,
+            text_col,
+            n=near_dup_n,
+            num_hashes=near_dup_num_hashes,
+            bands=near_dup_bands,
+            threshold=near_dup_threshold,
+        )
+        nd = (
+            duplicate_clusters(nd_pairs)
+            .where(F.col("id") != F.col("cluster_id"))
+            .select("id")
+            .withColumn("is_near_duplicate", F.lit(True))
+        )
+        # same non-broadcast reasoning as the contaminated-id join below:
+        # a viral boilerplate shingle can make the dropped-near-dup set a
+        # large corpus fraction; AQE broadcasts it when actually small
+        flags = flags.join(nd, "id", "left").withColumn(
+            "is_near_duplicate", F.coalesce("is_near_duplicate", F.lit(False))
+        )
     if benchmark is not None:
         cont = (
             benchmark_overlap(
@@ -110,17 +154,26 @@ def clean_corpus(
         flags = flags.withColumn("is_contaminated", F.lit(False))
     if split_weights is not None:
         flags = hash_split(flags, "id", split_weights, salt=split_salt)
-    out_flags = ["is_duplicate", "is_contaminated"] + (
-        ["split"] if split_weights is not None else []
+    out_flags = (
+        ["is_duplicate"]
+        + (["is_near_duplicate"] if near_dup else [])
+        + ["is_contaminated"]
+        + (["split"] if split_weights is not None else [])
     )
     j = dq.join(flags, "id").select(
         *[c for c in dq.columns if c not in ("reasons", "keep")],
         *out_flags,
         dq["reasons"].alias("__q_reasons"),
     )
+    near_arm = (
+        [F.when(F.col("is_near_duplicate"), F.lit("near_duplicate"))]
+        if near_dup
+        else []
+    )
     reasons = F.concat_ws(
         ",",
         F.when(F.col("is_duplicate"), F.lit("duplicate")),
+        *near_arm,
         F.when(F.col("is_contaminated"), F.lit("contaminated")),
         F.nullif(F.col("__q_reasons"), F.lit("")),
     )

@@ -510,3 +510,36 @@ def test_clean_corpus(spark):
     sample = next(iter(out2.values()))
     assert "split" not in sample.__fields__
     assert not any(r.is_contaminated for r in out2.values())
+    # near_dup off (default) -> no is_near_duplicate column
+    assert "is_near_duplicate" not in sample.__fields__
+
+
+def test_clean_corpus_near_dup(spark):
+    """The opt-in near-dup stage: an exact copy carries BOTH duplicate and
+    near_duplicate (fixed reason order duplicate,near_duplicate,...); a
+    one-token-off near-copy carries near_duplicate only; the min-id
+    cluster keeper keeps; unrelated docs are untouched."""
+    from jsonl_schema_validator_spark.operators import clean_corpus
+
+    filler = ("the a of and to in is it that for " * 4).strip()
+    base = filler + " alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                                    # keeper
+        (2, base),                                    # exact dup of 1
+        (3, base.replace("delta", "CHANGED", 1)),     # near-dup of 1
+        (4, "completely different words about unrelated topics entirely "
+            + "covering many various subjects " + filler),
+        (5, None),                                    # null text: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.id: r for r in clean_corpus(
+        df, "doc_id", "text", near_dup=True, near_dup_threshold=0.5,
+    ).collect()}
+    assert len(out) == 5
+    assert out[1].keep and not out[1].is_near_duplicate  # min-id keeper
+    assert out[2].is_duplicate and out[2].is_near_duplicate
+    assert out[2].reasons.startswith("duplicate,near_duplicate")
+    assert out[3].is_near_duplicate and not out[3].is_duplicate
+    assert out[3].reasons.startswith("near_duplicate")
+    assert not out[4].is_near_duplicate
+    assert not out[5].is_near_duplicate
