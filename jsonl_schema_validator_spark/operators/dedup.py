@@ -655,6 +655,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 200_000,
+    distributed_algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster_id) with
     cluster_id = the smallest id in the component (the canonical survivor a
@@ -669,17 +670,32 @@ def duplicate_clusters(
     Rows) is sized for modest driver heaps; raise it on big drivers, set 0
     to force the distributed path (a >threshold graph pays one bounded
     threshold-sized transfer before falling back). Larger graphs take the
-    distributed path:
+    distributed path, selected by `distributed_algorithm`:
 
-    Hash-min label propagation: every vertex starts labeled with itself; each
-    round takes the min of its own label and its neighbors' labels; converges
-    in <= graph-diameter rounds (near-dup components are shallow — chains of
-    pairwise-similar docs — so this beats the O(log n) large-star/small-star
-    machinery in practice; swap it in if components ever get deep). Each
-    round is one shuffle join + aggregate; lineage is truncated per round
-    with localCheckpoint so the plan does not grow with iterations (the
-    standard iterative-Spark pattern). The per-round convergence check is a
-    bounded count() — iterative algorithms are driver-coordinated by nature.
+    'star' (default): the large-star/small-star alternation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — shape
+    only). Each round rewires every edge toward its neighborhood minimum
+    (large-star: far neighbors point at min(Γ⁺); small-star: near
+    neighbors collapse onto it), converging in O(log n) rounds
+    INDEPENDENT of component diameter — the deep transitive chains that
+    span/line dedup produces (A~B~C~...~Z with no shortcut edges) label
+    in ~log rounds where propagation needs diameter rounds. Per-round
+    cost: two grouped min-aggs + two joins over the shrinking edge set.
+    The cheap per-round fixpoint signature (edge count + summed 31-bit
+    edge hash) is backed by a SOUND final verification — every original
+    pair's endpoints must share a label, one bounded aggregate — so a
+    signature collision can only raise, never silently mislabel.
+
+    'hashmin': min-label propagation; every vertex takes the min of its
+    own and its neighbors' labels each round; converges in
+    <= graph-diameter rounds. One join + one agg per round — cheaper per
+    round than 'star', the right pick when components are known shallow
+    (pairwise-similar clusters where every member links the keeper).
+
+    Both truncate lineage per round with localCheckpoint so the plan does
+    not grow with iterations; the per-round convergence check is a
+    bounded driver action — iterative algorithms are driver-coordinated
+    by nature.
 
     Cluster note: localCheckpoint stores blocks on executors (fast, but a
     lost executor forces recompute of that round); for long multi-hour runs
@@ -731,6 +747,12 @@ def duplicate_clusters(
         )
         return pairs.sparkSession.createDataFrame(out, schema)
 
+    if distributed_algorithm == "star":
+        return _cc_star(pairs_nn, id_a, id_b, max_iter)
+    if distributed_algorithm != "hashmin":
+        raise ValueError(
+            f"unknown distributed_algorithm: {distributed_algorithm!r}"
+        )
     edges = (
         pairs_nn.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs_nn.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -790,6 +812,110 @@ def duplicate_clusters(
             "switch to a large-star/small-star implementation for deep graphs"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_star(
+    pairs_nn: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star connected components (see duplicate_clusters).
+
+    Edges are kept canonical as (hi, lo) with hi > lo. One round:
+    - large-star: for every node u (both directions), m = min(Γ(u) ∪ {u});
+      every neighbor v > u re-points to m — emit (v, m). Since m <= u < v
+      the output stays canonical and self-loop-free.
+    - small-star: for every node u over its SMALLER neighbors N (all
+      lo < hi = u), m = min(N); collapse N \\ {m} onto m and link u to m —
+      emit (n, m) for n in N, n != m, plus (u, m). Again canonical.
+    At the fixpoint the edge set is a forest of depth-1 stars rooted at
+    each component's minimum, so labels fall out of one groupBy(hi).
+    """
+    edges = (
+        pairs_nn.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs_nn.select(F.col(id_a).alias("id"))
+        .unionByName(pairs_nn.select(F.col(id_b).alias("id")))
+        .dropDuplicates()
+    )
+    # cheap fixpoint signature: (edge count, 31-bit edge-hash sum). The sum
+    # stays far below the long range under ANSI mode (2^31 * edges); a
+    # collision cannot mislabel — the final original-pair check is sound.
+    sig_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1 << 31))).alias("s"),
+    ]
+    prev = tuple(edges.agg(*sig_aggs).collect()[0])
+    converged = prev[0] == 0  # no edges at all: nothing to iterate
+    for _ in range(max_iter):
+        if converged:
+            break
+        d = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        lmins = (
+            d.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        ls = (
+            d.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .dropDuplicates()
+        )
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        edges = (
+            ls.join(smins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .unionAll(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .dropDuplicates()
+            .localCheckpoint()  # truncate lineage each round
+        )
+        sig = tuple(edges.agg(*sig_aggs).collect()[0])
+        converged = sig == prev
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"_cc_star did not converge within max_iter={max_iter} rounds — "
+            "raise max_iter (O(log n) rounds expected; 25 covers any "
+            "realistic component count)"
+        )
+    labels_hi = edges.groupBy("hi").agg(F.min("lo").alias("cluster_id"))
+    labels = (
+        nodes.join(labels_hi, nodes["id"] == labels_hi["hi"], "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
+    # SOUND final verification (one bounded agg): every original pair's
+    # endpoints carry the same label, else the signature exit lied — raise,
+    # never silently mislabel
+    la = labels.select(
+        F.col("id").alias(id_a), F.col("cluster_id").alias("__ca")
+    )
+    lb = labels.select(
+        F.col("id").alias(id_b), F.col("cluster_id").alias("__cb")
+    )
+    bad = (
+        pairs_nn.select(id_a, id_b)
+        .join(la, id_a)
+        .join(lb, id_b)
+        .where(F.col("__ca") != F.col("__cb"))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            "_cc_star fixpoint verification failed (signature collision); "
+            "re-run with a larger max_iter or distributed_algorithm="
+            "'hashmin'"
+        )
+    return labels
 
 
 DEFAULT_MAX_CELL_SIZE = 4096

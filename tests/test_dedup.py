@@ -203,21 +203,32 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
-    # driver_threshold=0 forces the distributed label-propagation path
-    # (the default size dispatch would run this tiny graph at the driver)
-    with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=2, driver_threshold=0)
-    # enough rounds -> one component rooted at 0
+    # driver_threshold=0 forces the distributed paths (the default size
+    # dispatch would run this tiny graph at the driver)
+    for algo, tiny in (("hashmin", 2), ("star", 1)):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(
+                chain, max_iter=tiny, driver_threshold=0,
+                distributed_algorithm=algo,
+            )
+        # enough rounds -> one component rooted at 0
+        got = {
+            r.cluster_id
+            for r in duplicate_clusters(
+                chain, max_iter=10, driver_threshold=0,
+                distributed_algorithm=algo,
+            ).collect()
+        }
+        assert got == {0}, algo
+    # hashmin with max_iter EXACTLY the rounds needed: the last round
+    # carries the final change; the post-loop check must recognize
+    # convergence, not raise
     got = {
         r.cluster_id
-        for r in duplicate_clusters(chain, max_iter=10, driver_threshold=0).collect()
-    }
-    assert got == {0}
-    # max_iter EXACTLY the rounds needed: the last round carries the final
-    # change; the post-loop check must recognize convergence, not raise
-    got = {
-        r.cluster_id
-        for r in duplicate_clusters(chain, max_iter=8, driver_threshold=0).collect()
+        for r in duplicate_clusters(
+            chain, max_iter=8, driver_threshold=0,
+            distributed_algorithm="hashmin",
+        ).collect()
     }
     assert got == {0}
 
@@ -252,16 +263,50 @@ def test_duplicate_clusters_matches_union_find(spark):
             comp.setdefault(find(x), []).append(x)
         expect = {x: min(members) for members in comp.values() for x in members}
         df = spark.createDataFrame(sorted(edges), "id_a bigint, id_b bigint")
-        # BOTH dispatch paths must equal the ground truth: the driver-side
-        # union-find (default for small graphs) and the distributed
-        # label propagation (driver_threshold=0)
+        # ALL THREE paths must equal the ground truth: the driver-side
+        # union-find (default for small graphs) and both distributed
+        # algorithms (driver_threshold=0): star (default) and hashmin
         got_drv = {r.id: r.cluster_id for r in duplicate_clusters(df).collect()}
-        got_dist = {
+        got_star = {
             r.id: r.cluster_id
             for r in duplicate_clusters(df, max_iter=60, driver_threshold=0).collect()
         }
+        got_hm = {
+            r.id: r.cluster_id
+            for r in duplicate_clusters(
+                df, max_iter=60, driver_threshold=0,
+                distributed_algorithm="hashmin",
+            ).collect()
+        }
         assert got_drv == expect
-        assert got_dist == expect
+        assert got_star == expect
+        assert got_hm == expect
+
+
+def test_duplicate_clusters_star_deep_chain(spark):
+    """The deep-component case star exists for: a 40-edge path (shuffled
+    ids, min in the middle) labels in O(log n) star rounds where hash-min
+    propagation needs ~diameter rounds and must raise at max_iter=12."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    rng = random.Random(5)
+    ids = list(range(100, 141))
+    rng.shuffle(ids)
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(
+            chain, max_iter=12, driver_threshold=0
+        ).collect()
+    }
+    assert got == {i: 100 for i in ids}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(
+            chain, max_iter=12, driver_threshold=0,
+            distributed_algorithm="hashmin",
+        )
 
 
 def test_ngram_jaccard_default_cap_in_plan(spark):
