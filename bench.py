@@ -55,8 +55,10 @@ BENCH_QUERIES = [
     "semantic_dup",
     "span_pairs",
     "dedup_lines",
+    "dedup_spans",
     "decontam",
     "clean_docs",
+    "clean_docs_near",
     "tumbling_events",
     "pricing_summary",
 ]

@@ -323,7 +323,9 @@ def dedup_spans(
     docs partial-aggregates, never sorts); each occurrence then joins its
     span's single first-row (linear), covered positions explode k-wide,
     and ONLY affected docs are re-tokenized and rebuilt — the untouched
-    bulk of the corpus never shuffles at all.
+    bulk of the corpus never shuffles at all. Nothing here is persisted:
+    the codegen span build is cheaper to recompute per consumer than to
+    cache (measured 2.2x — see the negative-result note below).
     """
     if keep != "first":
         raise ValueError("only keep='first' is supported")
@@ -331,20 +333,49 @@ def dedup_spans(
     n_tok = F.size(toks)
     # positional spans: (id, pos, span_hash), pos 0-based, FULL k-token
     # windows only (unlike word_shingles there is no truncated-span row —
-    # cutting a sub-k "span" would delete text that was never duplicated)
-    spans = df.where(n_tok >= k).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_tok - k),
-                lambda i: F.md5(
-                    F.array_join(F.slice(toks, i + 1, k), " ").cast("binary")
-                ),
-            )
-        ).alias("pos", "span_hash"),
+    # cutting a sub-k "span" would delete text that was never duplicated).
+    # Shape: posexplode an arrays_zip of k shifted slices, then md5 the
+    # concat in the POST-explode projection — the zipped explode keeps the
+    # per-span hashing inside codegen, where the word_shingles-style
+    # transform(sequence, slice+join+md5) lambda runs interpreted (the
+    # round-3 bigram lesson; measured 1.7x on this operator at sf0.1).
+    # Negative result (round 5): persisting this table (the shingle-family
+    # persist-once rule) measured 2.2x SLOWER here — once the explode is
+    # codegen-cheap, recomputing it per consumer beats paying cache
+    # serialization and losing the fused scan pipeline. A/B the full
+    # operator before adding persists.
+    n_spans = n_tok - k + 1
+    slices = [F.slice(toks, j + 1, n_spans).alias(f"t{j}") for j in range(k)]
+    spans = (
+        df.where(n_tok >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.arrays_zip(*slices)).alias("pos", "s"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.col(f"s.t{j}") for j in range(k)]
+                ).cast("binary")
+            ).alias("span_hash"),
+        )
     )
-    first = spans.groupBy("span_hash").agg(
-        F.min(F.struct(F.col("id"), F.col("pos"))).alias("f")
+    # first occurrences of DUPLICATED spans only: a hash seen once can never
+    # yield a removal (its only occurrence IS f), so the count>1 filter is
+    # semantics-free — and it shrinks the join side from every-distinct-span
+    # to the duplicated-span dictionary, which AQE can then broadcast (the
+    # big positional span table never shuffles for the join; its one
+    # shuffle is the map-side-combined agg itself)
+    first = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("f"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .where(F.col("__cnt") > 1)
+        .drop("__cnt")
     )
     removed_occ = (
         spans.join(first, "span_hash")
