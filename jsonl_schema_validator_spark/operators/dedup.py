@@ -389,9 +389,16 @@ def dedup_spans(
     affected = removed_pos.select("id").dropDuplicates().withColumn(
         "__aff", F.lit(True)
     )
-    # re-tokenize ONLY affected docs; anti-join the cut positions; rebuild
+    # re-tokenize ONLY affected docs; anti-join the cut positions; rebuild.
+    # The semi-join key rides a reserved alias: an unqualified col('id')
+    # could resolve against a corpus column that happens to be NAMED 'id'
+    # when id_col is something else (the clean_job '__jsv_keep_id' lesson)
     kept_toks = (
-        df.join(affected.select("id"), df[id_col] == F.col("id"), "left_semi")
+        df.join(
+            affected.select(F.col("id").alias("__jsv_aff_id")),
+            df[id_col] == F.col("__jsv_aff_id"),
+            "left_semi",
+        )
         .select(
             F.col(id_col).alias("id"),
             F.posexplode(toks).alias("tpos", "tok"),

@@ -606,6 +606,15 @@ def test_dedup_spans(spark):
     assert {r.id: r.text for r in again} == {i: r.text for i, r in got.items()}
     assert all(r.n_tokens_removed in (0, None) for r in again)
 
+    # a corpus column LITERALLY named 'id' (while id_col is doc_id) must not
+    # capture the semi-join key (reserved-alias guard)
+    decoy = spark.createDataFrame(
+        [(1, 999, run), (2, 999, f"x1 x2 {run} y1 y2")],
+        "doc_id bigint, id bigint, text string",
+    )
+    got2 = {r.id: r for r in dedup_spans(decoy, "doc_id", "text", k=8).collect()}
+    assert got2[1].text == run and got2[2].text == "x1 x2 y1 y2"
+
 
 def test_dedup_lines(spark):
     """Cross-document line dedup: a long duplicated line survives only at
