@@ -740,6 +740,14 @@ def duplicate_clusters(
     on a real cluster set spark.sparkContext.setCheckpointDir to reliable
     storage and swap localCheckpoint() for checkpoint().
     """
+    # validated at ENTRY, not at the distributed dispatch: a typo'd value
+    # must fail in small-scale testing, not on the first production-sized
+    # graph that exceeds driver_threshold
+    if distributed_algorithm not in ("star", "hashmin"):
+        raise ValueError(
+            f"unknown distributed_algorithm: {distributed_algorithm!r} "
+            "(expected 'star' or 'hashmin')"
+        )
     # null ids carry no identity: pairs with a null endpoint are dropped in
     # BOTH dispatch paths (a null key can neither match nor label a cluster)
     pairs_nn = pairs.where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
@@ -787,10 +795,6 @@ def duplicate_clusters(
 
     if distributed_algorithm == "star":
         return _cc_star(pairs_nn, id_a, id_b, max_iter)
-    if distributed_algorithm != "hashmin":
-        raise ValueError(
-            f"unknown distributed_algorithm: {distributed_algorithm!r}"
-        )
     edges = (
         pairs_nn.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs_nn.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -876,10 +880,16 @@ def _cc_star(
         .dropDuplicates()
         .localCheckpoint()
     )
+    orig_edges = edges  # the checkpointed INPUT set, for final verification
+    # nodes materialized once: the upstream pair pipeline (an LSH join, an
+    # intra-cell self-join) is exactly what is expensive in the regime this
+    # path serves — without the checkpoint every downstream action on the
+    # returned labels would re-run it
     nodes = (
         pairs_nn.select(F.col(id_a).alias("id"))
         .unionByName(pairs_nn.select(F.col(id_b).alias("id")))
         .dropDuplicates()
+        .localCheckpoint()
     )
     # cheap fixpoint signature: (edge count, 31-bit edge-hash sum). The sum
     # stays far below the long range under ANSI mode (2^31 * edges); a
@@ -919,39 +929,42 @@ def _cc_star(
         sig = tuple(edges.agg(*sig_aggs).collect()[0])
         converged = sig == prev
         prev = sig
-    if not converged:
-        raise RuntimeError(
-            f"_cc_star did not converge within max_iter={max_iter} rounds — "
-            "raise max_iter (O(log n) rounds expected; 25 covers any "
-            "realistic component count)"
-        )
+    # the last allowed round may have been the one that REACHED the
+    # fixpoint (the signature scheme needs one extra round to observe
+    # stability — same boundary the hashmin path handles post-loop), so
+    # never raise on the signature alone: compute labels and let the sound
+    # verification below decide
     labels_hi = edges.groupBy("hi").agg(F.min("lo").alias("cluster_id"))
     labels = (
         nodes.join(labels_hi, nodes["id"] == labels_hi["hi"], "left")
         .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
     )
-    # SOUND final verification (one bounded agg): every original pair's
-    # endpoints carry the same label, else the signature exit lied — raise,
-    # never silently mislabel
+    # SOUND final verification (one bounded agg): every INPUT edge's
+    # endpoints carry the same label — over the checkpointed canonical
+    # edge set (equivalent to the original pairs: self-pairs are trivially
+    # consistent, null endpoints were dropped), so the expensive upstream
+    # pair pipeline is never re-run. Fails => either max_iter was too
+    # small or (astronomically unlikely) a signature collision — raise,
+    # never silently mislabel.
     la = labels.select(
-        F.col("id").alias(id_a), F.col("cluster_id").alias("__ca")
+        F.col("id").alias("hi"), F.col("cluster_id").alias("__ca")
     )
     lb = labels.select(
-        F.col("id").alias(id_b), F.col("cluster_id").alias("__cb")
+        F.col("id").alias("lo"), F.col("cluster_id").alias("__cb")
     )
     bad = (
-        pairs_nn.select(id_a, id_b)
-        .join(la, id_a)
-        .join(lb, id_b)
+        orig_edges.join(la, "hi")
+        .join(lb, "lo")
         .where(F.col("__ca") != F.col("__cb"))
         .limit(1)
         .count()
     )
     if bad:
         raise RuntimeError(
-            "_cc_star fixpoint verification failed (signature collision); "
-            "re-run with a larger max_iter or distributed_algorithm="
-            "'hashmin'"
+            f"_cc_star did not converge within max_iter={max_iter} rounds "
+            "(or, astronomically unlikely, a fixpoint-signature collision) "
+            "— raise max_iter (O(log n) rounds expected; 25 covers any "
+            "realistic component count)"
         )
     return labels
 
@@ -1016,6 +1029,17 @@ def semantic_duplicates(
     with spark.catalog.clearCache() after a terminal action in
     long-lived sessions — see ngram_jaccard_pairs.
     """
+    # validate eagerly: max_cell_size=0 is a plausible mis-spelling of
+    # "disable the cap" (that is None) and would otherwise die in the ceil
+    # division; a stray string other than 'auto' would fail the size
+    # comparison mid-plan
+    if max_cell_size is not None and max_cell_size != "auto" and (
+        not isinstance(max_cell_size, int) or max_cell_size < 1
+    ):
+        raise ValueError(
+            f"max_cell_size must be 'auto', None or an int >= 1, "
+            f"got {max_cell_size!r}"
+        )
     from jsonl_schema_validator_spark.operators.similarity import (
         _fit_centroids,
         _ivf_exprs,

@@ -283,6 +283,46 @@ def test_duplicate_clusters_matches_union_find(spark):
         assert got_hm == expect
 
 
+def test_duplicate_clusters_star_last_round_boundary(spark):
+    """Star reaching its fixpoint EXACTLY on the last allowed round must
+    return (the sound final verification recognizes the correct star
+    forest), not spuriously raise — the signature alone needs one extra
+    round to observe stability (review finding, reproduced live)."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(
+            chain, max_iter=1, driver_threshold=0
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_duplicate_clusters_validates_algorithm_eagerly(spark):
+    """A typo'd distributed_algorithm must raise on a SMALL graph too, not
+    only once the job meets a >driver_threshold production graph."""
+    from jsonl_schema_validator_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="distributed_algorithm"):
+        duplicate_clusters(pairs, distributed_algorithm="Star")
+
+
+def test_semantic_duplicates_validates_max_cell_size(spark):
+    """max_cell_size=0 (a plausible mis-spelling of 'disable' = None) and
+    stray strings must raise a clear ValueError, not die mid-plan."""
+    from jsonl_schema_validator_spark.operators import semantic_duplicates
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    for bad in (0, -5, "none"):
+        with pytest.raises(ValueError, match="max_cell_size"):
+            semantic_duplicates(df, max_cell_size=bad)
+
+
 def test_duplicate_clusters_star_deep_chain(spark):
     """The deep-component case star exists for: a 40-edge path (shuffled
     ids, min in the middle) labels in O(log n) star rounds where hash-min
