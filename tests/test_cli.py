@@ -143,3 +143,20 @@ def test_clean_job_e2e(spark, tmp_path):
                     "--output", out3, "--drop"]) == 0
     kept3 = spark.read.parquet(f"{out3}/kept")
     assert "id" in kept3.columns and kept3.count() > 0
+
+    # --near-dup: a one-token-off near-copy is flagged and dropped
+    near = rows[0][1].replace("unique", "CHANGED", 1)
+    df4 = spark.createDataFrame(
+        rows + [(102, near)], "doc_id bigint, text string"
+    )
+    inp4 = str(tmp_path / "docs4")
+    df4.write.parquet(inp4)
+    out4 = str(tmp_path / "out4")
+    assert cj.main([
+        "--input", inp4, "--output", out4,
+        "--near-dup", "--near-dup-threshold", "0.5",
+    ]) == 0
+    rep4 = {r.id: r for r in spark.read.parquet(f"{out4}/report").collect()}
+    assert rep4[102].is_near_duplicate and not rep4[102].keep
+    assert "near_duplicate" in rep4[102].reasons
+    assert rep4[0].keep  # the min-id keeper survives

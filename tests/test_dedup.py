@@ -656,6 +656,75 @@ def test_dedup_spans(spark):
     assert got2[1].text == run and got2[2].text == "x1 x2 y1 y2"
 
 
+def test_dedup_spans_matches_python_reference(spark):
+    """Seeded random corpora with planted shared runs: the Spark result must
+    equal a direct pure-Python implementation of the contract (first
+    corpus-wide (id, pos) occurrence of each k-span kept; covered tokens of
+    later occurrences cut; docs rebuilt)."""
+    from jsonl_schema_validator_spark.operators import dedup_spans
+
+    def py_dedup_spans(docs: dict[int, str], k: int) -> dict[int, tuple]:
+        first: dict[str, tuple] = {}
+        spans: dict[int, list] = {}
+        for i in sorted(docs):
+            t = docs[i]
+            toks = t.split(" ") if t is not None else None
+            spans[i] = []
+            if toks is None or len(toks) < k:
+                continue
+            for p in range(len(toks) - k + 1):
+                s = " ".join(toks[p : p + k])
+                if s not in first:
+                    first[s] = (i, p)
+                spans[i].append((p, s))
+        out = {}
+        for i in sorted(docs):
+            t = docs[i]
+            toks = t.split(" ") if t is not None else None
+            n = len(toks) if toks is not None else None
+            cut = set()
+            for p, s in spans[i]:
+                if first[s] != (i, p):
+                    cut.update(range(p, p + k))
+            if toks is None:
+                out[i] = (None, None, 0)
+            elif not cut:
+                out[i] = (t, n, 0)
+            else:
+                kept = [tok for j, tok in enumerate(toks) if j not in cut]
+                out[i] = (" ".join(kept), n, len(cut))
+        return out
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> natural collisions
+    k = 4
+    for _trial in range(2):
+        docs: dict[int, str] = {}
+        run = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9)))
+        for i in range(14):
+            body = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 18))
+            )
+            if rng.random() < 0.5:  # plant the shared run in half the docs
+                cut_at = rng.randint(0, max(len(body.split()) - 1, 0))
+                toks = body.split(" ") if body else []
+                body = " ".join(toks[:cut_at] + run.split(" ") + toks[cut_at:])
+            docs[i] = body
+        docs[97] = None
+        expect = py_dedup_spans(docs, k)
+        df = spark.createDataFrame(
+            sorted(docs.items(), key=lambda x: x[0]),
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.id: (r.text, r.n_tokens, r.n_tokens_removed)
+            for r in dedup_spans(df, "doc_id", "text", k=k).collect()
+        }
+        assert got == expect, {
+            i: (got[i], expect[i]) for i in got if got[i] != expect[i]
+        }
+
+
 def test_dedup_lines(spark):
     """Cross-document line dedup: a long duplicated line survives only at
     its first (doc, pos) occurrence; short/structural lines are untouched;
