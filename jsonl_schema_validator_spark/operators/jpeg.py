@@ -1,0 +1,643 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no codec library.
+
+Baseline sequential DCT JPEG (ITU-T T.81 / ISO 10918-1) is, like PNG's
+DEFLATE, fully decodable with nothing but bit twiddling and an 8x8
+transform: marker parse -> Huffman-decode the entropy stream (with 0xFF00
+unstuffing and RSTn restarts) -> dequantize + un-zigzag -> IDCT ->
+upsample chroma -> YCbCr->RGB. This module implements both directions:
+
+- ``encode_jpeg_baseline(pixels, quality, subsampling, restart_interval)``
+  writes a spec-conformant baseline JFIF file (Annex K quantization and
+  Huffman tables) — the fixture writer AND a real encoder.
+- ``_parse_jpeg(raw)`` returns (w, h, rgb_flat_uint8) for baseline
+  grayscale / YCbCr 4:4:4 / 4:2:0 (and 4:2:2) files, or None for anything
+  it cannot decode (progressive SOF2, arithmetic coding, 12-bit,
+  truncation, bad markers) — the undecodable-row-yields-nulls contract of
+  the multimodal raw backend.
+
+Correctness evidence without an external codec: at quality=100 the Annex K
+tables scale to all-ones, so the ONLY loss is YCbCr round-tripping and
+DCT float rounding — the tests pin max-abs pixel error <= 2 for 4:4:4 RGB
+and <= 1 for grayscale on random images, exact Huffman/bitstream
+round-trips, restart-marker handling, and odd (non-multiple-of-8) sizes.
+
+At Spark scale the decode runs inside the same Arrow-batched mapInPandas
+plumbing as BMP/PPM/PNG (operators/multimodal.py) — per-image Python, but
+batch-level numpy for the transform work; media decode is the documented
+exception to the no-per-row-Python rule.
+
+Reference parity note: the reference engine (see /root/reference/src/
+main.rs:166-207, its only I/O surface) has no media handling at all; this
+module extends the pipeline-op set per SURVEY.md's training-data scope.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — the standard example tables every baseline
+# codec ships; public spec content)
+# ---------------------------------------------------------------------------
+
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# (bits[1..16], values) per Annex K
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _scale_qt(base: list[int], quality: int):
+    """libjpeg-style quality scaling: q=50 is the Annex K table, q=100 is
+    all ones (quantization-lossless — only transform/color rounding left)."""
+    import numpy as np
+
+    if not (1 <= quality <= 100):
+        raise ValueError("quality must be 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (np.array(base, dtype=np.int64) * s + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical T.81 code assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _enc_magnitude(v: int, s: int) -> int:
+    # positive: the value itself; negative: ones' complement in s bits
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def encode_jpeg_baseline(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes from an (h, w, 3) uint8 RGB or (h, w) grayscale
+    array. subsampling: '4:4:4', '4:2:2' or '4:2:0' (RGB only)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (h, w, 3) RGB or (h, w) grayscale")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    # chroma decimation factors (horizontal, vertical)
+    ch_dec, cv_dec = {
+        "4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)
+    }[subsampling]
+    if gray:
+        ch_dec = cv_dec = 1
+
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if ch_dec > 1 or cv_dec > 1:
+            # pad to the decimation grid, then box-mean
+            ph = -(-h // cv_dec) * cv_dec
+            pw = -(-w // ch_dec) * ch_dec
+            def decimate(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(
+                    ph // cv_dec, cv_dec, pw // ch_dec, ch_dec
+                ).mean(axis=(1, 3))
+            cb = decimate(cb)
+            cr = decimate(cr)
+        planes = [y, cb, cr]
+
+    qt_l = _scale_qt(_QT_LUMA, quality)
+    qt_c = _scale_qt(_QT_CHROMA, quality)
+    C = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+
+    def blocks_of(plane, bw_mult=8):
+        ph, pw = plane.shape
+        bh = -(-ph // 8) * 8
+        bw = -(-pw // 8) * 8
+        p = np.pad(plane, ((0, bh - ph), (0, bw - pw)), mode="edge")
+        return p, bh // 8, bw // 8
+
+    comp_cfg = []  # (plane, qt, dc_codes, ac_codes, h_samp, v_samp)
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+    if gray:
+        comp_cfg.append((planes[0], qt_l, dc_l, ac_l, 1, 1))
+    else:
+        comp_cfg.append((planes[0], qt_l, dc_l, ac_l, ch_dec, cv_dec))
+        comp_cfg.append((planes[1], qt_c, dc_c, ac_c, 1, 1))
+        comp_cfg.append((planes[2], qt_c, dc_c, ac_c, 1, 1))
+
+    # MCU geometry
+    hmax = max(c[4] for c in comp_cfg)
+    vmax = max(c[5] for c in comp_cfg)
+    mcu_w = 8 * hmax
+    mcu_h = 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    padded = []
+    for plane, qt, dcc, acc_, hsamp, vsamp in comp_cfg:
+        need_h = mcus_y * vsamp * 8
+        need_w = mcus_x * hsamp * 8
+        ph, pw = plane.shape
+        p = np.pad(
+            plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge"
+        )
+        padded.append(p)
+
+    def encode_block(wtr, block, qt, dcc, acc_, pred):
+        coef = C @ (block - 128.0) @ C.T
+        q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+        seq = q.reshape(-1)[zz]
+        diff = int(seq[0]) - pred
+        s = _category(diff)
+        code, ln = dcc[s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(_enc_magnitude(diff, s), s)
+        run = 0
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if seq[i]:
+                last_nz = i
+                break
+        for i in range(1, last_nz + 1):
+            v = int(seq[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = acc_[0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = acc_[(run << 4) | s]
+            wtr.put(code, ln)
+            wtr.put(_enc_magnitude(v, s), s)
+            run = 0
+        if last_nz != 63:
+            code, ln = acc_[0x00]
+            wtr.put(code, ln)
+        return int(seq[0])
+
+    wtr = _BitWriter()
+    preds = [0] * len(comp_cfg)
+    mcu_count = 0
+    rst = 0
+    body = bytearray()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                body += wtr.buf
+                wtr = _BitWriter()
+                body += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * len(comp_cfg)
+            for ci, (plane, qt, dcc, acc_, hsamp, vsamp) in enumerate(comp_cfg):
+                p = padded[ci]
+                for by in range(vsamp):
+                    for bx in range(hsamp):
+                        y0 = (my * vsamp + by) * 8
+                        x0 = (mx * hsamp + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = encode_block(
+                            wtr, block, qt, dcc, acc_, preds[ci]
+                        )
+            mcu_count += 1
+    wtr.flush()
+    body += wtr.buf
+
+    # ---- markers ----
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(qt_l.reshape(-1)[z]) for z in _ZIGZAG))
+    if not gray:
+        out += seg(
+            0xDB, bytes([1]) + bytes(int(qt_c.reshape(-1)[z]) for z in _ZIGZAG)
+        )
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (_, _, _, _, hsamp, vsamp) in enumerate(comp_cfg):
+        sof += bytes([i + 1, (hsamp << 4) | vsamp, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(cls, tid, bits, values):
+        return seg(0xC4, bytes([(cls << 4) | tid] + bits + values))
+
+    out += dht(0, 0, *_DC_LUMA)
+    out += dht(1, 0, *_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, *_DC_CHROMA)
+        out += dht(1, 1, *_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        tid = 0 if i == 0 else 1
+        sos += bytes([i + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _HuffTree:
+    """Flat (length, code) -> symbol lookup built from DHT bits/values."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, bits: list[int], values: list[int]):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lut[(ln, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffs to 0xFF; any other
+    0xFFxx is a marker — exposed to the caller, never consumed as bits."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise EOFError
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self) -> bool:
+        """Byte-align and consume an RSTn marker; False if absent."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+    def decode(self, tree: _HuffTree) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = tree.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 EXTEND: decode s-bit magnitude to signed value
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(raw: bytes):
+    """(w, h, rgb_flat_uint8) for a baseline JPEG, else None."""
+    import numpy as np
+
+    try:
+        return _parse_jpeg_inner(raw, np)
+    except Exception:
+        return None  # undecodable row -> nulls, never a task crash
+
+
+def _parse_jpeg_inner(raw: bytes, np):
+    if raw is None or len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+        return None
+    qts: dict[int, object] = {}
+    huffs: dict[tuple[int, int], _HuffTree] = {}
+    comps = None  # list of (cid, hsamp, vsamp, qt_id)
+    h = w = 0
+    restart = 0
+    pos = 2
+    data = raw
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly multiple tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:  # 16-bit tables: not baseline-8
+                    return None
+                tbl = np.zeros(64, np.int32)
+                for z in range(64):
+                    tbl[_ZIGZAG[z]] = body[i + 1 + z]
+                qts[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly multiple)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                values = list(body[i + 17 : i + 17 + nv])
+                huffs[(cls, tid)] = _HuffTree(bits, values)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / other SOF: not baseline
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if comps is None:
+                return None
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tids = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next((c for c in comps if c[0] == cs), None)
+                if comp is None:
+                    return None
+                scan.append((comp, tids >> 4, tids & 0xF))
+            return _decode_scan(
+                data, pos + 2 + ln, scan, qts, huffs, h, w, restart, np
+            )
+        pos += 2 + ln
+    return None
+
+
+def _decode_scan(data, pos, scan, qts, huffs, h, w, restart, np):
+    C = _dct_matrix()
+    hmax = max(c[0][1] for c in scan)
+    vmax = max(c[0][2] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for (cid, hs, vs, tq), dci, aci in scan:
+        planes.append(
+            np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        )
+    rdr = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    zz = np.array(_ZIGZAG)
+
+    def read_block(ci):
+        (cid, hs, vs, tq), dci, aci = scan[ci]
+        dtree = huffs.get((0, dci))
+        atree = huffs.get((1, aci))
+        qt = qts.get(tq)
+        if dtree is None or atree is None or qt is None:
+            raise ValueError("missing table")
+        seq = np.zeros(64, np.int64)
+        s = rdr.decode(dtree)
+        diff = _extend(rdr.bits(s), s) if s else 0
+        preds[ci] += diff
+        seq[0] = preds[ci]
+        i = 1
+        while i < 64:
+            rs = rdr.decode(atree)
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r == 15:
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("AC overflow")
+            seq[i] = _extend(rdr.bits(sz), sz)
+            i += 1
+        coef = np.zeros(64, np.float64)
+        coef[zz] = seq * qt[zz]
+        block = C.T @ coef.reshape(8, 8) @ C + 128.0
+        return block
+
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                if not rdr.align_and_expect_rst():
+                    raise ValueError("missing RST marker")
+                preds[:] = [0] * len(scan)
+            for ci, ((cid, hs, vs, tq), dci, aci) in enumerate(scan):
+                for by in range(vs):
+                    for bx in range(hs):
+                        try:
+                            block = read_block(ci)
+                        except _MarkerHit:
+                            raise ValueError("entropy data truncated")
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # upsample to full size and convert
+    full = []
+    for ci, ((cid, hs, vs, tq), _, _) in enumerate(scan):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([gray, gray, gray], axis=2)
+        return w, h, rgb.reshape(-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+    return w, h, rgb.reshape(-1)

@@ -4,18 +4,20 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 mapInPandas signatures, partition preservation. Decode backends:
 
 - backend='raw'   : REAL decode with stdlib + numpy only — BMP (24bpp,
-                    BI_RGB), PPM (P6) and PNG (8-bit grey/RGB/RGBA,
-                    non-interlaced; PNG's only compression is DEFLATE, so
-                    stdlib zlib + numpy unfiltering decodes it with no
-                    codec library) images, RIFF/WAV (PCM16) audio.
+                    BI_RGB), PPM (P6), PNG (8-bit grey/RGB/RGBA,
+                    non-interlaced; DEFLATE via stdlib zlib + numpy
+                    unfiltering) and baseline JPEG (SOF0 Huffman
+                    sequential incl. 4:2:0 and restart markers — pure
+                    numpy Huffman + IDCT, see operators/jpeg.py) images,
+                    RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
-                    the remaining compressed formats (JPEG/MP3/MP4) need
-                    codec libs not in this container; the mapInPandas
-                    plumbing is identical, only the per-batch decode
-                    function changes.
+                    the remaining compressed formats (progressive JPEG /
+                    WebP / MP3 / MP4) need codec libs not in this
+                    container; the mapInPandas plumbing is identical,
+                    only the per-batch decode function changes.
 
 Scale notes: binary payloads ride the scan; metadata extraction is a narrow
 map. Arrow batch size is bounded via spark.sql.execution.arrow.
@@ -392,19 +394,22 @@ def decode_images(
     """(id, width, height, n_bytes, mean_byte, sha256) via Arrow-batched
     mapInPandas.
 
-    backend='raw' really decodes BMP (24bpp), PPM (P6) and PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy unfilter,
-    no codec library needed) — mean_byte is the mean over the actual
-    RGB/grey pixel values (padding, headers and alpha excluded);
+    backend='raw' really decodes BMP (24bpp), PPM (P6), PNG (8-bit
+    grey/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy unfilter)
+    and baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
+    restart markers — pure numpy Huffman+IDCT, operators/jpeg.py); no
+    codec library needed for any of them. mean_byte is the mean over the
+    actual RGB/grey pixel values (padding, headers and alpha excluded);
     undecodable rows yield metadata nulls, never a crash. backend='fake'
     parses the FIMG fixture header. backend='pil' is the remaining
-    compressed-format slot (JPEG) — not available in this container; the
-    plumbing is identical, only the per-batch decode function changes."""
+    compressed-format slot (progressive/arithmetic JPEG, WebP, ...) — not
+    available in this container; the plumbing is identical, only the
+    per-batch decode function changes."""
     if backend == "pil":
         raise NotImplementedError(
             "PIL is not available in this container; plug a PIL-based "
             "batch decoder into the same mapInPandas plumbing "
-            "(backend='raw' already decodes BMP/PPM/PNG)"
+            "(backend='raw' already decodes BMP/PPM/PNG and baseline JPEG)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")
@@ -414,7 +419,14 @@ def decode_images(
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def decode_raw(raw: bytes) -> tuple:
-        parsed = _parse_bmp(raw) or _parse_ppm(raw) or _parse_png(raw)
+        from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
+
+        parsed = (
+            _parse_bmp(raw)
+            or _parse_ppm(raw)
+            or _parse_png(raw)
+            or _parse_jpeg(raw)
+        )
         if parsed is None:
             return (None, None, len(raw) if raw is not None else None, None, None)
         w, h, px = parsed

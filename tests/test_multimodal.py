@@ -126,6 +126,97 @@ def test_decode_images_raw_png(spark):
     assert out[101].width is None and out[101].n_bytes is None
 
 
+def test_jpeg_codec_roundtrip():
+    """Pure-python/numpy baseline JPEG: at quality=100 the Annex K tables
+    scale to all-ones, so round-trip error is ONLY YCbCr + DCT rounding —
+    pinned <= 2 for 4:4:4 RGB and <= 1 for grayscale on random images;
+    restart markers are bit-exact vs no-restart; subsampled smooth images
+    stay close; everything undecodable (truncation, progressive,
+    bad magic) returns None, never raises."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)  # odd width
+    w, h, flat = _parse_jpeg(encode_jpeg_baseline(px, quality=100))
+    assert (w, h) == (17, 24)
+    err = np.abs(flat.reshape(24, 17, 3).astype(int) - px.astype(int))
+    assert err.max() <= 2, err.max()
+
+    g = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    w, h, flat = _parse_jpeg(encode_jpeg_baseline(g, quality=100))
+    got_g = flat.reshape(16, 16, 3)
+    assert np.abs(got_g[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    assert np.array_equal(got_g[:, :, 0], got_g[:, :, 1])  # replicated grey
+
+    # 4:2:0 on a smooth gradient (subsampling loses little there) + DRI
+    yy, xx = np.mgrid[0:33, 0:41]
+    smooth = np.stack(
+        [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 4) % 256], axis=2
+    ).astype(np.uint8)
+    plain = encode_jpeg_baseline(smooth, quality=100, subsampling="4:2:0")
+    w, h, f1 = _parse_jpeg(plain)
+    assert (w, h) == (41, 33)
+    assert np.abs(f1.reshape(33, 41, 3).astype(int) - smooth.astype(int)).max() <= 6
+    with_rst = encode_jpeg_baseline(
+        smooth, quality=100, subsampling="4:2:0", restart_interval=2
+    )
+    assert np.array_equal(_parse_jpeg(with_rst)[2], f1)
+    # 4:2:2 (horizontal-only chroma decimation)
+    w, h, f422 = _parse_jpeg(
+        encode_jpeg_baseline(smooth, quality=100, subsampling="4:2:2")
+    )
+    assert (w, h) == (41, 33)
+    assert np.abs(
+        f422.reshape(33, 41, 3).astype(int) - smooth.astype(int)
+    ).max() <= 6
+
+    # undecodable inputs -> None (contract: nulls, never a crash)
+    raw = encode_jpeg_baseline(px)
+    assert _parse_jpeg(raw[:100]) is None
+    assert _parse_jpeg(b"\x00\x00" + raw[2:]) is None
+    prog = bytearray(raw)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # claim progressive: not baseline -> None
+    assert _parse_jpeg(bytes(prog)) is None
+    assert _parse_jpeg(None) is None and _parse_jpeg(b"") is None
+
+
+def test_decode_images_raw_jpeg(spark):
+    """backend='raw' decodes baseline JPEG end-to-end through the Arrow
+    mapInPandas plumbing alongside BMP/PPM/PNG; mean_byte within the
+    quality-100 rounding bound of the source pixels."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_jpeg_baseline(px, quality=100)),
+        (2, encode_jpeg_baseline(px, quality=100, restart_interval=1)),
+        (3, b"\xff\xd8garbage"),
+    ]
+    df = spark.createDataFrame(rows, "img_id bigint, img binary")
+    out = {
+        r.id: r
+        for r in decode_images(df, "img", "img_id", backend="raw").collect()
+    }
+    for i in (1, 2):
+        assert (out[i].width, out[i].height) == (11, 9), out[i]
+        assert abs(out[i].mean_byte - float(px.mean())) <= 2.0
+    assert out[3].width is None and out[3].mean_byte is None
+
+
 def test_decode_audio_raw_wav(spark):
     """backend='raw' decodes RIFF/WAV PCM16: exact sample stats for mono
     and stereo, nulls for non-WAV bytes."""
