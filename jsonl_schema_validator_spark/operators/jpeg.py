@@ -244,13 +244,6 @@ def encode_jpeg_baseline(
     C = _dct_matrix()
     zz = np.array(_ZIGZAG)
 
-    def blocks_of(plane, bw_mult=8):
-        ph, pw = plane.shape
-        bh = -(-ph // 8) * 8
-        bw = -(-pw // 8) * 8
-        p = np.pad(plane, ((0, bh - ph), (0, bw - pw)), mode="edge")
-        return p, bh // 8, bw // 8
-
     comp_cfg = []  # (plane, qt, dc_codes, ac_codes, h_samp, v_samp)
     dc_l = _huff_codes(*_DC_LUMA)
     ac_l = _huff_codes(*_AC_LUMA)
@@ -497,6 +490,9 @@ def _parse_jpeg_inner(raw: bytes, np):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             return None
@@ -543,6 +539,14 @@ def _parse_jpeg_inner(raw: bytes, np):
             if comps is None:
                 return None
             ns = body[0]
+            if ns != len(comps):
+                # non-interleaved multi-scan baseline (one SOS per
+                # component) is legal T.81 but this decoder only
+                # implements the fully interleaved single-scan geometry —
+                # decoding just the first scan would SILENTLY return
+                # grey-replicated luma as the image (review finding);
+                # honor the None-for-undecodable contract instead
+                return None
             scan = []
             for i in range(ns):
                 cs, tids = body[1 + 2 * i], body[2 + 2 * i]

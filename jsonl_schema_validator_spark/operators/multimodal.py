@@ -418,9 +418,9 @@ def decode_images(
     )
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
-    def decode_raw(raw: bytes) -> tuple:
-        from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
+    from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
 
+    def decode_raw(raw: bytes) -> tuple:
         parsed = (
             _parse_bmp(raw)
             or _parse_ppm(raw)

@@ -185,6 +185,26 @@ def test_jpeg_codec_roundtrip():
     assert _parse_jpeg(bytes(prog)) is None
     assert _parse_jpeg(None) is None and _parse_jpeg(b"") is None
 
+    # T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is LEGAL and
+    # must decode identically, not drop to nulls (review finding)
+    filled = raw.replace(b"\xff\xc0", b"\xff\xff\xc0", 1)
+    ref = _parse_jpeg(raw)
+    got = _parse_jpeg(filled)
+    assert got is not None and np.array_equal(got[2], ref[2])
+
+    # a multi-scan (non-interleaved) file — SOS carrying fewer components
+    # than the SOF declares — must return None, NOT silently decode the
+    # first scan as grey-replicated luma (review finding)
+    i = raw.find(b"\xff\xda")
+    ln = int.from_bytes(raw[i + 2 : i + 4], "big")
+    entropy = raw[i + 2 + ln :]
+    one_comp_sos = (
+        b"\xff\xda"
+        + (2 + 1 + 2 + 3).to_bytes(2, "big")
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    assert _parse_jpeg(raw[:i] + one_comp_sos + entropy) is None
+
 
 def test_decode_images_raw_jpeg(spark):
     """backend='raw' decodes baseline JPEG end-to-end through the Arrow
