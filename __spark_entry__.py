@@ -382,6 +382,18 @@ def q_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped perplexity filter signal from a corpus-internal bigram
+    LM (add-0.5 smoothing): boilerplate scores lowest, garbled text
+    highest. Fully relational, so the oracle replays the identical model;
+    perplexity derives from the 6-dp-rounded mean logprob in BOTH engines
+    so the hash compare is exact."""
+    from jsonl_schema_validator_spark.operators import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_scores(docs, "doc_id", "text")
+
+
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text_metrics(docs, "doc_id", "text")
@@ -895,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
+        "lm_perplexity": q_lm_perplexity,
         "text_metrics": q_text_metrics,
         "repetition_documents": q_repetition_documents,
         "doc_quality": q_doc_quality,
@@ -1421,6 +1434,41 @@ SELECT b.doc_id AS id,
 FROM base b
 LEFT JOIN aff a ON a.doc_id = b.doc_id
 LEFT JOIN reb r ON r.doc_id = b.doc_id
+"""
+
+
+# replica of ngram_lm_scores (corpus-internal bigram LM, add-0.5): the
+# whole model is relational — bigram counts, left-context totals derived
+# from the count table, corpus vocab size — so both engines compute the
+# IDENTICAL smoothed probabilities; perplexity is exp(-already-rounded
+# mean), making the 4-dp rounding deterministic across engines
+_LM_PERPLEXITY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+lp AS (
+  SELECT bg.doc_id,
+         ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vocab.v)) AS lp
+  FROM bg
+  JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+  JOIN c1 ON c1.w1 = bg.w1
+  CROSS JOIN vocab),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       a.avg_logprob,
+       round(exp(-a.avg_logprob), 4) AS perplexity
+FROM documents d
+LEFT JOIN agg a ON a.doc_id IS NOT DISTINCT FROM d.doc_id
 """
 
 
@@ -2090,6 +2138,7 @@ JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3
 """,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         "text_metrics": f"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
 m AS (

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "lsh_topk",
     "text_metrics",
+    "lm_perplexity",
     "langid",
     "token_count",
     "fingerprint",

@@ -232,6 +232,81 @@ def _top_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def ngram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
+) -> DataFrame:
+    """CCNet-style perplexity quality signal from a CORPUS-INTERNAL bigram
+    language model: (id, n_bigrams, avg_logprob, perplexity) for every
+    input row. P(w2|w1) = (c(w1,w2) + k) / (c(w1,.) + k*V) with add-k
+    smoothing and V = the corpus distinct-token count;
+    avg_logprob = round(mean ln P over the doc's bigrams, 6);
+    perplexity = round(exp(-avg_logprob), 4) — computed from the ALREADY
+    ROUNDED mean so the DuckDB oracle agrees bit-for-bit. Docs with fewer
+    than 2 tokens (or null text) report n_bigrams 0 and null scores.
+    Low-perplexity docs read like the corpus (boilerplate scores LOWEST);
+    high perplexity flags noise/garbled text — the standard CCNet-shaped
+    filter signal (Wenzek et al., arXiv:1911.00359 — shape only; CCNet
+    uses a pretrained KenLM, this trains on the corpus itself so the
+    operator needs no external model artifact). NOTE the reference engine
+    has no table-level ops; this extends the pipeline-op set (SURVEY.md
+    scope).
+
+    One row per distinct id (duplicate-id rows merge, NULL id is its own
+    group — the _top_bigram_counts contract), joined back eqNullSafe onto
+    the per-row frame, so output rows always equal input rows under the
+    usual unique-id corpus precondition.
+
+    Scale shape: the bigram table builds with codegen zip/slice (no HOF),
+    shuffles once to count (w1, w2) — map-side combinable, so a
+    boilerplate bigram in 10^9 docs partial-aggregates; c(w1,.) derives
+    from the (much smaller) bigram-count table, not a second pass over
+    occurrences; the per-occurrence joins are keyed equi-joins (each
+    occurrence matches exactly one count row — linear); V is a 1-row agg
+    crossJoined as a literal-like column (the stats.py pattern).
+    """
+    col = F.col(text_col)
+    toks = F.split(col, " ")
+    n_toks = F.size(toks)
+    bigram_arr = F.when(
+        n_toks >= 2,
+        F.arrays_zip(F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+    bg = df.select(
+        F.col(id_col).alias("id"), F.explode(bigram_arr).alias("b")
+    ).select("id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = df.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct(F.col("tok")).alias("v")
+    )
+    lp = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(vocab)
+        .select(
+            "id",
+            F.log(
+                (F.col("c2") + F.lit(float(add_k)))
+                / (F.col("c1") + F.lit(float(add_k)) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    agg = lp.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(agg, base["id"].eqNullSafe(agg["id"]), "left")
+        .select(
+            base["id"],
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("perplexity"),
+        )
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals:
     (id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac).

@@ -467,6 +467,54 @@ def test_stratified_hash_sample(spark):
         stratified_hash_sample(df, "lang", "doc_id", 0)
 
 
+def test_ngram_lm_scores(spark):
+    """Corpus-internal bigram-LM perplexity vs an exact Python reference
+    (same add-k smoothing and rounding order); boilerplate (corpus-like)
+    scores lower perplexity than a garbled one-off doc; short/null docs
+    report 0 bigrams and null scores; rows preserved."""
+    import math
+
+    from jsonl_schema_validator_spark.operators import ngram_lm_scores
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, boiler) for i in range(5)]
+    rows += [(10, "zxq vvk qqj plw zxq mnb"), (11, "solo"), (12, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in ngram_lm_scores(df, "doc_id", "text").collect()}
+    assert len(got) == 8
+
+    # exact Python replica
+    docs = dict(rows)
+    c2: dict = {}
+    c1: dict = {}
+    vocab = set()
+    for t in docs.values():
+        if t is None:
+            continue
+        toks = t.split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    for i, t in docs.items():
+        toks = t.split(" ") if t is not None else []
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert got[i].n_bigrams == 0 and got[i].avg_logprob is None
+            assert got[i].perplexity is None
+            continue
+        lps = [
+            math.log((c2[p] + 0.5) / (c1[p[0]] + 0.5 * v)) for p in pairs
+        ]
+        avg = round(sum(lps) / len(lps), 6)
+        assert got[i].n_bigrams == len(pairs)
+        assert got[i].avg_logprob == avg, (i, got[i].avg_logprob, avg)
+        assert got[i].perplexity == round(math.exp(-avg), 4)
+    # the CCNet-shaped ordering: corpus-like text beats garbled one-offs
+    assert got[0].perplexity < got[10].perplexity
+
+
 def test_clean_corpus(spark):
     """The one-call cleaning pass: duplicate keeper = min id, contaminated
     via benchmark 8-gram overlap, reasons in fixed order (duplicate,
