@@ -382,6 +382,18 @@ def q_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing sampler: per-lang deterministic keep-rates (the
+    training-recipe weights), a pure function of (salt, doc_id) — strata
+    missing from the recipe (es, zh) keep nothing by contract."""
+    from jsonl_schema_validator_spark.operators import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(
+        docs, "doc_id", {"en": 0.25, "de": 0.5, "fr": 1.0}, "lang", salt="r5"
+    ).select(F.col("doc_id").alias("id"), "lang")
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped perplexity filter signal from a corpus-internal bigram
     LM (add-0.5 smoothing): boilerplate scores lowest, garbled text
@@ -908,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "lm_perplexity": q_lm_perplexity,
+        "weighted_sample": q_weighted_sample,
         "text_metrics": q_text_metrics,
         "repetition_documents": q_repetition_documents,
         "doc_quality": q_doc_quality,
@@ -1310,6 +1323,24 @@ SELECT id, n_tokens, quality_score, dup_line_frac, top_bigram_frac,
        is_duplicate, is_near_duplicate, is_contaminated, reasons,
        (reasons = '') AS keep
 FROM j
+"""
+
+
+def _weighted_sample_sql(fractions: dict[str, float], salt: str) -> str:
+    """DuckDB replica of hash_sample with per-stratum fractions — SAME
+    digit-decode helper and integer thresholds as the hash_split replica
+    (one source of truth for the bucket arithmetic); unlisted strata drop,
+    matching the operator's explicit-recipe contract."""
+    arms = " OR ".join(
+        f"(lang = '{k}' AND v < {int(f * 16**6)})" for k, f in fractions.items()
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         md5('{salt}:' || coalesce(CAST(doc_id AS VARCHAR), '')) AS m
+  FROM documents),
+v AS (SELECT doc_id, lang, {_hash_digit_value_sql()} AS v FROM h)
+SELECT doc_id AS id, lang FROM v WHERE {arms}
 """
 
 
@@ -2139,6 +2170,9 @@ JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3
 """,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "weighted_sample": _weighted_sample_sql(
+            {"en": 0.25, "de": 0.5, "fr": 1.0}, salt="r5"
+        ),
         "text_metrics": f"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
 m AS (

@@ -86,6 +86,54 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | dict[str, float],
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash downsampling — the dataset-MIXING
+    primitive: keep a row iff its md5('<salt>:<id>') bucket falls below
+    floor(fraction * 16^6). With a dict `fraction` and `strata_col`, each
+    stratum gets its own keep-rate (e.g. {'en': 0.3, 'fr': 1.0} keeps 30%
+    of English and all French — the per-source mixing weights of a
+    training-data recipe); strata missing from the dict keep NOTHING
+    (explicit recipes only — a silent 1.0 default would leak unlisted
+    sources into the mix). A NULL stratum matches a None key if present,
+    else drops.
+
+    Same determinism contract as hash_split (it shares the hash helpers):
+    a row's fate is a pure function of (salt, id) — independent of row
+    order, partitioning, corpus size, and of the OTHER strata — so
+    incremental re-runs and cross-engine replays keep every decision, and
+    the same salt in hash_split/hash_sample selects correlated rows
+    (use distinct salts for independent decisions). Scale: ONE shuffle-
+    free filter projection over the scan; fractions are plan-time integer
+    thresholds, so engines cannot disagree on edge buckets.
+    """
+    if isinstance(fraction, dict):
+        if strata_col is None:
+            raise ValueError("a fraction dict requires strata_col")
+        for k, f in fraction.items():
+            if not (0.0 <= f <= 1.0):
+                raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    else:
+        if not (0.0 <= fraction <= 1.0):
+            raise ValueError("fraction must be in [0, 1]")
+    bucket = _hash_bucket(id_col, salt)
+    if not isinstance(fraction, dict):
+        return df.where(bucket < F.lit(int(fraction * _HASH_SPACE)))
+    s = F.col(strata_col)
+    keep = F.lit(False)
+    for k, f in fraction.items():
+        match = s.isNull() if k is None else s.eqNullSafe(F.lit(k))
+        keep = F.when(match, bucket < F.lit(int(f * _HASH_SPACE))).otherwise(
+            keep
+        )
+    return df.where(keep)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

@@ -426,6 +426,75 @@ def test_hash_split(spark):
         hash_split(df, "doc_id", {"a": 1.0})
 
 
+def test_hash_sample(spark):
+    """Deterministic Bernoulli-by-hash mixing sampler: membership replicated
+    bit-for-bit in Python, per-stratum fractions honored, unlisted strata
+    drop, NULL stratum matches only a None key, no shuffle, bad fractions
+    rejected."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators import hash_sample
+
+    def bucket(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:6], 16)
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, salt="s").collect()}
+    expect = {i for i in range(1000) if bucket(i, "s") < int(0.3 * 16**6)}
+    assert out == expect
+    assert 0.2 < len(out) / 1000 < 0.4
+
+    # per-stratum recipe; unlisted stratum 'zz' drops entirely
+    sdf = df.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, "en")
+        .when(F.col("doc_id") % 3 == 1, "fr")
+        .otherwise("zz"),
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in hash_sample(
+            sdf, "doc_id", {"en": 0.5, "fr": 1.0}, "lang", salt="s"
+        ).collect()
+    }
+    assert all(l != "zz" for l in got.values())
+    assert {i for i, l in got.items() if l == "fr"} == {
+        i for i in range(1000) if i % 3 == 1
+    }
+    assert {i for i, l in got.items() if l == "en"} == {
+        i
+        for i in range(1000)
+        if i % 3 == 0 and bucket(i, "s") < int(0.5 * 16**6)
+    }
+
+    # NULL stratum: dropped unless the recipe has a None key
+    ndf = spark.createDataFrame(
+        [(1, None), (2, "en")], "doc_id bigint, lang string"
+    )
+    assert hash_sample(ndf, "doc_id", {"en": 1.0}, "lang").count() == 1
+    assert (
+        hash_sample(ndf, "doc_id", {"en": 1.0, None: 1.0}, "lang").count() == 2
+    )
+
+    # narrow plan: no Exchange
+    p = (
+        hash_sample(sdf, "doc_id", {"en": 0.5}, "lang", salt="s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p, p[:500]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "doc_id", 1.5)
+    with _pytest.raises(ValueError, match="strata_col"):
+        hash_sample(df, "doc_id", {"en": 0.5})
+    with _pytest.raises(ValueError, match="fraction"):
+        hash_sample(sdf, "doc_id", {"en": -0.1}, "lang")
+
+
 def test_stratified_hash_sample(spark):
     """Exact n per stratum, deterministic membership, stable under growth
     (new rows only displace the largest-hash members), WindowGroupLimit
