@@ -1326,14 +1326,22 @@ FROM j
 """
 
 
-def _weighted_sample_sql(fractions: dict[str, float], salt: str) -> str:
+def _weighted_sample_sql(fractions: dict[str | None, float], salt: str) -> str:
     """DuckDB replica of hash_sample with per-stratum fractions — SAME
     digit-decode helper and integer thresholds as the hash_split replica
     (one source of truth for the bucket arithmetic); unlisted strata drop,
-    matching the operator's explicit-recipe contract."""
-    arms = " OR ".join(
-        f"(lang = '{k}' AND v < {int(f * 16**6)})" for k, f in fractions.items()
-    )
+    matching the operator's explicit-recipe contract. Keys are
+    quote-escaped and a None key emits IS NULL (the operator's NULL-stratum
+    arm) — the round-3 quirk-key SQL-escaping lesson."""
+    def arm(k, f):
+        cond = (
+            "lang IS NULL"
+            if k is None
+            else "lang = '" + str(k).replace("'", "''") + "'"
+        )
+        return f"({cond} AND v < {int(f * 16**6)})"
+
+    arms = " OR ".join(arm(k, f) for k, f in fractions.items())
     return f"""
 WITH h AS (
   SELECT doc_id, lang,

@@ -202,25 +202,35 @@ def _line_exprs(text_col: str) -> dict[str, Column]:
     }
 
 
+def _bigram_zip(toks, n_toks):
+    """Word-bigram array as arrays_zip of two shifted slices — pure codegen
+    array ops, measured 8.5x over a transform(sequence, element_at) lambda
+    (HOFs run interpreted). ONE definition shared by _top_bigram_counts and
+    ngram_lm_scores so the two ops cannot disagree on what a bigram is
+    (including the struct cast that keeps the when-branches
+    type-compatible). Empty for null text / < 2 tokens."""
+    return F.when(
+        n_toks >= 2,
+        F.arrays_zip(F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+
+
 def _top_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-id (id, top_bigram_frac) — ONE row per distinct id (bigrams of
     duplicate-id rows merge; NULL id is its own group), so an eqNullSafe
     join back onto a per-row frame is row-preserving. Shared by
-    repetition_metrics and document_quality."""
+    repetition_metrics and document_quality. Grouping by the (t1, t2)
+    STRUCT pair is count-identical to grouping by the 't1 t2' concat the
+    oracle uses: tokens cannot contain the space separator, so the mapping
+    is bijective."""
     col = F.col(text_col)
     toks = F.split(col, " ")
     n_toks = F.size(toks)
-    # bigrams as arrays_zip of two shifted slices — pure codegen array ops,
-    # measured 8.5x over a transform(sequence, element_at) lambda (HOFs run
-    # interpreted). Grouping by the (t1, t2) STRUCT pair is count-identical
-    # to grouping by the 't1 t2' concat the oracle uses: tokens cannot
-    # contain the space separator, so the mapping is bijective.
-    bigrams = F.when(
-        n_toks >= 2,
-        F.arrays_zip(F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)),
-    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_bigram_zip(toks, n_toks)).alias("bg"),
+        )
         .groupBy("id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")
@@ -256,41 +266,41 @@ def ngram_lm_scores(
     the per-row frame, so output rows always equal input rows under the
     usual unique-id corpus precondition.
 
-    Scale shape: the bigram table builds with codegen zip/slice (no HOF),
+    Scale shape: the bigram table builds with codegen zip/slice (no HOF,
+    one shared _bigram_zip definition with the repetition metrics),
     shuffles once to count (w1, w2) — map-side combinable, so a
     boilerplate bigram in 10^9 docs partial-aggregates; c(w1,.) derives
     from the (much smaller) bigram-count table, not a second pass over
-    occurrences; the per-occurrence joins are keyed equi-joins (each
-    occurrence matches exactly one count row — linear); V is a 1-row agg
-    crossJoined as a literal-like column (the stats.py pattern).
+    occurrences — and so does the log-probability itself: lp is computed
+    ONCE per DISTINCT bigram on the count table (c2 join c1 join the
+    1-row vocab agg, all count-granularity), so the occurrence-scale
+    table shuffles exactly once, into the single (w1, w2) equi-join
+    against the per-bigram lp (each occurrence matches one row — linear).
     """
     col = F.col(text_col)
     toks = F.split(col, " ")
     n_toks = F.size(toks)
-    bigram_arr = F.when(
-        n_toks >= 2,
-        F.arrays_zip(F.slice(toks, 1, n_toks - 1), F.slice(toks, 2, n_toks - 1)),
-    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
     bg = df.select(
-        F.col(id_col).alias("id"), F.explode(bigram_arr).alias("b")
+        F.col(id_col).alias("id"), F.explode(_bigram_zip(toks, n_toks)).alias("b")
     ).select("id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = df.select(F.explode(toks).alias("tok")).agg(
         F.count_distinct(F.col("tok")).alias("v")
     )
-    lp = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+    lp_table = (
+        c2.join(c1, ["w1"])
         .crossJoin(vocab)
         .select(
-            "id",
+            "w1",
+            "w2",
             F.log(
                 (F.col("c2") + F.lit(float(add_k)))
                 / (F.col("c1") + F.lit(float(add_k)) * F.col("v"))
             ).alias("lp"),
         )
     )
+    lp = bg.join(lp_table, ["w1", "w2"]).select("id", "lp")
     agg = lp.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
