@@ -3,6 +3,7 @@ from jsonl_schema_validator_spark.streaming.validate_stream import (
     windowed_chi2_drift,
     windowed_ri_orphans,
     windowed_ks_vs_profile,
+    windowed_quality_metrics,
     windowed_violation_counts,
     start_violations_sink,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "windowed_chi2_drift",
     "windowed_ri_orphans",
     "windowed_ks_vs_profile",
+    "windowed_quality_metrics",
     "windowed_violation_counts",
     "start_violations_sink",
 ]

@@ -86,6 +86,55 @@ def start_violations_sink(
     return writer.start()
 
 
+def windowed_quality_metrics(
+    sdf: DataFrame,
+    text_col: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    min_tokens: int = 20,
+    min_quality_score: float = 0.5,
+) -> DataFrame:
+    """Event-time windowed corpus-quality monitor over a document stream —
+    the live-ingestion gate: per window (window, n_docs, avg_quality_score,
+    avg_n_tokens, low_quality_frac). Built on the SAME per-row quality
+    expressions the batch text_metrics/document_quality use (one
+    _quality_exprs definition), so stream and batch cannot disagree on
+    what "quality" means; the per-window numbers batch-cross-check exactly
+    (tests). "Low quality" mirrors document_quality's composite: below the
+    token minimum OR below the quality threshold — null text fails the
+    token minimum, the same arm that catches it in batch (the raw quality
+    blend is a non-null 0.6 for null text because least() skips nulls, so
+    a quality-only definition would silently pass empty docs). One
+    stateful windowed aggregate; the watermark bounds state like the
+    sibling drift/RI monitors.
+
+    At scale: the per-row projection is stateless codegen over the
+    micro-batch; the window agg is map-side combinable (sums/counts), so
+    state per window is O(1) regardless of stream rate.
+    """
+    from jsonl_schema_validator_spark.operators.textops import _quality_exprs
+
+    q = _quality_exprs(text_col)
+    low = (
+        F.coalesce(q["n_tokens"], F.lit(0)) < F.lit(min_tokens)
+    ) | F.coalesce(q["quality"] < F.lit(min_quality_score), F.lit(False))
+    per_row = sdf.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        q["n_tokens"].alias("__nt"),
+        q["quality"].alias("__qs"),
+        low.cast("int").alias("__low"),
+    )
+    return per_row.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__qs"), 6).alias("avg_quality_score"),
+        F.round(F.avg("__nt"), 6).alias("avg_n_tokens"),
+        F.round(F.avg("__low"), 6).alias("low_quality_frac"),
+    )
+
+
 def windowed_chi2_drift(
     sdf: DataFrame,
     category_col: str,

@@ -159,6 +159,79 @@ def test_windowed_chi2_drift(spark, tmp_path):
     assert got[1].drifted
 
 
+def test_windowed_quality_metrics(spark, tmp_path):
+    """Streaming corpus-quality monitor: per-window doc counts, mean quality
+    and low-quality fraction (null text counts low); values cross-checked
+    against the BATCH text_metrics expressions on the same rows — stream
+    and batch share one _quality_exprs definition."""
+    from jsonl_schema_validator_spark.operators import text_metrics
+    from jsonl_schema_validator_spark.streaming import windowed_quality_metrics
+
+    good = ("the a of and to in is it that for " * 4).strip()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # hour 0: 8 good docs + 2 junk; hour 1: 3 good + 1 null text
+    for i in range(8):
+        rows.append((i, t0 + dt.timedelta(seconds=i), good + f" tail {i}"))
+    rows += [
+        (8, t0 + dt.timedelta(seconds=8), "x"),
+        (9, t0 + dt.timedelta(seconds=9), "zzz qqq"),
+    ]
+    t1 = t0 + dt.timedelta(hours=1)
+    for i in range(3):
+        rows.append((100 + i, t1 + dt.timedelta(seconds=i), good))
+    rows.append((103, t1 + dt.timedelta(seconds=3), None))
+    src = str(tmp_path / "q_src")
+    spark.createDataFrame(rows, "doc_id bigint, ts timestamp, text string").coalesce(
+        1
+    ).write.parquet(src)
+
+    sdf = spark.readStream.schema("doc_id bigint, ts timestamp, text string").parquet(src)
+    out = windowed_quality_metrics(
+        sdf, "text", "ts", window_duration="1 hour", watermark="2 hours",
+        min_tokens=20, min_quality_score=0.5,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window.start.hour: r
+        for r in spark.sql("select * from quality_windows").collect()
+    }
+    assert got[0].n_docs == 10 and got[1].n_docs == 4
+
+    # batch cross-check: same rows through the batch per-row expressions
+    import math
+
+    for hour, t_lo, t_hi in ((0, t0, t1), (1, t1, t1 + dt.timedelta(hours=1))):
+        sub = [(r[0], r[2]) for r in rows if t_lo <= r[1] < t_hi]
+        tm = text_metrics(
+            spark.createDataFrame(sub, "doc_id bigint, text string"),
+            "doc_id", "text",
+        ).collect()
+        qs = [r.quality_score for r in tm if r.quality_score is not None]
+        nt = [r.n_tokens for r in tm if r.n_tokens is not None]
+        # the composite low arm: token minimum OR quality threshold (null
+        # text fails the token minimum — same as document_quality)
+        low = [
+            1
+            if ((r.n_tokens or 0) < 20)
+            or (r.quality_score is not None and r.quality_score < 0.5)
+            else 0
+            for r in tm
+        ]
+        assert got[hour].avg_quality_score == round(sum(qs) / len(qs), 6)
+        assert got[hour].avg_n_tokens == round(sum(nt) / len(nt), 6)
+        assert got[hour].low_quality_frac == round(sum(low) / len(low), 6)
+    # the junk-heavy hour reads worse than the clean one
+    assert got[0].low_quality_frac > 0 and got[1].low_quality_frac == 0.25
+
+
 def test_windowed_ks_vs_profile(spark, tmp_path):
     """Streaming KS vs a stored quantile profile: the window drawn from the
     baseline distribution scores low, the shifted window scores high; the
