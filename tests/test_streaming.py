@@ -60,7 +60,7 @@ def test_streaming_validation_and_sink(spark, tmp_path):
     assert validate_stream(sdf, schema).isStreaming
 
     q = start_violations_sink(sdf, schema, sink, ckpt, keys=["event_id"])
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream timed out"
     out = spark.read.parquet(sink)
     # 10 bad rows x 2 violations (enum + range)
     assert out.count() == 20
@@ -73,7 +73,7 @@ def test_streaming_validation_and_sink(spark, tmp_path):
         src, mode="append"
     )
     q = start_violations_sink(sdf, schema, sink, ckpt, keys=["event_id"])
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream timed out"
     assert spark.read.parquet(sink).count() == 20 + 20  # 10 new bad x 2
 
 
@@ -93,7 +93,7 @@ def test_windowed_violation_counts(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream timed out"
     got = spark.sql(
         "select window.start as ws, rule_id, violation_count from win_counts"
     ).collect()
@@ -141,7 +141,7 @@ def test_windowed_chi2_drift(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {
         r.window.start.hour: r
         for r in spark.sql("select * from chi2_windows").collect()
@@ -198,7 +198,7 @@ def test_windowed_quality_metrics(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {
         r.window.start.hour: r
         for r in spark.sql("select * from quality_windows").collect()
@@ -275,7 +275,7 @@ def test_windowed_ks_vs_profile(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {
         r.window.start.hour: r
         for r in spark.sql("select * from ks_windows").collect()
@@ -330,7 +330,7 @@ def test_windowed_ri_orphans(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {r.window.start.hour: r for r in spark.sql("select * from ri_windows").collect()}
     assert got[0].orphan_rows == 3 and got[0].approx_orphan_keys == 2
     assert 1 not in got  # no orphans -> no row for hour 1

@@ -25,7 +25,7 @@ def _run_once(spark, src, sink, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
 
 
 def test_cross_batch_and_restart_dedup(spark, tmp_path):
@@ -66,7 +66,7 @@ def test_flagged_mode(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     rows = {(r.id, r.occurrence) for r in spark.read.parquet(sink).collect()}
     assert (3, 1) in rows
     assert {(o) for i, o in rows if i in (1, 2)} == {1, 2}
@@ -109,7 +109,7 @@ def test_transform_with_state_dedup(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), "stream timed out"
 
         _write_batch(spark, src, [(1, "A"), (2, "B"), (3, "A")])
         run_once()
