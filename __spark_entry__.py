@@ -394,6 +394,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("id"), "lang")
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: top-5 TF-IDF terms, ranked on the
+    ROUNDED score (desc) then term (asc) so the top-k SET itself is
+    engine-reproducible."""
+    from jsonl_schema_validator_spark.operators import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped perplexity filter signal from a corpus-internal bigram
     LM (add-0.5 smoothing): boilerplate scores lowest, garbled text
@@ -921,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "lm_perplexity": q_lm_perplexity,
         "weighted_sample": q_weighted_sample,
+        "tfidf_terms": q_tfidf_terms,
         "text_metrics": q_text_metrics,
         "repetition_documents": q_repetition_documents,
         "doc_quality": q_doc_quality,
@@ -1473,6 +1484,29 @@ SELECT b.doc_id AS id,
 FROM base b
 LEFT JOIN aff a ON a.doc_id = b.doc_id
 LEFT JOIN reb r ON r.doc_id = b.doc_id
+"""
+
+
+# replica of tfidf_top_terms(k=5): tf from the (doc, term) counts, df_t
+# and N derived from that same table, rank over (rounded score DESC, term
+# ASC) — ranking on the ROUNDED score is what keeps the top-k set
+# identical across engines
+_TFIDF_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((nd.n_docs + 1) / (dft.df_t + 1.0)), 6) AS score
+  FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN nd),
+r AS (
+  SELECT doc_id, term, tf, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id AS id, term, tf, score, rank FROM r WHERE rank <= 5
 """
 
 
@@ -2178,6 +2212,7 @@ JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.3
 """,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "tfidf_terms": _TFIDF_TERMS_SQL,
         "weighted_sample": _weighted_sample_sql(
             {"en": 0.25, "de": 0.5, "fr": 1.0}, salt="r5"
         ),

@@ -317,6 +317,60 @@ def ngram_lm_scores(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document keyword extraction: the k highest-TF-IDF terms of each
+    doc — (id, term, tf, score, rank). idf = ln((N + 1) / (df_t + 1)) with
+    N = docs carrying at least one token and df_t = docs containing the
+    term (smoothed so corpus-universal terms score ~0 instead of
+    dividing by zero); score = round(tf * idf, 6). Rank orders by the
+    ROUNDED score desc then term asc — ranking on the rounded value is
+    what makes the order (and therefore the top-k set) reproducible
+    across engines, the lm_perplexity derive-from-rounded trick applied
+    to ordering. Docs with no tokens (null text) contribute no rows.
+
+    Scale shape: one (id, term) count shuffle (map-side combinable), the
+    document-frequency table derives from the per-doc counts (distinct
+    (id, term) is already what tf holds — no second corpus pass), N is a
+    1-row agg crossJoined as a literal-like column, and rank <= k is a
+    WindowGroupLimit (bounded per-task heap per doc, no full sort).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ndocs = tf.select("id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(ndocs)
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", "rank")
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals:
     (id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac).

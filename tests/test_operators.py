@@ -536,6 +536,56 @@ def test_stratified_hash_sample(spark):
         stratified_hash_sample(df, "lang", "doc_id", 0)
 
 
+def test_tfidf_top_terms(spark):
+    """Top-k TF-IDF terms vs an exact Python reference (same smoothing and
+    round-then-rank order); corpus-universal terms score 0 and distinctive
+    terms surface; WindowGroupLimit in the plan; null-text docs absent."""
+    import math
+
+    from jsonl_schema_validator_spark.operators import tfidf_top_terms
+
+    rows = [
+        (1, "common common alpha beta"),
+        (2, "common gamma gamma gamma"),
+        (3, "common delta"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2)
+    got = {(r.id, r.rank): (r.term, r.tf, r.score) for r in out.collect()}
+
+    # python reference
+    docs = {i: t.split(" ") for i, t in rows if t is not None}
+    dft: dict = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dft[t] = dft.get(t, 0) + 1
+    n = len(docs)
+    expect = {}
+    for i, toks in docs.items():
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            (
+                (round(c * math.log((n + 1) / (dft[t] + 1)), 6), t, c)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for r, (s, t, c) in enumerate(scored[:2], 1):
+            expect[(i, r)] = (t, c, s)
+    assert got == expect
+    # 'common' appears in every doc -> idf ln(4/4)=0 -> never a top term
+    # when any distinctive term exists
+    assert got[(1, 1)][0] == "alpha" and got[(2, 1)][0] == "gamma"
+    assert (4, 1) not in got  # null text: no rows
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_top_terms(df, "doc_id", "text", k=0)
+
+
 def test_ngram_lm_scores(spark):
     """Corpus-internal bigram-LM perplexity vs an exact Python reference
     (same add-k smoothing and rounding order); boilerplate (corpus-like)
