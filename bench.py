@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "lsh_topk",
     "text_metrics",
     "lm_perplexity",
+    "tfidf_terms",
     "langid",
     "token_count",
     "fingerprint",
