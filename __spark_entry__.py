@@ -242,9 +242,11 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group clustering: connected components (hash-min label
-    propagation, lineage-truncated iterative joins) over the MinHash+LSH
-    near-dup pair graph; cluster_id = canonical (smallest) member."""
+    """Duplicate-group clustering: connected components over the
+    MinHash+LSH near-dup pair graph; cluster_id = canonical (smallest)
+    member. Size-dispatched: small graphs label at the driver
+    (union-find), larger ones take the distributed large-star/small-star
+    alternation (default; hash-min propagation stays opt-in)."""
     from jsonl_schema_validator_spark.operators import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
@@ -1496,7 +1498,11 @@ WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
-nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+-- NULL id is a legal doc group (repo convention): count distinct ids
+-- INCLUDING a null one, which count(DISTINCT doc_id) would drop while
+-- df_t still counted that doc's terms — engines would then disagree on
+-- every idf
+nd AS (SELECT count(*) AS n_docs FROM (SELECT DISTINCT doc_id FROM tf)),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf,
          round(tf.tf * ln((nd.n_docs + 1) / (dft.df_t + 1.0)), 6) AS score

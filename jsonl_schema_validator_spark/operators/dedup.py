@@ -871,8 +871,14 @@ def _cc_star(
     At the fixpoint the edge set is a forest of depth-1 stars rooted at
     each component's minimum, so labels fall out of one groupBy(hi).
     """
+    # ONE materialization of the upstream pair pipeline (an LSH join, an
+    # intra-cell self-join — exactly what is expensive in the regime this
+    # path serves): everything downstream (the canonical edge set, the
+    # node set, the final verification, every action on the returned
+    # labels) derives from this checkpointed frame, never from pairs_nn
+    pairs_cp = pairs_nn.select(F.col(id_a), F.col(id_b)).localCheckpoint()
     edges = (
-        pairs_nn.select(
+        pairs_cp.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
             F.least(F.col(id_a), F.col(id_b)).alias("lo"),
         )
@@ -881,22 +887,20 @@ def _cc_star(
         .localCheckpoint()
     )
     orig_edges = edges  # the checkpointed INPUT set, for final verification
-    # nodes materialized once: the upstream pair pipeline (an LSH join, an
-    # intra-cell self-join) is exactly what is expensive in the regime this
-    # path serves — without the checkpoint every downstream action on the
-    # returned labels would re-run it
     nodes = (
-        pairs_nn.select(F.col(id_a).alias("id"))
-        .unionByName(pairs_nn.select(F.col(id_b).alias("id")))
+        pairs_cp.select(F.col(id_a).alias("id"))
+        .unionByName(pairs_cp.select(F.col(id_b).alias("id")))
         .dropDuplicates()
-        .localCheckpoint()
     )
-    # cheap fixpoint signature: (edge count, 31-bit edge-hash sum). The sum
-    # stays far below the long range under ANSI mode (2^31 * edges); a
-    # collision cannot mislabel — the final original-pair check is sound.
+    # cheap fixpoint signature: (edge count, 20-bit edge-hash sum). 20 bits
+    # keeps the ANSI-mode long sum safe to ~2^43 edges (a 31-bit term would
+    # overflow-abort around 4e9 edges — exactly the scale this path
+    # targets); the weaker hash only widens the collision odds the SOUND
+    # final check below already covers — a collision can only raise, never
+    # mislabel.
     sig_aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1 << 31))).alias("s"),
+        F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1 << 20))).alias("s"),
     ]
     prev = tuple(edges.agg(*sig_aggs).collect()[0])
     converged = prev[0] == 0  # no edges at all: nothing to iterate

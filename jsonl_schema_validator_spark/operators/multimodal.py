@@ -274,7 +274,11 @@ def _parse_png(raw: bytes):
         pos += 12 + ln  # length + type + data + crc
     if ihdr is None or len(ihdr) < 13 or not idat:
         return None
-    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    # slice to exactly 13: an IHDR with a LONGER declared body is corrupt
+    # but must take the None exit, not raise struct.error into the task
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
     ch = {0: 1, 2: 3, 6: 4}.get(color)
     if ch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         return None
@@ -421,12 +425,19 @@ def decode_images(
     from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
 
     def decode_raw(raw: bytes) -> tuple:
-        parsed = (
-            _parse_bmp(raw)
-            or _parse_ppm(raw)
-            or _parse_png(raw)
-            or _parse_jpeg(raw)
-        )
+        # blanket guard (same contract _parse_jpeg carries internally): an
+        # adversarial/corrupt byte string that slips past a parser's
+        # structural checks must yield metadata NULLS, never abort the
+        # mapInPandas task — one bad row cannot kill a 100 TB decode job
+        try:
+            parsed = (
+                _parse_bmp(raw)
+                or _parse_ppm(raw)
+                or _parse_png(raw)
+                or _parse_jpeg(raw)
+            )
+        except Exception:
+            parsed = None
         if parsed is None:
             return (None, None, len(raw) if raw is not None else None, None, None)
         w, h, px = parsed

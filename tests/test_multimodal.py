@@ -206,6 +206,36 @@ def test_jpeg_codec_roundtrip():
     assert _parse_jpeg(raw[:i] + one_comp_sos + entropy) is None
 
 
+def test_png_oversized_ihdr_no_crash():
+    """A PNG whose IHDR declares MORE than 13 body bytes must not raise
+    struct.error into the Spark task (review finding): the parser slices
+    to the 13 spec bytes and either decodes leniently or returns None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_png,
+        _png_chunk,
+    )
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    body = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0) + b"\x00"
+        )
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+    r = _parse_png(bad)  # must not raise
+    assert r is None or (r[0], r[1]) == (2, 2)
+    if r is not None:
+        assert np.array_equal(r[2], px.reshape(-1))
+
+
 def test_decode_images_raw_jpeg(spark):
     """backend='raw' decodes baseline JPEG end-to-end through the Arrow
     mapInPandas plumbing alongside BMP/PPM/PNG; mean_byte within the

@@ -549,6 +549,7 @@ def test_tfidf_top_terms(spark):
         (2, "common gamma gamma gamma"),
         (3, "common delta"),
         (4, None),
+        (None, "epsilon zeta"),  # NULL id is a legal doc group (convention)
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = tfidf_top_terms(df, "doc_id", "text", k=2)
@@ -576,9 +577,9 @@ def test_tfidf_top_terms(spark):
         for r, (s, t, c) in enumerate(scored[:2], 1):
             expect[(i, r)] = (t, c, s)
     assert got == expect
-    # 'common' appears in every doc -> idf ln(4/4)=0 -> never a top term
-    # when any distinctive term exists
+    # distinctive terms outrank the near-universal 'common'
     assert got[(1, 1)][0] == "alpha" and got[(2, 1)][0] == "gamma"
+    assert got[(None, 1)][0] == "epsilon"  # null-id doc ranks like any other
     assert (4, 1) not in got  # null text: no rows
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
