@@ -8,13 +8,18 @@
         [--benchmark /path/eval.parquet] [--decontam-n 8] \
         [--allowed-langs en,de] [--min-tokens 20] [--near-dup] \
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
-        [--drop] [--fail-on-drop-frac 0.5]
+        [--drop] [--dedup-spans 20] [--fail-on-drop-frac 0.5]
 
 Outputs under --output: report/ (the per-doc verdict table: signals,
 is_duplicate, is_contaminated, split, reasons, keep) and, with --drop,
-kept/ (the input rows with keep=true, original columns + split). Exit
-code 1 when the drop fraction exceeds --fail-on-drop-frac (a cleaning
-pass that rejects most of a corpus usually means a misconfigured
+kept/ (the input rows with keep=true, original columns + split). With
+--dedup-spans K (requires --drop), the kept docs' text is additionally
+REWRITTEN by the Lee-et-al span-removal pass before writing: every
+duplicated K-token span keeps only its first corpus-wide occurrence,
+later occurrences are cut — document-level dedup drops whole near-copies,
+span removal then cuts the verbatim boilerplate the survivors still
+share. Exit code 1 when the drop fraction exceeds --fail-on-drop-frac (a
+cleaning pass that rejects most of a corpus usually means a misconfigured
 threshold, not a dirty corpus — fail loudly rather than train on the
 remainder).
 """
@@ -43,6 +48,10 @@ def parse_args(argv):
     p.add_argument("--split", default=None, help="name=weight,... (weights sum to 1)")
     p.add_argument("--split-salt", default="")
     p.add_argument("--drop", action="store_true", help="also write kept/ with keep=true rows")
+    p.add_argument(
+        "--dedup-spans", type=int, default=None, metavar="K",
+        help="with --drop: rewrite kept docs, cutting duplicated K-token spans",
+    )
     p.add_argument("--fail-on-drop-frac", type=float, default=None)
     return p.parse_args(argv)
 
@@ -129,6 +138,30 @@ def main(argv=None) -> int:
                 )
                 kept = kept.drop(df["split"])
             kept = kept.withColumnRenamed("__jsv_split", "split")
+        if args.dedup_spans:
+            # span removal runs on the SURVIVORS only (dedup after
+            # filtering, the standard order): cut every duplicated
+            # K-token span's later occurrences and swap the rewritten
+            # text in under the same column; reserved aliases as above
+            from jsonl_schema_validator_spark.operators import dedup_spans
+
+            rew = dedup_spans(
+                kept, args.id_col, args.text_col, k=args.dedup_spans
+            ).select(
+                F.col("id").alias("__jsv_rw_id"),
+                F.col("text").alias("__jsv_rw_text"),
+                F.col("n_tokens_removed").alias("__jsv_rw_cut"),
+            )
+            cut = rew.agg(
+                F.coalesce(F.sum("__jsv_rw_cut"), F.lit(0)).alias("c")
+            ).collect()[0]["c"]
+            print(f"[clean] span dedup (k={args.dedup_spans}): "
+                  f"{int(cut)} tokens removed from kept docs")
+            kept = (
+                kept.join(rew, kept[args.id_col] == F.col("__jsv_rw_id"))
+                .withColumn(args.text_col, F.col("__jsv_rw_text"))
+                .drop("__jsv_rw_id", "__jsv_rw_text", "__jsv_rw_cut")
+            )
         kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     # release the cached intermediates the composed operators persisted
     # (shingle/span/cell-assignment tables) — this entry point is terminal

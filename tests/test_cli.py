@@ -144,6 +144,31 @@ def test_clean_job_e2e(spark, tmp_path):
     kept3 = spark.read.parquet(f"{out3}/kept")
     assert "id" in kept3.columns and kept3.count() > 0
 
+    # --drop --dedup-spans: kept docs are REWRITTEN — a duplicated run
+    # survives only in its first (min-id) doc, later kept docs lose it
+    run = " ".join(f"sp{i}" for i in range(10))
+    base_doc = ("the a of and to in is it that for " * 4).strip()
+    span_rows = [
+        (0, f"{base_doc} {run} first owner tail zero"),
+        (1, f"{base_doc} {run} second doc tail words one"),
+        (2, f"{base_doc} totally different closing words here two"),
+    ]
+    inp5 = str(tmp_path / "docs5")
+    spark.createDataFrame(span_rows, "doc_id bigint, text string").write.parquet(inp5)
+    out5 = str(tmp_path / "out5")
+    assert cj.main([
+        "--input", inp5, "--output", out5, "--drop", "--dedup-spans", "10",
+    ]) == 0
+    kept5 = {r.doc_id: r.text for r in spark.read.parquet(f"{out5}/kept").collect()}
+    assert len(kept5) == 3
+    # doc 0 keeps ONE copy of the internally-repeated 10-token phrase
+    # (intra-doc span dedup) plus the run; later docs lose everything they
+    # share with doc 0 and keep only their unique tails
+    phrase = "the a of and to in is it that for"
+    assert kept5[0] == f"{phrase} {run} first owner tail zero"
+    assert kept5[1] == "second doc tail words one"
+    assert kept5[2] == "totally different closing words here two"
+
     # --near-dup: a one-token-off near-copy is flagged and dropped
     near = rows[0][1].replace("unique", "CHANGED", 1)
     df4 = spark.createDataFrame(
