@@ -145,13 +145,16 @@ def main(argv=None) -> int:
             # text in under the same column; reserved aliases as above
             from jsonl_schema_validator_spark.operators import dedup_spans
 
+            # localCheckpoint: the rewrite feeds BOTH the removed-token
+            # report and the kept/ write — materialize the span pipeline
+            # once instead of twice
             rew = dedup_spans(
                 kept, args.id_col, args.text_col, k=args.dedup_spans
             ).select(
                 F.col("id").alias("__jsv_rw_id"),
                 F.col("text").alias("__jsv_rw_text"),
                 F.col("n_tokens_removed").alias("__jsv_rw_cut"),
-            )
+            ).localCheckpoint()
             cut = rew.agg(
                 F.coalesce(F.sum("__jsv_rw_cut"), F.lit(0)).alias("c")
             ).collect()[0]["c"]
