@@ -7,6 +7,7 @@
         --output /path/out \
         [--benchmark /path/eval.parquet] [--decontam-n 8] \
         [--allowed-langs en,de] [--min-tokens 20] [--near-dup] \
+        [--near-dup-threshold 0.8 --near-dup-n 3 --near-dup-hashes 16 --near-dup-bands 4] \
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
         [--drop] [--dedup-spans 20] [--fail-on-drop-frac 0.5]
 
@@ -41,6 +42,9 @@ def parse_args(argv):
     p.add_argument("--allowed-langs", default="", help="comma-separated; empty = no language filter")
     p.add_argument("--near-dup", action="store_true", help="also flag MinHash+LSH near-duplicates")
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--near-dup-n", type=int, default=3, help="word-shingle n for the near-dup stage")
+    p.add_argument("--near-dup-hashes", type=int, default=16, help="MinHash signature length for the near-dup stage")
+    p.add_argument("--near-dup-bands", type=int, default=4, help="LSH band count for the near-dup stage")
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--min-quality-score", type=float, default=0.5)
     p.add_argument("--max-dup-line-frac", type=float, default=0.3)
@@ -53,7 +57,13 @@ def parse_args(argv):
         help="with --drop: rewrite kept docs, cutting duplicated K-token spans",
     )
     p.add_argument("--fail-on-drop-frac", type=float, default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # validate-at-entry: --dedup-spans rewrites kept/ rows, which only
+    # exist under --drop — silently ignoring the flag would hand the user
+    # an unrewritten report they believe was span-deduped
+    if args.dedup_spans is not None and not args.drop:
+        p.error("--dedup-spans requires --drop (it rewrites the kept/ output)")
+    return args
 
 
 def main(argv=None) -> int:
@@ -86,6 +96,9 @@ def main(argv=None) -> int:
         allowed_langs=langs,
         near_dup=args.near_dup,
         near_dup_threshold=args.near_dup_threshold,
+        near_dup_n=args.near_dup_n,
+        near_dup_num_hashes=args.near_dup_hashes,
+        near_dup_bands=args.near_dup_bands,
         benchmark=benchmark,
         decontam_n=args.decontam_n,
         split_weights=weights,

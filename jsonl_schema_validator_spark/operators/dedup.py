@@ -329,6 +329,10 @@ def dedup_spans(
     """
     if keep != "first":
         raise ValueError("only keep='first' is supported")
+    # validate-at-entry (like duplicate_clusters / tfidf_top_terms): k<=0
+    # otherwise dies deep in the plan as an opaque slice/arrays_zip error
+    if k < 1:
+        raise ValueError("k must be >= 1")
     toks = _tokens(F.col(text_col))
     n_tok = F.size(toks)
     # positional spans: (id, pos, span_hash), pos 0-based, FULL k-token

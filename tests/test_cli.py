@@ -185,3 +185,19 @@ def test_clean_job_e2e(spark, tmp_path):
     assert rep4[102].is_near_duplicate and not rep4[102].keep
     assert "near_duplicate" in rep4[102].reasons
     assert rep4[0].keep  # the min-id keeper survives
+
+
+def test_clean_job_arg_validation():
+    """--dedup-spans without --drop is an argparse error (the rewrite only
+    applies to kept/, which --drop writes); the near-dup LSH knobs parse."""
+    import pytest
+
+    import jobs.clean_job as cj
+
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y", "--dedup-spans", "20"])
+    a = cj.parse_args([
+        "--input", "x", "--output", "y", "--drop", "--dedup-spans", "20",
+        "--near-dup-n", "5", "--near-dup-hashes", "32", "--near-dup-bands", "8",
+    ])
+    assert (a.near_dup_n, a.near_dup_hashes, a.near_dup_bands) == (5, 32, 8)

@@ -772,3 +772,11 @@ def test_dedup_lines(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep"):
         dedup_lines(df, "doc_id", "text", keep="all")
+
+
+def test_dedup_spans_validates_k_at_entry():
+    """k <= 0 raises eagerly, not as an opaque plan error mid-job."""
+    from jsonl_schema_validator_spark.operators import dedup_spans
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        dedup_spans(None, "id", "text", k=0)
