@@ -1,25 +1,34 @@
-"""Baseline JPEG codec in pure numpy + stdlib — no codec library.
+"""Baseline + progressive JPEG codec in pure numpy + stdlib — no codec
+library.
 
-Baseline sequential DCT JPEG (ITU-T T.81 / ISO 10918-1) is, like PNG's
-DEFLATE, fully decodable with nothing but bit twiddling and an 8x8
-transform: marker parse -> Huffman-decode the entropy stream (with 0xFF00
-unstuffing and RSTn restarts) -> dequantize + un-zigzag -> IDCT ->
-upsample chroma -> YCbCr->RGB. This module implements both directions:
+DCT JPEG (ITU-T T.81 / ISO 10918-1) is, like PNG's DEFLATE, fully
+decodable with nothing but bit twiddling and an 8x8 transform: marker
+parse -> Huffman-decode the entropy stream (with 0xFF00 unstuffing and
+RSTn restarts) -> dequantize + un-zigzag -> IDCT -> upsample chroma ->
+YCbCr->RGB. This module implements both directions:
 
 - ``encode_jpeg_baseline(pixels, quality, subsampling, restart_interval)``
   writes a spec-conformant baseline JFIF file (Annex K quantization and
   Huffman tables) — the fixture writer AND a real encoder.
-- ``_parse_jpeg(raw)`` returns (w, h, rgb_flat_uint8) for baseline
-  grayscale / YCbCr 4:4:4 / 4:2:0 (and 4:2:2) files, or None for anything
-  it cannot decode (progressive SOF2, arithmetic coding, 12-bit,
-  truncation, bad markers) — the undecodable-row-yields-nulls contract of
-  the multimodal raw backend.
+- ``encode_jpeg_progressive(...)`` writes a progressive (SOF2) file —
+  spectral selection + successive approximation per T.81 Annex G, a
+  libjpeg-shaped default scan script, per-scan Huffman tables.
+- ``_parse_jpeg(raw)`` returns (w, h, rgb_flat_uint8) for baseline AND
+  progressive grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 files, or None for
+  anything it cannot decode (arithmetic coding, 12-bit, truncation, bad
+  markers) — the undecodable-row-yields-nulls contract of the multimodal
+  raw backend.
 
 Correctness evidence without an external codec: at quality=100 the Annex K
 tables scale to all-ones, so the ONLY loss is YCbCr round-tripping and
 DCT float rounding — the tests pin max-abs pixel error <= 2 for 4:4:4 RGB
 and <= 1 for grayscale on random images, exact Huffman/bitstream
 round-trips, restart-marker handling, and odd (non-multiple-of-8) sizes.
+For progressive, both encoders quantize to bit-identical coefficients
+(shared _encode_prep) while the two entropy decoders are fully
+independent — so the pinned progressive-decode == baseline-decode
+equality checks the entire Annex G scan machinery against the Annex F
+path, not against itself.
 
 At Spark scale the decode runs inside the same Arrow-batched mapInPandas
 plumbing as BMP/PPM/PNG (operators/multimodal.py) — per-image Python, but
@@ -191,14 +200,16 @@ def _enc_magnitude(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def encode_jpeg_baseline(
-    pixels,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF bytes from an (h, w, 3) uint8 RGB or (h, w) grayscale
-    array. subsampling: '4:4:4', '4:2:2' or '4:2:0' (RGB only)."""
+def _encode_prep(pixels, quality: int, subsampling: str):
+    """Shared front half of both encoders: validate, color-convert,
+    subsample, pad to the MCU grid, forward-DCT and quantize every 8x8
+    block. Returns (gray, h, w, cfg, qt_l, qt_c, mcus_x, mcus_y) with cfg
+    a list of (coefs, hsamp, vsamp) per component, coefs an
+    (mcu-grid-blocks-y, mcu-grid-blocks-x, 64) int64 array in ZIGZAG index
+    order. The per-block float math is identical for both callers, so a
+    baseline and a progressive encode of the same input quantize to
+    bit-identical coefficients — the progressive-decode == baseline-decode
+    equality test rests on that."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -219,6 +230,7 @@ def encode_jpeg_baseline(
 
     if gray:
         planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         r = px[:, :, 0].astype(np.float64)
         g = px[:, :, 1].astype(np.float64)
@@ -238,46 +250,61 @@ def encode_jpeg_baseline(
             cb = decimate(cb)
             cr = decimate(cr)
         planes = [y, cb, cr]
+        samps = [(ch_dec, cv_dec), (1, 1), (1, 1)]
 
     qt_l = _scale_qt(_QT_LUMA, quality)
     qt_c = _scale_qt(_QT_CHROMA, quality)
     C = _dct_matrix()
     zz = np.array(_ZIGZAG)
 
-    comp_cfg = []  # (plane, qt, dc_codes, ac_codes, h_samp, v_samp)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    cfg = []
+    qts = [qt_l] + [qt_c] * (len(planes) - 1)
+    for plane, (hsamp, vsamp), qt in zip(planes, samps, qts):
+        need_h = mcus_y * vsamp * 8
+        need_w = mcus_x * hsamp * 8
+        ph, pw = plane.shape
+        p = np.pad(plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge")
+        bh, bw = need_h // 8, need_w // 8
+        coefs = np.zeros((bh, bw, 64), np.int64)
+        qtf = qt.reshape(8, 8)
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ (block - 128.0) @ C.T
+                q = np.round(coef / qtf).astype(np.int64)
+                coefs[by, bx] = q.reshape(-1)[zz]
+        cfg.append((coefs, hsamp, vsamp))
+    return gray, h, w, cfg, qt_l, qt_c, mcus_x, mcus_y
+
+
+def encode_jpeg_baseline(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes from an (h, w, 3) uint8 RGB or (h, w) grayscale
+    array. subsampling: '4:4:4', '4:2:2' or '4:2:0' (RGB only)."""
+    gray, h, w, cfg, qt_l, qt_c, mcus_x, mcus_y = _encode_prep(
+        pixels, quality, subsampling
+    )
+
     dc_l = _huff_codes(*_DC_LUMA)
     ac_l = _huff_codes(*_AC_LUMA)
     dc_c = _huff_codes(*_DC_CHROMA)
     ac_c = _huff_codes(*_AC_CHROMA)
-    if gray:
-        comp_cfg.append((planes[0], qt_l, dc_l, ac_l, 1, 1))
-    else:
-        comp_cfg.append((planes[0], qt_l, dc_l, ac_l, ch_dec, cv_dec))
-        comp_cfg.append((planes[1], qt_c, dc_c, ac_c, 1, 1))
-        comp_cfg.append((planes[2], qt_c, dc_c, ac_c, 1, 1))
+    # (coefs, dc_codes, ac_codes, h_samp, v_samp) per component
+    comp_cfg = [
+        (coefs, dc_l if i == 0 else dc_c, ac_l if i == 0 else ac_c, hs, vs)
+        for i, (coefs, hs, vs) in enumerate(cfg)
+    ]
 
-    # MCU geometry
-    hmax = max(c[4] for c in comp_cfg)
-    vmax = max(c[5] for c in comp_cfg)
-    mcu_w = 8 * hmax
-    mcu_h = 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-
-    padded = []
-    for plane, qt, dcc, acc_, hsamp, vsamp in comp_cfg:
-        need_h = mcus_y * vsamp * 8
-        need_w = mcus_x * hsamp * 8
-        ph, pw = plane.shape
-        p = np.pad(
-            plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge"
-        )
-        padded.append(p)
-
-    def encode_block(wtr, block, qt, dcc, acc_, pred):
-        coef = C @ (block - 128.0) @ C.T
-        q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
-        seq = q.reshape(-1)[zz]
+    def encode_block(wtr, seq, dcc, acc_, pred):
         diff = int(seq[0]) - pred
         s = _category(diff)
         code, ln = dcc[s]
@@ -323,15 +350,12 @@ def encode_jpeg_baseline(
                 body += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
                 preds = [0] * len(comp_cfg)
-            for ci, (plane, qt, dcc, acc_, hsamp, vsamp) in enumerate(comp_cfg):
-                p = padded[ci]
+            for ci, (coefs, dcc, acc_, hsamp, vsamp) in enumerate(comp_cfg):
                 for by in range(vsamp):
                     for bx in range(hsamp):
-                        y0 = (my * vsamp + by) * 8
-                        x0 = (mx * hsamp + bx) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        seq = coefs[my * vsamp + by, mx * hsamp + bx]
                         preds[ci] = encode_block(
-                            wtr, block, qt, dcc, acc_, preds[ci]
+                            wtr, seq, dcc, acc_, preds[ci]
                         )
             mcu_count += 1
     wtr.flush()
@@ -350,7 +374,7 @@ def encode_jpeg_baseline(
         )
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i, (_, _, _, _, hsamp, vsamp) in enumerate(comp_cfg):
+    for i, (_, _, _, hsamp, vsamp) in enumerate(comp_cfg):
         sof += bytes([i + 1, (hsamp << 4) | vsamp, 0 if i == 0 else 1])
     out += seg(0xC0, sof)
 
@@ -372,6 +396,317 @@ def encode_jpeg_baseline(
     out += seg(0xDA, sos)
     out += body
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G: spectral selection + successive
+# approximation). Exists primarily as correctness evidence for the
+# progressive DECODER below — the two share only _encode_prep (coefficient
+# math) and the bit-writer, so progressive-decode == baseline-decode of the
+# same source is a meaningful cross-check.
+# ---------------------------------------------------------------------------
+
+# libjpeg-shaped default scan scripts: DC first at Al=1 then refined, luma
+# AC split into a coarse low band + refinements, chroma AC in two passes.
+# Entries are (component_indices, Ss, Se, Ah, Al).
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _noninterleaved_block_dims(hs, vs, h, w, hmax, vmax):
+    """True (blocks_y, blocks_x) of one component — the grid a
+    NON-interleaved scan covers (T.81 A.2.2: ceil of the component's own
+    sample dims / 8, NOT the padded MCU grid)."""
+    cw = -(-(w * hs) // hmax)
+    ch = -(-(h * vs) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _scan_block_iter(cfg, scan_comps, h, w, hmax, vmax, mcus_x, mcus_y,
+                     restart_interval):
+    """Yield ('rst', None) restart marks and (ci, seq) blocks in coding
+    order: MCU-interleaved when the scan has >1 component (restart counts
+    MCUs), the component's own raster otherwise (restart counts blocks)."""
+    n = 0
+    if len(scan_comps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n and n % restart_interval == 0:
+                    yield ("rst", None)
+                for ci in scan_comps:
+                    coefs, hs, vs = cfg[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield (ci, coefs[my * vs + by, mx * hs + bx])
+                n += 1
+    else:
+        ci = scan_comps[0]
+        coefs, hs, vs = cfg[ci]
+        bh_n, bw_n = _noninterleaved_block_dims(hs, vs, h, w, hmax, vmax)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart_interval and n and n % restart_interval == 0:
+                    yield ("rst", None)
+                yield (ci, coefs[by, bx])
+                n += 1
+
+
+def _progressive_scan_tokens(cfg, scan_comps, Ss, Se, Ah, Al, h, w, hmax,
+                             vmax, mcus_x, mcus_y, restart_interval):
+    """Token stream for one progressive scan: ('s', table_key, symbol),
+    ('b', value, nbits) raw bits, ('rst',) restart marks. table_key is
+    ('dc'|'ac', tid) with tid 0 for component 0, 1 otherwise (the usual
+    luma/chroma split)."""
+    tokens = []
+    blocks = _scan_block_iter(
+        cfg, scan_comps, h, w, hmax, vmax, mcus_x, mcus_y, restart_interval
+    )
+    tid = lambda ci: 0 if ci == 0 else 1  # noqa: E731
+
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if Ah == 0:
+            preds = {c: 0 for c in scan_comps}
+            for ci, seq in blocks:
+                if ci == "rst":
+                    tokens.append(("rst",))
+                    preds = {c: 0 for c in scan_comps}
+                    continue
+                v = int(seq[0]) >> Al  # arithmetic shift, like the decoder's <<
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                tokens.append(("s", ("dc", tid(ci)), s))
+                if s:
+                    tokens.append(("b", _enc_magnitude(diff, s), s))
+        else:
+            # DC refinement: one raw bit per block, no Huffman coding
+            for ci, seq in blocks:
+                if ci == "rst":
+                    tokens.append(("rst",))
+                    continue
+                tokens.append(("b", (int(seq[0]) >> Al) & 1, 1))
+        return tokens
+
+    if len(scan_comps) != 1:
+        raise ValueError("AC scans must be single-component (T.81 G.1)")
+    key = ("ac", tid(scan_comps[0]))
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered with the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            tokens.append(("s", key, nb << 4))
+            if nb:
+                tokens.append(("b", eobrun & ((1 << nb) - 1), nb))
+            for bit in be:
+                tokens.append(("b", bit, 1))
+            be.clear()
+            eobrun = 0
+
+    if Ah == 0:
+        # AC first scan (T.81 G.1.2.2): EOB runs across blocks
+        for ci, seq in blocks:
+            if ci == "rst":
+                flush_eob()
+                tokens.append(("rst",))
+                continue
+            run = 0
+            for k in range(Ss, Se + 1):
+                t = int(seq[k])
+                a = (t if t >= 0 else -t) >> Al
+                if a == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    tokens.append(("s", key, 0xF0))
+                    run -= 16
+                s = a.bit_length()
+                tokens.append(("s", key, (run << 4) | s))
+                tokens.append(("b", _enc_magnitude(a if t > 0 else -a, s), s))
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return tokens
+
+    # AC refinement scan (T.81 G.1.2.3, the libjpeg encode_mcu_AC_refine
+    # shape): newly-significant coefs code as (run << 4) | 1 + a sign bit,
+    # runs count only zero-history positions, correction bits for
+    # already-nonzero positions ride buffered after each symbol / EOB run
+    for ci, seq in blocks:
+        if ci == "rst":
+            flush_eob()
+            tokens.append(("rst",))
+            continue
+        absv = [abs(int(seq[k])) >> Al for k in range(Ss, Se + 1)]
+        eobidx = Ss - 1
+        for k in range(Ss, Se + 1):
+            if absv[k - Ss] == 1:
+                eobidx = k  # last NEWLY-significant position
+        run = 0
+        br: list[int] = []
+        for k in range(Ss, Se + 1):
+            t = absv[k - Ss]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobidx:
+                flush_eob()
+                tokens.append(("s", key, 0xF0))
+                run -= 16
+                for bit in br:
+                    tokens.append(("b", bit, 1))
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            tokens.append(("s", key, (run << 4) | 1))
+            tokens.append(("b", 1 if int(seq[k]) > 0 else 0, 1))
+            for bit in br:
+                tokens.append(("b", bit, 1))
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return tokens
+
+
+def _tokens_to_tables(tokens):
+    """Per-scan canonical Huffman tables: every symbol a table emits gets
+    one code at a single length L chosen so the all-1s code stays unused
+    (T.81 C.2). Compression is suboptimal; conformance is what matters
+    here. Returns ({table_key: (bits, values)}, {table_key: codemap})."""
+    syms: dict[tuple, set] = {}
+    for t in tokens:
+        if t[0] == "s":
+            syms.setdefault(t[1], set()).add(t[2])
+    tables = {}
+    codemaps = {}
+    for key, ss in syms.items():
+        values = sorted(ss)
+        n = len(values)
+        L = 1
+        while (1 << L) - 1 < n:
+            L += 1
+        bits = [0] * 16
+        bits[L - 1] = n
+        tables[key] = (bits, values)
+        codemaps[key] = _huff_codes(bits, values)
+    return tables, codemaps
+
+
+def _write_tokens(tokens, codemaps) -> bytes:
+    wtr = _BitWriter()
+    body = bytearray()
+    rst = 0
+    for t in tokens:
+        if t[0] == "s":
+            code, ln = codemaps[t[1]][t[2]]
+            wtr.put(code, ln)
+        elif t[0] == "b":
+            if t[2]:
+                wtr.put(t[1], t[2])
+        else:  # restart: byte-align (1-pad), emit RSTn, restart the writer
+            wtr.flush()
+            body += wtr.buf
+            wtr = _BitWriter()
+            body += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+    wtr.flush()
+    body += wtr.buf
+    return bytes(body)
+
+
+def encode_jpeg_progressive(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    scan_script=None,
+) -> bytes:
+    """Progressive (SOF2) JFIF bytes from an (h, w, 3) uint8 RGB or (h, w)
+    grayscale array. scan_script is a list of (component_indices, Ss, Se,
+    Ah, Al) tuples; default is a libjpeg-shaped script exercising both
+    spectral selection and successive approximation (DC+AC refinement
+    passes). Quantized coefficients are bit-identical to
+    encode_jpeg_baseline at the same quality/subsampling (shared
+    _encode_prep), so decoding both must yield identical pixels."""
+    gray, h, w, cfg, qt_l, qt_c, mcus_x, mcus_y = _encode_prep(
+        pixels, quality, subsampling
+    )
+    if scan_script is None:
+        scan_script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    hmax = max(hs for _, hs, vs in cfg)
+    vmax = max(vs for _, hs, vs in cfg)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(qt_l.reshape(-1)[z]) for z in _ZIGZAG))
+    if not gray:
+        out += seg(
+            0xDB, bytes([1]) + bytes(int(qt_c.reshape(-1)[z]) for z in _ZIGZAG)
+        )
+    ncomp = len(cfg)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (_, hsamp, vsamp) in enumerate(cfg):
+        sof += bytes([i + 1, (hsamp << 4) | vsamp, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for scan_comps, Ss, Se, Ah, Al in scan_script:
+        tokens = _progressive_scan_tokens(
+            cfg, scan_comps, Ss, Se, Ah, Al, h, w, hmax, vmax,
+            mcus_x, mcus_y, restart_interval,
+        )
+        tables, codemaps = _tokens_to_tables(tokens)
+        # per-scan DHT redefinition (legal and what libjpeg-optimized
+        # progressive files do); Annex K tables lack the EOBn symbols
+        for (cls_name, tid_), (bits, values) in sorted(tables.items()):
+            cls = 0 if cls_name == "dc" else 1
+            out += seg(0xC4, bytes([(cls << 4) | tid_] + bits + values))
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += seg(0xDA, sos)
+        out += _write_tokens(tokens, codemaps)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -485,6 +820,8 @@ def _parse_jpeg_inner(raw: bytes, np):
     comps = None  # list of (cid, hsamp, vsamp, qt_id)
     h = w = 0
     restart = 0
+    progressive = False
+    prog = None  # progressive coefficient store, allocated at first SOS
     pos = 2
     data = raw
     while pos + 4 <= len(data):
@@ -494,7 +831,9 @@ def _parse_jpeg_inner(raw: bytes, np):
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI: end of a progressive file, or premature
+            if prog is not None:
+                return _finalize_progressive(prog, comps, qts, h, w, np)
             return None
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + ln]
@@ -520,33 +859,26 @@ def _parse_jpeg_inner(raw: bytes, np):
                 values = list(body[i + 17 : i + 17 + nv])
                 huffs[(cls, tid)] = _HuffTree(bits, values)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                 return None
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / other SOF: not baseline
+            return None  # extended-seq / arithmetic / lossless: unsupported
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if comps is None:
                 return None
             ns = body[0]
-            if ns != len(comps):
-                # non-interleaved multi-scan baseline (one SOS per
-                # component) is legal T.81 but this decoder only
-                # implements the fully interleaved single-scan geometry —
-                # decoding just the first scan would SILENTLY return
-                # grey-replicated luma as the image (review finding);
-                # honor the None-for-undecodable contract instead
-                return None
             scan = []
             for i in range(ns):
                 cs, tids = body[1 + 2 * i], body[2 + 2 * i]
@@ -554,10 +886,52 @@ def _parse_jpeg_inner(raw: bytes, np):
                 if comp is None:
                     return None
                 scan.append((comp, tids >> 4, tids & 0xF))
-            return _decode_scan(
-                data, pos + 2 + ln, scan, qts, huffs, h, w, restart, np
+            if not progressive:
+                if ns != len(comps):
+                    # non-interleaved multi-scan baseline (one SOS per
+                    # component) is legal T.81 but the baseline path only
+                    # implements the fully interleaved single-scan
+                    # geometry — decoding just the first scan would
+                    # SILENTLY return grey-replicated luma as the image
+                    # (review finding); honor the None-for-undecodable
+                    # contract instead
+                    return None
+                return _decode_scan(
+                    data, pos + 2 + ln, scan, qts, huffs, h, w, restart, np
+                )
+            # progressive: decode this scan into the coefficient store,
+            # then continue the marker loop from the next real marker
+            Ss = body[1 + 2 * ns]
+            Se = body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            if prog is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                prog = {
+                    "hmax": hmax,
+                    "vmax": vmax,
+                    "mcus_x": mcus_x,
+                    "mcus_y": mcus_y,
+                    "coefs": [
+                        np.zeros(
+                            (mcus_y * c[2], mcus_x * c[1], 64), np.int32
+                        )
+                        for c in comps
+                    ],
+                }
+            end = _decode_progressive_scan(
+                data, pos + 2 + ln, scan, comps, prog, huffs, restart,
+                Ss, Se, aa >> 4, aa & 0xF, h, w, np,
             )
+            pos = _next_marker(data, end)
+            continue
         pos += 2 + ln
+    # a progressive file whose EOI sits in the last 2 bytes exits the loop
+    # (the loop guard needs 4 bytes) — finalize here
+    if prog is not None:
+        return _finalize_progressive(prog, comps, qts, h, w, np)
     return None
 
 
@@ -627,9 +1001,17 @@ def _decode_scan(data, pos, scan, qts, huffs, h, w, restart, np):
             mcu_count += 1
 
     # upsample to full size and convert
+    samps = [(c[0][1], c[0][2]) for c in scan]
+    return _planes_to_rgb(planes, samps, hmax, vmax, h, w, np)
+
+
+def _planes_to_rgb(planes, samps, hmax, vmax, h, w, np):
+    """Chroma-upsample to full size, crop the MCU padding, and convert to
+    (w, h, rgb_flat_uint8) — shared by the baseline and progressive paths
+    (their entropy decoders are fully independent; only this tail, the
+    IDCT matrix, and the tables are common)."""
     full = []
-    for ci, ((cid, hs, vs, tq), _, _) in enumerate(scan):
-        p = planes[ci]
+    for p, (hs, vs) in zip(planes, samps):
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
@@ -645,3 +1027,198 @@ def _decode_scan(data, pos, scan, qts, huffs, h, w, restart, np):
         np.uint8
     )
     return w, h, rgb.reshape(-1)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after pos: skips entropy bytes,
+    0xFF00 stuffing, RSTn markers and 0xFF fill bytes."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_progressive_scan(data, pos, scan, comps, prog, huffs, restart,
+                             Ss, Se, Ah, Al, h, w, np):
+    """Decode ONE progressive scan (T.81 Annex G) into prog['coefs'] —
+    zigzag-order int32 per block — and return the reader's end position.
+    Four cases: DC first (Ah=0, Huffman diffs shifted left by Al), DC
+    refinement (one raw bit per block), AC first (EOB runs), AC
+    refinement (correction bits; the libjpeg decode_mcu_AC_refine shape).
+    """
+    rdr = _BitReader(data, pos)
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    mcus_x, mcus_y = prog["mcus_x"], prog["mcus_y"]
+
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        trees = {}
+        if Ah == 0:
+            for comp, dci, _aci in scan:
+                t = huffs.get((0, dci))
+                if t is None:
+                    raise ValueError("missing DC table")
+                trees[comp[0]] = t
+        preds = {comp[0]: 0 for comp, _, _ in scan}
+
+        def dc_block(store, by, bx, comp):
+            if Ah == 0:
+                s = rdr.decode(trees[comp[0]])
+                diff = _extend(rdr.bits(s), s) if s else 0
+                preds[comp[0]] += diff
+                store[by, bx, 0] = preds[comp[0]] << Al
+            elif rdr.bit():
+                store[by, bx, 0] |= 1 << Al
+
+        n = 0
+        if len(scan) > 1:  # MCU-interleaved (the normal first DC scan)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and n and n % restart == 0:
+                        if not rdr.align_and_expect_rst():
+                            raise ValueError("missing RST marker")
+                        for k in preds:
+                            preds[k] = 0
+                    for comp, dci, aci in scan:
+                        cid, hs, vs, tq = comp
+                        store = prog["coefs"][comps.index(comp)]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(
+                                    store, my * vs + by, mx * hs + bx, comp
+                                )
+                    n += 1
+        else:
+            comp = scan[0][0]
+            cid, hs, vs, tq = comp
+            store = prog["coefs"][comps.index(comp)]
+            bh_n, bw_n = _noninterleaved_block_dims(hs, vs, h, w, hmax, vmax)
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if restart and n and n % restart == 0:
+                        if not rdr.align_and_expect_rst():
+                            raise ValueError("missing RST marker")
+                        preds[comp[0]] = 0
+                    dc_block(store, by, bx, comp)
+                    n += 1
+        return rdr.pos
+
+    # AC scan: always one component, its own raster, restart counts blocks
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _dci, aci = scan[0]
+    atree = huffs.get((1, aci))
+    if atree is None:
+        raise ValueError("missing AC table")
+    cid, hs, vs, tq = comp
+    store = prog["coefs"][comps.index(comp)]
+    bh_n, bw_n = _noninterleaved_block_dims(hs, vs, h, w, hmax, vmax)
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = (-1) << Al
+    n = 0
+    for by in range(bh_n):
+        for bx in range(bw_n):
+            if restart and n and n % restart == 0:
+                if not rdr.align_and_expect_rst():
+                    raise ValueError("missing RST marker")
+                eobrun = 0
+            n += 1
+            blk = store[by, bx]
+            if Ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = rdr.decode(atree)
+                    r, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC overflow")
+                    blk[k] = _extend(rdr.bits(sz), sz) << Al
+                    k += 1
+                continue
+            # AC refinement scan
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = rdr.decode(atree)
+                    r, sz = rs >> 4, rs & 0xF
+                    newval = 0
+                    if sz:
+                        if sz != 1:
+                            raise ValueError("bad refinement code")
+                        newval = p1 if rdr.bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rdr.bits(r)
+                        break  # remainder handled by the EOB branch below
+                    # advance over r zero-history coefs, reading a
+                    # correction bit at every already-nonzero position
+                    while k <= Se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if rdr.bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if sz:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if rdr.bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return rdr.pos
+
+
+def _finalize_progressive(prog, comps, qts, h, w, np):
+    """Dequantize + vectorized IDCT of the accumulated coefficient store,
+    then the shared upsample/color tail."""
+    C = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+    planes = []
+    samps = []
+    for comp, store in zip(comps, prog["coefs"]):
+        cid, hs, vs, tq = comp
+        qt = qts.get(tq)
+        if qt is None:
+            raise ValueError("missing quant table")
+        bh, bw, _ = store.shape
+        nat = np.zeros((bh * bw, 64), np.float64)
+        nat[:, zz] = store.reshape(-1, 64) * qt[zz]
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("ux,buv,vy->bxy", C, blocks, C) + 128.0
+        planes.append(
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+                bh * 8, bw * 8
+            )
+        )
+        samps.append((hs, vs))
+    return _planes_to_rgb(planes, samps, prog["hmax"], prog["vmax"], h, w, np)

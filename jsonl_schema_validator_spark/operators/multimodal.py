@@ -6,16 +6,17 @@ mapInPandas signatures, partition preservation. Decode backends:
 - backend='raw'   : REAL decode with stdlib + numpy only — BMP (24bpp,
                     BI_RGB), PPM (P6), PNG (8-bit grey/RGB/RGBA,
                     non-interlaced; DEFLATE via stdlib zlib + numpy
-                    unfiltering) and baseline JPEG (SOF0 Huffman
-                    sequential incl. 4:2:0 and restart markers — pure
-                    numpy Huffman + IDCT, see operators/jpeg.py) images,
-                    RIFF/WAV (PCM16) audio.
+                    unfiltering), baseline JPEG (SOF0 Huffman sequential
+                    incl. 4:2:0 and restart markers) AND progressive JPEG
+                    (SOF2 spectral selection + successive approximation —
+                    pure numpy Huffman + IDCT, see operators/jpeg.py)
+                    images, RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
-                    the remaining compressed formats (progressive JPEG /
-                    WebP / MP3 / MP4) need codec libs not in this
+                    the remaining compressed formats (arithmetic-coded
+                    JPEG / WebP / MP3 / MP4) need codec libs not in this
                     container; the mapInPandas plumbing is identical,
                     only the per-batch decode function changes.
 
@@ -399,21 +400,23 @@ def decode_images(
     mapInPandas.
 
     backend='raw' really decodes BMP (24bpp), PPM (P6), PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy unfilter)
-    and baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
-    restart markers — pure numpy Huffman+IDCT, operators/jpeg.py); no
-    codec library needed for any of them. mean_byte is the mean over the
-    actual RGB/grey pixel values (padding, headers and alpha excluded);
-    undecodable rows yield metadata nulls, never a crash. backend='fake'
-    parses the FIMG fixture header. backend='pil' is the remaining
-    compressed-format slot (progressive/arithmetic JPEG, WebP, ...) — not
-    available in this container; the plumbing is identical, only the
-    per-batch decode function changes."""
+    grey/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy unfilter),
+    baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
+    restart markers) and progressive JPEG (SOF2, spectral selection +
+    successive approximation — pure numpy Huffman+IDCT, operators/
+    jpeg.py); no codec library needed for any of them. mean_byte is the
+    mean over the actual RGB/grey pixel values (padding, headers and
+    alpha excluded); undecodable rows yield metadata nulls, never a
+    crash. backend='fake' parses the FIMG fixture header. backend='pil'
+    is the remaining compressed-format slot (arithmetic-coded JPEG,
+    WebP, ...) — not available in this container; the plumbing is
+    identical, only the per-batch decode function changes."""
     if backend == "pil":
         raise NotImplementedError(
             "PIL is not available in this container; plug a PIL-based "
             "batch decoder into the same mapInPandas plumbing "
-            "(backend='raw' already decodes BMP/PPM/PNG and baseline JPEG)"
+            "(backend='raw' already decodes BMP/PPM/PNG and "
+            "baseline+progressive JPEG)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")

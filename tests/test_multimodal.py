@@ -181,7 +181,9 @@ def test_jpeg_codec_roundtrip():
     assert _parse_jpeg(b"\x00\x00" + raw[2:]) is None
     prog = bytearray(raw)
     i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # claim progressive: not baseline -> None
+    # claim SOF2 over a BASELINE scan header (Ss=0,Se=63): malformed
+    # progressive (a DC scan must have Se==0) -> None, not a misdecode
+    prog[i + 1] = 0xC2
     assert _parse_jpeg(bytes(prog)) is None
     assert _parse_jpeg(None) is None and _parse_jpeg(b"") is None
 
@@ -204,6 +206,92 @@ def test_jpeg_codec_roundtrip():
         + bytes([1, 1, 0x00, 0, 63, 0])
     )
     assert _parse_jpeg(raw[:i] + one_comp_sos + entropy) is None
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive (SOF2) decode == baseline decode of the SAME source,
+    bit for bit: the two encoders share only the coefficient math
+    (_encode_prep) and the two decoders share only the IDCT/color tail,
+    so byte-identical output pins the whole Annex G scan machinery —
+    spectral selection, successive approximation (DC+AC refinement),
+    EOB runs, ZRL-in-refinement, restart markers, odd sizes, every
+    subsampling."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((37, 29, 3), "4:4:4"),
+        ((40, 56, 3), "4:2:0"),
+        ((33, 41, 3), "4:2:2"),
+        ((24, 17), "4:4:4"),  # grayscale, odd dims
+    ]
+    for shape, sub in cases:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (50, 90, 100):
+            b = _parse_jpeg(encode_jpeg_baseline(px, quality=q, subsampling=sub))
+            p = _parse_jpeg(
+                encode_jpeg_progressive(px, quality=q, subsampling=sub)
+            )
+            assert p is not None and b is not None, (shape, sub, q)
+            assert (b[0], b[1]) == (p[0], p[1])
+            assert np.array_equal(b[2], p[2]), (shape, sub, q)
+
+    # long EOB runs (flat image with sparse features) + restart markers
+    flat = np.full((64, 80, 3), 130, np.uint8)
+    flat[10:14, 20:24] = [250, 10, 60]
+    flat[40:44, 60:70] = [5, 200, 90]
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 4):
+            b = _parse_jpeg(
+                encode_jpeg_baseline(
+                    flat, quality=85, subsampling=sub, restart_interval=ri
+                )
+            )
+            p = _parse_jpeg(
+                encode_jpeg_progressive(
+                    flat, quality=85, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert p is not None and np.array_equal(b[2], p[2]), (sub, ri)
+
+    # spectral-selection-only script (Ah=Al=0 everywhere) — the simplest
+    # legal progression, no successive approximation
+    px2 = rng.integers(0, 256, (25, 30, 3), dtype=np.uint8)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    b = _parse_jpeg(encode_jpeg_baseline(px2, quality=90))
+    p = _parse_jpeg(
+        encode_jpeg_progressive(px2, quality=90, scan_script=script)
+    )
+    assert np.array_equal(b[2], p[2])
+
+    # q=100 error bound holds for progressive directly (quantization-
+    # lossless: only YCbCr + DCT rounding remain), same bars as baseline
+    g = rng.integers(0, 256, (31, 33), dtype=np.uint8)
+    wg, hg, fg = _parse_jpeg(encode_jpeg_progressive(g, quality=100))
+    assert (
+        np.abs(
+            fg.reshape(31, 33, 3)[:, :, 0].astype(int) - g.astype(int)
+        ).max()
+        <= 1
+    )
+    c = rng.integers(0, 256, (31, 33, 3), dtype=np.uint8)
+    wc, hc, fc = _parse_jpeg(encode_jpeg_progressive(c, quality=100))
+    assert np.abs(fc.reshape(31, 33, 3).astype(int) - c.astype(int)).max() <= 2
+
+    # truncated progressive stream -> None (undecodable contract)
+    full = encode_jpeg_progressive(c, quality=90)
+    assert _parse_jpeg(full[: len(full) // 2]) is None
 
 
 def test_png_oversized_ihdr_no_crash():
@@ -249,22 +337,30 @@ def test_decode_images_raw_jpeg(spark):
         decode_images,
     )
 
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
     rng = np.random.default_rng(11)
     px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
     rows = [
         (1, encode_jpeg_baseline(px, quality=100)),
         (2, encode_jpeg_baseline(px, quality=100, restart_interval=1)),
         (3, b"\xff\xd8garbage"),
+        (4, encode_jpeg_progressive(px, quality=100)),
     ]
     df = spark.createDataFrame(rows, "img_id bigint, img binary")
     out = {
         r.id: r
         for r in decode_images(df, "img", "img_id", backend="raw").collect()
     }
-    for i in (1, 2):
+    for i in (1, 2, 4):
         assert (out[i].width, out[i].height) == (11, 9), out[i]
         assert abs(out[i].mean_byte - float(px.mean())) <= 2.0
     assert out[3].width is None and out[3].mean_byte is None
+    # baseline and progressive of the same source decode identically, so
+    # their pixel means agree exactly through the e2e path too
+    assert out[1].mean_byte == out[4].mean_byte
 
 
 def test_decode_audio_raw_wav(spark):

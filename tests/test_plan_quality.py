@@ -247,3 +247,36 @@ def test_column_stats_single_aggregate(spark, lineitem):
     # one shuffle for the global agg (plus AQE reads); no join, no extra agg
     assert p.count("Exchange SinglePartition") <= 1
     assert "Join" not in p
+
+
+def test_dedup_spans_no_join_below_first_occurrence_agg(spark, docs):
+    """dedup_spans' linearity claim, pinned in the physical plan: the
+    first-occurrence aggregate is a map-side-combinable partial_min(struct)
+    whose subtree reaches the scan through explode/project ONLY — no join
+    and no exchange below the partial agg. A refactor that sneaks a pair
+    join (or any join) under the agg would reintroduce the quadratic
+    surface the operator exists to avoid (see tools/bench_span_skew.py)."""
+    from jsonl_schema_validator_spark.operators import dedup_spans
+
+    p = _plan(dedup_spans(docs, "doc_id", "text", k=8))
+    lines = p.splitlines()
+
+    def depth(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-":
+            i += 1
+        return i
+
+    agg_idx = [i for i, l in enumerate(lines) if "partial_min(struct" in l]
+    assert agg_idx, "map-side partial_min(struct) aggregate missing:\n" + p
+    i = agg_idx[0]
+    d = depth(lines[i])
+    subtree = []
+    for l in lines[i + 1:]:
+        if depth(l) <= d:
+            break
+        subtree.append(l)
+    sub = "\n".join(subtree)
+    assert "Join" not in sub, "join below the first-occurrence agg:\n" + sub
+    assert "Exchange" not in sub, "shuffle below the partial agg:\n" + sub
+    assert "posexplode" in sub and "FileScan" in sub, sub

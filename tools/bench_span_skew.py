@@ -1,0 +1,129 @@
+"""Skew evidence for dedup_spans' no-pair-join linearity claim (round-6,
+VERDICT r5 #2): a synthetic corpus where ONE boilerplate k-token span
+appears in a large fraction of docs, timed at N and 2N occurrences with
+the corpus size FIXED — only the hot span's multiplicity doubles.
+
+The claim under test (dedup.py dedup_spans docstring): removal never
+builds pairs, so a span occurring N times costs O(N) (N rows into ONE
+map-side-combinable groupBy(span_hash).min(struct) + N-1 affected-doc
+rebuilds), not O(N^2). The contrast column runs the pair-DETECTION shape
+on the same corpus with its hot-span cap disabled
+(shared_span_pairs(max_span_freq=None)): the same doubling multiplies its
+self-join output by ~4x, the divergence the cap exists to prevent.
+
+Usage: python tools/bench_span_skew.py [docs] [n_hot] [cores]
+Defaults: 24000 docs x 120 tokens, n_hot=3000 (vs 2x=6000), local[32].
+Each timing is best-of-2 with a per-trial lit-salt column (Spark 4 serves
+byte-identical re-executed queries from cache — CLAUDE.md invariant).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+K = 20
+
+
+def build_corpus(spark, n_docs: int, n_hot: int, doc_tokens: int = 120):
+    """n_docs docs of doc_tokens seeded-random tokens; the first n_hot
+    docs carry one shared K-token boilerplate run mid-doc. Vocab is wide
+    (20k) so non-boilerplate spans are effectively corpus-unique."""
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(20_000)]
+    boiler = " ".join(f"bp{i}" for i in range(K))
+    rows = []
+    for i in range(n_docs):
+        toks = [rng.choice(vocab) for _ in range(doc_tokens)]
+        body = " ".join(toks)
+        if i < n_hot:
+            mid = doc_tokens // 2
+            body = " ".join(toks[:mid]) + " " + boiler + " " + " ".join(toks[mid:])
+        rows.append((i, body))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def timed(fn, trials: int = 2) -> float:
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.time()
+        fn(t)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000
+    n_hot = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    from jsonl_schema_validator_spark import get_spark
+    from jsonl_schema_validator_spark.operators import (
+        dedup_spans,
+        shared_span_pairs,
+    )
+
+    spark = get_spark(
+        app_name="bench-span-skew",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+
+    results = {}
+    for mult, hot in (("N", n_hot), ("2N", 2 * n_hot)):
+        df = build_corpus(spark, n_docs, hot)
+        df.persist().count()  # input materialized once; timings exclude gen
+
+        def run_removal(salt, df=df):
+            out = dedup_spans(
+                df.withColumn("__salt", F.lit(salt)), "doc_id", "text", k=K
+            )
+            r = out.agg(
+                F.sum("n_tokens_removed").alias("cut"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            assert r["n"] == n_docs
+            # every later boilerplate occurrence (hot-1 docs x K tokens)
+            # is cut; random-context spans may add a few extra
+            assert r["cut"] >= (hot - 1) * K, r["cut"]
+
+        n_pairs = [0]
+
+        def run_pairs(salt, df=df):
+            out = shared_span_pairs(
+                df.withColumn("__salt", F.lit(salt)),
+                "doc_id",
+                "text",
+                k=K,
+                max_span_freq=None,  # unguarded: the shape under indictment
+            )
+            n_pairs[0] = out.count()
+            spark.catalog.clearCache()  # release the op's persisted span table
+
+        t_removal = timed(run_removal)
+        t_pairs = timed(run_pairs)
+        results[mult] = (hot, t_removal, t_pairs, n_pairs[0])
+        print(
+            f"occurrences={hot:>6} ({mult:>2}): dedup_spans {t_removal:6.2f}s"
+            f"   shared_span_pairs(cap=None) {t_pairs:6.2f}s"
+            f"   pairs={n_pairs[0]}",
+            flush=True,
+        )
+        df.unpersist()
+
+    r1, r2 = results["N"], results["2N"]
+    print(
+        f"\nscaling N->2N: dedup_spans x{r2[1] / r1[1]:.2f} (flat=1.0)"
+        f"   pair shape x{r2[2] / r1[2]:.2f} (quadratic=4.0)"
+        f"   pair rows x{r2[3] / max(r1[3], 1):.2f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
