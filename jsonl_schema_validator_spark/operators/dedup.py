@@ -1238,6 +1238,15 @@ def simhash_near_pairs(
             for c in range(4)
         ],
     )
+    return _packed_hamming_pairs(packed, max_hamming)
+
+
+def _packed_hamming_pairs(packed: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared 64-bit Hamming near-pair core over a (id, p0, p1, p2, p3)
+    frame of four 16-bit chunks: pigeonhole chunk-blocking join + packed
+    bit_count(xor) verification. Used by simhash_near_pairs (text) and
+    phash_near_pairs (images); exact for max_hamming <= 3, candidates
+    must share a chunk beyond that (documented in both callers)."""
     chunks = packed.select(
         "id",
         *[F.col(f"p{c}") for c in range(4)],

@@ -129,16 +129,18 @@ _AC_CHROMA = (
 )
 
 
-def _dct_matrix():
+def _dct_matrix(n: int = 8):
+    """Orthonormal DCT-II matrix; n=8 for the JPEG transform, n=32 for
+    the pHash downscaled-luma transform (operators/multimodal.py)."""
     import math
 
     import numpy as np
 
-    c = np.zeros((8, 8))
-    for u in range(8):
-        a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
-        for x in range(8):
-            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    c = np.zeros((n, n))
+    for u in range(n):
+        a = math.sqrt(1 / n) if u == 0 else math.sqrt(2 / n)
+        for x in range(n):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / (2 * n))
     return c
 
 

@@ -425,22 +425,12 @@ def decode_images(
     )
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
-    from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
-
     def decode_raw(raw: bytes) -> tuple:
-        # blanket guard (same contract _parse_jpeg carries internally): an
-        # adversarial/corrupt byte string that slips past a parser's
-        # structural checks must yield metadata NULLS, never abort the
-        # mapInPandas task — one bad row cannot kill a 100 TB decode job
-        try:
-            parsed = (
-                _parse_bmp(raw)
-                or _parse_ppm(raw)
-                or _parse_png(raw)
-                or _parse_jpeg(raw)
-            )
-        except Exception:
-            parsed = None
+        # _decode_any_image carries the blanket guard: an adversarial/
+        # corrupt byte string that slips past a parser's structural checks
+        # must yield metadata NULLS, never abort the mapInPandas task —
+        # one bad row cannot kill a 100 TB decode job
+        parsed = _decode_any_image(raw)
         if parsed is None:
             return (None, None, len(raw) if raw is not None else None, None, None)
         w, h, px = parsed
@@ -471,6 +461,152 @@ def decode_images(
             )
 
     return cols.mapInPandas(run, out_schema)
+
+
+def _decode_any_image(raw: bytes):
+    """(w, h, rgb_flat_uint8) via the raw-backend parser chain, None for
+    anything undecodable — the shared front of decode_images and
+    image_phash."""
+    from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
+
+    try:
+        return (
+            _parse_bmp(raw)
+            or _parse_ppm(raw)
+            or _parse_png(raw)
+            or _parse_jpeg(raw)
+        )
+    except Exception:
+        return None
+
+
+def _resize_area(plane, n, np):
+    """Deterministic area-average resize of a 2-D float plane to (n, n):
+    integer cell boundaries (i*h//n), mean per cell via an integral
+    image; inputs smaller than n are integer-repeated first. No
+    interpolation library, bit-reproducible across hosts."""
+    h, w = plane.shape
+    if h < n:
+        plane = np.repeat(plane, -(-n // h), axis=0)
+        h = plane.shape[0]
+    if w < n:
+        plane = np.repeat(plane, -(-n // w), axis=1)
+        w = plane.shape[1]
+    rb = (np.arange(n + 1) * h) // n
+    cb = (np.arange(n + 1) * w) // n
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = plane.cumsum(0).cumsum(1)
+    sums = (
+        ii[rb[1:], :][:, cb[1:]]
+        - ii[rb[:-1], :][:, cb[1:]]
+        - ii[rb[1:], :][:, cb[:-1]]
+        + ii[rb[:-1], :][:, cb[:-1]]
+    )
+    areas = np.outer(rb[1:] - rb[:-1], cb[1:] - cb[:-1])
+    return sums / areas
+
+
+def _phash64_from_rgb(flat, w, h, np) -> int:
+    """64-bit perceptual hash (pHash, the classic 8x8-DCT-of-32x32-luma
+    scheme): luma -> area-resize to 32x32 -> orthonormal 2-D DCT -> keep
+    the top-left 8x8 low-frequency block -> bit i = coefficient i >
+    median of the 64. Returned as a SIGNED int64 (Spark bigint); equal
+    images hash equal, re-encodes land within a few bits of Hamming."""
+    from jsonl_schema_validator_spark.operators.jpeg import _dct_matrix
+
+    rgb = flat.reshape(h, w, 3).astype(np.float64)
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    g = _resize_area(luma, 32, np)
+    D = _dct_matrix(32)
+    d = D @ g @ D.T
+    block = d[:8, :8].reshape(-1)
+    med = float(np.median(block))
+    v = 0
+    for i in range(64):
+        if block[i] > med:
+            v |= 1 << (63 - i)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_phash(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    backend: str = "raw",
+) -> DataFrame:
+    """(id, phash) — 64-bit perceptual hash per image via the same
+    Arrow-batched mapInPandas plumbing as decode_images; phash is NULL
+    for undecodable rows. backend='raw' is the only decoder (pHash needs
+    pixels, which the fixture-header 'fake' backend does not carry).
+
+    The hash is the classic pHash (DCT of downscaled luma), so a
+    re-encode of the same image — different JPEG quality, baseline vs
+    progressive, PNG vs JPEG — lands within a few bits; feed the result
+    to phash_near_pairs for blocked Hamming matching. No DuckDB oracle:
+    the shared parquet tables carry no image column, so correctness is
+    pinned by a pure-python reference implementation and planted
+    near-duplicate e2e tests instead (tests/test_multimodal.py)."""
+    if backend != "raw":
+        raise ValueError("image_phash requires backend='raw' (needs pixels)")
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
+
+    def run(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for raw in pdf["raw"]:
+                parsed = _decode_any_image(raw)
+                if parsed is None:
+                    out.append(None)
+                else:
+                    w, h, flat = parsed
+                    out.append(_phash64_from_rgb(flat, w, h, np))
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "phash": pd.array(out, dtype="Int64")}
+            )
+
+    return cols.mapInPandas(run, out_schema)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs: (id_a, id_b, hamming) with
+    pHash Hamming distance <= max_hamming, via the SAME pigeonhole
+    16-bit-chunk blocking + bit_count(xor) verification as
+    simhash_near_pairs (operators/dedup.py) — exact for max_hamming <= 3;
+    beyond that candidates must share a chunk (same documented semantics).
+    Undecodable images carry no signature and never pair. The decode is
+    per-image Python in one mapInPandas pass (the documented multimodal
+    exception); everything after the signature is JVM-side expressions."""
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+    )
+
+    sig = image_phash(df, binary_col, id_col).where(F.col("phash").isNotNull())
+    packed = sig.select(
+        "id",
+        *[
+            F.shiftrightunsigned(F.col("phash"), 48 - 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"p{c}")
+            for c in range(4)
+        ],
+    )
+    return _packed_hamming_pairs(packed, max_hamming)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -461,3 +461,140 @@ def test_encode_wav_flat_channels(spark):
     assert (rate, channels) == (8000, 2) and samples.shape == (2, 2)
     with _pytest.raises(ValueError, match="divisible"):
         encode_wav(8000, [1, 2, 3], channels=2)
+
+
+def _phash_reference(img_uint8):
+    """Independent pure-python pHash: nested-list luma, direct per-cell
+    area means (no integral image), explicit double-loop DCT-II — shares
+    NO code with the operator, so agreement pins the whole scheme."""
+    import math
+
+    h, w = img_uint8.shape[0], img_uint8.shape[1]
+    luma = [
+        [
+            0.299 * float(img_uint8[y][x][0])
+            + 0.587 * float(img_uint8[y][x][1])
+            + 0.114 * float(img_uint8[y][x][2])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    if h < 32:
+        rep = -(-32 // h)
+        luma = [row for row in luma for _ in range(rep)]
+        h = len(luma)
+    if w < 32:
+        rep = -(-32 // w)
+        luma = [[v for v in row for _ in range(rep)] for row in luma]
+        w = len(luma[0])
+    rb = [(i * h) // 32 for i in range(33)]
+    cb = [(j * w) // 32 for j in range(33)]
+    g = [
+        [
+            sum(
+                luma[y][x]
+                for y in range(rb[i], rb[i + 1])
+                for x in range(cb[j], cb[j + 1])
+            )
+            / ((rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j]))
+            for j in range(32)
+        ]
+        for i in range(32)
+    ]
+    block = []
+    for u in range(8):
+        au = math.sqrt(1 / 32) if u == 0 else math.sqrt(2 / 32)
+        for v in range(8):
+            av = math.sqrt(1 / 32) if v == 0 else math.sqrt(2 / 32)
+            c = sum(
+                g[x][y]
+                * math.cos((2 * x + 1) * u * math.pi / 64)
+                * math.cos((2 * y + 1) * v * math.pi / 64)
+                for x in range(32)
+                for y in range(32)
+            )
+            block.append(au * av * c)
+    s = sorted(block)
+    med = (s[31] + s[32]) / 2
+    out = 0
+    for i, val in enumerate(block):
+        if val > med:
+            out |= 1 << (63 - i)
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def _phash_test_image(k, h=48, w=64):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * (2 + k) + yy * 3) % 256
+    g = ((xx + yy * (k + 1)) * 2) % 256
+    b = np.full((h, w), (k * 37) % 256)
+    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+    img[10 + k : 20 + k, 15:30, :] = [240, 30, 10 * k % 255]
+    return img
+
+
+def test_image_phash_matches_python_reference():
+    """Operator pHash == the independent pure-python reference, bit for
+    bit, on structured and random images incl. tiny (< 32px) inputs."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _phash64_from_rgb,
+    )
+
+    rng = np.random.default_rng(23)
+    imgs = [_phash_test_image(k) for k in range(4)]
+    imgs.append(rng.integers(0, 256, (50, 37, 3), dtype=np.uint8))
+    imgs.append(rng.integers(0, 256, (9, 13, 3), dtype=np.uint8))  # < 32
+    for img in imgs:
+        h, w = img.shape[:2]
+        got = _phash64_from_rgb(img.reshape(-1), w, h, np)
+        assert got == _phash_reference(img), (h, w)
+
+
+def test_phash_near_pairs_planted_duplicates(spark):
+    """e2e image near-dup: each base image planted as PNG (lossless),
+    baseline JPEG q70 and progressive JPEG q85 — all three re-encode
+    pairs per base are found at max_hamming<=3 (the exact pigeonhole
+    regime), no cross-base pairs (distinct bases measured >= 22 bits
+    apart), and an undecodable row pairs with nothing. No DuckDB oracle:
+    the shared parquet tables carry no image column (documented in
+    image_phash); the python-reference pin above plus this planted e2e
+    are the correctness evidence."""
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        encode_png,
+        image_phash,
+        phash_near_pairs,
+    )
+
+    rows = []
+    n_base = 4
+    for k in range(n_base):
+        img = _phash_test_image(k)
+        rows.append((k, encode_png(img)))
+        rows.append((k + 100, encode_jpeg_baseline(img, quality=70)))
+        rows.append((k + 200, encode_jpeg_progressive(img, quality=85)))
+    rows.append((999, b"not an image at all"))
+    df = spark.createDataFrame(rows, "img_id bigint, img binary")
+
+    sig = {r.id: r.phash for r in image_phash(df, "img", "img_id").collect()}
+    assert sig[999] is None
+    assert len([v for v in sig.values() if v is not None]) == 3 * n_base
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(df, "img", "img_id", max_hamming=3).collect()
+    }
+    for k in range(n_base):
+        for a, b in [(k, k + 100), (k, k + 200), (k + 100, k + 200)]:
+            assert (a, b) in pairs, (a, b, pairs)
+            assert pairs[(a, b)] <= 3
+    # every found pair is an intra-base re-encode pair
+    for a, b in pairs:
+        assert a % 100 == b % 100, (a, b)
