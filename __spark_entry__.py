@@ -459,6 +459,25 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(docs, "doc_id", "text", bpe_like=True)
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE token counts: train 30 merges on the documents
+    table itself (deterministic (count desc, word asc) dictionary +
+    lexicographic tie-breaks, so the merge table is reproducible), then
+    count real BPE tokens per doc. ROWS-ONLY by design: iterative merge
+    training is not expressible as a reasonable SQL recursion (the one
+    deliberately non-oracled query; see operators/bpe.py — correctness
+    is pinned by hand-computed Sennrich fixtures and an independent
+    regex-based python reference in tests/test_bpe.py)."""
+    from jsonl_schema_validator_spark.operators import (
+        bpe_token_count,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=30)
+    return bpe_token_count(docs, "doc_id", "text", merges)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return fingerprint(docs, "doc_id", "text", gram=8, num_hashes=4)
@@ -972,6 +991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "cume_dist_orders": q_cume_dist_orders,
         "pricing_summary": q_pricing_summary,
+        # new round-6 entry, appended at the tail per the contract above;
+        # rows-only (no oracle_sql) — the one deliberately non-oracled
+        # query, see its docstring
+        "bpe_token_count": q_bpe_token_count,
     }
 
 

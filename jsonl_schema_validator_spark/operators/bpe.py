@@ -1,0 +1,215 @@
+"""Corpus-trained byte-pair encoding: learn merges from the corpus
+itself, then count REAL BPE tokens per document — replacing the
+`token_count(bpe_like=True)` regex heuristic with the actual algorithm
+real pipelines tokenize with (Sennrich et al., arXiv:1508.07909 — public
+algorithm; the reference engine at /root/reference has no table-level
+text ops, this extends the pipeline-op set per SURVEY.md's scope).
+
+Scale shape — everything rides the WORD DICTIONARY, never the corpus:
+
+- ``bpe_train`` makes ONE corpus pass (a map-side-combinable
+  groupBy(word).count()), takes the top ``max_dict_words`` words with a
+  bounded-heap TakeOrdered (deterministic (count desc, word asc) order),
+  and trains the merge loop at the DRIVER over that dictionary — the
+  same size-dispatch philosophy as duplicate_clusters' driver union-find:
+  word dictionaries are Zipf-shaped, so a bounded dictionary captures
+  nearly all token mass while the corpus itself never leaves the
+  executors. Tie-breaks are fully deterministic (highest pair count,
+  then lexicographically smallest pair), so the merge table is
+  reproducible from the corpus alone and an oracle replay is possible.
+- ``bpe_token_count`` segments each DISTINCT word once in a batch-level
+  Arrow step (mapInPandas over the word dictionary — a documented
+  exception to the no-per-row-Python rule, bounded by dictionary size
+  exactly like ngram_lm_scores' per-distinct-bigram logprobs), then
+  joins the per-word token counts back onto the (id, word) occurrence
+  table (AQE-broadcastable dictionary side) and sums per doc. The
+  corpus shuffles exactly once (the occurrence pre-aggregation).
+
+Semantics (the classic word-level BPE of the Sennrich paper): words are
+the whitespace tokens; each word becomes its character sequence plus a
+terminal ``</w>`` marker symbol; training repeatedly merges the most
+frequent adjacent symbol pair; application replays the merges in
+training order with the same greedy left-to-right non-overlapping scan.
+Correctness is pinned against an independent regex-based python
+reference and hand-computed fixtures (tests/test_bpe.py); no DuckDB
+oracle — iterative merge training is not expressible as a reasonable
+SQL recursion, which is documented here as the deliberate trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EOW = "</w>"
+
+
+def _word_symbols(word: str) -> tuple:
+    return tuple(word) + (EOW,)
+
+
+def _merge_once(syms: tuple, a: str, b: str) -> tuple:
+    """One greedy left-to-right non-overlapping pass merging (a, b) —
+    the scan both training and application use, so they cannot drift."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _apply_merges(syms: tuple, merges: list) -> tuple:
+    """Replay merges in training order. The membership pre-check skips
+    merges whose parts cannot occur — most of the loop for most words."""
+    present = set(syms)
+    for a, b in merges:
+        if a not in present or b not in present:
+            continue
+        new = _merge_once(syms, a, b)
+        if len(new) != len(syms):
+            syms = new
+            present = set(syms)
+    return syms
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 200,
+    min_pair_count: int = 2,
+    max_dict_words: int = 200_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the merge
+    list in training order (the model — persist it however you like, the
+    list is deterministic for a given corpus + parameters).
+
+    Training stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (weighted by word frequency). Driver cost is
+    O(num_merges x dictionary symbols); ``max_dict_words`` bounds it —
+    the words dropped by the cap are the rarest and contribute least to
+    pair statistics (logged when the cap binds)."""
+    if num_merges < 0:
+        raise ValueError("num_merges must be >= 0")
+    if max_dict_words < 1:
+        raise ValueError("max_dict_words must be >= 1")
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # TakeOrdered top-N: bounded per-task heap, deterministic total order
+    rows = words.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        max_dict_words + 1
+    ).collect()
+    if len(rows) > max_dict_words:
+        rows = rows[:max_dict_words]
+        import logging
+
+        logging.getLogger(__name__).info(
+            "bpe_train: word dictionary capped at %d words", max_dict_words
+        )
+    vocab: dict[tuple, int] = {
+        _word_symbols(r["w"]): int(r["c"]) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        best_count = max(pairs.values())
+        if best_count < min_pair_count:
+            break
+        # deterministic tie-break: lexicographically smallest among the
+        # maximal-count pairs (reproducible merge table = replayable)
+        best = min(p for p, c in pairs.items() if c == best_count)
+        merges.append(best)
+        a, b = best
+        vocab = {
+            (_merge_once(s, a, b) if a in s and b in s else s): c
+            for s, c in vocab.items()
+        }
+    return merges
+
+
+def bpe_token_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+) -> DataFrame:
+    """(id, n_tokens_bpe) — real BPE token count per document under a
+    trained merge list (see bpe_train). Null/empty text counts 0; words
+    created by repeated spaces are empty strings and count 0 (the
+    whitespace pre-tokenizer contract shared with _tokens).
+
+    One row per distinct id (duplicate-id rows merge, NULL id is its own
+    group), joined back eqNullSafe onto the per-row id frame — the
+    ngram_lm_scores contract; under the usual unique-id corpus
+    precondition output rows equal input rows.
+
+    Scale shape: segmentation runs ONCE per DISTINCT word in a
+    batch-level Arrow step over the word dictionary (documented
+    per-row-Python exception, bounded by dictionary size); the corpus
+    occurrence table pre-aggregates (id, word) map-side, joins the
+    dictionary (AQE broadcasts it when small) and sums per id."""
+    merges = [tuple(m) for m in merges]
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.length("w") > 0)
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    dictionary = occ.select("w").distinct()
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("n_bpe", T.LongType()),
+        ]
+    )
+
+    def segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"].values,
+                    "n_bpe": [
+                        len(_apply_merges(_word_symbols(w), merges))
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    seg = dictionary.mapInPandas(segment, seg_schema)
+    per_id = (
+        occ.join(seg, "w")
+        .groupBy("id")
+        .agg(F.sum(F.col("n_occ") * F.col("n_bpe")).alias("__n"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_id, base["id"].eqNullSafe(per_id["id"]), "left")
+        .select(
+            base["id"],
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_tokens_bpe"
+            ),
+        )
+    )

@@ -170,7 +170,8 @@ def token_count(
 ) -> DataFrame:
     """(id, n_tokens). Whitespace tokens, or a BPE-ish regex token count
     (word pieces / numbers / single punctuation), the standard pre-tokenizer
-    shape."""
+    shape. For REAL corpus-trained BPE counts, see operators/bpe.py
+    (bpe_train + bpe_token_count)."""
     col = F.col(text_col)
     if not bpe_like:
         n = F.size(_tokens(col))
