@@ -5,7 +5,7 @@ mapInPandas signatures, partition preservation. Decode backends:
 
 - backend='raw'   : REAL decode with stdlib + numpy only — BMP (24bpp,
                     BI_RGB), PPM (P6), PNG (8-bit grey/RGB/RGBA,
-                    non-interlaced; DEFLATE via stdlib zlib + numpy
+                    incl. Adam7 interlace; DEFLATE via stdlib zlib + numpy
                     unfiltering), baseline JPEG (SOF0 Huffman sequential
                     incl. 4:2:0 and restart markers) AND progressive JPEG
                     (SOF2 spectral selection + successive approximation —
@@ -132,23 +132,14 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, filter_type: int = 0) -> bytes:
-    """8-bit RGB (color type 2), non-interlaced PNG from an (h, w, 3) uint8
-    array, every scanline filtered with `filter_type` 0..4 (None/Sub/Up/
-    Average/Paeth — W3C PNG spec §9) — a real encoder AND the fixture
-    writer that exercises each unfilter path in _parse_png round-trips."""
-    import zlib
-
-    import numpy as np
-
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("pixels must be (h, w, 3) RGB")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError("filter_type must be 0..4")
-    h, w, _ = px.shape
-    rows = px.reshape(h, w * 3).astype(np.int16)
-    prev = np.zeros(w * 3, np.int16)
+def _png_filter_region(region, filter_type: int, np) -> bytes:
+    """Filter one image region's scanlines (prev-row state starts at
+    zero, as the spec requires at the top of the image and of every
+    Adam7 pass): 1 filter byte + filtered bytes per line."""
+    h = region.shape[0]
+    stride = region.shape[1] * region.shape[2]
+    rows = region.reshape(h, stride).astype(np.int16)
+    prev = np.zeros(stride, np.int16)
     out = bytearray()
     for y in range(h):
         row = rows[y]
@@ -171,11 +162,40 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
             filt = row - pred
         out += bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return bytes(out)
+
+
+def encode_png(pixels, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """8-bit RGB (color type 2) PNG from an (h, w, 3) uint8 array, every
+    scanline filtered with `filter_type` 0..4 (None/Sub/Up/Average/Paeth —
+    W3C PNG spec §9), optionally Adam7-interlaced (§8.2: seven reduced
+    images, each filtered independently) — a real encoder AND the fixture
+    writer that exercises each unfilter path and the interlace
+    reassembly in _parse_png round-trips."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    h, w, _ = px.shape
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                out += _png_filter_region(sub, filter_type, np)
+        raw = bytes(out)
+    else:
+        raw = _png_filter_region(px, filter_type, np)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -244,15 +264,74 @@ def _parse_ppm(raw: bytes):
     return w, h, np.frombuffer(raw, np.uint8, count=w * h * 3, offset=i)
 
 
+# Adam7 interlace grid (W3C PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(data, offset, h, stride, ch, np):
+    """Unfilter h scanlines of `stride` pixel bytes each (1 filter byte +
+    stride data bytes per line, starting at `offset` in the inflated
+    stream) — W3C PNG spec §9: None/Sub/Up/Average/Paeth. Returns the
+    (h, stride) uint8 array; raises ValueError on truncation or an
+    unknown filter type. Shared by the non-interlaced path (one region)
+    and each Adam7 pass (which filters its reduced image independently,
+    prev-row state resetting per pass)."""
+    need = h * (stride + 1)
+    if len(data) < offset + need:
+        raise ValueError("PNG pixel data truncated")
+    arr = np.frombuffer(data, np.uint8, count=need, offset=offset).reshape(
+        h, stride + 1
+    )
+    w = stride // ch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256 (vectorized)
+            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError("unknown PNG filter type")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def _parse_png(raw: bytes):
-    """(w, h, pixel_bytes ndarray) for an 8-bit greyscale/RGB/RGBA,
-    non-interlaced PNG — stdlib zlib inflates the IDAT stream, numpy
-    unfilters the scanlines (W3C PNG spec §9: None/Sub/Up/Average/Paeth).
-    No codec library: PNG's only compression IS DEFLATE, so this is a REAL
-    decode path, unlike the JPEG/video stubs. RGBA drops alpha (pixel
-    stats are over color channels, matching BMP/PPM). Anything else
-    (16-bit, palette, interlaced, malformed) returns None — the
-    undecodable-row-yields-nulls contract."""
+    """(w, h, pixel_bytes ndarray) for an 8-bit greyscale/RGB/RGBA PNG,
+    non-interlaced OR Adam7-interlaced — stdlib zlib inflates the IDAT
+    stream, numpy unfilters the scanlines (W3C PNG spec §9: None/Sub/Up/
+    Average/Paeth; §8.2 Adam7 pass extraction). No codec library: PNG's
+    only compression IS DEFLATE, so this is a REAL decode path, unlike
+    the remaining codec stubs. RGBA drops alpha (pixel stats are over
+    color channels, matching BMP/PPM). Anything else (16-bit, palette,
+    malformed) returns None — the undecodable-row-yields-nulls
+    contract."""
     import zlib
 
     import numpy as np
@@ -281,48 +360,31 @@ def _parse_png(raw: bytes):
         ">IIBBBBB", ihdr[:13]
     )
     ch = {0: 1, 2: 3, 6: 4}.get(color)
-    if ch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if ch is None or depth != 8 or comp != 0 or filt != 0:
         return None
-    if w <= 0 or h <= 0:
+    if interlace not in (0, 1) or w <= 0 or h <= 0:
         return None
     try:
         data = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * ch
-    if len(data) < h * (stride + 1):
+    try:
+        if interlace == 0:
+            out = _png_unfilter(data, 0, h, w * ch, ch, np)
+        else:  # Adam7: 7 independently-filtered reduced images, scattered
+            out = np.zeros((h, w, ch), np.uint8)
+            offset = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx) if w > x0 else 0
+                ph = -(-(h - y0) // dy) if h > y0 else 0
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass contributes no scanlines
+                sub = _png_unfilter(data, offset, ph, pw * ch, ch, np)
+                offset += ph * (pw * ch + 1)
+                out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            out = out.reshape(h, w * ch)
+    except ValueError:
         return None
-    arr = np.frombuffer(data, np.uint8, count=h * (stride + 1)).reshape(
-        h, stride + 1
-    )
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(h):
-        ft = int(arr[y, 0])
-        row = arr[y, 1:].astype(np.int32)
-        if ft == 0:
-            cur = row
-        elif ft == 1:  # Sub: per-channel prefix sum mod 256 (vectorized)
-            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) & 0xFF
-        elif ft == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: sequential in x
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                up = int(prev[x])
-                if ft == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = int(prev[x - ch]) if x >= ch else 0
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                cur[x] = (row[x] + pred) & 0xFF
-        else:
-            return None
-        out[y] = cur.astype(np.uint8)
-        prev = cur
     if ch == 4:  # RGBA -> RGB (alpha is not a pixel-intensity channel)
         out = out.reshape(h, w, 4)[:, :, :3].reshape(h, w * 3)
     return w, h, out.reshape(-1)
@@ -400,7 +462,8 @@ def decode_images(
     mapInPandas.
 
     backend='raw' really decodes BMP (24bpp), PPM (P6), PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy unfilter),
+    grey/RGB/RGBA, incl. Adam7 interlace — stdlib zlib inflate + numpy
+    unfilter),
     baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
     restart markers) and progressive JPEG (SOF2, spectral selection +
     successive approximation — pure numpy Huffman+IDCT, operators/

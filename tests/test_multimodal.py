@@ -598,3 +598,46 @@ def test_phash_near_pairs_planted_duplicates(spark):
     # every found pair is an intra-base re-encode pair
     for a, b in pairs:
         assert a % 100 == b % 100, (a, b)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNG decodes to EXACTLY the same pixels as the
+    non-interlaced encode of the same image, for every scanline filter
+    type and for sizes that leave some passes empty (1x1, 3x2); a
+    truncated interlaced stream yields None."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for h, w in [(9, 11), (1, 1), (3, 2), (8, 8), (17, 23), (7, 40)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            ref = _parse_png(encode_png(px, filter_type=ft))
+            got = _parse_png(encode_png(px, filter_type=ft, interlace=True))
+            assert got is not None, (h, w, ft)
+            assert got[:2] == ref[:2] and np.array_equal(got[2], ref[2]), (
+                h, w, ft,
+            )
+    full = encode_png(
+        rng.integers(0, 256, (20, 20, 3), dtype=np.uint8), interlace=True
+    )
+    assert _parse_png(full[: len(full) // 2]) is None
+    # pixel-data truncation BELOW the zlib layer (valid deflate stream,
+    # short scanlines) also takes the None exit, not an exception
+    import struct as _s
+    import zlib as _z
+
+    from jsonl_schema_validator_spark.operators.multimodal import _png_chunk
+
+    ihdr = _s.pack(">IIBBBBB", 20, 20, 8, 2, 0, 0, 1)
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _parse_png(short) is None
