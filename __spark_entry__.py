@@ -459,6 +459,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(docs, "doc_id", "text", bpe_like=True)
 
 
+_BPE_PLAN_SALT = [0]
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE token counts: train 30 merges on the documents
     table itself (deterministic (count desc, word asc) dictionary +
@@ -474,8 +477,20 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", num_merges=30)
-    return bpe_token_count(docs, "doc_id", "text", merges)
+    # plan salt on the TRAINING scan: bpe_train collects inside this
+    # function (before the bench harness can append its per-trial lit),
+    # and Spark 4 serves byte-identical re-executed queries from a cache
+    # — an unsalted second trial would time the cache, not the training
+    # pass (the CLAUDE.md repeat-timing invariant). The predicate is a
+    # result-neutral never-false filter that references the column, so
+    # constant folding cannot strip it from the plan.
+    _BPE_PLAN_SALT[0] += 1
+    salted = docs.where(
+        F.col("text").isNull()
+        | (F.col("text") != F.lit(f"\x00__bench_salt_{_BPE_PLAN_SALT[0]}"))
+    )
+    merges = bpe_train(salted, "text", num_merges=30)
+    return bpe_token_count(salted, "doc_id", "text", merges)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

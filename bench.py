@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "text_metrics",
     "lm_perplexity",
     "tfidf_terms",
+    "bpe_token_count",
     "langid",
     "token_count",
     "fingerprint",
