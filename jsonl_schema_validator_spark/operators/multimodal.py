@@ -224,7 +224,13 @@ def _parse_bmp(raw: bytes):
     ).reshape(h, row_bytes)[:, : w * 3]
     if not top_down:
         rows = rows[::-1]
-    return w, h, rows.reshape(-1)
+    # BMP stores BGR on disk — swap to RGB so the returned buffer matches
+    # the (w, h, rgb) contract the other parsers honor (mean_byte is
+    # order-invariant, but pHash luma weights are NOT: unswapped bytes
+    # put 0.299 on blue, skewing luma by up to 0.185*(R-B) and pushing a
+    # BMP copy of an image out of hamming range of its PNG/JPEG copies —
+    # round-6 review finding)
+    return w, h, rows.reshape(h, w, 3)[:, :, ::-1].reshape(-1)
 
 
 def _parse_ppm(raw: bytes):
@@ -569,25 +575,39 @@ def _resize_area(plane, n, np):
     return sums / areas
 
 
+_PHASH_DCT32 = None  # built once per python worker, not per image
+
+
 def _phash64_from_rgb(flat, w, h, np) -> int:
     """64-bit perceptual hash (pHash, the classic 8x8-DCT-of-32x32-luma
     scheme): luma -> area-resize to 32x32 -> orthonormal 2-D DCT -> keep
     the top-left 8x8 low-frequency block -> bit i = coefficient i >
     median of the 64. Returned as a SIGNED int64 (Spark bigint); equal
-    images hash equal, re-encodes land within a few bits of Hamming."""
-    from jsonl_schema_validator_spark.operators.jpeg import _dct_matrix
-
-    rgb = flat.reshape(h, w, 3).astype(np.float64)
-    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    images hash equal, re-encodes land within a few bits of Hamming.
+    Accepts 3-channel (RGB) and 1-channel (greyscale PNG color type 0)
+    buffers — grey IS the luma (round-6 review finding: the unguarded
+    3-channel reshape crashed the task on a decodable grey PNG)."""
+    global _PHASH_DCT32
+    ch = flat.size // (w * h) if w and h else 0
+    if ch == 3:
+        rgb = flat.reshape(h, w, 3).astype(np.float64)
+        luma = (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        )
+    elif ch == 1:
+        luma = flat.reshape(h, w).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported channel count: {ch}")
     g = _resize_area(luma, 32, np)
-    D = _dct_matrix(32)
+    if _PHASH_DCT32 is None:
+        from jsonl_schema_validator_spark.operators.jpeg import _dct_matrix
+
+        _PHASH_DCT32 = _dct_matrix(32)
+    D = _PHASH_DCT32
     d = D @ g @ D.T
     block = d[:8, :8].reshape(-1)
     med = float(np.median(block))
-    v = 0
-    for i in range(64):
-        if block[i] > med:
-            v |= 1 << (63 - i)
+    v = int.from_bytes(np.packbits(block > med).tobytes(), "big")
     if v >= 1 << 63:
         v -= 1 << 64
     return v
@@ -628,12 +648,19 @@ def image_phash(
         for pdf in batches:
             out = []
             for raw in pdf["raw"]:
-                parsed = _decode_any_image(raw)
-                if parsed is None:
+                # same blanket guard as the decode: a row that defeats
+                # the hash math yields NULL, never a task abort
+                try:
+                    parsed = _decode_any_image(raw)
+                    out.append(
+                        None
+                        if parsed is None
+                        else _phash64_from_rgb(
+                            parsed[2], parsed[0], parsed[1], np
+                        )
+                    )
+                except Exception:
                     out.append(None)
-                else:
-                    w, h, flat = parsed
-                    out.append(_phash64_from_rgb(flat, w, h, np))
             yield pd.DataFrame(
                 {"id": pdf["id"].values, "phash": pd.array(out, dtype="Int64")}
             )

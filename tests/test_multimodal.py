@@ -573,6 +573,8 @@ def test_phash_near_pairs_planted_duplicates(spark):
         phash_near_pairs,
     )
 
+    from jsonl_schema_validator_spark.operators.multimodal import encode_bmp
+
     rows = []
     n_base = 4
     for k in range(n_base):
@@ -580,12 +582,19 @@ def test_phash_near_pairs_planted_duplicates(spark):
         rows.append((k, encode_png(img)))
         rows.append((k + 100, encode_jpeg_baseline(img, quality=70)))
         rows.append((k + 200, encode_jpeg_progressive(img, quality=85)))
+    # cross-format: a BMP copy must pair with its PNG copy at hamming 0
+    # (BMP stores BGR on disk; the parser swaps to RGB — round-6 review
+    # finding: unswapped bytes skewed luma and silently broke exactly
+    # this cross-format case)
+    rows.append((300, encode_bmp(_phash_test_image(0))))
     rows.append((999, b"not an image at all"))
     df = spark.createDataFrame(rows, "img_id bigint, img binary")
 
     sig = {r.id: r.phash for r in image_phash(df, "img", "img_id").collect()}
     assert sig[999] is None
-    assert len([v for v in sig.values() if v is not None]) == 3 * n_base
+    assert len([v for v in sig.values() if v is not None]) == 3 * n_base + 1
+    # lossless BMP copy == lossless PNG copy, bit for bit
+    assert sig[300] == sig[0]
 
     pairs = {
         (r.id_a, r.id_b): r.hamming
@@ -595,7 +604,9 @@ def test_phash_near_pairs_planted_duplicates(spark):
         for a, b in [(k, k + 100), (k, k + 200), (k + 100, k + 200)]:
             assert (a, b) in pairs, (a, b, pairs)
             assert pairs[(a, b)] <= 3
-    # every found pair is an intra-base re-encode pair
+    assert pairs[(0, 300)] == 0  # the cross-format pair
+    # every found pair is an intra-base re-encode pair (base-0 copies are
+    # ids 0/100/200/300, all equal mod 100)
     for a, b in pairs:
         assert a % 100 == b % 100, (a, b)
 
@@ -641,3 +652,44 @@ def test_png_adam7_interlaced_roundtrip():
         + _png_chunk(b"IEND", b"")
     )
     assert _parse_png(short) is None
+
+
+def test_image_phash_greyscale_png_no_crash(spark):
+    """A greyscale PNG (color type 0) decodes to a 1-CHANNEL buffer;
+    pHash must treat it as luma directly, not crash the task on a
+    3-channel reshape (round-6 review finding — the contract is nulls
+    for the undecodable, a hash for the decodable, never an abort).
+    A grey image and its RGB replication hash identically (luma equal)."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _decode_any_image,
+        _phash64_from_rgb,
+        _png_chunk,
+        image_phash,
+    )
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    scan = b"".join(b"\x00" + g[y].tobytes() for y in range(40))
+    ihdr = _s.pack(">IIBBBBB", 40, 40, 8, 0, 0, 0, 0)  # color type 0
+    grey_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, flat = _decode_any_image(grey_png)
+    assert flat.size == 40 * 40  # 1-channel: the crash precondition
+    direct = _phash64_from_rgb(flat, w, h, np)
+    rgb = np.stack([g, g, g], axis=2)
+    assert direct == _phash64_from_rgb(rgb.reshape(-1), 40, 40, np)
+
+    df = spark.createDataFrame(
+        [(1, grey_png)], "img_id bigint, img binary"
+    )
+    out = image_phash(df, "img", "img_id").collect()
+    assert out[0].phash == direct
