@@ -668,6 +668,20 @@ def image_phash(
     return cols.mapInPandas(run, out_schema)
 
 
+def _phash_packed(sig: DataFrame) -> DataFrame:
+    """(id, p0..p3): the 64-bit pHash split into four 16-bit chunks for
+    the shared pigeonhole blocking core."""
+    return sig.select(
+        "id",
+        *[
+            F.shiftrightunsigned(F.col("phash"), 48 - 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"p{c}")
+            for c in range(4)
+        ],
+    )
+
+
 def phash_near_pairs(
     df: DataFrame,
     binary_col: str,
@@ -681,22 +695,79 @@ def phash_near_pairs(
     beyond that candidates must share a chunk (same documented semantics).
     Undecodable images carry no signature and never pair. The decode is
     per-image Python in one mapInPandas pass (the documented multimodal
-    exception); everything after the signature is JVM-side expressions."""
+    exception); everything after the signature is JVM-side expressions.
+
+    CACHE LIFECYCLE: the signature table is persisted and not unpersisted
+    (the blocking join consumes it on BOTH sides — unpersisted, every
+    side would re-decode every image); release with
+    spark.catalog.clearCache() after a terminal action in long-lived
+    sessions — the shared_span_pairs convention."""
+    from pyspark.storagelevel import StorageLevel
+
     from jsonl_schema_validator_spark.operators.dedup import (
         _packed_hamming_pairs,
     )
 
-    sig = image_phash(df, binary_col, id_col).where(F.col("phash").isNotNull())
-    packed = sig.select(
-        "id",
-        *[
-            F.shiftrightunsigned(F.col("phash"), 48 - 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"p{c}")
-            for c in range(4)
-        ],
+    sig = (
+        image_phash(df, binary_col, id_col)
+        .where(F.col("phash").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return _packed_hamming_pairs(packed, max_hamming)
+    return _packed_hamming_pairs(_phash_packed(sig), max_hamming)
+
+
+def phash_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-image near-duplicate VERDICT — the full image-dedup story in
+    one call, mirroring semantic_duplicates' output shape: (id, phash,
+    cluster_id, keep) with exactly one row per input row. Near-pairs
+    (phash_near_pairs semantics) cluster via duplicate_clusters'
+    size-dispatched connected components; cluster_id is the component's
+    smallest id and keep is true only for that canonical survivor.
+    Unpaired decodable images are their own single-member cluster
+    (keep=true); UNDECODABLE images carry a null phash and cluster_id
+    and are kept — a dedup pass must never drop a row it could not even
+    read (conservative; filter phash IS NULL separately to quarantine).
+
+    PRECONDITION: ids unique and non-null (the clean_corpus contract).
+    CACHE LIFECYCLE: persists the signature table (feeds both join sides
+    AND the final output); release with spark.catalog.clearCache()."""
+    from pyspark.storagelevel import StorageLevel
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+        duplicate_clusters,
+    )
+
+    sig = image_phash(df, binary_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hashed = sig.where(F.col("phash").isNotNull())
+    pairs = _packed_hamming_pairs(_phash_packed(hashed), max_hamming).select(
+        "id_a", "id_b"
+    )
+    clusters = duplicate_clusters(pairs).select(
+        F.col("id").alias("__jsv_cl_id"), F.col("cluster_id").alias("__jsv_cl")
+    )
+    out = sig.join(
+        clusters, sig["id"] == F.col("__jsv_cl_id"), "left"
+    ).drop("__jsv_cl_id")
+    cluster_id = F.when(
+        F.col("phash").isNotNull(),
+        F.coalesce(F.col("__jsv_cl"), F.col("id")),
+    )
+    return out.select(
+        "id",
+        "phash",
+        cluster_id.alias("cluster_id"),
+        (
+            F.col("phash").isNull() | (cluster_id == F.col("id"))
+        ).alias("keep"),
+    )
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

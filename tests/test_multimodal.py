@@ -693,3 +693,37 @@ def test_image_phash_greyscale_png_no_crash(spark):
     )
     out = image_phash(df, "img", "img_id").collect()
     assert out[0].phash == direct
+
+
+def test_phash_duplicates_verdict(spark):
+    """phash_duplicates: one row per input, min-id keeper per cluster,
+    singletons keep themselves, undecodable rows keep with null
+    phash/cluster (a dedup pass never drops what it could not read)."""
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        encode_png,
+        phash_duplicates,
+    )
+
+    img_a = _phash_test_image(0)
+    img_b = _phash_test_image(1)
+    rows = [
+        (10, encode_png(img_a)),
+        (11, encode_jpeg_baseline(img_a, quality=70)),
+        (12, encode_jpeg_progressive(img_a, quality=85)),
+        (20, encode_png(img_b)),  # singleton
+        (99, b"junk bytes"),  # undecodable
+    ]
+    df = spark.createDataFrame(rows, "img_id bigint, img binary")
+    out = {r.id: r for r in phash_duplicates(df, "img", "img_id").collect()}
+    spark.catalog.clearCache()
+    assert len(out) == 5
+    assert out[10].keep and out[10].cluster_id == 10
+    assert not out[11].keep and out[11].cluster_id == 10
+    assert not out[12].keep and out[12].cluster_id == 10
+    assert out[20].keep and out[20].cluster_id == 20
+    assert out[99].keep and out[99].phash is None
+    assert out[99].cluster_id is None
