@@ -85,34 +85,59 @@ def bpe_train(
     num_merges: int = 200,
     min_pair_count: int = 2,
     max_dict_words: int = 200_000,
+    mode: str = "auto",
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the merge
     list in training order (the model — persist it however you like, the
-    list is deterministic for a given corpus + parameters).
+    list is deterministic for a given corpus + parameters, IDENTICAL
+    between the two training paths — equivalence is fuzz-pinned).
 
     Training stops early when the best remaining pair occurs fewer than
-    ``min_pair_count`` times (weighted by word frequency). Driver cost is
-    O(num_merges x dictionary symbols); ``max_dict_words`` bounds it —
-    the words dropped by the cap are the rarest and contribute least to
-    pair statistics (logged when the cap binds)."""
+    ``min_pair_count`` times (weighted by word frequency).
+
+    Size dispatch (``mode='auto'``, the duplicate_clusters pattern): a
+    one-job probe collects up to max_dict_words+1 dictionary rows; when
+    the limit is not hit those rows ARE the dictionary and the merge
+    loop runs at the DRIVER (O(num_merges x dictionary symbols), no
+    per-round Spark jobs). A larger dictionary falls back to the EXACT
+    distributed path: the (symbols, count) dictionary table stays in
+    Spark and each merge round is one pair-count aggregation (codegen
+    zip-explode bigrams, map-side combinable) + a 1-row argmax collect +
+    one expression-side merge scan, with per-round localCheckpoint
+    lineage truncation (the star-CC convention). num_merges Spark rounds
+    — slower per merge but never caps the dictionary and never moves the
+    corpus. ``mode='driver'`` forces the capped driver path (the old
+    behavior: words beyond the top max_dict_words by (count desc, word
+    asc) are dropped — they are the rarest and contribute least);
+    ``mode='distributed'`` forces the exact path."""
     if num_merges < 0:
         raise ValueError("num_merges must be >= 0")
     if max_dict_words < 1:
         raise ValueError("max_dict_words must be >= 1")
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError("mode must be 'auto', 'driver' or 'distributed'")
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if mode == "distributed":
+        return _bpe_train_distributed(words, num_merges, min_pair_count)
     # TakeOrdered top-N: bounded per-task heap, deterministic total order
     rows = words.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
         max_dict_words + 1
     ).collect()
     if len(rows) > max_dict_words:
-        rows = rows[:max_dict_words]
         import logging
 
+        if mode == "auto":
+            logging.getLogger(__name__).info(
+                "bpe_train: dictionary exceeds %d words — taking the "
+                "exact distributed path", max_dict_words
+            )
+            return _bpe_train_distributed(words, num_merges, min_pair_count)
+        rows = rows[:max_dict_words]
         logging.getLogger(__name__).info(
             "bpe_train: word dictionary capped at %d words", max_dict_words
         )
@@ -140,6 +165,75 @@ def bpe_train(
             (_merge_once(s, a, b) if a in s and b in s else s): c
             for s, c in vocab.items()
         }
+    return merges
+
+
+def _bpe_train_distributed(
+    words: DataFrame, num_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Exact distributed BPE training over a (w, c) word-count frame:
+    the dictionary never leaves the executors. Per round: bigram pair
+    counts via the codegen zip-explode shape (arrays_zip of two shifted
+    slices — the _bigram_zip lesson, no interpreted HOF in the hot agg),
+    ONE deterministic argmax row collected ((count desc, a asc, b asc) —
+    the same tie-break as the driver loop), then one expression-side
+    left-to-right merge scan (an aggregate HOF — interpreted, but one
+    pass over dictionary symbols per round; equivalent to _merge_once's
+    stack scan because a freshly-merged symbol a+b can never equal a).
+    localCheckpoint each round truncates the num_merges-deep lineage."""
+    dic = words.select(
+        # split BETWEEN characters only: (?!^) skips the start and
+        # (?=[\s\S]) requires a following char, so no trailing empty
+        # element (plain (?!^) emits one — the end-of-string position
+        # matches the empty pattern too)
+        F.concat(
+            F.split(F.col("w"), "(?!^)(?=[\\s\\S])"), F.array(F.lit(EOW))
+        ).alias("s"),
+        F.col("c"),
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            n = F.size("s")
+            pairs = (
+                dic.where(n >= 2)
+                .select(
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice("s", 1, n - 1).alias("a"),
+                            F.slice("s", 2, n - 1).alias("b"),
+                        )
+                    ).alias("p"),
+                    "c",
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("c").alias("n"))
+            )
+            top = pairs.orderBy(
+                F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+            ).limit(1).collect()
+            if not top or int(top[0]["n"]) < min_pair_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            merged = F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            dic = dic.select(merged.alias("s"), "c").localCheckpoint()
+    finally:
+        # localCheckpoint blocks are session-owned; nothing to unpersist
+        # explicitly — but drop the reference promptly
+        del dic
     return merges
 
 

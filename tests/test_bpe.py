@@ -163,14 +163,47 @@ def test_bpe_train_stops_and_validates(spark):
 
 
 def test_bpe_dict_cap_deterministic(spark):
-    """max_dict_words keeps the TOP words by (count desc, word asc) —
-    capped training equals training on the explicitly-truncated corpus."""
+    """mode='driver' with max_dict_words keeps the TOP words by
+    (count desc, word asc) — capped training equals training on the
+    explicitly-truncated corpus."""
     rows = [(1, "aa aa aa aa bb bb bb cc cc dd")]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     capped = bpe_train(df, "text", num_merges=5, max_dict_words=2,
-                       min_pair_count=1)
+                       min_pair_count=1, mode="driver")
     df2 = spark.createDataFrame(
         [(1, "aa aa aa aa bb bb bb")], "doc_id bigint, text string"
     )
     full = bpe_train(df2, "text", num_merges=5, min_pair_count=1)
     assert capped == full
+
+
+def test_bpe_train_distributed_equals_driver(spark):
+    """The exact distributed training path (per-merge Spark rounds over
+    the dictionary table) produces the IDENTICAL merge list as the
+    driver loop — same tie-breaks, same stop rule — on the hand-checked
+    corpus, a fuzz corpus with regex-metachar words, and via the 'auto'
+    dispatch when the dictionary exceeds max_dict_words (auto must give
+    the EXACT uncapped answer, not the capped one)."""
+    text = "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3
+    df = spark.createDataFrame(
+        [(1, text.strip())], "doc_id bigint, text string"
+    )
+    d = bpe_train(df, "text", num_merges=8, mode="driver")
+    assert bpe_train(df, "text", num_merges=8, mode="distributed") == d
+    # auto + tiny cap -> distributed -> uncapped-exact result
+    assert bpe_train(df, "text", num_merges=8, max_dict_words=2) == d
+
+    rng = random.Random(5)
+    vocab = ["the", "cat", "sat", "lowest", "newest", "ab(c", "x*y"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(30)
+    ]
+    df2 = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d2 = bpe_train(df2, "text", num_merges=25, mode="driver")
+    assert bpe_train(df2, "text", num_merges=25, mode="distributed") == d2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        bpe_train(df, "text", num_merges=1, mode="cluster")
