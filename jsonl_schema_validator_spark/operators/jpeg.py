@@ -13,11 +13,12 @@ YCbCr->RGB. This module implements both directions:
 - ``encode_jpeg_progressive(...)`` writes a progressive (SOF2) file —
   spectral selection + successive approximation per T.81 Annex G, a
   libjpeg-shaped default scan script, per-scan Huffman tables.
-- ``_parse_jpeg(raw)`` returns (w, h, rgb_flat_uint8) for baseline AND
+- ``_parse_jpeg(raw)`` returns (w, h, rgb_flat_uint8) for baseline
+  (interleaved single-scan AND non-interleaved multi-scan) and
   progressive grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 files, or None for
   anything it cannot decode (arithmetic coding, 12-bit, truncation, bad
-  markers) — the undecodable-row-yields-nulls contract of the multimodal
-  raw backend.
+  markers, incomplete component coverage) — the
+  undecodable-row-yields-nulls contract of the multimodal raw backend.
 
 Correctness evidence without an external codec: at quality=100 the Annex K
 tables scale to all-ones, so the ONLY loss is YCbCr round-tripping and
@@ -289,9 +290,14 @@ def encode_jpeg_baseline(
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Baseline JFIF bytes from an (h, w, 3) uint8 RGB or (h, w) grayscale
-    array. subsampling: '4:4:4', '4:2:2' or '4:2:0' (RGB only)."""
+    array. subsampling: '4:4:4', '4:2:2' or '4:2:0' (RGB only).
+    interleaved=False writes the legal-but-rare NON-interleaved layout
+    (one SOS per component, component-raster geometry, restart counting
+    blocks) — the fixture writer for the sequential multi-scan decode
+    path."""
     gray, h, w, cfg, qt_l, qt_c, mcus_x, mcus_y = _encode_prep(
         pixels, quality, subsampling
     )
@@ -338,30 +344,62 @@ def encode_jpeg_baseline(
             wtr.put(code, ln)
         return int(seq[0])
 
-    wtr = _BitWriter()
-    preds = [0] * len(comp_cfg)
-    mcu_count = 0
-    rst = 0
-    body = bytearray()
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                wtr.flush()
-                body += wtr.buf
-                wtr = _BitWriter()
-                body += bytes([0xFF, 0xD0 + (rst % 8)])
-                rst += 1
-                preds = [0] * len(comp_cfg)
-            for ci, (coefs, dcc, acc_, hsamp, vsamp) in enumerate(comp_cfg):
-                for by in range(vsamp):
-                    for bx in range(hsamp):
-                        seq = coefs[my * vsamp + by, mx * hsamp + bx]
-                        preds[ci] = encode_block(
-                            wtr, seq, dcc, acc_, preds[ci]
-                        )
-            mcu_count += 1
-    wtr.flush()
-    body += wtr.buf
+    if interleaved:
+        wtr = _BitWriter()
+        preds = [0] * len(comp_cfg)
+        mcu_count = 0
+        rst = 0
+        body = bytearray()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    wtr.flush()
+                    body += wtr.buf
+                    wtr = _BitWriter()
+                    body += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    preds = [0] * len(comp_cfg)
+                for ci, (coefs, dcc, acc_, hsamp, vsamp) in enumerate(comp_cfg):
+                    for by in range(vsamp):
+                        for bx in range(hsamp):
+                            seq = coefs[my * vsamp + by, mx * hsamp + bx]
+                            preds[ci] = encode_block(
+                                wtr, seq, dcc, acc_, preds[ci]
+                            )
+                mcu_count += 1
+        wtr.flush()
+        body += wtr.buf
+    else:
+        # one entropy body per component, the component's own block
+        # raster (T.81 non-interleaved geometry); restart counts BLOCKS
+        # and the RST index continues across scans (spec: modulo-8
+        # sequence within each scan restarts at D0 — restart rst per scan)
+        hmax = max(c[3] for c in comp_cfg)
+        vmax = max(c[4] for c in comp_cfg)
+        bodies = []
+        for coefs, dcc, acc_, hsamp, vsamp in comp_cfg:
+            bh_n, bw_n = _noninterleaved_block_dims(
+                hsamp, vsamp, h, w, hmax, vmax
+            )
+            wtr = _BitWriter()
+            pred = 0
+            nblk = 0
+            rst = 0
+            body_c = bytearray()
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if restart_interval and nblk and nblk % restart_interval == 0:
+                        wtr.flush()
+                        body_c += wtr.buf
+                        wtr = _BitWriter()
+                        body_c += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        pred = 0
+                    pred = encode_block(wtr, coefs[by, bx], dcc, acc_, pred)
+                    nblk += 1
+            wtr.flush()
+            body_c += wtr.buf
+            bodies.append(bytes(body_c))
 
     # ---- markers ----
     def seg(marker: int, payload: bytes) -> bytes:
@@ -390,13 +428,20 @@ def encode_jpeg_baseline(
         out += dht(1, 1, *_AC_CHROMA)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        tid = 0 if i == 0 else 1
-        sos += bytes([i + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += body
+    if interleaved:
+        sos = bytes([ncomp])
+        for i in range(ncomp):
+            tid = 0 if i == 0 else 1
+            sos += bytes([i + 1, (tid << 4) | tid])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += body
+    else:
+        for i in range(ncomp):
+            tid = 0 if i == 0 else 1
+            sos = bytes([1, i + 1, (tid << 4) | tid, 0, 63, 0])
+            out += seg(0xDA, sos)
+            out += bodies[i]
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -833,8 +878,15 @@ def _parse_jpeg_inner(raw: bytes, np):
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI: end of a progressive file, or premature
+        if marker == 0xD9:  # EOI: end of a multi-scan file, or premature
             if prog is not None:
+                # sequential multi-scan files must have coded EVERY
+                # component (a luma-only torso would render miscolored);
+                # progressive files may legitimately stop after any scan
+                if not progressive and prog["covered"] != {
+                    c[0] for c in comps
+                }:
+                    return None
                 return _finalize_progressive(prog, comps, qts, h, w, np)
             return None
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
@@ -889,40 +941,36 @@ def _parse_jpeg_inner(raw: bytes, np):
                     return None
                 scan.append((comp, tids >> 4, tids & 0xF))
             if not progressive:
-                if ns != len(comps):
-                    # non-interleaved multi-scan baseline (one SOS per
-                    # component) is legal T.81 but the baseline path only
-                    # implements the fully interleaved single-scan
-                    # geometry — decoding just the first scan would
-                    # SILENTLY return grey-replicated luma as the image
-                    # (review finding); honor the None-for-undecodable
-                    # contract instead
-                    return None
-                return _decode_scan(
-                    data, pos + 2 + ln, scan, qts, huffs, h, w, restart, np
+                if ns == len(comps) and prog is None:
+                    # the common fully-interleaved single-scan file keeps
+                    # its own dedicated decoder (also the independent
+                    # cross-check the progressive equality tests lean on)
+                    return _decode_scan(
+                        data, pos + 2 + ln, scan, qts, huffs, h, w,
+                        restart, np,
+                    )
+                # non-interleaved / multi-scan sequential baseline (one
+                # SOS per component or per component group — legal T.81):
+                # decode every scan into the shared coefficient store and
+                # finalize at EOI. Round-6: this used to return None
+                # outright; the earlier review finding (never SILENTLY
+                # decode only the first scan) is honored by the
+                # full-coverage check at finalize.
+                if prog is None:
+                    prog = _alloc_coef_store(comps, h, w, np)
+                end = _decode_sequential_scan(
+                    data, pos + 2 + ln, scan, comps, prog, huffs, restart,
+                    h, w, np,
                 )
+                pos = _next_marker(data, end)
+                continue
             # progressive: decode this scan into the coefficient store,
             # then continue the marker loop from the next real marker
             Ss = body[1 + 2 * ns]
             Se = body[2 + 2 * ns]
             aa = body[3 + 2 * ns]
             if prog is None:
-                hmax = max(c[1] for c in comps)
-                vmax = max(c[2] for c in comps)
-                mcus_x = -(-w // (8 * hmax))
-                mcus_y = -(-h // (8 * vmax))
-                prog = {
-                    "hmax": hmax,
-                    "vmax": vmax,
-                    "mcus_x": mcus_x,
-                    "mcus_y": mcus_y,
-                    "coefs": [
-                        np.zeros(
-                            (mcus_y * c[2], mcus_x * c[1], 64), np.int32
-                        )
-                        for c in comps
-                    ],
-                }
+                prog = _alloc_coef_store(comps, h, w, np)
             end = _decode_progressive_scan(
                 data, pos + 2 + ln, scan, comps, prog, huffs, restart,
                 Ss, Se, aa >> 4, aa & 0xF, h, w, np,
@@ -930,9 +978,11 @@ def _parse_jpeg_inner(raw: bytes, np):
             pos = _next_marker(data, end)
             continue
         pos += 2 + ln
-    # a progressive file whose EOI sits in the last 2 bytes exits the loop
-    # (the loop guard needs 4 bytes) — finalize here
+    # a multi-scan file whose EOI sits in the last 2 bytes exits the loop
+    # (the loop guard needs 4 bytes) — finalize here, same coverage rule
     if prog is not None:
+        if not progressive and prog["covered"] != {c[0] for c in comps}:
+            return None
         return _finalize_progressive(prog, comps, qts, h, w, np)
     return None
 
@@ -1046,6 +1096,104 @@ def _next_marker(data: bytes, pos: int) -> int:
             return pos
         pos += 1
     return len(data)
+
+
+def _alloc_coef_store(comps, h, w, np):
+    """Per-component zigzag-order int32 coefficient arrays on the padded
+    MCU grid, plus scan geometry — shared by the progressive and the
+    sequential multi-scan decode paths. 'covered' tracks which component
+    ids have received a scan (the sequential full-coverage rule)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "covered": set(),
+        "coefs": [
+            np.zeros((mcus_y * c[2], mcus_x * c[1], 64), np.int32)
+            for c in comps
+        ],
+    }
+
+
+def _decode_sequential_scan(data, pos, scan, comps, prog, huffs, restart,
+                            h, w, np):
+    """One SEQUENTIAL (baseline, full-band DC+AC) scan into the shared
+    coefficient store — the non-interleaved / multi-scan T.81 geometry
+    the dedicated single-scan decoder does not cover. ns > 1 scans run
+    MCU-interleaved over the frame-global MCU grid (T.81 A.2.3); ns == 1
+    scans raster over the component's own block dims, restart counting
+    blocks. Returns the reader's end position."""
+    rdr = _BitReader(data, pos)
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    mcus_x, mcus_y = prog["mcus_x"], prog["mcus_y"]
+    trees = {}
+    for comp, dci, aci in scan:
+        dt, at = huffs.get((0, dci)), huffs.get((1, aci))
+        if dt is None or at is None:
+            raise ValueError("missing huffman table")
+        trees[comp[0]] = (dt, at)
+        prog["covered"].add(comp[0])
+    preds = {comp[0]: 0 for comp, _, _ in scan}
+
+    def read_block(store, by, bx, comp):
+        dtree, atree = trees[comp[0]]
+        blk = store[by, bx]
+        s = rdr.decode(dtree)
+        diff = _extend(rdr.bits(s), s) if s else 0
+        preds[comp[0]] += diff
+        blk[0] = preds[comp[0]]
+        i = 1
+        while i < 64:
+            rs = rdr.decode(atree)
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r == 15:
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("AC overflow")
+            blk[i] = _extend(rdr.bits(sz), sz)
+            i += 1
+
+    n = 0
+    if len(scan) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and n and n % restart == 0:
+                    if not rdr.align_and_expect_rst():
+                        raise ValueError("missing RST marker")
+                    for k in preds:
+                        preds[k] = 0
+                for comp, _dci, _aci in scan:
+                    cid, hs, vs, tq = comp
+                    store = prog["coefs"][comps.index(comp)]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            read_block(
+                                store, my * vs + by, mx * hs + bx, comp
+                            )
+                n += 1
+    else:
+        comp = scan[0][0]
+        cid, hs, vs, tq = comp
+        store = prog["coefs"][comps.index(comp)]
+        bh_n, bw_n = _noninterleaved_block_dims(hs, vs, h, w, hmax, vmax)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart and n and n % restart == 0:
+                    if not rdr.align_and_expect_rst():
+                        raise ValueError("missing RST marker")
+                    preds[comp[0]] = 0
+                read_block(store, by, bx, comp)
+                n += 1
+    return rdr.pos
 
 
 def _decode_progressive_scan(data, pos, scan, comps, prog, huffs, restart,

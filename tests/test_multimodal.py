@@ -194,9 +194,11 @@ def test_jpeg_codec_roundtrip():
     got = _parse_jpeg(filled)
     assert got is not None and np.array_equal(got[2], ref[2])
 
-    # a multi-scan (non-interleaved) file — SOS carrying fewer components
-    # than the SOF declares — must return None, NOT silently decode the
-    # first scan as grey-replicated luma (review finding)
+    # a file whose scans cover only SOME components (here: a luma-only
+    # SOS against a 3-component SOF) must return None, NOT silently
+    # render grey-replicated/miscolored luma (review finding; since
+    # round-6 the sequential multi-scan path decodes such scans into the
+    # coefficient store and the FULL-COVERAGE rule at EOI rejects them)
     i = raw.find(b"\xff\xda")
     ln = int.from_bytes(raw[i + 2 : i + 4], "big")
     entropy = raw[i + 2 + ln :]
@@ -727,3 +729,48 @@ def test_phash_duplicates_verdict(spark):
     assert out[20].keep and out[20].cluster_id == 20
     assert out[99].keep and out[99].phash is None
     assert out[99].cluster_id is None
+
+
+def test_jpeg_non_interleaved_multiscan_decode():
+    """Sequential NON-interleaved baseline (one SOS per component — legal
+    T.81 the dedicated single-scan decoder does not cover) decodes to
+    EXACTLY the interleaved encode's pixels for every subsampling, with
+    and without restart markers; a luma-only torso (chroma scans
+    missing) returns None under the full-coverage rule."""
+    import re
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape, sub in [
+        ((37, 29, 3), "4:4:4"),
+        ((40, 56, 3), "4:2:0"),
+        ((33, 41, 3), "4:2:2"),
+    ]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ri in (0, 3):
+            i = _parse_jpeg(
+                encode_jpeg_baseline(
+                    px, quality=90, subsampling=sub, restart_interval=ri
+                )
+            )
+            n = _parse_jpeg(
+                encode_jpeg_baseline(
+                    px, quality=90, subsampling=sub, restart_interval=ri,
+                    interleaved=False,
+                )
+            )
+            assert n is not None and np.array_equal(i[2], n[2]), (shape, sub, ri)
+
+    full = encode_jpeg_baseline(
+        rng.integers(0, 256, (24, 24, 3), dtype=np.uint8), interleaved=False
+    )
+    sos_positions = [m.start() for m in re.finditer(b"\xff\xda", full)]
+    assert len(sos_positions) == 3
+    torso = full[: sos_positions[1]] + b"\xff\xd9"
+    assert _parse_jpeg(torso) is None
