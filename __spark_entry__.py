@@ -459,6 +459,68 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(docs, "doc_id", "text", bpe_like=True)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (hashed unigram+bigram buckets,
+    add-k-smoothed target/source log ratios) with the English slice of
+    the documents table as the target domain. Fully relational — md5
+    bucketing and the ln-on-rounded-sum convention (the lm_perplexity
+    trick) make the DuckDB oracle hash-exact."""
+    from jsonl_schema_validator_spark.operators import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select("text")
+    return dsir_log_weights(
+        docs, "doc_id", "text", target, num_buckets=1000
+    )
+
+
+def _dsir_sql(num_buckets: int = 1000, add_k: float = 0.5) -> str:
+    """DuckDB replica of q_dsir_weights: same feature definition (raw
+    space-split unigrams + bigrams), same 6-hex-digit md5 bucket decode
+    as the hash_split replica, same smoothing; log_weight rounds the
+    per-doc SUM to 6 dp in both engines."""
+    digit = _hash_digit_value_sql()
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+sf AS (
+  SELECT doc_id, unnest(t) AS f FROM t
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2),
+sb AS (SELECT doc_id, ({digit}) % {num_buckets} AS bucket
+       FROM (SELECT doc_id, md5(f) AS m FROM sf)),
+tf AS (
+  SELECT unnest(t) AS f FROM t WHERE lang = 'en'
+  UNION ALL
+  SELECT t[i] || ' ' || t[i + 1] AS f
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2 AND lang = 'en'),
+tb AS (SELECT ({digit}) % {num_buckets} AS bucket
+       FROM (SELECT md5(f) AS m FROM tf)),
+cs AS (SELECT bucket, count(*) AS cs FROM sb GROUP BY 1),
+ct AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM sb) AS ts,
+               (SELECT count(*) FROM tb) AS tt),
+lr AS (
+  SELECT coalesce(cs.bucket, ct.bucket) AS bucket,
+         ln((coalesce(ct.ct, 0) + {add_k}) / (tot.tt + {add_k} * {num_buckets}))
+         - ln((coalesce(cs.cs, 0) + {add_k}) / (tot.ts + {add_k} * {num_buckets}))
+           AS lr
+  FROM cs FULL OUTER JOIN ct ON cs.bucket = ct.bucket CROSS JOIN tot),
+agg AS (
+  SELECT sb.doc_id, CAST(count(*) AS BIGINT) AS nf,
+         round(sum(lr.lr), 6) AS lw
+  FROM sb JOIN lr ON lr.bucket = sb.bucket GROUP BY 1)
+SELECT d.doc_id AS id,
+       coalesce(a.nf, 0) AS n_features,
+       a.lw AS log_weight
+FROM documents d
+LEFT JOIN agg a ON a.doc_id IS NOT DISTINCT FROM d.doc_id
+"""
+
+
 _BPE_PLAN_SALT = [0]
 
 
@@ -1006,10 +1068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "cume_dist_orders": q_cume_dist_orders,
         "pricing_summary": q_pricing_summary,
-        # new round-6 entry, appended at the tail per the contract above;
-        # rows-only (no oracle_sql) — the one deliberately non-oracled
-        # query, see its docstring
+        # new round-6 entries, appended at the tail per the contract
+        # above; bpe_token_count is rows-only (no oracle_sql) — the one
+        # deliberately non-oracled query, see its docstring
         "bpe_token_count": q_bpe_token_count,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2515,4 +2578,5 @@ SELECT doc_id AS id,
        substr(text, 1, 4) AS magic
 FROM documents
 """,
+        "dsir_weights": _dsir_sql(num_buckets=1000, add_k=0.5),
     }

@@ -166,3 +166,119 @@ def stratified_hash_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def _dsir_features(frame: DataFrame, id_col: str | None, text_col: str,
+                   num_buckets: int) -> DataFrame:
+    """(id, bucket) per hashed n-gram OCCURRENCE: word unigrams + word
+    bigrams of the raw space-split tokens (the ngram_lm_scores token
+    contract — empties from repeated spaces are just another bucket),
+    hashed into num_buckets via the first 6 md5 hex digits (the same
+    cross-engine primitive as _hash_bucket). Bigrams build with the
+    shared codegen zip shape, concat in the POST-explode projection
+    (the _bigram_zip / round-3 lesson: HOF lambdas run interpreted)."""
+    from jsonl_schema_validator_spark.operators.textops import _bigram_zip
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    id_expr = F.lit(0) if id_col is None else F.col(id_col)
+    base = frame.select(id_expr.alias("id"), toks.alias("t"), n.alias("n"))
+    uni = base.select("id", F.explode("t").alias("f"))
+    bi = base.where(F.col("n") >= 2).select(
+        "id", F.explode(_bigram_zip(F.col("t"), F.col("n"))).alias("z")
+    ).select("id", F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("f"))
+    feats = uni.unionByName(bi)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, _HASH_DIGITS),
+               16, 10).cast("long") % F.lit(num_buckets)
+    )
+    return feats.select("id", bucket.alias("bucket"))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_text_col: str | None = None,
+    num_buckets: int = 10_000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection ("Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169 —
+    shape only; the reference engine has no table-level text ops):
+    (id, n_features, log_weight) per input row, where log_weight =
+    round(sum over the doc's hashed n-gram occurrences of
+    ln(p_target(bucket) / p_source(bucket)), 6) under add-k-smoothed
+    bucket distributions estimated from the TARGET frame (the domain you
+    want more of) and the source corpus `df` itself. Select by sampling
+    proportionally to exp(log_weight) — or rank and take the top slice
+    (deterministic). Docs with no features (null/empty text) report
+    n_features 0 and a NULL log_weight.
+
+    One row per distinct id joined back eqNullSafe onto the per-row id
+    frame (the ngram_lm_scores contract; duplicate-id rows merge, NULL
+    id is its own group).
+
+    Scale shape: the (id, bucket) occurrence table (codegen
+    unigram+bigram explode) feeds two consumers — the source bucket
+    counts and the scoring join — and is deliberately NOT persisted:
+    re-running a codegen explode is cheaper than caching it (the
+    dedup_spans persist A/B lesson). The counts agg is map-side
+    combinable (its exchange carries at most num_buckets rows per task);
+    the per-bucket log-ratio table is at most num_buckets rows (default
+    10k) and broadcasts into the scoring join, so corpus-scale data
+    shuffles exactly once (the per-id sum); the target — typically a
+    small domain sample — makes its own pass. Weights are a pure
+    function of (corpus, target, num_buckets, add_k) — md5 bucketing is
+    engine-reproducible, making the DuckDB oracle exact under the
+    ln-on-rounded-sum convention (the lm_perplexity trick)."""
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (unsmoothed ratios divide by zero)")
+    tcol = target_text_col if target_text_col is not None else text_col
+
+    src = _dsir_features(df, id_col, text_col, num_buckets)
+    tgt = _dsir_features(target, None, tcol, num_buckets)
+    src_counts = src.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    src_tot = src_counts.agg(F.sum("cs").alias("ts"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").alias("tt"))
+    # full outer over the two ≤num_buckets-row count tables, smoothed:
+    # a bucket unseen in either distribution still gets add_k mass
+    ratios = (
+        src_counts.join(tgt_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(add_k))
+                    / (F.col("tt") + F.lit(add_k * num_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cs"), F.lit(0)) + F.lit(add_k))
+                    / (F.col("ts") + F.lit(add_k * num_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    per_id = (
+        src.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__nf"),
+            F.round(F.sum("lr"), 6).alias("__lw"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_id, base["id"].eqNullSafe(per_id["id"]), "left")
+        .select(
+            base["id"],
+            F.coalesce(F.col("__nf"), F.lit(0)).cast("long").alias("n_features"),
+            F.col("__lw").alias("log_weight"),
+        )
+    )

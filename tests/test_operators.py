@@ -711,3 +711,73 @@ def test_clean_corpus_near_dup(spark):
     assert out[3].reasons.startswith("near_duplicate")
     assert not out[4].is_near_duplicate
     assert not out[5].is_near_duplicate
+
+
+def test_dsir_log_weights_matches_python_reference(spark):
+    """DSIR importance weights == an independent python reference
+    (hashlib md5 buckets, Counter distributions, math.log) on a mixed
+    corpus incl. null text (0 features, NULL weight), empty text (the
+    one ''-unigram feature), repeated spaces, and regex-metachar words;
+    target-overlapping docs rank above off-domain docs."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from jsonl_schema_validator_spark.operators import dsir_log_weights
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "import numpy as np def main(x)"),
+        (3, "the dog sat  on the rug"),
+        (4, None),
+        (5, ""),
+        (6, "a cat ran to a mat the cat sat"),
+    ]
+    target_texts = ["the cat ran on a mat", "a cat sat on a mat"]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame([(t,) for t in target_texts], "text string")
+    B, add_k = 257, 0.5
+    got = {
+        r.id: (r.n_features, r.log_weight)
+        for r in dsir_log_weights(
+            df, "doc_id", "text", target, num_buckets=B
+        ).collect()
+    }
+
+    def feats(text):
+        t = text.split(" ")
+        fs = list(t) + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:6], 16) % B for f in fs
+        ]
+
+    src, tgt = [], []
+    for _, tx in rows:
+        if tx is not None:
+            src += feats(tx)
+    for tx in target_texts:
+        tgt += feats(tx)
+    cs, ct = Counter(src), Counter(tgt)
+    ts, tt = len(src), len(tgt)
+
+    def lr(b):
+        return math.log((ct[b] + add_k) / (tt + add_k * B)) - math.log(
+            (cs[b] + add_k) / (ts + add_k * B)
+        )
+
+    assert len(got) == len(rows)
+    for did, tx in rows:
+        if tx is None:
+            assert got[did] == (0, None)
+        else:
+            fs = feats(tx)
+            assert got[did] == (len(fs), round(sum(lr(b) for b in fs), 6)), did
+    # ranking sanity: the target-like docs out-score the code doc
+    assert got[6][1] > got[2][1] and got[1][1] > got[2][1]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_log_weights(df, "doc_id", "text", target, num_buckets=0)
+    with pytest.raises(ValueError, match="add_k"):
+        dsir_log_weights(df, "doc_id", "text", target, add_k=0)
