@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "tfidf_terms",
     "bpe_token_count",
+    "dsir_weights",
     "langid",
     "token_count",
     "fingerprint",
