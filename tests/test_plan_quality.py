@@ -280,3 +280,19 @@ def test_dedup_spans_no_join_below_first_occurrence_agg(spark, docs):
     assert "Join" not in sub, "join below the first-occurrence agg:\n" + sub
     assert "Exchange" not in sub, "shuffle below the partial agg:\n" + sub
     assert "posexplode" in sub and "FileScan" in sub, sub
+
+
+def test_dsir_ratio_table_broadcasts(spark, docs):
+    """dsir_log_weights' scoring join must broadcast the <=num_buckets-row
+    log-ratio table onto the corpus-scale occurrence table — a shuffled
+    scoring join would move the whole feature table twice. The only
+    SortMergeJoins allowed are the bounded bucket-count full-outer (BHJ
+    cannot do full outer) and the final per-row eqNullSafe join."""
+    from jsonl_schema_validator_spark.operators import dsir_log_weights
+
+    target = docs.where(F.col("lang") == "en").select("text")
+    p = _plan(
+        dsir_log_weights(docs, "doc_id", "text", target, num_buckets=512)
+    )
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert p.count("SortMergeJoin") <= 2, p[:1500]
