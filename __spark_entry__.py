@@ -1047,7 +1047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
+        # dsir_weights is NEW and value-checked — the ordering contract's
+        # own principle ("entries that most need external re-verification
+        # come first") puts it IN the window; fingerprint (stable since
+        # r3, fixture-pinned) takes its tail slot in exchange
+        "dsir_weights": q_dsir_weights,
         "json_rules_events": q_json_rules_events,
         "json_walker_events": q_json_walker_events,
         "lsh_topk": q_lsh_topk,
@@ -1072,7 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above; bpe_token_count is rows-only (no oracle_sql) — the one
         # deliberately non-oracled query, see its docstring
         "bpe_token_count": q_bpe_token_count,
-        "dsir_weights": q_dsir_weights,
+        "fingerprint": q_fingerprint,
     }
 
 
