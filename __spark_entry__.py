@@ -859,6 +859,44 @@ def q_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift_binned(a, b, "n_chars", bins=64, grid="width")
 
 
+def q_psi_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of n_chars, src0 vs the rest — the
+    production drift dashboard's binned-share metric beside KS/chi2.
+    Equal-width bins over the EXACT union min/max (the ks width-grid
+    convention) keep the DuckDB oracle bit-reproducible."""
+    from jsonl_schema_validator_spark.operators import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") == "src0")
+    b = docs.where(F.col("source") != "src0")
+    return psi_drift(a, b, "n_chars", bins=10)
+
+
+_PSI_NCHARS_SQL = """
+WITH u AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE n_chars IS NOT NULL),
+mmx AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+bi AS (SELECT ia,
+              least(9, CAST(floor((v - mn) * 10 / (mx - mn)) AS INT)) AS i
+       FROM u CROSS JOIN mmx),
+c AS (SELECT i,
+             CAST(count(*) FILTER (WHERE ia = 1) AS DOUBLE) AS ca,
+             CAST(count(*) FILTER (WHERE ia = 0) AS DOUBLE) AS cb
+      FROM bi GROUP BY i),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+terms AS (
+  SELECT (greatest(ca / na, 1e-6) - greatest(cb / nb, 1e-6))
+         * ln(greatest(ca / na, 1e-6) / greatest(cb / nb, 1e-6)) AS t
+  FROM c CROSS JOIN tot)
+SELECT round((SELECT sum(t) FROM terms), 6) AS psi,
+       CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+       CAST(10 AS INT) AS bins_used
+"""
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
@@ -1022,7 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_orders_customer_bloom": q_ri_orders_customer_bloom,
         "stats_lineitem": q_stats_lineitem,
         "chi2_lang": q_chi2_lang,
-        "ks_nchars": q_ks_nchars,
+        # psi_nchars is NEW and value-checked (window priority, the
+        # dsir_weights rationale); ks_nchars (stable since round 1,
+        # pinned by the _cdf_pair fixtures) takes its tail slot
+        "psi_nchars": q_psi_nchars,
         "exact_dup_documents": q_exact_dup_documents,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -1077,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deliberately non-oracled query, see its docstring
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
+        "ks_nchars": q_ks_nchars,
     }
 
 
@@ -2583,4 +2625,5 @@ SELECT doc_id AS id,
 FROM documents
 """,
         "dsir_weights": _dsir_sql(num_buckets=1000, add_k=0.5),
+        "psi_nchars": _PSI_NCHARS_SQL,
     }

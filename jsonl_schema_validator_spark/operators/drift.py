@@ -345,3 +345,90 @@ def ks_drift_binned(
     if threshold is not None:
         out = out.withColumn("drifted", F.col("ks_d") > F.lit(threshold))
     return out
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    threshold: float | None = None,
+    min_frac: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two numeric samples — the third
+    member of the drift family (chi2 for categoricals, KS for
+    distribution shape, PSI for the binned-share movement production
+    monitoring dashboards track; rule of thumb: < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 major shift).
+
+    PSI = sum over equal-width bins of (p_i - q_i) * ln(p_i / q_i), with
+    p/q the two samples' bin fractions floored at `min_frac` (the
+    standard guard — an empty bin would otherwise make the term
+    infinite). Bin edges are `bins` equal-width cuts between the EXACT
+    global min/max of the union (the ks_drift_binned grid='width'
+    convention: min/max are exact in every engine where approx
+    percentiles are implementation-defined, so the DuckDB oracle can
+    replicate the binning bit-for-bit with the verbatim formula).
+    Returns one row: (psi, n_a, n_b, bins_used[, drifted]); nulls are
+    excluded (absence is the NULLABLE mode's concern, not drift); raises
+    if either sample is empty.
+
+    Scale shape: one min/max agg, then ONE conditional-sum aggregation
+    over the tagged union (all 2*bins counts in a single map-side-
+    combinable pass — the ks_binned shape); only scalars reach the
+    driver."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not (0 < min_frac < 1):
+        raise ValueError("min_frac must be in (0, 1)")
+    tagged = (
+        a.select(F.col(value_col).cast("double").alias("v"), F.lit(1).alias("ia"))
+        .unionAll(
+            b.select(
+                F.col(value_col).cast("double").alias("v"), F.lit(0).alias("ia")
+            )
+        )
+        .where(F.col("v").isNotNull())
+    )
+    mm = tagged.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    if mm["mn"] is None:
+        raise ValueError("both samples must be non-empty for PSI")
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    is_a = F.col("ia") == 1
+    if mn == mx:
+        n_bins = 1
+        idx = F.lit(0)
+    else:
+        n_bins = bins
+        # formula mirrored VERBATIM in the oracle SQL (FP parity)
+        idx = F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("v") - F.lit(mn)) * bins / F.lit(mx - mn)).cast(
+                "int"
+            ),
+        )
+    aggs = []
+    for i in range(n_bins):
+        hit = idx == F.lit(i)
+        aggs.append(F.sum(F.when(is_a & hit, 1.0).otherwise(0.0)).alias(f"a{i}"))
+        aggs.append(F.sum(F.when(~is_a & hit, 1.0).otherwise(0.0)).alias(f"b{i}"))
+    aggs.append(F.sum(F.when(is_a, 1.0).otherwise(0.0)).alias("na"))
+    aggs.append(F.sum(F.when(~is_a, 1.0).otherwise(0.0)).alias("nb"))
+    r = tagged.agg(*aggs).collect()[0]
+    if not r["na"] or not r["nb"]:
+        raise ValueError("both samples must be non-empty for PSI")
+    import math
+
+    psi = 0.0
+    for i in range(n_bins):
+        p = max(r[f"a{i}"] / r["na"], min_frac)
+        q = max(r[f"b{i}"] / r["nb"], min_frac)
+        psi += (p - q) * math.log(p / q)
+    spark = a.sparkSession
+    out = spark.createDataFrame(
+        [(round(psi, 6), int(r["na"]), int(r["nb"]), n_bins)],
+        "psi double, n_a bigint, n_b bigint, bins_used int",
+    )
+    if threshold is not None:
+        out = out.withColumn("drifted", F.col("psi") > F.lit(threshold))
+    return out

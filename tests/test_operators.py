@@ -781,3 +781,60 @@ def test_dsir_log_weights_matches_python_reference(spark):
         dsir_log_weights(df, "doc_id", "text", target, num_buckets=0)
     with pytest.raises(ValueError, match="add_k"):
         dsir_log_weights(df, "doc_id", "text", target, add_k=0)
+
+
+def test_psi_drift(spark):
+    """PSI == an independent python reference on a shifted-distribution
+    pair; ~0 for identically-distributed halves; large for disjoint
+    ranges; threshold arm; degenerate single-value and empty-sample
+    edges; parameter validation."""
+    import math
+
+    from jsonl_schema_validator_spark.operators import psi_drift
+
+    import random
+    rng = random.Random(9)
+    va = [rng.gauss(50, 10) for _ in range(600)]
+    vb = [rng.gauss(58, 12) for _ in range(400)]
+    dfa = spark.createDataFrame([(v,) for v in va], "v double")
+    dfb = spark.createDataFrame([(v,) for v in vb] + [(None,)], "v double")
+    r = psi_drift(dfa, dfb, "v", bins=10, threshold=0.1).collect()[0]
+    assert (r.n_a, r.n_b, r.bins_used) == (600, 400, 10)
+
+    mn, mx = min(va + vb), max(va + vb)
+    def idx(v):
+        return min(9, int(math.floor((v - mn) * 10 / (mx - mn))))
+    ca, cb = [0.0] * 10, [0.0] * 10
+    for v in va:
+        ca[idx(v)] += 1
+    for v in vb:
+        cb[idx(v)] += 1
+    exp = sum(
+        (max(ca[i] / 600, 1e-6) - max(cb[i] / 400, 1e-6))
+        * math.log(max(ca[i] / 600, 1e-6) / max(cb[i] / 400, 1e-6))
+        for i in range(10)
+    )
+    assert r.psi == round(exp, 6)
+    assert r.drifted == (r.psi > 0.1)
+
+    # identically distributed -> tiny; disjoint -> dominated by the
+    # min_frac floor (every bin pair is (p, eps) or (eps, q))
+    same = psi_drift(dfa, dfa, "v", bins=10).collect()[0]
+    assert same.psi == 0.0
+    far = spark.createDataFrame([(v + 1000,) for v in vb], "v double")
+    assert psi_drift(dfa, far, "v", bins=10).collect()[0].psi > 1.0
+
+    # all-equal values: one bin, both shares 1 -> psi 0
+    one = spark.createDataFrame([(5.0,)] * 8, "v double")
+    r1 = psi_drift(one, one, "v", bins=10).collect()[0]
+    assert (r1.psi, r1.bins_used) == (0.0, 1)
+
+    import pytest
+
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="non-empty"):
+        psi_drift(dfa, empty, "v")
+    with pytest.raises(ValueError, match="bins"):
+        psi_drift(dfa, dfb, "v", bins=0)
+    with pytest.raises(ValueError, match="min_frac"):
+        psi_drift(dfa, dfb, "v", min_frac=0)
