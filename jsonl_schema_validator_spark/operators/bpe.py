@@ -116,6 +116,8 @@ def bpe_train(
         raise ValueError("max_dict_words must be >= 1")
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError("mode must be 'auto', 'driver' or 'distributed'")
+    from pyspark.storagelevel import StorageLevel
+
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.length("w") > 0)
@@ -124,23 +126,36 @@ def bpe_train(
     )
     if mode == "distributed":
         return _bpe_train_distributed(words, num_merges, min_pair_count)
-    # TakeOrdered top-N: bounded per-task heap, deterministic total order
-    rows = words.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
-        max_dict_words + 1
-    ).collect()
-    if len(rows) > max_dict_words:
-        import logging
+    # persist the dictionary aggregate across the dispatch: when 'auto'
+    # falls back to the distributed path, the probe below must not force
+    # a SECOND full corpus explode+agg (round-6 review finding) — the
+    # cached frame is dictionary-sized, cheap either way
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # TakeOrdered top-N: bounded per-task heap, deterministic order
+        rows = words.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+            max_dict_words + 1
+        ).collect()
+        if len(rows) > max_dict_words:
+            import logging
 
-        if mode == "auto":
+            if mode == "auto":
+                logging.getLogger(__name__).info(
+                    "bpe_train: dictionary exceeds %d words — taking the "
+                    "exact distributed path", max_dict_words
+                )
+                return _bpe_train_distributed(
+                    words, num_merges, min_pair_count
+                )
+            rows = rows[:max_dict_words]
             logging.getLogger(__name__).info(
-                "bpe_train: dictionary exceeds %d words — taking the "
-                "exact distributed path", max_dict_words
+                "bpe_train: word dictionary capped at %d words",
+                max_dict_words,
             )
-            return _bpe_train_distributed(words, num_merges, min_pair_count)
-        rows = rows[:max_dict_words]
-        logging.getLogger(__name__).info(
-            "bpe_train: word dictionary capped at %d words", max_dict_words
-        )
+    finally:
+        # the distributed path localCheckpoints its derived frame first,
+        # so unpersisting here is safe on every exit
+        words.unpersist()
     vocab: dict[tuple, int] = {
         _word_symbols(r["w"]): int(r["c"]) for r in rows
     }
@@ -182,12 +197,18 @@ def _bpe_train_distributed(
     stack scan because a freshly-merged symbol a+b can never equal a).
     localCheckpoint each round truncates the num_merges-deep lineage."""
     dic = words.select(
-        # split BETWEEN characters only: (?!^) skips the start and
-        # (?=[\s\S]) requires a following char, so no trailing empty
-        # element (plain (?!^) emits one — the end-of-string position
-        # matches the empty pattern too)
+        # per-CODE-POINT split via substring indexing — Spark's length()
+        # and substring() count code points, so astral characters (emoji,
+        # supplementary CJK) stay whole. The earlier regex split
+        # ('(?!^)(?=[\\s\\S])') matched BETWEEN UTF-16 surrogate halves
+        # and produced a corrupted merge list that diverged from the
+        # driver path's tuple(word) code points (round-6 review finding,
+        # confirmed by execution). The transform HOF runs interpreted,
+        # but only once per dictionary word, materialized by the
+        # localCheckpoint below.
         F.concat(
-            F.split(F.col("w"), "(?!^)(?=[\\s\\S])"), F.array(F.lit(EOW))
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            F.array(F.lit(EOW)),
         ).alias("s"),
         F.col("c"),
     ).localCheckpoint()

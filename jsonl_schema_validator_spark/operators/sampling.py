@@ -213,8 +213,13 @@ def dsir_log_weights(
     bucket distributions estimated from the TARGET frame (the domain you
     want more of) and the source corpus `df` itself. Select by sampling
     proportionally to exp(log_weight) — or rank and take the top slice
-    (deterministic). Docs with no features (null/empty text) report
-    n_features 0 and a NULL log_weight.
+    (deterministic). Docs with NULL text report n_features 0 and a NULL
+    log_weight; an EMPTY string carries the single ''-unigram of the raw
+    space-split (n_features 1 — the ngram_lm token contract), so filter
+    on n_features == 0 only to find null-text docs. Raises if the target
+    frame has no non-null text (a silent all-NULL weight column would
+    make a downstream sampler select garbage — the psi_drift
+    empty-sample rule).
 
     One row per distinct id joined back eqNullSafe onto the per-row id
     frame (the ngram_lm_scores contract; duplicate-id rows merge, NULL
@@ -238,6 +243,13 @@ def dsir_log_weights(
     if add_k <= 0:
         raise ValueError("add_k must be > 0 (unsmoothed ratios divide by zero)")
     tcol = target_text_col if target_text_col is not None else text_col
+    # validate-at-entry: an empty (or all-null-text) target would make
+    # tgt_tot NULL and every log_weight silently NULL (round-6 review
+    # finding); the probe is one tiny job over the (small) target frame
+    if not target.where(F.col(tcol).isNotNull()).head(1):
+        raise ValueError(
+            "target must contain at least one non-null text row"
+        )
 
     src = _dsir_features(df, id_col, text_col, num_buckets)
     tgt = _dsir_features(target, None, tcol, num_buckets)

@@ -207,3 +207,21 @@ def test_bpe_train_distributed_equals_driver(spark):
 
     with pytest.raises(ValueError, match="mode"):
         bpe_train(df, "text", num_merges=1, mode="cluster")
+
+
+def test_bpe_distributed_handles_astral_characters(spark):
+    """Non-BMP characters (emoji, supplementary CJK) must NOT split into
+    UTF-16 surrogate halves on the distributed path — merge lists stay
+    identical to the driver loop (round-6 review finding, was a real
+    divergence with the regex char split)."""
+    text = (
+        "x\U0001F600y x\U0001F600y x\U0001F600y "
+        "z\U00020000w z\U00020000w"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    d = bpe_train(df, "text", num_merges=6, mode="driver", min_pair_count=1)
+    x = bpe_train(
+        df, "text", num_merges=6, mode="distributed", min_pair_count=1
+    )
+    assert d == x
+    assert ("x", "\U0001F600") in d  # the emoji survived as ONE symbol

@@ -838,3 +838,19 @@ def test_psi_drift(spark):
         psi_drift(dfa, dfb, "v", bins=0)
     with pytest.raises(ValueError, match="min_frac"):
         psi_drift(dfa, dfb, "v", min_frac=0)
+
+
+def test_dsir_log_weights_rejects_empty_target(spark):
+    """An empty (or all-null-text) target raises instead of silently
+    yielding an all-NULL weight column (round-6 review finding)."""
+    import pytest
+
+    from jsonl_schema_validator_spark.operators import dsir_log_weights
+
+    df = spark.createDataFrame([(1, "some text")], "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "text string")
+    with pytest.raises(ValueError, match="target"):
+        dsir_log_weights(df, "doc_id", "text", empty)
+    nulls = spark.createDataFrame([(None,)], "text string")
+    with pytest.raises(ValueError, match="target"):
+        dsir_log_weights(df, "doc_id", "text", nulls)
