@@ -1211,7 +1211,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -1227,6 +1231,13 @@ def simhash_near_pairs(
     4x bit_count(xor) — integer ops inside codegen, replacing the round-1
     char-split zip_with (the measured hot loop when candidate volume
     dominates on similar corpora).
+
+    max_block_size is the hot-chunk guard (see _packed_hamming_pairs): the
+    chunk key space is only 4 x 2^16, so a boilerplate-heavy corpus
+    concentrates docs into few blocks and the candidate join goes
+    quadratic in the hot block's population. 'auto' (=4096) salts blocks
+    beyond the cap into md5(id) sub-blocks — bounded candidate volume,
+    bounded documented recall loss; None is the exact unguarded opt-in.
     """
     sig = simhash64(df, id_col, text_col)
     packed = sig.select(
@@ -1238,15 +1249,62 @@ def simhash_near_pairs(
             for c in range(4)
         ],
     )
-    return _packed_hamming_pairs(packed, max_hamming)
+    return _packed_hamming_pairs(packed, max_hamming, max_block_size)
 
 
-def _packed_hamming_pairs(packed: DataFrame, max_hamming: int) -> DataFrame:
+_HAMMING_AUTO_BLOCK_SIZE = 4096
+
+
+def _packed_hamming_pairs(
+    packed: DataFrame,
+    max_hamming: int,
+    max_block_size: int | str | None = "auto",
+) -> DataFrame:
     """Shared 64-bit Hamming near-pair core over a (id, p0, p1, p2, p3)
     frame of four 16-bit chunks: pigeonhole chunk-blocking join + packed
     bit_count(xor) verification. Used by simhash_near_pairs (text) and
-    phash_near_pairs (images); exact for max_hamming <= 3, candidates
-    must share a chunk beyond that (documented in both callers)."""
+    phash_near_pairs/phash_duplicates (images); exact for max_hamming <= 3,
+    candidates must share a chunk beyond that (documented in all callers).
+
+    HOT-CHUNK GUARD (round-7; the semantic_duplicates max_cell_size
+    pattern): the block key space is only 4 chunk positions x 2^16 values,
+    so candidate volume has an Omega(n^2 / 2^16) floor even on a uniform
+    corpus, and boilerplate-heavy corpora (shared license headers; flat /
+    border images whose pHash chunks coincide) concentrate it much
+    further — the measured sf0.1 documents table already puts 5.8% of all
+    docs into ONE (chunk, val) block. max_block_size ('auto' = 4096)
+    caps the f^2/2 surface: a per-(chunk, val) count is aggregated
+    (map-side combinable, <= 4*2^16 groups), blocks whose population
+    exceeds the cap are broadcast back (the hot table is tiny), and each
+    hot block's members are salted into ceil(f/cap) sub-blocks by
+    md5(id) — pair product bounded at ~cap^2/2 per block. RECALL LOSS,
+    bounded and documented: a pair whose ONLY shared chunk lands in a hot
+    block is missed when the two ids salt into different sub-blocks;
+    pairs sharing any other (non-hot, or same-sub) chunk are still found,
+    and hamming<=3 pairs share at least one chunk of four — boilerplate
+    corpora typically share several. None = exact unguarded opt-in
+    (jaccard's max_shingle_freq convention). Skew evidence:
+    tools/bench_hamming_skew.py; plan pin: the hot-table join must
+    broadcast (tests/test_plan_quality.py)."""
+    if max_block_size == "auto":
+        cap: int | None = _HAMMING_AUTO_BLOCK_SIZE
+    elif max_block_size is None:
+        cap = None
+    elif isinstance(max_block_size, int) and not isinstance(
+        max_block_size, bool
+    ):
+        if max_block_size < 1:
+            raise ValueError(
+                "max_block_size must be >= 1, 'auto', or None "
+                f"(got {max_block_size!r}); pass None to disable the "
+                "hot-chunk guard"
+            )
+        cap = max_block_size
+    else:
+        raise ValueError(
+            "max_block_size must be an int >= 1, 'auto', or None "
+            f"(got {max_block_size!r})"
+        )
     chunks = packed.select(
         "id",
         *[F.col(f"p{c}") for c in range(4)],
@@ -1266,13 +1324,43 @@ def _packed_hamming_pairs(packed: DataFrame, max_hamming: int) -> DataFrame:
         F.col("cv.chunk").alias("chunk"),
         F.col("cv.val").alias("val"),
     )
+    join_keys = (F.col("a.chunk") == F.col("b.chunk")) & (
+        F.col("a.val") == F.col("b.val")
+    )
+    if cap is not None:
+        hot = (
+            chunks.groupBy("chunk", "val")
+            .agg(F.count(F.lit(1)).alias("__jsv_bn"))
+            .where(F.col("__jsv_bn") > F.lit(cap))
+        )
+        # same salt formula as semantic_duplicates' dense-cell guard
+        # (32-bit md5 prefix of the stringified id; NULL-id rows — which
+        # callers' preconditions exclude anyway — coalesce to sub 0)
+        salt = F.conv(
+            F.substring(F.md5(F.col("id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        n_sub = F.ceil(F.col("__jsv_bn") / F.lit(cap))
+        chunks = (
+            chunks.join(F.broadcast(hot), ["chunk", "val"], "left")
+            .withColumn(
+                "sub",
+                F.when(
+                    F.col("__jsv_bn").isNotNull(),
+                    F.coalesce(F.pmod(salt, n_sub), F.lit(0)),
+                )
+                .otherwise(F.lit(0))
+                .cast("int"),
+            )
+            .drop("__jsv_bn")
+        )
+        join_keys = join_keys & (F.col("a.sub") == F.col("b.sub"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
+            join_keys & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),

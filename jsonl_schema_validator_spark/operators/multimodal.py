@@ -633,6 +633,16 @@ def image_phash(
     near-duplicate e2e tests instead (tests/test_multimodal.py)."""
     if backend != "raw":
         raise ValueError("image_phash requires backend='raw' (needs pixels)")
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # validate-at-entry (round-6 convention): a non-integral id would
+        # otherwise fail deep inside the Arrow batch with an opaque cast
+        raise ValueError(
+            f"image_phash: id column {id_col!r} must be an integral type "
+            f"(got {id_type.simpleString()}); cast or re-key upstream"
+        )
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -687,6 +697,7 @@ def phash_near_pairs(
     binary_col: str,
     id_col: str,
     max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
 ) -> DataFrame:
     """Perceptual image near-duplicate pairs: (id_a, id_b, hamming) with
     pHash Hamming distance <= max_hamming, via the SAME pigeonhole
@@ -696,6 +707,11 @@ def phash_near_pairs(
     Undecodable images carry no signature and never pair. The decode is
     per-image Python in one mapInPandas pass (the documented multimodal
     exception); everything after the signature is JVM-side expressions.
+
+    max_block_size ('auto' = 4096) is the shared hot-chunk guard: flat /
+    border-heavy image sets concentrate pHash chunks into few 16-bit
+    blocks, the quadratic surface _packed_hamming_pairs documents; None
+    is the exact unguarded opt-in.
 
     CACHE LIFECYCLE: the signature table is persisted and not unpersisted
     (the blocking join consumes it on BOTH sides — unpersisted, every
@@ -713,7 +729,7 @@ def phash_near_pairs(
         .where(F.col("phash").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return _packed_hamming_pairs(_phash_packed(sig), max_hamming)
+    return _packed_hamming_pairs(_phash_packed(sig), max_hamming, max_block_size)
 
 
 def phash_duplicates(
@@ -721,6 +737,7 @@ def phash_duplicates(
     binary_col: str,
     id_col: str,
     max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
 ) -> DataFrame:
     """Per-image near-duplicate VERDICT — the full image-dedup story in
     one call, mirroring semantic_duplicates' output shape: (id, phash,
@@ -747,9 +764,9 @@ def phash_duplicates(
         StorageLevel.MEMORY_AND_DISK
     )
     hashed = sig.where(F.col("phash").isNotNull())
-    pairs = _packed_hamming_pairs(_phash_packed(hashed), max_hamming).select(
-        "id_a", "id_b"
-    )
+    pairs = _packed_hamming_pairs(
+        _phash_packed(hashed), max_hamming, max_block_size
+    ).select("id_a", "id_b")
     clusters = duplicate_clusters(pairs).select(
         F.col("id").alias("__jsv_cl_id"), F.col("cluster_id").alias("__jsv_cl")
     )

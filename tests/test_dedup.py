@@ -780,3 +780,90 @@ def test_dedup_spans_validates_k_at_entry():
 
     with pytest.raises(ValueError, match="k must be >= 1"):
         dedup_spans(None, "id", "text", k=0)
+
+
+def test_packed_hamming_hot_chunk_guard(spark):
+    """The round-7 hot-chunk guard on the shared Hamming blocking core:
+    a hot (chunk, val) block beyond max_block_size salts its members into
+    ceil(f/cap) md5(id) sub-blocks (replicated bit-for-bit in Python).
+    Pairs whose ONLY shared chunk is the hot block survive iff they land
+    in the same sub-block; pairs sharing any other chunk are still found
+    regardless (the bounded-recall-loss story in the docstring)."""
+    import hashlib
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+    )
+
+    # 60 ids share chunk0 value 7 (hot); p1..p3 pairwise distinct so the
+    # ONLY shared chunk is the hot one. Plus a planted pair (100, 101)
+    # identical in ALL chunks — must be rescued via the non-hot chunks
+    # even when their sub-blocks differ (they do: subs 3 vs 1).
+    rows = [(i, 7, 1000 + i, 2000 + i, 3000 + i) for i in range(60)]
+    rows += [(100, 7, 5001, 5002, 5003), (101, 7, 5001, 5002, 5003)]
+    df = spark.createDataFrame(
+        rows, "id bigint, p0 long, p1 long, p2 long, p3 long"
+    )
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in _packed_hamming_pairs(df, 64, max_block_size=None).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in _packed_hamming_pairs(df, 64, max_block_size=10).collect()
+    }
+    assert guarded <= unguarded
+    # python replication of the salting: block (0,7) has 62 members
+    n_sub = -(-62 // 10)
+    sub = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_sub
+        for i in [*range(60), 100, 101]
+    }
+    assert sub[100] != sub[101]  # the rescue case is actually exercised
+    ids = sorted(sub)
+    expect = {
+        (x, y)
+        for x in ids
+        for y in ids
+        if x < y and (sub[x] == sub[y] or (x, y) == (100, 101))
+    }
+    assert guarded == expect
+    assert (100, 101) in guarded  # rescued via non-hot chunks 1..3
+    # the default 'auto' cap (4096) must NOT bite at this scale — the
+    # oracle-exactness precondition for the sf0.01/sf0.1 driver queries
+    auto = {
+        (r.id_a, r.id_b)
+        for r in _packed_hamming_pairs(df, 64, max_block_size="auto").collect()
+    }
+    assert auto == unguarded
+
+
+def test_packed_hamming_guard_validates_at_entry(spark):
+    """Bad max_block_size raises eagerly (round-5 lesson: validate
+    dispatch params at entry, or typos only fail at production scale)."""
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+    )
+
+    for bad in (0, -1, "always", 1.5, True):
+        with pytest.raises(ValueError, match="max_block_size"):
+            _packed_hamming_pairs(None, 3, max_block_size=bad)
+
+
+def test_simhash_near_pairs_guard_no_bite_on_fixture(spark):
+    """On the shared test corpus the default guard is a no-op: guarded
+    ('auto') == unguarded (None) pair sets — which is what keeps the
+    driver's simhash_near_pairs oracle exact at sf0.01/sf0.1 (measured
+    hottest block there: 291 of 5000 docs, well under 4096)."""
+    df, _ = _corpus(spark)
+    a = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(
+            df, "doc_id", "text", max_hamming=8, max_block_size=None
+        ).collect()
+    }
+    assert a == b and a

@@ -774,3 +774,27 @@ def test_jpeg_non_interleaved_multiscan_decode():
     assert len(sos_positions) == 3
     torso = full[: sos_positions[1]] + b"\xff\xd9"
     assert _parse_jpeg(torso) is None
+
+
+def test_image_phash_validates_id_type_at_entry(spark):
+    """ADVICE r6: a non-integral id column must raise a clear ValueError
+    at entry, not an opaque Arrow cast error inside the batch."""
+    import pytest
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        encode_bmp,
+        image_phash,
+    )
+
+    px = _phash_test_image(0)
+    df = spark.createDataFrame(
+        [("a", encode_bmp(px))], "img_id string, img binary"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        image_phash(df, "img", "img_id")
+    # integral non-long ids are fine (widened into the LongType output)
+    df2 = spark.createDataFrame(
+        [(1, encode_bmp(px))], "img_id int, img binary"
+    )
+    out = image_phash(df2, "img", "img_id").collect()
+    assert len(out) == 1 and out[0].phash is not None

@@ -296,3 +296,23 @@ def test_dsir_ratio_table_broadcasts(spark, docs):
     )
     assert "BroadcastHashJoin" in p, p[:800]
     assert p.count("SortMergeJoin") <= 2, p[:1500]
+
+
+def test_hamming_hot_table_join_broadcasts(spark, docs):
+    """The round-7 hot-chunk guard must not add a shuffle to the Hamming
+    blocking core: the per-(chunk,val) hot-block table (<= 4*2^16 rows,
+    typically a handful) joins back onto the 4n-row chunk frame as a
+    BROADCAST left join — a shuffled sub-assignment join would move the
+    whole chunk frame an extra time for a tiny dimension side. The pair
+    self-join on (chunk, val, sub) is the one intended shuffle join."""
+    from jsonl_schema_validator_spark.operators import simhash_near_pairs
+
+    p = _plan(simhash_near_pairs(docs, "doc_id", "text", max_hamming=3))
+    assert "BroadcastHashJoin" in p, p[:1200]
+    # guard off -> no broadcast anywhere (self-join only, may be SMJ/SHJ)
+    p0 = _plan(
+        simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_block_size=None
+        )
+    )
+    assert p0.count("Join") >= 1

@@ -1,0 +1,134 @@
+"""Skew evidence for the round-7 hot-chunk guard on the shared Hamming
+blocking core (_packed_hamming_pairs, consumed by simhash_near_pairs and
+phash_near_pairs/phash_duplicates — VERDICT r6 "What's wrong #1").
+
+The surface under indictment: block keys are (chunk_pos, 16-bit value) —
+at most 4 x 65,536 blocks — so a hot block of population f yields f^2/2
+candidate pairs. The guard (max_block_size='auto'=4096) salts blocks
+beyond the cap into ceil(f/cap) md5(id) sub-blocks, bounding candidates
+at ~f*cap/2 — LINEAR in f, vs quadratic unguarded. This bench doubles
+ONE hot block's population with the total corpus size FIXED and reports
+candidate rows + wall time for the guarded default vs the unguarded
+opt-in: expected ~2x rows guarded vs ~4x unguarded.
+
+The corpus is synthesized at the packed-signature level (id, p0..p3)
+rather than as raw text: the guard lives entirely in the blocking core,
+and text whose SimHash collides in a controlled, doubling pattern cannot
+be steered reproducibly — whereas planting a shared chunk value directly
+is exactly the boilerplate-corpus shape (shared license headers; flat
+images) the verdict describes. Non-hot chunks are md5-derived uniform
+16-bit values (no driver-side RNG at corpus scale). max_hamming=64 makes
+the output equal the candidate set, so the reported pair count IS the
+blocking join's volume.
+
+Usage: python tools/bench_hamming_skew.py [n_total] [n_hot] [cores]
+Defaults: 40000 rows, n_hot=8000 (vs 2x=16000), local[32].
+Each timing is best-of-2 with a per-trial lit-salt column (Spark 4
+serves byte-identical re-executed queries from cache — CLAUDE.md
+invariant)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+HOT_VAL = 7
+
+
+def build_packed(spark, n_total: int, n_hot: int):
+    """(id, p0..p3): ids < n_hot share p0=HOT_VAL (the hot block); every
+    other chunk is an md5-derived pseudo-random 16-bit value."""
+
+    def rnd16(c: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id").cast("string"), F.lit(f"#c{c}")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ids = spark.range(n_total)
+    return ids.select(
+        "id",
+        F.when(F.col("id") < n_hot, F.lit(HOT_VAL).cast("long"))
+        .otherwise(rnd16(0))
+        .alias("p0"),
+        *[rnd16(c).alias(f"p{c}") for c in range(1, 4)],
+    )
+
+
+def timed(fn, trials: int = 2):
+    best, rows = float("inf"), 0
+    for t in range(trials):
+        t0 = time.time()
+        rows = fn(t)
+        best = min(best, time.time() - t0)
+    return best, rows
+
+
+def main() -> None:
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    n_hot = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    from jsonl_schema_validator_spark import get_spark
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+    )
+
+    spark = get_spark(
+        app_name="bench-hamming-skew",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+
+    results = {}
+    for mult, hot in (("N", n_hot), ("2N", 2 * n_hot)):
+        df = build_packed(spark, n_total, hot)
+        df.persist().count()  # input materialized once; timings exclude gen
+
+        def run(salt, guard, df=df):
+            out = _packed_hamming_pairs(
+                df.withColumn("__salt", F.lit(salt)),
+                max_hamming=64,  # output == candidate set
+                max_block_size=guard,
+            )
+            return out.count()
+
+        t_g, n_g = timed(lambda t: run(t, "auto"))
+        t_u, n_u = timed(lambda t: run(t + 100, None))
+        results[mult] = (hot, t_g, n_g, t_u, n_u)
+        print(
+            f"hot-block={hot:>6} ({mult:>2}): guarded(auto) {t_g:6.2f}s "
+            f"rows={n_g:>12,}   unguarded(None) {t_u:6.2f}s "
+            f"rows={n_u:>12,}",
+            flush=True,
+        )
+        df.unpersist()
+
+    r1, r2 = results["N"], results["2N"]
+    print(
+        f"\nhot-block population x2 (corpus fixed at {n_total:,} rows):\n"
+        f"  guarded   rows x{r2[2] / max(r1[2], 1):.2f}  "
+        f"time x{r2[1] / max(r1[1], 1e-9):.2f}   (expected ~x2: linear, "
+        f"slope cap/2)\n"
+        f"  unguarded rows x{r2[4] / max(r1[4], 1):.2f}  "
+        f"time x{r2[3] / max(r1[3], 1e-9):.2f}   (expected ~x4: quadratic "
+        f"f^2/2)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
