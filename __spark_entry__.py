@@ -474,6 +474,45 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling (arXiv:2302.03169 completed): Gumbel-top-k over
+    the q_dsir_weights log-weights with md5-derived deterministic noise
+    — the selected SET is a pure function of (corpus, salt), so the
+    DuckDB oracle compares hash-exact (round-then-rank ties broken by
+    id, the tfidf convention)."""
+    from jsonl_schema_validator_spark.operators import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select("text")
+    w = dsir_log_weights(docs, "doc_id", "text", target, num_buckets=1000)
+    return dsir_sample(w, n_target=150, id_col="id")
+
+
+def _dsir_sample_sql(
+    n_target: int, salt: str, num_buckets: int = 1000, add_k: float = 0.5
+) -> str:
+    """DuckDB replica of q_dsir_sample: the full _dsir_sql weights
+    statement as a subquery, the hash_split md5-bucket decode for the
+    Gumbel uniform u = (bucket + 0.5)/16^6, key rounded to 6 dp BEFORE
+    the ORDER BY (both engines rank the identical rounded key)."""
+    return f"""
+WITH w AS ({_dsir_sql(num_buckets=num_buckets, add_k=add_k)}),
+h AS (
+  SELECT w.*, md5('{salt}:' || coalesce(CAST(id AS VARCHAR), '')) AS m
+  FROM w WHERE log_weight IS NOT NULL),
+keyed AS (
+  SELECT id, n_features, log_weight,
+         round(log_weight - ln(-ln(({_hash_digit_value_sql()} + 0.5)
+               / 16777216.0)), 6) AS gumbel_key
+  FROM h)
+SELECT id, n_features, log_weight, gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, id ASC LIMIT {n_target}
+"""
+
+
 def _dsir_sql(num_buckets: int = 1000, add_k: float = 0.5) -> str:
     """DuckDB replica of q_dsir_weights: same feature definition (raw
     space-split unigrams + bigrams), same 6-hex-digit md5 bucket decode
@@ -882,8 +921,14 @@ WITH u AS (
   -- finding — the shared fixtures carry no NULL source today)
   FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
 mmx AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+-- the mx = mn arm mirrors psi_drift's degenerate collapse to ONE bin
+-- (ADVICE r6: the unguarded expression divides by zero if the fixture
+-- column ever became constant; with one bin both distributions are a
+-- point mass, every term is (1-1)*ln(1) = 0, psi = 0 in both engines)
 bi AS (SELECT ia,
-              least(9, CAST(floor((v - mn) * 10 / (mx - mn)) AS INT)) AS i
+              CASE WHEN mx = mn THEN 0
+                   ELSE least(9, CAST(floor((v - mn) * 10 / (mx - mn)) AS INT))
+              END AS i
        FROM u CROSS JOIN mmx),
 c AS (SELECT i,
              CAST(count(*) FILTER (WHERE ia = 1) AS DOUBLE) AS ca,
@@ -897,7 +942,8 @@ terms AS (
 SELECT round((SELECT sum(t) FROM terms), 6) AS psi,
        CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
        CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
-       CAST(10 AS INT) AS bins_used
+       CAST(CASE WHEN (SELECT mx FROM mmx) = (SELECT mn FROM mmx)
+                 THEN 1 ELSE 10 END AS INT) AS bins_used
 """
 
 
@@ -1127,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "ks_nchars": q_ks_nchars,
+        # round-7 entries, appended at the tail per the contract
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -2636,4 +2684,5 @@ FROM documents
 """,
         "dsir_weights": _dsir_sql(num_buckets=1000, add_k=0.5),
         "psi_nchars": _PSI_NCHARS_SQL,
+        "dsir_sample": _dsir_sample_sql(n_target=150, salt=""),
     }

@@ -881,11 +881,13 @@ def _parse_jpeg_inner(raw: bytes, np):
         if marker == 0xD9:  # EOI: end of a multi-scan file, or premature
             if prog is not None:
                 # sequential multi-scan files must have coded EVERY
-                # component (a luma-only torso would render miscolored);
-                # progressive files may legitimately stop after any scan
-                if not progressive and prog["covered"] != {
-                    c[0] for c in comps
-                }:
+                # component (a luma-only torso would render miscolored).
+                # Progressive files may stop after any REFINEMENT scan,
+                # but every component needs at least its first DC scan
+                # (Ss=0, Ah=0) — chroma that never received DC would
+                # finalize as zero planes, the same miscolored render
+                # (ADVICE r6).
+                if not _prog_coverage_ok(prog, comps, progressive):
                     return None
                 return _finalize_progressive(prog, comps, qts, h, w, np)
             return None
@@ -981,10 +983,21 @@ def _parse_jpeg_inner(raw: bytes, np):
     # a multi-scan file whose EOI sits in the last 2 bytes exits the loop
     # (the loop guard needs 4 bytes) — finalize here, same coverage rule
     if prog is not None:
-        if not progressive and prog["covered"] != {c[0] for c in comps}:
+        if not _prog_coverage_ok(prog, comps, progressive):
             return None
         return _finalize_progressive(prog, comps, qts, h, w, np)
     return None
+
+
+def _prog_coverage_ok(prog, comps, progressive) -> bool:
+    """The finalize coverage rule for multi-scan files: sequential needs
+    every component fully coded; progressive needs every component's
+    FIRST DC scan (Ss=0, Ah=0) — later AC/refinement scans are optional
+    truncation points (T.81 G.1; the spectral-selection contract)."""
+    all_ids = {c[0] for c in comps}
+    if progressive:
+        return prog["dc_covered"] == all_ids
+    return prog["covered"] == all_ids
 
 
 def _decode_scan(data, pos, scan, qts, huffs, h, w, restart, np):
@@ -1113,6 +1126,7 @@ def _alloc_coef_store(comps, h, w, np):
         "mcus_x": mcus_x,
         "mcus_y": mcus_y,
         "covered": set(),
+        "dc_covered": set(),
         "coefs": [
             np.zeros((mcus_y * c[2], mcus_x * c[1], 64), np.int32)
             for c in comps
@@ -1218,6 +1232,8 @@ def _decode_progressive_scan(data, pos, scan, comps, prog, huffs, restart,
                 if t is None:
                     raise ValueError("missing DC table")
                 trees[comp[0]] = t
+                # first-pass DC coverage: the progressive finalize rule
+                prog["dc_covered"].add(comp[0])
         preds = {comp[0]: 0 for comp, _, _ in scan}
 
         def dc_block(store, by, bx, comp):

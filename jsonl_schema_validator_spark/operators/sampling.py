@@ -294,3 +294,48 @@ def dsir_log_weights(
             F.col("__lw").alias("log_weight"),
         )
     )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    n_target: int,
+    id_col: str = "id",
+    log_weight_col: str = "log_weight",
+    salt: str = "",
+) -> DataFrame:
+    """The resampling step that completes DSIR (arXiv:2302.03169 — shape
+    only): select n_target rows from a dsir_log_weights output with
+    probability proportional to the importance weight exp(log_weight),
+    WITHOUT replacement, via the Gumbel-top-k identity (taking the top k
+    of log_weight + Gumbel(0,1) noise IS weighted sampling without
+    replacement). The noise is deterministic — the hash_sample trick:
+    u = (md5-bucket(salt, id) + 0.5) / 16^6 in (0, 1), g = -ln(-ln(u)) —
+    so the selected SET is a pure function of (weights, salt): engine-
+    and run-reproducible, and the DuckDB oracle compares hash-exact.
+
+    Output: the input columns + `gumbel_key` (= round(log_weight + g, 6)
+    — rounded BEFORE ranking in both engines so ties, broken by id asc,
+    cannot split on last-ulp ln() differences: the tfidf round-then-rank
+    convention). Rows with a NULL log_weight (null-text docs in
+    dsir_log_weights' contract) are not selectable — quarantine or score
+    them upstream if they should compete.
+
+    Scale shape: orderBy(key).limit(n) compiles to TakeOrderedAndProject
+    — each task keeps a bounded n_target heap and only n_target rows
+    ever leave the map side (no global sort, no single-partition
+    window); the noise/key is one narrow projection. PRECONDITION: ids
+    unique and non-null (duplicate ids share one noise value — the
+    stratified_hash_sample caveat).
+    """
+    if n_target < 1:
+        raise ValueError("n_target must be >= 1")
+    u = (_hash_bucket(id_col, salt) + F.lit(0.5)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    key = F.round(F.col(log_weight_col) - F.log(-F.log(u)), 6)
+    return (
+        weights.where(F.col(log_weight_col).isNotNull())
+        .withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(n_target)
+    )

@@ -798,3 +798,45 @@ def test_image_phash_validates_id_type_at_entry(spark):
     )
     out = image_phash(df2, "img", "img_id").collect()
     assert len(out) == 1 and out[0].phash is not None
+
+
+def test_progressive_jpeg_requires_dc_coverage_of_every_component():
+    """ADVICE r6: a progressive COLOR file may legitimately truncate after
+    any REFINEMENT scan, but a component that never received its first DC
+    scan (Ss=0, Ah=0) would finalize as a zero plane — the miscolored
+    render the sequential full-coverage rule prevents. Per-component DC
+    script: a luma-only-DC torso must be None; a torso with all three DC
+    scans decodes; the full file still matches the baseline decode."""
+    import re
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    script = [
+        ([0], 0, 0, 0, 1),
+        ([1], 0, 0, 0, 1),
+        ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0, 1, 2], 0, 0, 1, 0),
+    ]
+    full = encode_jpeg_progressive(px, quality=90, scan_script=script)
+    sos = [m.start() for m in re.finditer(b"\xff\xda", full)]
+    assert len(sos) == len(script)
+    # luma DC only -> chroma never received DC -> None
+    assert _parse_jpeg(full[: sos[1]] + b"\xff\xd9") is None
+    # all three DC scans -> legal truncation point, decodes
+    dc_torso = _parse_jpeg(full[: sos[3]] + b"\xff\xd9")
+    assert dc_torso is not None
+    # the untruncated file still equals the baseline decode exactly
+    base = _parse_jpeg(encode_jpeg_baseline(px, quality=90))
+    prog = _parse_jpeg(full)
+    assert prog is not None and np.array_equal(prog[2], base[2])

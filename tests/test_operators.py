@@ -854,3 +854,82 @@ def test_dsir_log_weights_rejects_empty_target(spark):
     nulls = spark.createDataFrame([(None,)], "text string")
     with pytest.raises(ValueError, match="target"):
         dsir_log_weights(df, "doc_id", "text", nulls)
+
+
+def test_dsir_sample_gumbel_topk(spark):
+    """The DSIR resampling step: (a) python replication of the md5-Gumbel
+    key on a hand-built weights frame — the selected set is exactly the
+    top-n_target keys with id tie-break; (b) statistical sanity — docs
+    resembling the target domain are strongly enriched; (c) NULL
+    log_weight rows are never selectable; (d) n_target < 1 raises."""
+    import hashlib
+    import math
+    import random
+
+    from jsonl_schema_validator_spark.operators import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    # (a) exact replication on a synthetic weights frame
+    wrows = [(i, 1, round((i % 7) * 0.5 - 1.5, 6)) for i in range(50)]
+    wrows.append((99, 0, None))
+    wdf = spark.createDataFrame(
+        wrows, "id bigint, n_features int, log_weight double"
+    )
+    got = dsir_sample(wdf, 10, id_col="id", salt="s").collect()
+    assert len(got) == 10
+
+    def key(i, lw):
+        b = int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:6], 16)
+        u = (b + 0.5) / 16**6
+        return round(lw - math.log(-math.log(u)), 6)
+
+    expect = sorted(
+        ((key(i, lw), i) for i, _, lw in wrows if lw is not None),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r.gumbel_key, r.id) for r in got] == expect
+    assert all(r.id != 99 for r in got)  # (c) NULL weight excluded
+
+    # (b) enrichment: two disjoint vocab domains, target drawn from A
+    rng = random.Random(3)
+    va = [f"alpha{i}" for i in range(200)]
+    vb = [f"beta{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(rng.choice(va if i < 200 else vb) for _ in range(30)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(
+        [(" ".join(rng.choice(va) for _ in range(30)),) for _ in range(40)],
+        "text string",
+    )
+    w = dsir_log_weights(df, "doc_id", "text", target, num_buckets=512)
+    sel = {r.id for r in dsir_sample(w, 100, id_col="id").collect()}
+    assert len(sel) == 100
+    assert sum(1 for i in sel if i < 200) > 80  # A-docs enriched
+    # determinism: same inputs -> identical set
+    assert sel == {r.id for r in dsir_sample(w, 100, id_col="id").collect()}
+
+    # (d) validate-at-entry
+    with pytest.raises(ValueError, match="n_target"):
+        dsir_sample(wdf, 0, id_col="id")
+
+
+def test_psi_oracle_sql_degenerate_parity():
+    """ADVICE r6: the psi_nchars oracle SQL must mirror psi_drift's
+    collapse to ONE bin when min == max (the unguarded expression divided
+    by zero). Spark side pinned above (test_psi_drift: psi 0.0, bins 1);
+    this runs the actual oracle SQL on a constant column."""
+    import duckdb
+
+    from __spark_entry__ import _PSI_NCHARS_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT CASE WHEN i % 2 = 0 THEN 'src0' "
+        "ELSE 'src1' END AS source, 42 AS n_chars FROM range(100) t(i)"
+    )
+    psi, n_a, n_b, bins = con.execute(_PSI_NCHARS_SQL).fetchone()
+    assert (psi, n_a, n_b, bins) == (0.0, 50, 50, 1)

@@ -316,3 +316,19 @@ def test_hamming_hot_table_join_broadcasts(spark, docs):
         )
     )
     assert p0.count("Join") >= 1
+
+
+def test_dsir_sample_is_take_ordered(spark, docs):
+    """dsir_sample's global top-n_target must compile to
+    TakeOrderedAndProject (bounded per-task heap, only n_target rows
+    leave the map side) — not a single-partition global sort or window."""
+    from jsonl_schema_validator_spark.operators import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    target = docs.where(F.col("lang") == "en").select("text")
+    w = dsir_log_weights(docs, "doc_id", "text", target, num_buckets=256)
+    p = _plan(dsir_sample(w, 50, id_col="id"))
+    assert "TakeOrderedAndProject" in p, p[:1200]
+    assert "Window" not in p
