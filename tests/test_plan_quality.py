@@ -332,3 +332,19 @@ def test_dsir_sample_is_take_ordered(spark, docs):
     p = _plan(dsir_sample(w, 50, id_col="id"))
     assert "TakeOrderedAndProject" in p, p[:1200]
     assert "Window" not in p
+
+
+def test_langid_nb_scoring_join_broadcasts(spark, docs):
+    """langid_nb's scoring join must BROADCAST the pivoted model (one
+    row per bucket, L language columns) into the corpus-scale n-gram
+    occurrence stream — shuffling the occurrences against a <=num_buckets
+    dimension table would be the dsir anti-pattern. The per-id score agg
+    is the one intended corpus shuffle."""
+    from jsonl_schema_validator_spark.operators import (
+        langid_nb,
+        langid_nb_train,
+    )
+
+    model = langid_nb_train(docs, "text", "lang", num_buckets=256)
+    p = _plan(langid_nb(docs, "doc_id", "text", model, num_buckets=256))
+    assert "BroadcastHashJoin" in p, p[:1200]
