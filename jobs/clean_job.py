@@ -9,6 +9,7 @@
         [--allowed-langs en,de] [--min-tokens 20] [--near-dup] \
         [--near-dup-threshold 0.8 --near-dup-n 3 --near-dup-hashes 16 --near-dup-bands 4] \
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
+        [--image-col img --phash-dedup --phash-max-hamming 3] \
         [--drop] [--dedup-spans 20] [--fail-on-drop-frac 0.5]
 
 Outputs under --output: report/ (the per-doc verdict table: signals,
@@ -19,7 +20,15 @@ REWRITTEN by the Lee-et-al span-removal pass before writing: every
 duplicated K-token span keeps only its first corpus-wide occurrence,
 later occurrences are cut — document-level dedup drops whole near-copies,
 span removal then cuts the verbatim boilerplate the survivors still
-share. Exit code 1 when the drop fraction exceeds --fail-on-drop-frac (a
+share. With --phash-dedup (requires --image-col, a binary image column),
+near-duplicate IMAGES are dropped too: phash_duplicates clusters
+re-encodes of the same picture (cross-format: BMP/PNG/JPEG/progressive)
+by pHash Hamming distance and keeps each cluster's min-id member; the
+report gains image_phash / image_cluster_id columns and dropped copies
+append 'image_duplicate' to reasons (after the text-stage reasons).
+Undecodable images keep a NULL image_phash and are NEVER dropped by this
+stage (a dedup pass must not drop what it could not read). Exit code 1
+when the drop fraction exceeds --fail-on-drop-frac (a
 cleaning pass that rejects most of a corpus usually means a misconfigured
 threshold, not a dirty corpus — fail loudly rather than train on the
 remainder).
@@ -49,6 +58,12 @@ def parse_args(argv):
     p.add_argument("--min-quality-score", type=float, default=0.5)
     p.add_argument("--max-dup-line-frac", type=float, default=0.3)
     p.add_argument("--max-top-bigram-frac", type=float, default=0.2)
+    p.add_argument("--image-col", default=None, help="binary image column for --phash-dedup")
+    p.add_argument(
+        "--phash-dedup", action="store_true",
+        help="drop near-duplicate images (pHash Hamming clusters keep the min-id member); requires --image-col",
+    )
+    p.add_argument("--phash-max-hamming", type=int, default=3)
     p.add_argument("--split", default=None, help="name=weight,... (weights sum to 1)")
     p.add_argument("--split-salt", default="")
     p.add_argument("--drop", action="store_true", help="also write kept/ with keep=true rows")
@@ -63,6 +78,14 @@ def parse_args(argv):
     # an unrewritten report they believe was span-deduped
     if args.dedup_spans is not None and not args.drop:
         p.error("--dedup-spans requires --drop (it rewrites the kept/ output)")
+    # same validate-at-entry rule for the image stage: each flag without
+    # the other is a misconfiguration the user should hear about now
+    if args.phash_dedup and not args.image_col:
+        p.error("--phash-dedup requires --image-col (the binary image column)")
+    if args.image_col and not args.phash_dedup:
+        p.error("--image-col is only used by --phash-dedup (pass both)")
+    if args.phash_max_hamming < 0:
+        p.error("--phash-max-hamming must be >= 0")
     return args
 
 
@@ -104,6 +127,46 @@ def main(argv=None) -> int:
         split_weights=weights,
         split_salt=args.split_salt,
     )
+    if args.phash_dedup:
+        # image near-dup verdict folded into the SAME report row set:
+        # phash_duplicates returns exactly one row per input row (min-id
+        # keeper per Hamming cluster; undecodable -> NULL phash, kept),
+        # joined back on the report's id under reserved aliases. Dropped
+        # copies append 'image_duplicate' AFTER the text-stage reasons
+        # (fixed order contract: duplicate, near_duplicate, contaminated,
+        # quality..., image_duplicate).
+        from jsonl_schema_validator_spark.operators.multimodal import (
+            phash_duplicates,
+        )
+
+        ph = phash_duplicates(
+            df, args.image_col, args.id_col,
+            max_hamming=args.phash_max_hamming,
+        ).select(
+            F.col("id").alias("__jsv_ph_id"),
+            F.col("phash").alias("image_phash"),
+            F.col("cluster_id").alias("image_cluster_id"),
+            F.col("keep").alias("__jsv_ph_keep"),
+        )
+        report = report.join(
+            ph, report["id"].eqNullSafe(F.col("__jsv_ph_id")), "left"
+        ).drop("__jsv_ph_id")
+        img_dup = ~F.coalesce(F.col("__jsv_ph_keep"), F.lit(True))
+        report = (
+            report.withColumn(
+                "reasons",
+                F.when(
+                    img_dup,
+                    F.concat_ws(
+                        ",",
+                        F.nullif(F.col("reasons"), F.lit("")),
+                        F.lit("image_duplicate"),
+                    ),
+                ).otherwise(F.col("reasons")),
+            )
+            .withColumn("keep", F.col("keep") & ~img_dup)
+            .drop("__jsv_ph_keep")
+        )
     report.write.mode("overwrite").parquet(f"{args.output}/report")
     report = spark.read.parquet(f"{args.output}/report")  # re-read: one compute
 

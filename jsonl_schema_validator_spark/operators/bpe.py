@@ -183,19 +183,97 @@ def bpe_train(
     return merges
 
 
+def _select_merge_batch(
+    cands: list[tuple[str, str, int]],
+    floor: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Pick a PREFIX of the round's (count desc, a asc, b asc)-ordered
+    candidate pairs that is provably identical to running the sequential
+    greedy loop that many rounds (VERDICT r6 #5). The naive
+    'disjoint-symbols' rule alone is NOT faithful — two failure modes,
+    both found by analysis and covered by the fuzz pin's adversarial
+    corpora:
+
+    1. NEW-PAIR PREEMPTION: applying (a,b)->ab creates pairs (x,ab) /
+       (ab,y) whose counts can reach count(a,b) (e.g. 'abab...' chains),
+       so a later sequential round might pick one of them BEFORE the
+       next batched candidate. Bound, computable from the round-start
+       table alone: count(x,ab) <= count(x,a) and count(ab,y) <=
+       count(b,y), so no new pair from m_j can exceed the largest
+       round-start count among pairs sharing a symbol with m_j. A
+       candidate joins the batch only if its count STRICTLY exceeds that
+       bound for every earlier batched merge (strictness also settles
+       lex ties against unknown new-symbol strings); pairs outside the
+       collected window are bounded by `floor` (the count at the first
+       uncollected position).
+    2. CONCAT ALIASING: if concat(m_j) equals a symbol of m_i (or
+       another concat), m_j's application mints symbols that alias
+       m_i's, silently changing m_i's count between rounds — excluded
+       outright.
+
+    Selection STOPS at the first violating candidate (skipping one
+    would reorder the sequential sequence: old-pair counts only ever
+    decrease under disjoint merges, so the next unchanged candidate in
+    round-start order IS the sequential argmax). Under these guards the
+    batch members are pairwise non-interacting, so one combined
+    left-to-right scan equals applying them sequentially."""
+    batch: list[tuple[str, str]] = []
+    syms: set[str] = set()
+    concats: set[str] = set()
+    bound = -1  # max over batched m_j of bound_new(m_j)
+    for i, (a, b, n) in enumerate(cands):
+        if n < min_pair_count:
+            break
+        if batch:
+            if a in syms or b in syms:
+                break
+            cat = a + b
+            if (
+                cat in concats
+                or cat in syms
+                or any(c in (a, b) for c in concats)
+            ):
+                break
+            if n <= bound:
+                break
+        batch.append((a, b))
+        syms.update((a, b))
+        concats.add(a + b)
+        # bound_new for THIS merge: the largest count among other
+        # candidates sharing a symbol, or the uncollected floor
+        share = max(
+            (m for x, y, m in cands if (x, y) != (a, b) and
+             (x == a or x == b or y == a or y == b)),
+            default=0,
+        )
+        bound = max(bound, floor, share)
+    return batch
+
+
 def _bpe_train_distributed(
-    words: DataFrame, num_merges: int, min_pair_count: int
+    words: DataFrame,
+    num_merges: int,
+    min_pair_count: int,
+    batch_k: int = 16,
 ) -> list[tuple[str, str]]:
     """Exact distributed BPE training over a (w, c) word-count frame:
     the dictionary never leaves the executors. Per round: bigram pair
     counts via the codegen zip-explode shape (arrays_zip of two shifted
     slices — the _bigram_zip lesson, no interpreted HOF in the hot agg),
-    ONE deterministic argmax row collected ((count desc, a asc, b asc) —
-    the same tie-break as the driver loop), then one expression-side
-    left-to-right merge scan (an aggregate HOF — interpreted, but one
-    pass over dictionary symbols per round; equivalent to _merge_once's
-    stack scan because a freshly-merged symbol a+b can never equal a).
-    localCheckpoint each round truncates the num_merges-deep lineage."""
+    a bounded TakeOrdered collect of the top batch_k+1 candidate pairs
+    ((count desc, a asc, b asc) — the same tie-break as the driver
+    loop), a driver-side faithful-batch selection (_select_merge_batch:
+    as many merges per Spark round as provably match the sequential
+    greedy order — VERDICT r6 #5's answer to 'one round per merge'; a
+    32k-merge production vocab needs ~vocab/batch rounds instead of
+    vocab rounds on merge-rich rounds, and never MORE rounds than
+    before), then one expression-side left-to-right scan applying the
+    whole batch (a when-chain over the pairwise-disjoint batch — at most
+    one rule can match at any position, so the combined pass equals the
+    sequential passes; equivalent to _merge_once's stack scan because a
+    freshly-merged symbol a+b can never equal a). localCheckpoint each
+    ROUND truncates the lineage."""
     dic = words.select(
         # per-CODE-POINT split via substring indexing — Spark's length()
         # and substring() count code points, so astral characters (emoji,
@@ -214,7 +292,7 @@ def _bpe_train_distributed(
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(num_merges):
+        while len(merges) < num_merges:
             n = F.size("s")
             pairs = (
                 dic.where(n >= 2)
@@ -230,25 +308,44 @@ def _bpe_train_distributed(
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("c").alias("n"))
             )
+            want = max(1, num_merges - len(merges))
+            k = min(batch_k, want)
             top = pairs.orderBy(
                 F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
-            ).limit(1).collect()
+            ).limit(k + 1).collect()
             if not top or int(top[0]["n"]) < min_pair_count:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
+            cands = [(r["a"], r["b"], int(r["n"])) for r in top[:k]]
+            # the first UNCOLLECTED pair's count is bounded by the last
+            # collected one; with the whole table collected there is no
+            # uncollected pair to bound (floor 0 < min_pair_count)
+            floor = int(top[k]["n"]) if len(top) > k else 0
+            batch = _select_merge_batch(cands, floor, min_pair_count)
+            merges.extend(batch)
+
+            # NB: the lambda must take EXACTLY (acc, x) — pyspark binds
+            # every positional parameter (defaults included) as a lambda
+            # variable Column; `batch` is a plain closure, resolved
+            # eagerly inside this iteration's F.aggregate call
+            def apply_batch(acc, x):
+                expr = F.concat(acc, F.array(x))
+                # when-chain over the pairwise-disjoint batch: at most
+                # one arm can match at any position (see the selection
+                # guards), so one combined pass == sequential passes
+                for a, b in reversed(batch):
+                    expr = F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a))
+                        & (x == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(a + b)),
+                        ),
+                    ).otherwise(expr)
+                return expr
+
             merged = F.aggregate(
-                "s",
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(a + b)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
+                "s", F.array().cast("array<string>"), apply_batch
             )
             dic = dic.select(merged.alias("s"), "c").localCheckpoint()
     finally:

@@ -225,3 +225,87 @@ def test_bpe_distributed_handles_astral_characters(spark):
     )
     assert d == x
     assert ("x", "\U0001F600") in d  # the emoji survived as ONE symbol
+
+
+def test_select_merge_batch_guards():
+    """Unit pins for the faithful-batch selection (VERDICT r6 #5): the
+    two unsound-naive-batching cases stop the batch, plain disjoint
+    dominance batches, and selection never SKIPS a candidate."""
+    from jsonl_schema_validator_spark.operators.bpe import (
+        _select_merge_batch,
+    )
+
+    # disjoint + dominant -> both batch
+    assert _select_merge_batch(
+        [("a", "b", 10), ("c", "d", 9)], floor=0, min_pair_count=1
+    ) == [("a", "b"), ("c", "d")]
+    # NEW-PAIR PREEMPTION: a pair sharing a symbol with m1 has count 8,
+    # so a new pair minted by m1 could reach 8 >= 5 — batch stops at m1
+    assert _select_merge_batch(
+        [("a", "b", 10), ("b", "a", 8), ("c", "d", 5)],
+        floor=0, min_pair_count=1,
+    ) == [("a", "b")]
+    # CONCAT ALIASING: m2's symbol 'ab' equals concat(m1) — stops
+    assert _select_merge_batch(
+        [("a", "b", 10), ("ab", "c", 9)], floor=0, min_pair_count=1
+    ) == [("a", "b")]
+    # the uncollected floor bounds unseen sharing pairs: floor 9 >= 9
+    assert _select_merge_batch(
+        [("a", "b", 10), ("c", "d", 9)], floor=9, min_pair_count=1
+    ) == [("a", "b")]
+    # stop-at-first-violation, never skip: m2 violates, m3 would pass
+    assert _select_merge_batch(
+        [("a", "b", 10), ("b", "c", 9), ("d", "e", 2)],
+        floor=0, min_pair_count=1,
+    ) == [("a", "b")]
+    # sub-threshold candidates end the batch
+    assert _select_merge_batch(
+        [("a", "b", 1)], floor=0, min_pair_count=2
+    ) == []
+
+
+def test_bpe_batched_distributed_equals_driver_adversarial(spark):
+    """The batched distributed path must stay merge-list-IDENTICAL to
+    the driver loop on corpora built to break naive batching: 'abab'
+    repetition chains (new pairs minted by a merge immediately dominate
+    the table), aliasing words whose characters spell earlier concats,
+    and random multi-seed fuzz at min_pair_count=1 (maximum merge
+    depth)."""
+    adversarial = [
+        "abababab abab ab ababab " * 3,
+        "aaaa aaa aa a aaaaa " * 4,
+        "ab abc abcd ababcd cdcd cd " * 3,
+        "xy xyxy yx xyx yxy " * 5,
+    ]
+    for text in adversarial:
+        df = spark.createDataFrame(
+            [(1, text.strip())], "doc_id bigint, text string"
+        )
+        d = bpe_train(
+            df, "text", num_merges=12, mode="driver", min_pair_count=1
+        )
+        x = bpe_train(
+            df, "text", num_merges=12, mode="distributed", min_pair_count=1
+        )
+        assert x == d, (text[:40], d, x)
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    for seed in range(3):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(12)
+        ]
+        rows = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 15))))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        d = bpe_train(
+            df, "text", num_merges=20, mode="driver", min_pair_count=1
+        )
+        x = bpe_train(
+            df, "text", num_merges=20, mode="distributed", min_pair_count=1
+        )
+        assert x == d, (seed, d, x)

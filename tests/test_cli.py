@@ -201,3 +201,62 @@ def test_clean_job_arg_validation():
         "--near-dup-n", "5", "--near-dup-hashes", "32", "--near-dup-bands", "8",
     ])
     assert (a.near_dup_n, a.near_dup_hashes, a.near_dup_bands) == (5, 32, 8)
+
+
+def test_clean_job_phash_dedup_e2e(spark, tmp_path):
+    """--image-col/--phash-dedup (VERDICT r6 #7): planted cross-format
+    duplicate images (PNG vs JPEG re-encode of the same picture) are
+    clustered and the non-keeper dropped with reason image_duplicate;
+    a distinct image and an undecodable blob survive; kept/ excludes the
+    dropped copy; flag validation errors fire at parse time."""
+    import numpy as np
+    import pytest
+
+    import jobs.clean_job as cj
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import encode_png
+
+    def img(k, h=48, w=64):
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x * 255 // (w - 1)).astype(np.uint8)
+        g = (y * 255 // (h - 1)).astype(np.uint8)
+        b = ((x * (k + 3) + y * (7 - k)) % 251).astype(np.uint8)
+        return np.dstack([r, g, b])
+
+    good = ("the a of and to in is it that for " * 4).strip()
+    rows = [
+        (0, good + " zero tail", bytearray(encode_png(img(0)))),
+        (1, good + " one tail", bytearray(encode_jpeg_baseline(img(0), quality=80))),
+        (2, good + " two tail", bytearray(encode_png(img(1)))),
+        (3, good + " three tail", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, img binary")
+    inp = str(tmp_path / "imgdocs")
+    df.write.parquet(inp)
+    out = str(tmp_path / "imgout")
+    assert cj.main([
+        "--input", inp, "--output", out, "--drop",
+        "--image-col", "img", "--phash-dedup",
+    ]) == 0
+    rep = {r.id: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert len(rep) == 4
+    assert rep[0].keep and rep[0].image_cluster_id == 0
+    assert not rep[1].keep and rep[1].reasons == "image_duplicate"
+    assert rep[1].image_cluster_id == 0
+    assert rep[2].keep and rep[2].image_cluster_id == 2
+    assert rep[3].keep and rep[3].image_phash is None
+    assert rep[3].image_cluster_id is None
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {0, 2, 3}
+
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y", "--phash-dedup"])
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y", "--image-col", "img"])
+    with pytest.raises(SystemExit):
+        cj.parse_args([
+            "--input", "x", "--output", "y", "--image-col", "img",
+            "--phash-dedup", "--phash-max-hamming", "-1",
+        ])
