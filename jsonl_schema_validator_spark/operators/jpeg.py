@@ -1,5 +1,5 @@
-"""Baseline + progressive JPEG codec in pure numpy + stdlib — no codec
-library.
+"""Baseline + progressive + arithmetic-coded JPEG codec in pure numpy +
+stdlib — no codec library.
 
 DCT JPEG (ITU-T T.81 / ISO 10918-1) is, like PNG's DEFLATE, fully
 decodable with nothing but bit twiddling and an 8x8 transform: marker
@@ -13,12 +13,16 @@ YCbCr->RGB. This module implements both directions:
 - ``encode_jpeg_progressive(...)`` writes a progressive (SOF2) file —
   spectral selection + successive approximation per T.81 Annex G, a
   libjpeg-shaped default scan script, per-scan Huffman tables.
+- ``encode_jpeg_arithmetic(...)`` writes a sequential ARITHMETIC-coded
+  (SOF9) file — T.81 Annex D QM-coder + Annex F.1.4.4 statistical model,
+  DAC conditioning segment (see the arithmetic section below).
 - ``_parse_jpeg(raw)`` returns (w, h, rgb_flat_uint8) for baseline
-  (interleaved single-scan AND non-interleaved multi-scan) and
-  progressive grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 files, or None for
-  anything it cannot decode (arithmetic coding, 12-bit, truncation, bad
-  markers, incomplete component coverage) — the
-  undecodable-row-yields-nulls contract of the multimodal raw backend.
+  (interleaved single-scan AND non-interleaved multi-scan), progressive,
+  and sequential-arithmetic (SOF9 interleaved) grayscale / YCbCr 4:4:4 /
+  4:2:0 / 4:2:2 files, or None for anything it cannot decode
+  (arithmetic-progressive SOF10, 12-bit, truncation, bad markers,
+  incomplete component coverage) — the undecodable-row-yields-nulls
+  contract of the multimodal raw backend.
 
 Correctness evidence without an external codec: at quality=100 the Annex K
 tables scale to all-ones, so the ONLY loss is YCbCr round-tripping and
@@ -868,6 +872,9 @@ def _parse_jpeg_inner(raw: bytes, np):
     h = w = 0
     restart = 0
     progressive = False
+    arith = False  # SOF9: sequential DCT, arithmetic (QM) entropy coding
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table id -> Kx
     prog = None  # progressive coefficient store, allocated at first SOS
     pos = 2
     data = raw
@@ -915,20 +922,37 @@ def _parse_jpeg_inner(raw: bytes, np):
                 values = list(body[i + 17 : i + 17 + nv])
                 huffs[(cls, tid)] = _HuffTree(bits, values)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 (arith)
             prec = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                 return None
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended-seq / arithmetic / lossless: unsupported
+            # extended-seq / lossless / arithmetic-PROGRESSIVE (SOF10):
+            # unsupported (sequential arithmetic SOF9 is handled above)
+            return None
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                if tc == 0:
+                    lo, up = body[i + 1] & 0xF, body[i + 1] >> 4
+                    if lo > up:  # B.2.4.3: 0 <= L <= U <= 15
+                        return None
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= body[i + 1] <= 63:
+                        return None
+                    ac_cond[tb] = body[i + 1]
+                i += 2
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -942,6 +966,16 @@ def _parse_jpeg_inner(raw: bytes, np):
                 if comp is None:
                     return None
                 scan.append((comp, tids >> 4, tids & 0xF))
+            if arith:
+                # scope: interleaved single-scan sequential arithmetic
+                # (what encode_jpeg_arithmetic writes); multi-scan
+                # arithmetic stays undecodable -> None
+                if ns != len(comps) or prog is not None or progressive:
+                    return None
+                return _decode_arith_scan(
+                    data, pos + 2 + ln, scan, qts, dc_cond, ac_cond,
+                    h, w, restart, np,
+                )
             if not progressive:
                 if ns == len(comps) and prog is None:
                     # the common fully-interleaved single-scan file keeps
@@ -1388,3 +1422,640 @@ def _finalize_progressive(prog, comps, qts, h, w, np):
         )
         samps.append((hs, vs))
     return _planes_to_rgb(planes, samps, prog["hmax"], prog["vmax"], h, w, np)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (T.81 Annex D QM-coder + Annex F.1.4.4 statistical
+# model; SOF9 sequential DCT). Both directions, from the public spec only:
+#
+# - ``encode_jpeg_arithmetic(...)`` writes an SOF9 file: DAC conditioning
+#   segment, interleaved single scan, QM-coded DC/AC decisions.
+# - The decoder handles SOF9 interleaved single-scan files (grayscale /
+#   4:4:4 / 4:2:2 / 4:2:0, restart markers); arithmetic PROGRESSIVE (SOF10)
+#   stays out of scope and returns None.
+#
+# Evidence architecture (the round-6 pattern): the encoder and decoder share
+# ONLY the Qe state-transition table (Table D.3 — spec content, like the
+# Annex K quantization tables) and ``_encode_prep``'s coefficient math; the
+# QM ENCODER implements the Annex D.1 register protocol (byte-out with
+# carry propagation over stacked 0xFF bytes, D.1.8 termination) while the
+# QM DECODER implements the F.2.2 protocol (lazy renormalization, zero-byte
+# feeding past the trailing marker) — two independently-written machines
+# whose inverse-ness is fuzz-pinned at the raw-decision level AND pinned
+# end-to-end by arithmetic-decode == baseline-decode EXACT equality (entropy
+# coding is lossless, so the same _encode_prep coefficients must reproduce
+# the identical pixel output). The container has no external arithmetic-JPEG
+# codec (no PIL/ffmpeg — rechecked every round), so cross-implementation
+# conformance cannot be exercised here; the marker layout, context model and
+# conditioning defaults (L=0, U=1, Kx=5) follow T.81 Annexes B/D/F.
+# ---------------------------------------------------------------------------
+
+# T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH) per state; index 113 is the
+# conventional non-adaptive equiprobable bin used for AC sign decisions.
+_QM_TAB = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 101, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 105, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 110, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 112, 112, 0), (0x59EB, 112, 112, 1), (0x5A1D, 113, 113, 0),
+]
+
+# conditioning defaults (T.81 B.2.4.3 / F.1.4.4.1.2): DC L=0 U=1, AC Kx=5
+_ARITH_DC_COND_DEFAULT = (0, 1)
+_ARITH_AC_COND_DEFAULT = 5
+
+
+class _QMEncoder:
+    """T.81 Annex D.1 QM encoder: interval register A, code register C,
+    bit counter CT, byte-out with carry propagation across stacked 0xFF
+    bytes (D.1.6) and the clean-termination flush (D.1.8). Context state
+    lives in caller-owned bytearrays, one byte per statistics bin:
+    (mps << 7) | state_index."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending output byte (a later carry may bump it)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # pending 0x00 bytes
+        self.out = bytearray()
+
+    def _pending_out(self):
+        o = self.out
+        while self.zc:
+            o.append(0x00)
+            self.zc -= 1
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        qe, nmps, nlps, switch = _QM_TAB[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit != mps:
+            # LPS: top subinterval [C+A, C+A+Qe) unless conditional
+            # exchange (A < Qe) hands the LPS the larger bottom part
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            if switch:
+                mps ^= 1
+            st[i] = (mps << 7) | nlps
+        else:
+            # MPS: bottom subinterval, no renorm -> no estimation update
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (mps << 7) | nmps
+        out = self.out
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                t = self.c >> 19
+                if t > 0xFF:
+                    # carry: bump the pending byte, stacked 0xFFs roll to 0x00
+                    if self.buffer >= 0:
+                        self._pending_out()
+                        out.append(self.buffer + 1)
+                        if self.buffer + 1 == 0xFF:
+                            out.append(0x00)
+                    self.zc += self.sc
+                    self.sc = 0
+                    self.buffer = t & 0xFF
+                elif t == 0xFF:
+                    self.sc += 1  # hold: may still receive a carry
+                else:
+                    # carry can no longer reach anything pending — drain
+                    if self.buffer == 0:
+                        self.zc += 1
+                    elif self.buffer >= 0:
+                        self._pending_out()
+                        out.append(self.buffer)
+                    if self.sc:
+                        self._pending_out()
+                        while self.sc:
+                            out.append(0xFF)
+                            out.append(0x00)  # B.1.1.5 byte stuffing
+                            self.sc -= 1
+                    self.buffer = t
+                self.c &= 0x7FFFF
+                self.ct += 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8: pick the code value in the final interval with the most
+        trailing zeros, drain pending bytes, drop trailing zero bytes
+        (the decoder feeds zeros past the marker)."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._pending_out()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._pending_out()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._pending_out()
+                while self.sc:
+                    self.out.append(0xFF)
+                    self.out.append(0x00)
+                    self.sc -= 1
+        if self.c & 0x7FFF800:
+            self._pending_out()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """T.81 F.2.2 QM decoder with lazy renormalization: C accumulates raw
+    code bytes, A is aligned against it via the spare-bit counter CT, and
+    once the trailing marker is reached the spec's zero-byte feeding takes
+    over (hitting a marker mid-segment is LEGAL in arithmetic coding,
+    unlike Huffman). Tracks the marker and its byte position so the caller
+    can resume the marker loop."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.marker = None
+        self.mpos = len(data)
+        self.a = 0
+        self.c = 0
+        self.ct = -16  # forces the two initial code bytes on first decode
+
+    def _byte(self) -> int:
+        if self.marker is not None:
+            return 0
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            self.marker = 0xD9
+            self.mpos = len(d)
+            return 0
+        b = d[p]
+        if b != 0xFF:
+            self.pos = p + 1
+            return b
+        q = p + 1
+        while q < len(d) and d[q] == 0xFF:  # B.1.1.2 fill bytes
+            q += 1
+        if q < len(d) and d[q] == 0x00:
+            self.pos = q + 1
+            return 0xFF  # stuffed data byte
+        self.marker = d[q] if q < len(d) else 0xD9
+        self.mpos = p
+        return 0
+
+    def decode(self, st: bytearray, i: int) -> int:
+        a = self.a
+        c = self.c
+        ct = self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000  # both init bytes in: A=0x10000 below
+            a <<= 1
+        sv = st[i]
+        qe, nmps, nlps, switch = _QM_TAB[sv & 0x7F]
+        mps = sv >> 7
+        a -= qe
+        temp = a << ct
+        if c >= temp:
+            # top subinterval (size Qe): LPS, or MPS under cond. exchange
+            c -= temp
+            if a < qe:
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+            a = qe
+        else:
+            # bottom subinterval (size A-Qe)
+            if a < 0x8000:
+                if a < qe:
+                    d = mps ^ 1
+                    if switch:
+                        mps ^= 1
+                    st[i] = (mps << 7) | nlps
+                else:
+                    d = mps
+                    st[i] = (mps << 7) | nmps
+            else:
+                d = mps  # fast path: no renorm, no estimation update
+        self.a = a
+        self.c = c
+        self.ct = ct
+        return d
+
+
+def _arith_classify_dc(m: int, sign: int, lo: int, up: int) -> int:
+    """F.1.4.4.1.2 conditioning category for the NEXT block's DC context
+    bank: 0 (zero/small), 4/8 (small +/-), 12/16 (large +/-)."""
+    if m < ((1 << lo) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 12 + sign * 4
+    return 4 + sign * 4
+
+
+def _arith_encode_dc(enc, st, dc_ctx, ci, diff, lo, up):
+    base = dc_ctx[ci]
+    if diff == 0:
+        enc.encode(st, base, 0)
+        dc_ctx[ci] = 0
+        return
+    enc.encode(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    mag = (-diff if sign else diff) - 1
+    enc.encode(st, base + 1, sign)
+    sp = base + 2 + sign
+    m = 0
+    if mag:
+        enc.encode(st, sp, 1)
+        m = 1
+        x = 20  # F Table F.4: X1
+        v2 = mag
+        while v2 > 1:
+            enc.encode(st, x, 1)
+            m <<= 1
+            x += 1
+            v2 >>= 1
+        sp = x
+    enc.encode(st, sp, 0)
+    dc_ctx[ci] = _arith_classify_dc(m, sign, lo, up)
+    mb = sp + 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, mb, 1 if (mag & mm) else 0)
+        mm >>= 1
+
+
+def _arith_decode_dc(dec, st, dc_ctx, ci, lo, up) -> int:
+    base = dc_ctx[ci]
+    if not dec.decode(st, base):
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(st, base + 1)
+    sp = base + 2 + sign
+    m = dec.decode(st, sp)
+    if m:
+        x = 20
+        while dec.decode(st, x):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arith DC magnitude overflow")
+            x += 1
+        sp = x
+    dc_ctx[ci] = _arith_classify_dc(m, sign, lo, up)
+    v = m
+    mb = sp + 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, mb):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_encode_ac(enc, st, fix, seq, kx):
+    ke = 63
+    while ke > 0 and seq[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st3 = 3 * (k - 1)
+        enc.encode(st, st3, 0)  # not EOB
+        while seq[k] == 0:
+            enc.encode(st, st3 + 1, 0)
+            st3 += 3
+            k += 1
+        enc.encode(st, st3 + 1, 1)
+        v = int(seq[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(fix, 0, sign)  # AC sign: fixed equiprobable bin
+        mag = (-v if sign else v) - 1
+        sp = st3 + 2
+        m = 0
+        if mag:
+            enc.encode(st, sp, 1)
+            m = 1
+            if mag > 1:
+                enc.encode(st, sp, 1)  # same context for the 2nd decision
+                m = 2
+                x = 189 if k <= kx else 217
+                v2 = mag >> 2
+                while v2:
+                    enc.encode(st, x, 1)
+                    m <<= 1
+                    x += 1
+                    v2 >>= 1
+                enc.encode(st, x, 0)
+                sp = x
+            else:
+                enc.encode(st, sp, 0)
+        else:
+            enc.encode(st, sp, 0)
+        mb = sp + 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, mb, 1 if (mag & mm) else 0)
+            mm >>= 1
+        k += 1
+    if k <= 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_decode_ac(dec, st, fix, seq, kx):
+    k = 1
+    while k <= 63:
+        st3 = 3 * (k - 1)
+        if dec.decode(st, st3):
+            break  # EOB
+        while not dec.decode(st, st3 + 1):
+            st3 += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arith AC run overflow")
+        sign = dec.decode(fix, 0)
+        sp = st3 + 2
+        m = dec.decode(st, sp)
+        if m:
+            if dec.decode(st, sp):
+                m = 2
+                x = 189 if k <= kx else 217
+                while dec.decode(st, x):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith AC magnitude overflow")
+                    x += 1
+                sp = x
+        v = m
+        mb = sp + 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, mb):
+                v |= mm
+            mm >>= 1
+        v += 1
+        seq[k] = -v if sign else v
+        k += 1
+
+
+def _arith_fresh_stats():
+    """Per-restart-segment statistics: DC and AC banks keyed by the
+    SOS-selected conditioning-table id (the stats area follows the table
+    id, NOT the component — components sharing a table id share its
+    adaptation state, per F.1.4.4), plus the fixed sign bin (state 113)."""
+
+    class _Banks(dict):
+        def __init__(self, size):
+            super().__init__()
+            self._size = size
+
+        def __missing__(self, tid):
+            b = bytearray(self._size)
+            self[tid] = b
+            return b
+
+    return _Banks(64), _Banks(256), bytearray([113])
+
+
+def encode_jpeg_arithmetic(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Arithmetic-coded (SOF9) sequential JPEG bytes from an (h, w, 3)
+    uint8 RGB or (h, w) grayscale array. Same coefficient pipeline as the
+    baseline encoder (shared _encode_prep ONLY — the entropy machinery is
+    fully disjoint), so a decode of this file must equal a decode of the
+    baseline encoding bit-for-bit. Restart intervals flush the QM coder,
+    emit RSTn and reset statistics + DC predictions (F.1.4.1)."""
+    gray, h, w, cfg, qt_l, qt_c, mcus_x, mcus_y = _encode_prep(
+        pixels, quality, subsampling
+    )
+    ncomp = 1 if gray else 3
+    lo, up = _ARITH_DC_COND_DEFAULT
+    kx = _ARITH_AC_COND_DEFAULT
+
+    body = bytearray()
+    enc = _QMEncoder()
+    dc_st, ac_st, fix = _arith_fresh_stats()
+    dc_ctx = [0] * ncomp
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                body += enc.flush()
+                body += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                enc = _QMEncoder()
+                dc_st, ac_st, fix = _arith_fresh_stats()
+                dc_ctx = [0] * ncomp
+                preds = [0] * ncomp
+            for ci, (coefs, hsamp, vsamp) in enumerate(cfg):
+                tid = 0 if ci == 0 else 1
+                for by in range(vsamp):
+                    for bx in range(hsamp):
+                        seq = coefs[my * vsamp + by, mx * hsamp + bx]
+                        diff = int(seq[0]) - preds[ci]
+                        preds[ci] = int(seq[0])
+                        _arith_encode_dc(
+                            enc, dc_st[tid], dc_ctx, ci, diff, lo, up
+                        )
+                        _arith_encode_ac(enc, ac_st[tid], fix, seq, kx)
+            mcu_count += 1
+    body += enc.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0]) + bytes(int(qt_l.reshape(-1)[z]) for z in _ZIGZAG)
+    )
+    if not gray:
+        out += seg(
+            0xDB,
+            bytes([1]) + bytes(int(qt_c.reshape(-1)[z]) for z in _ZIGZAG),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (_, hsamp, vsamp) in enumerate(cfg):
+        sof += bytes([i + 1, (hsamp << 4) | vsamp, 0 if i == 0 else 1])
+    out += seg(0xC9, sof)  # SOF9: sequential DCT, arithmetic coding
+    # DAC: explicit conditioning (the defaults, stated in-file)
+    dac = bytearray()
+    for tid in range(1 if gray else 2):
+        dac += bytes([(0 << 4) | tid, (up << 4) | lo])
+        dac += bytes([(1 << 4) | tid, kx])
+    out += seg(0xCC, bytes(dac))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        tid = 0 if i == 0 else 1
+        sos += bytes([i + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _arith_next_marker_pos(data: bytes, dec: _QMDecoder) -> int:
+    """Byte position of the 0xFF opening the next real marker after the
+    decoder's read point (the decoder may stop before consuming the
+    segment's flush tail — skip leftover entropy bytes and stuffing)."""
+    if dec.marker is not None:
+        return dec.mpos
+    p = dec.pos
+    d = data
+    while p + 1 < len(d):
+        if d[p] == 0xFF:
+            q = p
+            while q + 1 < len(d) and d[q + 1] == 0xFF:
+                q += 1
+            if q + 1 < len(d) and d[q + 1] != 0x00:
+                return q
+            p = q + 2  # stuffed 0xFF00 data byte
+            continue
+        p += 1
+    return len(d)
+
+
+def _decode_arith_scan(data, pos, scan, qts, dc_cond, ac_cond, h, w,
+                       restart, np):
+    """Interleaved single-scan SOF9 decode — the arithmetic mirror of
+    _decode_scan. Shares only the IDCT/color tail and the tables with the
+    Huffman paths; the entropy layer is the QM machinery above."""
+    C = _dct_matrix()
+    hmax = max(c[0][1] for c in scan)
+    vmax = max(c[0][2] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        for (cid, hs, vs, tq), dci, aci in scan
+    ]
+    zz = np.array(_ZIGZAG)
+    ncomp = len(scan)
+    dec = _QMDecoder(data, pos)
+    dc_st, ac_st, fix = _arith_fresh_stats()
+    dc_ctx = [0] * ncomp
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                mpos = _arith_next_marker_pos(data, dec)
+                if (
+                    mpos + 1 >= len(data)
+                    or data[mpos + 1] != 0xD0 + (rst % 8)
+                ):
+                    raise ValueError("missing RST marker")
+                rst += 1
+                dec = _QMDecoder(data, mpos + 2)
+                dc_st, ac_st, fix = _arith_fresh_stats()
+                dc_ctx = [0] * ncomp
+                preds = [0] * ncomp
+            for ci, ((cid, hs, vs, tq), dci, aci) in enumerate(scan):
+                # SOS table ids select conditioning AND statistics bank
+                lo, up = dc_cond.get(dci, _ARITH_DC_COND_DEFAULT)
+                kx = ac_cond.get(aci, _ARITH_AC_COND_DEFAULT)
+                qt = qts.get(tq)
+                if qt is None:
+                    raise ValueError("missing quantization table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        seq = np.zeros(64, np.int64)
+                        preds[ci] += _arith_decode_dc(
+                            dec, dc_st[dci], dc_ctx, ci, lo, up
+                        )
+                        seq[0] = preds[ci]
+                        _arith_decode_ac(dec, ac_st[aci], fix, seq, kx)
+                        coef = np.zeros(64, np.float64)
+                        coef[zz] = seq * qt[zz]
+                        block = C.T @ coef.reshape(8, 8) @ C + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    samps = [(c[0][1], c[0][2]) for c in scan]
+    return _planes_to_rgb(planes, samps, hmax, vmax, h, w, np)

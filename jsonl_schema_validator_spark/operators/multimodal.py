@@ -7,18 +7,19 @@ mapInPandas signatures, partition preservation. Decode backends:
                     BI_RGB), PPM (P6), PNG (8-bit grey/RGB/RGBA,
                     incl. Adam7 interlace; DEFLATE via stdlib zlib + numpy
                     unfiltering), baseline JPEG (SOF0 Huffman sequential
-                    incl. 4:2:0 and restart markers) AND progressive JPEG
-                    (SOF2 spectral selection + successive approximation —
-                    pure numpy Huffman + IDCT, see operators/jpeg.py)
-                    images, RIFF/WAV (PCM16) audio.
+                    incl. 4:2:0 and restart markers), progressive JPEG
+                    (SOF2 spectral selection + successive approximation)
+                    AND arithmetic-coded JPEG (SOF9, T.81 Annex D
+                    QM-coder — all pure numpy/stdlib, see
+                    operators/jpeg.py) images, RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
-                    the remaining compressed formats (arithmetic-coded
-                    JPEG / WebP / MP3 / MP4) need codec libs not in this
-                    container; the mapInPandas plumbing is identical,
-                    only the per-batch decode function changes.
+                    the remaining compressed formats (WebP / MP3 / MP4)
+                    need codec libs not in this container; the
+                    mapInPandas plumbing is identical, only the
+                    per-batch decode function changes.
 
 Scale notes: binary payloads ride the scan; metadata extraction is a narrow
 map. Arrow batch size is bounded via spark.sql.execution.arrow.
@@ -471,21 +472,22 @@ def decode_images(
     grey/RGB/RGBA, incl. Adam7 interlace — stdlib zlib inflate + numpy
     unfilter),
     baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
-    restart markers) and progressive JPEG (SOF2, spectral selection +
-    successive approximation — pure numpy Huffman+IDCT, operators/
-    jpeg.py); no codec library needed for any of them. mean_byte is the
-    mean over the actual RGB/grey pixel values (padding, headers and
-    alpha excluded); undecodable rows yield metadata nulls, never a
-    crash. backend='fake' parses the FIMG fixture header. backend='pil'
-    is the remaining compressed-format slot (arithmetic-coded JPEG,
-    WebP, ...) — not available in this container; the plumbing is
-    identical, only the per-batch decode function changes."""
+    restart markers), progressive JPEG (SOF2, spectral selection +
+    successive approximation) and arithmetic-coded JPEG (SOF9, T.81
+    Annex D QM-coder — pure numpy/stdlib, operators/jpeg.py); no codec
+    library needed for any of them. mean_byte is the mean over the
+    actual RGB/grey pixel values (padding, headers and alpha excluded);
+    undecodable rows yield metadata nulls, never a crash.
+    backend='fake' parses the FIMG fixture header. backend='pil' is the
+    remaining compressed-format slot (WebP, ...) — not available in
+    this container; the plumbing is identical, only the per-batch
+    decode function changes."""
     if backend == "pil":
         raise NotImplementedError(
             "PIL is not available in this container; plug a PIL-based "
             "batch decoder into the same mapInPandas plumbing "
             "(backend='raw' already decodes BMP/PPM/PNG and "
-            "baseline+progressive JPEG)"
+            "baseline+progressive+arithmetic JPEG)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")

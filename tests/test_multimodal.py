@@ -840,3 +840,191 @@ def test_progressive_jpeg_requires_dc_coverage_of_every_component():
     base = _parse_jpeg(encode_jpeg_baseline(px, quality=90))
     prog = _parse_jpeg(full)
     assert prog is not None and np.array_equal(prog[2], base[2])
+
+
+def test_qm_coder_inverse_fuzz():
+    """The T.81 Annex D QM encoder and the F.2.2 decoder are written as
+    two independent register machines (carry-stacked byte-out vs lazy
+    renormalization with zero feeding) — pin their inverse-ness at the
+    raw decision level: random bit/context sequences, heavily biased
+    runs (drives the probability estimator deep into the state table and
+    the encoder through carry propagation over stacked 0xFF bytes), and
+    the fixed equiprobable sign bin."""
+    import random
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    rng = random.Random(13)
+    for trial in range(60):
+        n = rng.randint(1, 5000)
+        nctx = rng.randint(1, 16)
+        bias = rng.choice([0.5, 0.9, 0.99, 0.05])
+        bits = [1 if rng.random() < bias else 0 for _ in range(n)]
+        ctxs = [rng.randrange(nctx) for _ in range(n)]
+        st_enc = bytearray(nctx)
+        if trial % 7 == 0:  # exercise the fixed non-adaptive bin too
+            st_enc = bytearray([113] * nctx)
+        st_dec = bytearray(st_enc)
+        enc = _QMEncoder()
+        for b, cx in zip(bits, ctxs):
+            enc.encode(st_enc, cx, b)
+        data = enc.flush() + b"\xff\xd9"
+        dec = _QMDecoder(data, 0)
+        got = [dec.decode(st_dec, cx) for cx in ctxs]
+        assert got == bits, (trial, n, bias)
+        # the adapted context states must agree too (same decisions seen)
+        assert st_dec == st_enc, trial
+
+
+def test_jpeg_arithmetic_decode_equals_baseline():
+    """Arithmetic (SOF9) decode == baseline decode of the SAME source,
+    bit for bit: entropy coding is lossless and the two encoders share
+    only _encode_prep's coefficient math, so exact pixel equality pins
+    the whole QM statistical model (DC conditioning categories, AC
+    EOB/run decisions, magnitude trees, DAC defaults) against the
+    independent Huffman path — every subsampling, grayscale, odd sizes,
+    restart markers, multiple qualities."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        encode_jpeg_arithmetic,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ((37, 29, 3), "4:4:4"),
+        ((40, 56, 3), "4:2:0"),
+        ((33, 41, 3), "4:2:2"),
+        ((24, 17), "4:4:4"),  # grayscale, odd dims
+    ]
+    for shape, sub in cases:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (50, 90, 100):
+            b = _parse_jpeg(
+                encode_jpeg_baseline(px, quality=q, subsampling=sub)
+            )
+            a = _parse_jpeg(
+                encode_jpeg_arithmetic(px, quality=q, subsampling=sub)
+            )
+            assert a is not None and b is not None, (shape, sub, q)
+            assert a[0] == b[0] and a[1] == b[1]
+            assert np.array_equal(a[2], b[2]), (shape, sub, q)
+    # restart markers: flush + RSTn + full statistics reset per interval
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for ri in (1, 3):
+        a = _parse_jpeg(
+            encode_jpeg_arithmetic(px, quality=85, restart_interval=ri)
+        )
+        b = _parse_jpeg(encode_jpeg_baseline(px, quality=85))
+        assert a is not None and np.array_equal(a[2], b[2]), ri
+
+
+def test_jpeg_arithmetic_compresses_below_huffman():
+    """The point of arithmetic coding: on natural-ish (smooth) content
+    the adaptive QM coder must beat the fixed Annex K Huffman tables —
+    if the 'arithmetic' file were not genuinely arithmetic-coded this
+    would fail. (Measured ~10-20% smaller, the known SOF9 advantage.)"""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_arithmetic,
+        encode_jpeg_baseline,
+    )
+
+    y, x = np.mgrid[0:64, 0:80]
+    img = np.dstack([
+        (x * 255 // 79), (y * 255 // 63), ((x + y) * 255 // 142)
+    ]).astype(np.uint8)
+    a = encode_jpeg_arithmetic(img, quality=85)
+    b = encode_jpeg_baseline(img, quality=85)
+    assert len(a) < len(b), (len(a), len(b))
+
+
+def test_jpeg_arithmetic_undecodable_variants():
+    """Scope and robustness: arithmetic-PROGRESSIVE (SOF10) stays None,
+    invalid DAC conditioning is None, header truncation is None, and a
+    mid-entropy truncation never crashes (zero feeding past EOF is
+    spec-legal for arithmetic segments — the result is None or a
+    degraded image, never an exception)."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        encode_jpeg_arithmetic,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    raw = encode_jpeg_arithmetic(px, quality=85)
+    assert _parse_jpeg(raw) is not None
+
+    # SOF9 -> SOF10 (arithmetic progressive): out of scope -> None
+    i = raw.index(b"\xff\xc9")
+    assert _parse_jpeg(raw[:i] + b"\xff\xca" + raw[i + 2 :]) is None
+
+    # DAC with L > U violates B.2.4.3 -> None
+    j = raw.index(b"\xff\xcc")
+    bad = bytearray(raw)
+    bad[j + 5] = 0x05  # (U=0, L=5) for DC table 0
+    assert _parse_jpeg(bytes(bad)) is None
+
+    # header truncation (before SOS) -> None
+    sos = raw.index(b"\xff\xda")
+    assert _parse_jpeg(raw[: sos - 3]) is None
+
+    # mid-entropy truncation: must not raise
+    out = _parse_jpeg(raw[: sos + 30])
+    assert out is None or (out[0], out[1]) == (32, 24)
+
+
+def test_decode_images_raw_arithmetic_jpeg(spark):
+    """Spark e2e: backend='raw' decodes SOF9 files through the same
+    mapInPandas plumbing, and an arithmetic re-encode of a picture
+    clusters with its PNG original in phash_duplicates (extends the
+    cross-format near-dup evidence to the third JPEG entropy mode)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_arithmetic,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+        phash_duplicates,
+    )
+
+    # the proven cross-format fixture shape (see the clean_job phash
+    # e2e): gradients plus a textured channel — a PURE linear gradient
+    # parks many DCT coefficients at the pHash median and tiny codec
+    # error flips bits en masse
+    def mkimg(k, h=48, w=64):
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x * 255 // (w - 1)).astype(np.uint8)
+        g = (y * 255 // (h - 1)).astype(np.uint8)
+        b = ((x * (k + 3) + y * (7 - k)) % 251).astype(np.uint8)
+        return np.dstack([r, g, b])
+
+    img, other = mkimg(0), mkimg(1)
+    rows = [
+        (0, bytearray(encode_png(img))),
+        (1, bytearray(encode_jpeg_arithmetic(img, quality=80))),
+        (2, bytearray(encode_png(other))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw binary")
+    meta = {
+        r.id: r
+        for r in decode_images(df, "raw", "id", backend="raw").collect()
+    }
+    assert (meta[1].width, meta[1].height) == (64, 48)
+    assert meta[1].mean_byte is not None
+
+    ph = {r.id: r for r in phash_duplicates(df, "raw", "id").collect()}
+    assert ph[0].cluster_id == ph[1].cluster_id  # PNG == its SOF9 re-encode
+    assert ph[2].cluster_id != ph[0].cluster_id
+    assert ph[0].keep and not ph[1].keep and ph[2].keep
