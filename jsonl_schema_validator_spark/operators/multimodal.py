@@ -8,10 +8,11 @@ mapInPandas signatures, partition preservation. Decode backends:
                     incl. Adam7 interlace; DEFLATE via stdlib zlib + numpy
                     unfiltering), baseline JPEG (SOF0 Huffman sequential
                     incl. 4:2:0 and restart markers), progressive JPEG
-                    (SOF2 spectral selection + successive approximation)
-                    AND arithmetic-coded JPEG (SOF9, T.81 Annex D
-                    QM-coder — all pure numpy/stdlib, see
-                    operators/jpeg.py) images, RIFF/WAV (PCM16) audio.
+                    (SOF2 spectral selection + successive approximation),
+                    arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder —
+                    all pure numpy/stdlib, see operators/jpeg.py) AND
+                    GIF87a/89a (stdlib LZW, first frame) images,
+                    RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
@@ -199,6 +200,268 @@ def encode_png(pixels, filter_type: int = 0, interlace: bool = False) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# --- GIF codec (stdlib LZW, no codec library) -------------------------------
+# GIF's only compression IS LZW (variable-width LSB-first codes, 12-bit
+# dictionary cap) — like PNG/DEFLATE and JPEG's entropy layers, fully
+# implementable from the public spec (GIF89a specification, CompuServe
+# 1990). encode_gif is a real encoder AND the fixture writer; _parse_gif
+# decodes the FIRST frame (the pixel-stats / pHash contract is per-image;
+# animation frames beyond the first are a frame_sample concern).
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, np):
+    """GIF-variant LZW decompress -> uint8 index array. CLEAR resets the
+    dictionary, EOI ends the stream (a missing EOI is tolerated — common
+    in the wild), code width grows when the table fills its width, the
+    table caps at 4096 (deferred-clear encoders keep emitting 12-bit)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    pos, n = 0, len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return np.frombuffer(bytes(out), np.uint8)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW: first code must be a root")
+            prev = table[code]
+            out += prev
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("LZW: code beyond table")
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-variant LZW compress of a uint8 index stream. Emits CLEAR +
+    dictionary reset when the table would exceed 4096 entries; the width
+    bump mirrors the decoder's (one entry behind the encoder, so the
+    encoder bumps at next_code == (1 << width) + 1)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = bytearray()
+    acc = nbits = 0
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = clear + 2
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = b""
+    for b in bytes(indices):
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = fresh()
+            next_code = clear + 2
+            width = min_code_size + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def encode_gif(pixels, interlace: bool = False) -> bytes:
+    """GIF89a bytes from an (h, w, 3) uint8 RGB array with at most 256
+    distinct colors (GIF is palette-indexed; quantization is out of
+    scope — raise, don't silently posterize). Global color table,
+    single full-frame image, optional interlace, plus a Graphic Control
+    Extension so decoders exercise the extension-skip path. Lossless:
+    decode(encode_gif(px)) == px exactly."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    flat = px.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(
+            f"GIF needs <=256 distinct colors, got {len(pal)} — "
+            "quantize first"
+        )
+    k = 0  # GCT size field: table holds 2 << k entries
+    while (2 << k) < len(pal):
+        k += 1
+    n_entries = 2 << k
+    gct = np.zeros((n_entries, 3), np.uint8)
+    gct[: len(pal)] = pal
+    mcs = max(2, k + 1)
+    rows = idx.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [r for s, st in _GIF_PASSES for r in range(s, h, st)]
+        rows = rows[np.array(order)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((mcs - 1) << 4) | k, 0, 0])  # GCT flag, bg=0
+    out += gct.tobytes()
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE, no transparency
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0])  # no LCT
+    out += bytes([mcs])
+    data = _gif_lzw_encode(mcs, rows.tobytes())
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])  # block terminator, trailer
+    return bytes(out)
+
+
+def _parse_gif(raw: bytes):
+    """(w, h, rgb_flat_uint8) for the FIRST frame of a GIF87a/89a —
+    global or local palette, interlaced or not, extension blocks
+    skipped. A sub-canvas frame composites onto a background-color
+    canvas of the logical screen. A transparent index renders its
+    palette color (alpha is stripped repo-wide, matching PNG/BMP).
+    Animated files: first frame only. Malformed/truncated -> None."""
+    import numpy as np
+
+    if raw is None or len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", raw[6:10])
+    packed, bg = raw[10], raw[11]
+    if sw == 0 or sh == 0:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(raw):
+            return None
+        gct = np.frombuffer(raw, np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:
+            return None  # trailer before any image data
+        if b == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        if pos + 10 > len(raw):
+            return None
+        x0, y0, iw, ih = struct.unpack("<HHHH", raw[pos + 1 : pos + 9])
+        ipacked = raw[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            if pos + 3 * n > len(raw):
+                return None
+            pal = np.frombuffer(
+                raw, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if (
+            pal is None
+            or iw == 0
+            or ih == 0
+            or x0 + iw > sw
+            or y0 + ih > sh
+        ):
+            return None
+        if pos >= len(raw):
+            return None
+        mcs = raw[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            return None
+        data = bytearray()
+        while pos < len(raw) and raw[pos]:
+            ln = raw[pos]
+            if pos + 1 + ln > len(raw):
+                return None
+            data += raw[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(raw):
+            return None  # truncated before the block terminator
+        pos += 1
+        idx = _gif_lzw_decode(mcs, bytes(data), np)
+        if idx.size < iw * ih:
+            return None
+        idx = idx[: iw * ih].reshape(ih, iw)
+        if int(idx.max(initial=0)) >= len(pal):
+            return None
+        if ipacked & 0x40:  # interlace: invert the 4-pass row order
+            order = [r for s, st in _GIF_PASSES for r in range(s, ih, st)]
+            de = np.empty_like(idx)
+            de[np.array(order)] = idx
+            idx = de
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        if gct is not None and bg < len(gct):
+            canvas[:, :] = gct[bg]
+        canvas[y0 : y0 + ih, x0 : x0 + iw] = pal[idx]
+        return sw, sh, canvas.reshape(-1)
+    return None
 
 
 # --- uncompressed-format parsers (numpy, no codecs) -------------------------
@@ -473,9 +736,10 @@ def decode_images(
     unfilter),
     baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
     restart markers), progressive JPEG (SOF2, spectral selection +
-    successive approximation) and arithmetic-coded JPEG (SOF9, T.81
-    Annex D QM-coder — pure numpy/stdlib, operators/jpeg.py); no codec
-    library needed for any of them. mean_byte is the mean over the
+    successive approximation), arithmetic-coded JPEG (SOF9, T.81
+    Annex D QM-coder — pure numpy/stdlib, operators/jpeg.py) and GIF
+    (87a/89a, stdlib LZW, first frame); no codec library needed for
+    any of them. mean_byte is the mean over the
     actual RGB/grey pixel values (padding, headers and alpha excluded);
     undecodable rows yield metadata nulls, never a crash.
     backend='fake' parses the FIMG fixture header. backend='pil' is the
@@ -545,6 +809,7 @@ def _decode_any_image(raw: bytes):
             _parse_bmp(raw)
             or _parse_ppm(raw)
             or _parse_png(raw)
+            or _parse_gif(raw)
             or _parse_jpeg(raw)
         )
     except Exception:

