@@ -1022,14 +1022,23 @@ def phash_duplicates(
     AND the final output); release with spark.catalog.clearCache()."""
     from pyspark.storagelevel import StorageLevel
 
+    sig = image_phash(df, binary_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _hamming_hash_verdict(sig, max_hamming, max_block_size)
+
+
+def _hamming_hash_verdict(sig, max_hamming, max_block_size):
+    """The shared tail of phash_duplicates / audio_phash_duplicates:
+    a persisted (id, phash) signature frame -> (id, phash, cluster_id,
+    keep) via the guarded blocking join + size-dispatched connected
+    components. One row per input row; null-hash rows keep with null
+    cluster_id (never drop what could not be read)."""
     from jsonl_schema_validator_spark.operators.dedup import (
         _packed_hamming_pairs,
         duplicate_clusters,
     )
 
-    sig = image_phash(df, binary_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
     hashed = sig.where(F.col("phash").isNotNull())
     pairs = _packed_hamming_pairs(
         _phash_packed(hashed), max_hamming, max_block_size
@@ -1052,6 +1061,192 @@ def phash_duplicates(
             F.col("phash").isNull() | (cluster_id == F.col("id"))
         ).alias("keep"),
     )
+
+
+# --- audio perceptual hashing ------------------------------------------------
+# The audio analog of the image pHash pipeline: a 64-bit spectral hash per
+# clip, then the SAME guarded 16-bit-chunk Hamming blocking + CC verdict.
+# Third modality on the shared _packed_hamming_pairs core (SimHash text,
+# pHash images, now audio) — one skew-guarded join shape to maintain.
+
+_APHASH_SEGMENTS = 8
+_APHASH_BANDS = 16
+_APHASH_FMIN = 100.0  # Hz — absolute band edges make the hash robust to
+_APHASH_FMAX = 3800.0  # the sample rate of the container, not its content
+_APHASH_RISE_DB = 0.05  # temporal-bit dead zone (~0.5 dB): a segment-to-
+# segment band-energy rise below this is indistinguishable from noise on
+# stationary content, so the bit is a stable 0 instead of a coin flip
+
+
+def _aphash64_from_pcm(rate, samples, np) -> int | None:
+    """64-bit audio perceptual hash: channel downmix -> Hann-windowed
+    8 equal time segments x 16 log-spaced frequency bands (100-3800 Hz,
+    absolute Hz so a resampled copy of the same content lands nearby)
+    -> normalized log band energies L, then two 32-bit feature groups:
+
+      A (spectral, 32 bits): the 2x16 half-clip band profile, bit =
+        cell > max(median, -37 dB floor) — the pHash median-threshold
+        trick (invariant under any monotone gain); the floor margin
+        keeps near-silent cells a stable 0 instead of letting
+        requantization noise rank them.
+      B (temporal, 32 bits): segment-to-segment energy RISE per
+        band-pair column (rows 1,3,5,7 vs 0,2,4,6 of the 8x8
+        band-paired grid), bit = rise > ~0.5 dB. The dead zone is
+        load-bearing: a pure sign test is a coin flip on stationary
+        content (hairline diffs), measured 28-36 flipped bits under
+        -54 dB noise in the Haitsma-Kalker-pure prototype.
+
+    Design history (measured, tests/test_multimodal.py): a plain 8x8
+    median-threshold hash passed every invariance but collapsed on
+    smooth-spectrum corpora — 40 random tilted-noise clips ALWAYS
+    contained hamming-0 pairs (effective entropy ~10 bits; band on/off
+    only, time erased). Pure HK differential bits discriminate but are
+    unstable (floor-cell hairlines). The A+B split keeps both: worst
+    invariance drift 1 bit (gain/stereo/requant-noise/Fourier-resample),
+    distinct real content >= 12 bits apart. The Hann window is also
+    load-bearing: rectangular-window leakage shoulders of an off-bin
+    tone straddle the median and flip 12+ bits after resampling.
+    Residual limit (documented in audio_phash): perceptually
+    near-identical smooth-noise clips can still collide — inherent to
+    ANY coarse spectral hash, same class as flat images under pHash.
+    Clips shorter than 2 x segments x bands samples return None (too
+    little signal for a stable spectrum — treated as undecodable)."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    n = mono.size
+    if n < 2 * _APHASH_SEGMENTS * _APHASH_BANDS:
+        return None
+    edges = np.geomspace(_APHASH_FMIN, _APHASH_FMAX, _APHASH_BANDS + 1)
+    seg_len = n // _APHASH_SEGMENTS
+    win = np.hanning(seg_len)
+    energies = np.empty((_APHASH_SEGMENTS, _APHASH_BANDS), np.float64)
+    for s in range(_APHASH_SEGMENTS):
+        seg = mono[s * seg_len : (s + 1) * seg_len] * win
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(seg_len, d=1.0 / rate)
+        for b in range(_APHASH_BANDS):
+            mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            energies[s, b] = float(spec[mask].sum())
+    total = float(energies.sum())
+    if total <= 0.0:
+        return None  # digital silence: no spectral identity to hash
+    # soft -40 dB floor: sub-floor cells collapse to (nearly) the same
+    # value, and the A threshold's +3 dB margin absorbs the remainder
+    logs = np.log10(energies / total + 1e-4)
+    profile = np.stack([logs[:4].mean(axis=0), logs[4:].mean(axis=0)])
+    med = max(float(np.median(profile)), float(np.log10(2e-4)))
+    bits_a = (profile > med).reshape(-1)
+    paired = logs.reshape(_APHASH_SEGMENTS, 8, 2).mean(axis=2)
+    rise = paired[1::2, :] - paired[0::2, :]
+    bits_b = (rise > _APHASH_RISE_DB).reshape(-1)
+    v = int.from_bytes(
+        np.packbits(np.concatenate([bits_a, bits_b])).tobytes(), "big"
+    )
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """(id, phash) — 64-bit spectral perceptual hash per audio clip via
+    the same Arrow-batched mapInPandas plumbing as decode_audio; NULL
+    for undecodable or too-short rows. Robust to peak gain changes,
+    mono/stereo duplication (downmix first) and small requantization
+    noise — re-encodes of the same recording land within a few bits;
+    feed to audio_phash_near_pairs. Discrimination is at 16-log-band
+    spectral + 8-segment temporal resolution (see _aphash64_from_pcm):
+    re-encode near-dup detection, not fingerprint-grade matching —
+    perceptually near-identical smooth-spectrum clips can collide, the
+    audio analog of flat images under pHash.
+    backend is the raw WAV decoder (the
+    only PCM source in this container); no DuckDB oracle — the shared
+    parquet tables carry no audio column, so correctness is pinned by a
+    pure-python reference and planted near-duplicate e2e tests (the
+    image_phash precedent)."""
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"audio_phash: id column {id_col!r} must be an integral type "
+            f"(got {id_type.simpleString()}); cast or re-key upstream"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
+
+    def run(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for raw in pdf["raw"]:
+                try:
+                    parsed = _parse_wav(
+                        bytes(raw) if raw is not None else None
+                    )
+                    out.append(
+                        None
+                        if parsed is None
+                        else _aphash64_from_pcm(parsed[0], parsed[2], np)
+                    )
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "phash": pd.array(out, dtype="Int64")}
+            )
+
+    return cols.mapInPandas(run, out_schema)
+
+
+def audio_phash_near_pairs(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
+) -> DataFrame:
+    """Audio near-duplicate pairs: (id_a, id_b, hamming) with spectral-
+    hash Hamming distance <= max_hamming — identical semantics, blocking
+    and hot-chunk guard as phash_near_pairs (shared
+    _packed_hamming_pairs core; exact for max_hamming <= 3). Same cache
+    lifecycle: the signature table persists for both join sides."""
+    from pyspark.storagelevel import StorageLevel
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+    )
+
+    sig = (
+        audio_phash(df, binary_col, id_col)
+        .where(F.col("phash").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _packed_hamming_pairs(_phash_packed(sig), max_hamming, max_block_size)
+
+
+def audio_phash_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
+) -> DataFrame:
+    """Per-clip near-duplicate VERDICT — phash_duplicates for audio:
+    (id, phash, cluster_id, keep), one row per input row, min-id keeper
+    per Hamming cluster, undecodable/too-short rows kept with null
+    phash. PRECONDITION: ids unique and non-null. Same cache
+    lifecycle as phash_duplicates."""
+    from pyspark.storagelevel import StorageLevel
+
+    sig = audio_phash(df, binary_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _hamming_hash_verdict(sig, max_hamming, max_block_size)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

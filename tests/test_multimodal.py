@@ -1147,3 +1147,177 @@ def test_decode_images_raw_gif(spark):
     assert ph[0].phash == ph[1].phash  # identical pixels -> identical hash
     assert ph[0].cluster_id == ph[1].cluster_id
     assert ph[0].keep and not ph[1].keep
+
+
+def _aphash_tone(freqs, amps, rate=16000, secs=2.0):
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    return (x / np.max(np.abs(x)) * 0.8 * 32767).astype(np.int16)
+
+
+def test_audio_phash_invariances_and_discrimination():
+    """The 64-bit spectral hash must be EXACT under deterministic
+    re-encode transforms (peak gain change, mono->stereo duplication)
+    and within 1 bit under perturbing ones (16k->22k Fourier resample,
+    -54 dB requantization noise) — comfortably inside the max_hamming=3
+    matching radius — while distinct recordings stay far outside it;
+    digital silence and too-short clips yield None (no spectral
+    identity -> treated as undecodable)."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _aphash64_from_pcm,
+    )
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+
+    def h(pcm, r=rate, ch=1):
+        s = pcm.reshape(-1, 1) if ch == 1 else np.stack([pcm, pcm], 1)
+        return _aphash64_from_pcm(r, s, np)
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    def bursts(seed):
+        r = np.random.default_rng(seed)
+        env = np.abs(np.sin(2 * np.pi * (1.5 + seed / 10) * t)) ** 2
+        x = np.convolve(r.standard_normal(t.size), np.ones(9) / 9, "same")
+        return (x * env * 20000).astype(np.int16)
+
+    rng = np.random.default_rng(4)
+    clips = [
+        _aphash_tone([220, 880, 1760], [1.0, 0.5, 0.25]),
+        _aphash_tone([330, 660, 2500], [1.0, 0.7, 0.3]),
+        bursts(1),
+        bursts(7),
+    ]
+    hashes = [h(c) for c in clips]
+    for i in range(len(clips)):
+        for j in range(i + 1, len(clips)):
+            assert ham(hashes[i], hashes[j]) > 8, (i, j)
+    for clip, hx in zip(clips, hashes):
+        assert ham(hx, h((clip * 0.5).astype(np.int16))) == 0  # gain
+        assert ham(hx, h(clip, ch=2)) == 0  # stereo duplication
+        noisy = np.clip(
+            clip.astype(int) + rng.integers(-64, 65, clip.size),
+            -32768, 32767,
+        ).astype(np.int16)
+        assert ham(hx, h(noisy)) <= 1  # requantization noise (-54 dB)
+        # Fourier (band-exact) resample 16k -> 22.05k, like a real
+        # resampler; naive linear interp would lowpass broadband
+        # content far below Nyquist and that is a resampler artifact,
+        # not a hash property
+        n2 = int(clip.size * 22050 / rate)
+        X = np.fft.rfft(clip.astype(np.float64))
+        X2 = np.zeros(n2 // 2 + 1, complex)
+        X2[: X.size] = X
+        res = (np.fft.irfft(X2, n2) * (n2 / clip.size)).astype(np.int16)
+        assert ham(hx, _aphash64_from_pcm(22050, res.reshape(-1, 1), np)) <= 1
+
+    assert _aphash64_from_pcm(rate, np.zeros((40000, 1), np.int16), np) is None
+    assert _aphash64_from_pcm(rate, np.zeros((10, 1), np.int16), np) is None
+
+
+def test_audio_phash_smooth_noise_discrimination():
+    """Regression pin for the v1 entropy collapse: 40 random
+    smooth-spectrum clips (Gaussian spectral tilt x sinusoidal
+    envelope — separable, stationary-ish, the worst case for a band
+    hash) must NOT mass-collide. The original 8x8 median-only hash put
+    EVERY pair of this family at hamming 0 for every seed tried; the
+    A+B design keeps >97% of pairs outside the max_hamming=3 radius.
+    Residual collisions are inherent to coarse spectral hashing and
+    documented in audio_phash."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _aphash64_from_pcm,
+    )
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+    rng = np.random.default_rng(0)
+    hashes = []
+    for _ in range(40):
+        n = t.size
+        spec = rng.standard_normal(n // 2 + 1) + 1j * rng.standard_normal(
+            n // 2 + 1
+        )
+        freqs = np.fft.rfftfreq(n, 1 / rate)
+        tilt = np.exp(
+            -((freqs - rng.uniform(200, 3000)) ** 2)
+            / (2 * rng.uniform(200, 900) ** 2)
+        )
+        x = np.fft.irfft(spec * tilt, n)
+        env = (
+            0.2
+            + np.abs(
+                np.sin(2 * np.pi * rng.uniform(0.7, 4.0) * t + rng.uniform(0, 6))
+            )
+            ** rng.uniform(0.5, 3)
+        )
+        clip = (x * env / np.max(np.abs(x * env)) * 0.7 * 32767).astype(
+            np.int16
+        )
+        hashes.append(_aphash64_from_pcm(rate, clip.reshape(-1, 1), np))
+    dists = [
+        bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+        for i in range(40)
+        for j in range(i + 1, 40)
+    ]
+    n_close = sum(1 for d in dists if d <= 3)
+    assert n_close <= 20, n_close  # 780 pairs; v1 had ~all at 0
+    assert sorted(dists)[len(dists) // 2] >= 15  # median well separated
+
+
+def test_audio_phash_duplicates_spark(spark):
+    """Spark e2e for the third modality on the shared Hamming core:
+    planted audio near-duplicates (same recording at half gain in
+    stereo; resampled copy) cluster to the min-id keeper, a distinct
+    recording survives alone, an undecodable blob and a silent clip are
+    KEPT with null phash; audio_phash validates the id type at entry."""
+    import numpy as np
+    import pytest
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        audio_phash,
+        audio_phash_duplicates,
+        audio_phash_near_pairs,
+        encode_wav,
+    )
+
+    rate = 16000
+    a = _aphash_tone([220, 880, 1760], [1.0, 0.5, 0.25])
+    b = _aphash_tone([330, 660, 2500], [1.0, 0.7, 0.3])
+    n2 = int(a.size * 22050 / rate)
+    X = np.fft.rfft(a.astype(np.float64))
+    X2 = np.zeros(n2 // 2 + 1, complex)
+    X2[: X.size] = X
+    a_resamp = (np.fft.irfft(X2, n2) * (n2 / a.size)).astype(np.int16)
+    a_stereo_half = np.stack([(a * 0.5).astype(np.int16)] * 2, axis=1)
+    rows = [
+        (0, bytearray(encode_wav(rate, a.reshape(-1, 1)))),
+        (1, bytearray(encode_wav(22050, a_resamp.reshape(-1, 1)))),
+        (2, bytearray(encode_wav(rate, a_stereo_half, channels=2))),
+        (3, bytearray(encode_wav(rate, b.reshape(-1, 1)))),
+        (4, bytearray(b"RIFFjunk")),
+        (5, bytearray(encode_wav(rate, np.zeros((rate, 1), np.int16)))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw binary")
+    out = {r.id: r for r in audio_phash_duplicates(df, "raw", "id").collect()}
+    assert len(out) == 6
+    assert out[0].keep and out[0].cluster_id == 0
+    assert not out[1].keep and out[1].cluster_id == 0
+    assert not out[2].keep and out[2].cluster_id == 0
+    assert out[3].keep and out[3].cluster_id == 3
+    assert out[4].phash is None and out[4].keep
+    assert out[5].phash is None and out[5].keep  # silence: no identity
+
+    pairs = audio_phash_near_pairs(df, "raw", "id").collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1), (0, 2), (1, 2)}
+
+    sdf = spark.createDataFrame([("x", b"")], "id string, raw binary")
+    with pytest.raises(ValueError, match="integral"):
+        audio_phash(sdf, "raw", "id")
