@@ -10,6 +10,7 @@
         [--near-dup-threshold 0.8 --near-dup-n 3 --near-dup-hashes 16 --near-dup-bands 4] \
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
         [--image-col img --phash-dedup --phash-max-hamming 3] \
+        [--audio-col clip --aphash-dedup --aphash-max-hamming 3] \
         [--drop] [--dedup-spans 20] [--fail-on-drop-frac 0.5]
 
 Outputs under --output: report/ (the per-doc verdict table: signals,
@@ -27,7 +28,14 @@ by pHash Hamming distance and keeps each cluster's min-id member; the
 report gains image_phash / image_cluster_id columns and dropped copies
 append 'image_duplicate' to reasons (after the text-stage reasons).
 Undecodable images keep a NULL image_phash and are NEVER dropped by this
-stage (a dedup pass must not drop what it could not read). Exit code 1
+stage (a dedup pass must not drop what it could not read). --aphash-dedup
+(requires --audio-col, a binary WAV column) is the same stage for AUDIO:
+audio_phash_duplicates clusters re-encodes of the same recording (gain
+change, mono/stereo, resample) by spectral-hash Hamming distance; the
+report gains audio_phash / audio_cluster_id columns and dropped copies
+append 'audio_duplicate' (after 'image_duplicate' when both run; fixed
+reasons order: duplicate, near_duplicate, contaminated, quality...,
+image_duplicate, audio_duplicate). Exit code 1
 when the drop fraction exceeds --fail-on-drop-frac (a
 cleaning pass that rejects most of a corpus usually means a misconfigured
 threshold, not a dirty corpus — fail loudly rather than train on the
@@ -64,6 +72,12 @@ def parse_args(argv):
         help="drop near-duplicate images (pHash Hamming clusters keep the min-id member); requires --image-col",
     )
     p.add_argument("--phash-max-hamming", type=int, default=3)
+    p.add_argument("--audio-col", default=None, help="binary WAV column for --aphash-dedup")
+    p.add_argument(
+        "--aphash-dedup", action="store_true",
+        help="drop near-duplicate audio clips (spectral-hash Hamming clusters keep the min-id member); requires --audio-col",
+    )
+    p.add_argument("--aphash-max-hamming", type=int, default=3)
     p.add_argument("--split", default=None, help="name=weight,... (weights sum to 1)")
     p.add_argument("--split-salt", default="")
     p.add_argument("--drop", action="store_true", help="also write kept/ with keep=true rows")
@@ -86,6 +100,12 @@ def parse_args(argv):
         p.error("--image-col is only used by --phash-dedup (pass both)")
     if args.phash_max_hamming < 0:
         p.error("--phash-max-hamming must be >= 0")
+    if args.aphash_dedup and not args.audio_col:
+        p.error("--aphash-dedup requires --audio-col (the binary WAV column)")
+    if args.audio_col and not args.aphash_dedup:
+        p.error("--audio-col is only used by --aphash-dedup (pass both)")
+    if args.aphash_max_hamming < 0:
+        p.error("--aphash-max-hamming must be >= 0")
     return args
 
 
@@ -127,45 +147,59 @@ def main(argv=None) -> int:
         split_weights=weights,
         split_salt=args.split_salt,
     )
-    if args.phash_dedup:
-        # image near-dup verdict folded into the SAME report row set:
-        # phash_duplicates returns exactly one row per input row (min-id
-        # keeper per Hamming cluster; undecodable -> NULL phash, kept),
-        # joined back on the report's id under reserved aliases. Dropped
-        # copies append 'image_duplicate' AFTER the text-stage reasons
-        # (fixed order contract: duplicate, near_duplicate, contaminated,
-        # quality..., image_duplicate).
-        from jsonl_schema_validator_spark.operators.multimodal import (
-            phash_duplicates,
-        )
-
-        ph = phash_duplicates(
-            df, args.image_col, args.id_col,
-            max_hamming=args.phash_max_hamming,
+    def media_dedup_stage(report, verdict_fn, media_col, max_hamming, kind):
+        # media near-dup verdict folded into the SAME report row set: the
+        # verdict fn returns exactly one row per input row (min-id keeper
+        # per Hamming cluster; undecodable -> NULL hash, kept), joined
+        # back on the report's id under reserved aliases. Dropped copies
+        # append '<kind>_duplicate' AFTER the earlier reasons (fixed
+        # order contract: duplicate, near_duplicate, contaminated,
+        # quality..., image_duplicate, audio_duplicate).
+        ph = verdict_fn(
+            df, media_col, args.id_col, max_hamming=max_hamming
         ).select(
             F.col("id").alias("__jsv_ph_id"),
-            F.col("phash").alias("image_phash"),
-            F.col("cluster_id").alias("image_cluster_id"),
+            F.col("phash").alias(f"{kind}_phash"),
+            F.col("cluster_id").alias(f"{kind}_cluster_id"),
             F.col("keep").alias("__jsv_ph_keep"),
         )
         report = report.join(
             ph, report["id"].eqNullSafe(F.col("__jsv_ph_id")), "left"
         ).drop("__jsv_ph_id")
-        img_dup = ~F.coalesce(F.col("__jsv_ph_keep"), F.lit(True))
-        report = (
+        dup = ~F.coalesce(F.col("__jsv_ph_keep"), F.lit(True))
+        return (
             report.withColumn(
                 "reasons",
                 F.when(
-                    img_dup,
+                    dup,
                     F.concat_ws(
                         ",",
                         F.nullif(F.col("reasons"), F.lit("")),
-                        F.lit("image_duplicate"),
+                        F.lit(f"{kind}_duplicate"),
                     ),
                 ).otherwise(F.col("reasons")),
             )
-            .withColumn("keep", F.col("keep") & ~img_dup)
+            .withColumn("keep", F.col("keep") & ~dup)
             .drop("__jsv_ph_keep")
+        )
+
+    if args.phash_dedup:
+        from jsonl_schema_validator_spark.operators.multimodal import (
+            phash_duplicates,
+        )
+
+        report = media_dedup_stage(
+            report, phash_duplicates, args.image_col,
+            args.phash_max_hamming, "image",
+        )
+    if args.aphash_dedup:
+        from jsonl_schema_validator_spark.operators.multimodal import (
+            audio_phash_duplicates,
+        )
+
+        report = media_dedup_stage(
+            report, audio_phash_duplicates, args.audio_col,
+            args.aphash_max_hamming, "audio",
         )
     report.write.mode("overwrite").parquet(f"{args.output}/report")
     report = spark.read.parquet(f"{args.output}/report")  # re-read: one compute

@@ -260,3 +260,90 @@ def test_clean_job_phash_dedup_e2e(spark, tmp_path):
             "--input", "x", "--output", "y", "--image-col", "img",
             "--phash-dedup", "--phash-max-hamming", "-1",
         ])
+
+
+def test_clean_job_aphash_dedup_e2e(spark, tmp_path):
+    """--audio-col/--aphash-dedup, run TOGETHER with the image stage on a
+    corpus where doc 1 duplicates doc 0 in BOTH modalities: reasons must
+    read 'image_duplicate,audio_duplicate' (the fixed order), a doc
+    duplicated in audio only gets just 'audio_duplicate', distinct and
+    undecodable rows survive with the usual null conventions; kept/
+    excludes every dropped copy; flag validation fires at parse time."""
+    import numpy as np
+    import pytest
+
+    import jobs.clean_job as cj
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+    )
+
+    def img(k, h=48, w=64):
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x * 255 // (w - 1)).astype(np.uint8)
+        g = (y * 255 // (h - 1)).astype(np.uint8)
+        b = ((x * (k + 3) + y * (7 - k)) % 251).astype(np.uint8)
+        return np.dstack([r, g, b])
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+    rng = np.random.default_rng(3)
+
+    def clip(f0):
+        x = (np.sin(2 * np.pi * f0 * t)
+             + 0.5 * np.sin(2 * np.pi * 2.3 * f0 * t)
+             + 0.1 * rng.standard_normal(t.size))
+        env = np.abs(np.sin(2 * np.pi * (f0 / 200) * t)) ** 2 + 0.1
+        x = x * env
+        return (x / np.max(np.abs(x)) * 0.7 * 32767).astype(np.int16)
+
+    a, b = clip(220), clip(1400)
+    a_half = (a * 0.5).astype(np.int16)
+    good = ("the a of and to in is it that for " * 4).strip()
+    rows = [
+        (0, good + " zero tail", bytearray(encode_png(img(0))),
+         bytearray(encode_wav(rate, a.reshape(-1, 1)))),
+        # dup of 0 in BOTH modalities
+        (1, good + " one tail", bytearray(encode_png(img(0))),
+         bytearray(encode_wav(rate, np.stack([a_half, a_half], 1), channels=2))),
+        # dup of 0 in audio ONLY
+        (2, good + " two tail", bytearray(encode_png(img(1))),
+         bytearray(encode_wav(rate, a.reshape(-1, 1)))),
+        (3, good + " three tail", bytearray(encode_png(img(2))),
+         bytearray(encode_wav(rate, b.reshape(-1, 1)))),
+        (4, good + " four tail", bytearray(b"not an image"),
+         bytearray(b"not a wav")),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, img binary, clip binary"
+    )
+    inp = str(tmp_path / "avdocs")
+    df.write.parquet(inp)
+    out = str(tmp_path / "avout")
+    assert cj.main([
+        "--input", inp, "--output", out, "--drop",
+        "--image-col", "img", "--phash-dedup",
+        "--audio-col", "clip", "--aphash-dedup",
+    ]) == 0
+    rep = {r.id: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert len(rep) == 5
+    assert rep[0].keep and rep[0].audio_cluster_id == 0
+    assert not rep[1].keep
+    assert rep[1].reasons == "image_duplicate,audio_duplicate"
+    assert not rep[2].keep and rep[2].reasons == "audio_duplicate"
+    assert rep[2].image_cluster_id == 2 and rep[2].audio_cluster_id == 0
+    assert rep[3].keep and rep[3].audio_cluster_id == 3
+    assert rep[4].keep
+    assert rep[4].image_phash is None and rep[4].audio_phash is None
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {0, 3, 4}
+
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y", "--aphash-dedup"])
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y", "--audio-col", "c"])
+    with pytest.raises(SystemExit):
+        cj.parse_args([
+            "--input", "x", "--output", "y", "--audio-col", "c",
+            "--aphash-dedup", "--aphash-max-hamming", "-1",
+        ])
