@@ -10,16 +10,17 @@ mapInPandas signatures, partition preservation. Decode backends:
                     incl. 4:2:0 and restart markers), progressive JPEG
                     (SOF2 spectral selection + successive approximation),
                     arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder —
-                    all pure numpy/stdlib, see operators/jpeg.py) AND
-                    GIF87a/89a (stdlib LZW, first frame) images,
-                    RIFF/WAV (PCM16) audio.
+                    all pure numpy/stdlib, see operators/jpeg.py),
+                    GIF87a/89a (stdlib LZW, first frame) AND lossless
+                    WebP (VP8L, full feature set — operators/webp.py)
+                    images, RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
-                    the remaining compressed formats (WebP / MP3 / MP4)
-                    need codec libs not in this container; the
-                    mapInPandas plumbing is identical, only the
+                    the remaining compressed formats (lossy VP8 WebP /
+                    MP3 / MP4) need codec libs not in this container;
+                    the mapInPandas plumbing is identical, only the
                     per-batch decode function changes.
 
 Scale notes: binary payloads ride the scan; metadata extraction is a narrow
@@ -737,21 +738,22 @@ def decode_images(
     baseline JPEG (SOF0 Huffman sequential, grey/4:4:4/4:2:0/4:2:2,
     restart markers), progressive JPEG (SOF2, spectral selection +
     successive approximation), arithmetic-coded JPEG (SOF9, T.81
-    Annex D QM-coder — pure numpy/stdlib, operators/jpeg.py) and GIF
-    (87a/89a, stdlib LZW, first frame); no codec library needed for
-    any of them. mean_byte is the mean over the
+    Annex D QM-coder — pure numpy/stdlib, operators/jpeg.py), GIF
+    (87a/89a, stdlib LZW, first frame) and lossless WebP (VP8L: full
+    transform/cache/backref/meta feature set, operators/webp.py); no
+    codec library needed for any of them. mean_byte is the mean over the
     actual RGB/grey pixel values (padding, headers and alpha excluded);
     undecodable rows yield metadata nulls, never a crash.
     backend='fake' parses the FIMG fixture header. backend='pil' is the
-    remaining compressed-format slot (WebP, ...) — not available in
-    this container; the plumbing is identical, only the per-batch
-    decode function changes."""
+    remaining compressed-format slot (lossy VP8 WebP, AVIF/HEIC) — not
+    available in this container; the plumbing is identical, only the
+    per-batch decode function changes."""
     if backend == "pil":
         raise NotImplementedError(
             "PIL is not available in this container; plug a PIL-based "
             "batch decoder into the same mapInPandas plumbing "
-            "(backend='raw' already decodes BMP/PPM/PNG and "
-            "baseline+progressive+arithmetic JPEG)"
+            "(backend='raw' already decodes BMP/PPM/PNG/GIF, "
+            "baseline+progressive+arithmetic JPEG and lossless WebP)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")
@@ -803,6 +805,7 @@ def _decode_any_image(raw: bytes):
     anything undecodable — the shared front of decode_images and
     image_phash."""
     from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
+    from jsonl_schema_validator_spark.operators.webp import _parse_webp
 
     try:
         return (
@@ -810,6 +813,7 @@ def _decode_any_image(raw: bytes):
             or _parse_ppm(raw)
             or _parse_png(raw)
             or _parse_gif(raw)
+            or _parse_webp(raw)
             or _parse_jpeg(raw)
         )
     except Exception:

@@ -1,0 +1,1040 @@
+"""WebP LOSSLESS (VP8L) codec in pure python + numpy — no codec library.
+
+Decoder covers the full VP8L feature set (RFC 9649 / the WebP lossless
+bitstream spec): canonical prefix codes incl. the code-length-code with
+16/17/18 repeats and the max_symbol short form, simple (1-2 symbol)
+codes, color cache, LZ77 backward references with the 120-entry 2D
+distance map, meta prefix-code groups via the entropy image, and all
+four transforms (predictor with its 14 modes, color/cross-color,
+subtract-green, color-indexing with pixel bundling). Lossy WebP (VP8)
+is NOT covered — it is a video-intraframe codec (boolean arithmetic
+decoder + loop filter) that genuinely needs libwebp; `_parse_webp`
+returns None for VP8/VP8X-only files, the undecodable-rows-yield-nulls
+contract.
+
+Encoder writes valid VP8L: literals under per-channel canonical prefix
+codes, optional distance-1 run backrefs, optional color cache, optional
+subtract-green / single-mode predictor / color-indexing (with bundling)
+transforms, and an optional 2-group meta split — enough to exercise
+every decoder path in round-trip tests. It shares the bit-level tables
+with the decoder but no codec state: the forward predictor/color
+transforms are the spec's forward definitions, the decoder implements
+the inverse ones, so a round-trip failure localizes to whichever side
+misread the spec. (No libwebp exists in this container to cross-check
+against; the evidence is exact round-trips over the full feature
+matrix — same pattern as the repo's JPEG/PNG/GIF codecs.)
+
+Scale note: this python decode runs ONLY inside the documented
+mapInPandas media-decode exception (multimodal.py); at 100 TB the
+backend='pil' slot swaps in libwebp with identical plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# code-length-code symbol order (spec §"Prefix code" / RFC 9649)
+_KCODE_LENGTH_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+
+# 120-entry 2D neighbor map for short backref distances: dist_code 1..120
+# -> (dx, dy); distance = dx + dy * xsize (min 1). Spec table, row-major.
+_KDIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+_HASH_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec constant)
+
+
+class _CorruptStream(Exception):
+    """Internal: malformed VP8L data. Callers convert to None."""
+
+
+# --- bit I/O (LSB-first within bytes, per the VP8L spec) ---------------------
+
+
+class _BitReader:
+    __slots__ = ("data", "byte_pos", "buf", "nbits", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.byte_pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.byte_pos >= self.n:
+                # reading past the end of a truncated stream is corrupt,
+                # not zeros — zeros would silently decode garbage
+                raise _CorruptStream("bitstream truncated")
+            self.buf |= self.data[self.byte_pos] << self.nbits
+            self.byte_pos += 1
+            self.nbits += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.nbits -= k
+        return v
+
+    def bit(self) -> int:
+        self._fill(1)
+        v = self.buf & 1
+        self.buf >>= 1
+        self.nbits -= 1
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.buf |= (v & ((1 << k) - 1)) << self.nbits
+        self.nbits += k
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.buf & 0xFF)
+            self.buf = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# --- canonical prefix codes --------------------------------------------------
+
+
+class _PrefixCode:
+    """Canonical prefix code from per-symbol code lengths. Codes are
+    assigned DEFLATE-style ((length, symbol) order) and read one bit at
+    a time, each bit extending the code at the LSB end (tree walk —
+    matches the spec's bit order). A single-symbol code consumes 0
+    bits."""
+
+    __slots__ = ("map", "single", "max_len")
+
+    def __init__(self, lengths):
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise _CorruptStream("prefix code with no symbols")
+        if any(ln > 15 for ln, _ in used):
+            raise _CorruptStream("code length over 15")
+        if len(used) == 1:
+            self.single = used[0][1]
+            self.map = None
+            self.max_len = 0
+            return
+        self.single = None
+        used.sort()
+        # Kraft check: an over- or under-subscribed code is corrupt
+        kraft = sum(1 << (15 - ln) for ln, _ in used)
+        if kraft != 1 << 15:
+            raise _CorruptStream("invalid prefix code lengths")
+        self.map = {}
+        code = 0
+        prev_len = used[0][0]
+        for ln, sym in used:
+            code <<= ln - prev_len
+            prev_len = ln
+            self.map[(ln, code)] = sym
+            code += 1
+        self.max_len = prev_len
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.bit()
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise _CorruptStream("bad prefix code word")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.bit():  # simple code: 1 or 2 symbols given explicitly
+        num = br.bit() + 1
+        first_8bit = br.bit()
+        sym0 = br.bits(8 if first_8bit else 1)
+        lengths = [0] * alphabet_size
+        if num == 1:
+            if sym0 >= alphabet_size:
+                raise _CorruptStream("simple code symbol out of range")
+            lengths[sym0] = 1  # any nonzero; 0-bit read handled by single
+        else:
+            sym1 = br.bits(8)
+            if sym0 >= alphabet_size or sym1 >= alphabet_size or sym0 == sym1:
+                raise _CorruptStream("simple code symbols out of range")
+            lengths[sym0] = lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    # normal: code-length-code over 19 symbols, then the lengths
+    num_clc = 4 + br.bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_KCODE_LENGTH_ORDER[i]] = br.bits(3)
+    clc = _PrefixCode(clc_lengths)
+    if br.bit():  # max_symbol short form
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol, prev_nz = 0, 8  # default repeat value per the spec
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev_nz = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if symbol >= alphabet_size:
+                    raise _CorruptStream("repeat overflows alphabet")
+                lengths[symbol] = prev_nz
+                symbol += 1
+        else:
+            rep = (3 + br.bits(3)) if s == 17 else (11 + br.bits(7))
+            symbol += rep
+            if symbol > alphabet_size:
+                raise _CorruptStream("zero-run overflows alphabet")
+    return _PrefixCode(lengths)
+
+
+# --- decoder ------------------------------------------------------------------
+
+
+def _sub_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _prefix_coded_value(br: _BitReader, code: int) -> int:
+    """Length/distance prefix decoding: 40 (distance) / 24 (length)
+    symbols -> value with extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int, is_level0: bool):
+    """Returns (pixels list of (a, r, g, b) in scanline order, transforms
+    list) — transforms non-empty only for the level-0 (main ARGB)
+    stream, in READ order; callers apply inverses in reverse."""
+    transforms = []
+    seen_types = set()
+    if is_level0:
+        while br.bit():
+            ttype = br.bits(2)
+            if ttype in seen_types:
+                raise _CorruptStream("duplicate transform")
+            seen_types.add(ttype)
+            if ttype == 2:  # subtract green: no payload
+                transforms.append((2, None))
+            elif ttype in (0, 1):  # predictor / color transform
+                size_bits = br.bits(3) + 2
+                sw, sh = _sub_size(w, size_bits), _sub_size(h, size_bits)
+                sub, _ = _decode_image_stream(br, sw, sh, False)
+                transforms.append((ttype, (size_bits, sw, sh, sub)))
+            else:  # color indexing
+                pal_size = br.bits(8) + 1
+                pal, _ = _decode_image_stream(br, pal_size, 1, False)
+                # palette entries are delta-coded per channel
+                for i in range(1, pal_size):
+                    pal[i] = tuple(
+                        (pal[i][c] + pal[i - 1][c]) & 0xFF for c in range(4)
+                    )
+                if pal_size <= 2:
+                    width_bits = 3
+                elif pal_size <= 4:
+                    width_bits = 2
+                elif pal_size <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (width_bits, pal, w)))
+                w = _sub_size(w, width_bits)  # subsequent reads use packed w
+    cache_bits = br.bits(4) if br.bit() else 0
+    if cache_bits > 11:
+        raise _CorruptStream("color cache too large")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    # meta prefix groups (level-0 only)
+    groups_img, prefix_bits, n_groups = None, 0, 1
+    if is_level0 and br.bit():
+        prefix_bits = br.bits(3) + 2
+        gw, gh = _sub_size(w, prefix_bits), _sub_size(h, prefix_bits)
+        groups_img, _ = _decode_image_stream(br, gw, gh, False)
+        n_groups = max((p[1] << 8) | p[2] for p in groups_img) + 1
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+    npix = w * h
+    pixels = [None] * npix
+    pos = 0
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def insert(px):
+        argb = (px[0] << 24) | (px[1] << 16) | (px[2] << 8) | px[3]
+        cache[(argb * _HASH_MUL & 0xFFFFFFFF) >> shift] = argb
+
+    group = groups[0]
+    gw = _sub_size(w, prefix_bits) if groups_img else 0
+    while pos < npix:
+        if groups_img is not None:
+            # the owning group is a function of the CURRENT position —
+            # refetched per symbol (a backref can land mid-block of a
+            # different group)
+            x, y = pos % w, pos // w
+            gp = groups_img[(y >> prefix_bits) * gw + (x >> prefix_bits)]
+            group = groups[(gp[1] << 8) | gp[2]]
+        s = group[0].read(br)
+        if s < 256:
+            r = group[1].read(br)
+            b = group[2].read(br)
+            a = group[3].read(br)
+            px = (a, r, s, b)
+            pixels[pos] = px
+            if cache is not None:
+                insert(px)
+            pos += 1
+        elif s < 280:
+            length = _prefix_coded_value(br, s - 256)
+            dcode = _prefix_coded_value(br, group[4].read(br))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _KDIST_MAP[dcode - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > npix:
+                raise _CorruptStream("backref out of range")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = px
+                if cache is not None:
+                    insert(px)
+                pos += 1
+        else:
+            if cache is None:
+                raise _CorruptStream("cache symbol without cache")
+            argb = cache[s - 280]
+            pixels[pos] = (
+                (argb >> 24) & 0xFF,
+                (argb >> 16) & 0xFF,
+                (argb >> 8) & 0xFF,
+                argb & 0xFF,
+            )
+            pos += 1
+    return pixels, transforms
+
+
+# predictor helpers (all arithmetic per channel on uint8 tuples (a,r,g,b))
+
+
+def _avg2(p, q):
+    return tuple((p[c] + q[c]) >> 1 for c in range(4))
+
+
+def _clamp(v):
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _predict(mode, left, top, topleft, topright):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _avg2(_avg2(left, topright), top)
+    if mode == 6:
+        return _avg2(left, topleft)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(topleft, top)
+    if mode == 9:
+        return _avg2(top, topright)
+    if mode == 10:
+        return _avg2(_avg2(left, topleft), _avg2(top, topright))
+    if mode == 11:  # Select
+        p = tuple(left[c] + top[c] - topleft[c] for c in range(4))
+        p_left = sum(abs(p[c] - left[c]) for c in range(4))
+        p_top = sum(abs(p[c] - top[c]) for c in range(4))
+        return left if p_left < p_top else top
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            _clamp(left[c] + top[c] - topleft[c]) for c in range(4)
+        )
+    if mode == 13:  # ClampAddSubtractHalf — the (a - b) / 2 is C
+        # TRUNCATING division (toward zero), not a floor shift
+        ave = _avg2(left, top)
+        return tuple(
+            _clamp(ave[c] + int((ave[c] - topleft[c]) / 2)) for c in range(4)
+        )
+    raise _CorruptStream("bad predictor mode")
+
+
+def _apply_inverse_predictor(pixels, w, h, size_bits, sw, sub):
+    out = [None] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = out[i - 1]  # L
+            elif x == 0:
+                pred = out[i - w]  # T
+            else:
+                mode = sub[(y >> size_bits) * sw + (x >> size_bits)][2]
+                left = out[i - 1]
+                top = out[i - w]
+                topleft = out[i - w - 1]
+                topright = out[i - w + 1] if x + 1 < w else out[i - w]
+                pred = _predict(mode, left, top, topleft, topright)
+            d = pixels[i]
+            out[i] = tuple((d[c] + pred[c]) & 0xFF for c in range(4))
+    return out
+
+
+def _ct_delta(t, c):
+    """ColorTransformDelta: signed int8 product, arithmetic >> 5."""
+    t = t - 256 if t >= 128 else t
+    c = c - 256 if c >= 128 else c
+    return (t * c) >> 5
+
+
+def _apply_inverse_color_transform(pixels, w, h, size_bits, sw, sub):
+    out = [None] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            cte = sub[(y >> size_bits) * sw + (x >> size_bits)]
+            # element channels: red=red_to_blue, green=green_to_blue,
+            # blue=green_to_red (spec layout)
+            red_to_blue, green_to_blue, green_to_red = cte[1], cte[2], cte[3]
+            a, r, g, b = pixels[i]
+            r = (r + _ct_delta(green_to_red, g)) & 0xFF
+            b = (b + _ct_delta(green_to_blue, g) + _ct_delta(red_to_blue, r)) & 0xFF
+            out[i] = (a, r, g, b)
+    return out
+
+
+def _apply_inverse_transforms(pixels, w, h, transforms):
+    """Inverse transforms in reverse read order. Returns (pixels, w)
+    — color indexing widens the packed image back to full width."""
+    for ttype, payload in reversed(transforms):
+        if ttype == 2:  # add green back
+            pixels = [
+                (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+                for (a, r, g, b) in pixels
+            ]
+        elif ttype == 0:
+            size_bits, sw, _, sub = payload
+            pixels = _apply_inverse_predictor(pixels, w, h, size_bits, sw, sub)
+        elif ttype == 1:
+            size_bits, sw, _, sub = payload
+            pixels = _apply_inverse_color_transform(
+                pixels, w, h, size_bits, sw, sub
+            )
+        else:  # color indexing: unpack bundled indices, look up palette
+            width_bits, pal, full_w = payload
+            xstep = 1 << width_bits
+            mask = (1 << (8 >> width_bits)) - 1 if width_bits else 0xFF
+            bit_depth = 8 >> width_bits
+            out = [None] * (full_w * h)
+            packed_w = _sub_size(full_w, width_bits)
+            for y in range(h):
+                for px in range(full_w):
+                    packed = pixels[y * packed_w + (px >> width_bits)][2]
+                    if width_bits:
+                        idx = (
+                            packed >> ((px & (xstep - 1)) * bit_depth)
+                        ) & mask
+                    else:
+                        idx = packed
+                    if idx >= len(pal):
+                        raise _CorruptStream("palette index out of range")
+                    out[y * full_w + px] = pal[idx]
+            pixels = out
+            w = full_w
+    return pixels, w
+
+
+def _parse_webp(raw: bytes):
+    """(w, h, rgb_flat_uint8 ndarray) for a lossless (VP8L) WebP, else
+    None — same contract as the other raw-backend parsers
+    (multimodal.py): alpha is dropped, anything undecodable (incl.
+    lossy VP8, which needs libwebp) yields None, never an exception."""
+    import numpy as np
+
+    if raw is None or len(raw) < 20 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return None
+    pos, payload = 12, None
+    while pos + 8 <= len(raw):
+        fourcc = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        if fourcc == b"VP8L":
+            payload = raw[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if payload is None or len(payload) < 5 or payload[0] != 0x2F:
+        return None
+    try:
+        br = _BitReader(payload[1:])
+        w = br.bits(14) + 1
+        h = br.bits(14) + 1
+        br.bit()  # alpha hint
+        if br.bits(3) != 0:  # version must be 0
+            return None
+        pixels, transforms = _decode_image_stream(br, w, h, True)
+        pixels, w = _apply_inverse_transforms(pixels, w, h, transforms)
+    except _CorruptStream:
+        return None
+    arr = np.array(pixels, dtype=np.uint8).reshape(h, w, 4)
+    # (a, r, g, b) tuples -> RGB flat
+    return w, h, arr[:, :, 1:4].reshape(-1)
+
+
+# --- encoder ------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs, max_len=15):
+    """Code lengths for the used symbols of a histogram; falls back to a
+    balanced (near-flat) code if Huffman would exceed max_len. Returns a
+    full-length list (0 = unused). Iterative (parent-pointer) depth walk
+    — the green alphabet can reach 2328 symbols with a color cache,
+    past python's recursion limit for a degenerate tree."""
+    import heapq
+
+    used = [(f, s) for s, f in enumerate(freqs) if f > 0]
+    lengths = [0] * len(freqs)
+    if not used:
+        return lengths
+    if len(used) == 1:
+        lengths[used[0][1]] = 1
+        return lengths
+    parent = {}
+    heap = [(f, ("leaf", s)) for f, s in used]
+    heapq.heapify(heap)
+    seq = 0
+    while len(heap) > 1:
+        f1, n1 = heapq.heappop(heap)
+        f2, n2 = heapq.heappop(heap)
+        node = ("int", seq)
+        seq += 1
+        parent[n1] = node
+        parent[n2] = node
+        heapq.heappush(heap, (f1 + f2, node))
+    deepest = 0
+    for _, s in used:
+        d, n = 0, ("leaf", s)
+        while n in parent:
+            n = parent[n]
+            d += 1
+        lengths[s] = d
+        deepest = max(deepest, d)
+    if deepest > max_len:
+        # balanced fallback: n symbols, k = ceil(log2 n); 2^k - n of them
+        # get k-1 bits, the rest k (Kraft-exact)
+        n = len(used)
+        k = max(1, (n - 1).bit_length())
+        short = (1 << k) - n
+        for i, (_, s) in enumerate(sorted(used, key=lambda t: t[1])):
+            lengths[s] = k - 1 if i < short else k
+    return lengths
+
+
+def _canonical_codes(lengths):
+    """symbol -> (code, nbits); a single-symbol code costs 0 bits (the
+    decoder's _PrefixCode single branch reads none)."""
+    used = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    if len(used) == 1:
+        return {used[0][1]: (0, 0)}
+    codes = {}
+    code, prev = 0, used[0][0] if used else 0
+    for ln, sym in used:
+        code <<= ln - prev
+        prev = ln
+        codes[sym] = (code, ln)
+        code += 1
+    return codes
+
+
+def _write_prefix_code(bw: _BitWriter, lengths) -> dict:
+    """Emit a prefix code (simple form for <=2 symbols, else via the
+    code-length-code) and return symbol -> (code, len)."""
+    used = [s for s, ln in enumerate(lengths) if ln > 0]
+    if len(used) <= 2 and all(s < 256 for s in used):
+        bw.bits(1, 1)  # simple
+        if not used:
+            used = [0]  # degenerate: never-read code, pick symbol 0
+        bw.bits(len(used) - 1, 1)
+        if used[0] <= 1:
+            bw.bits(0, 1)
+            bw.bits(used[0], 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(used[0], 8)
+        if len(used) == 2:
+            bw.bits(used[1], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.bits(0, 1)  # normal
+    # encode the length sequence with 17/18 zero-runs (no 16: simpler).
+    # The decoder's token loop runs until the ALPHABET fills unless the
+    # max_symbol short form bounds the TOKEN count — trailing zeros are
+    # therefore trimmed and declared via the short form (which also
+    # keeps that decoder path exercised by every round-trip).
+    seq = []
+    i, n = 0, len(lengths)
+    trimmed = False
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            if j == n:
+                trimmed = True
+                break  # trailing zeros: bounded by the short form below
+            while run >= 11:
+                r = min(run, 138)
+                seq.append((18, r - 11, 7))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                seq.append((17, r - 3, 3))
+                run -= r
+            for _ in range(run):
+                seq.append((0, None, 0))
+            i = j
+        else:
+            seq.append((lengths[i], None, 0))
+            i += 1
+    while trimmed and len(seq) < 2:
+        seq.append((0, None, 0))  # max_symbol encodes a minimum of 2
+    clc_freq = [0] * 19
+    for s, _, _ in seq:
+        clc_freq[s] += 1
+    if not any(clc_freq):
+        clc_freq[0] = 1  # all-zero lengths: emit a trivial clc
+    clc_lengths = _huffman_lengths(clc_freq, max_len=7)
+    num_clc = 19
+    while num_clc > 4 and clc_lengths[_KCODE_LENGTH_ORDER[num_clc - 1]] == 0:
+        num_clc -= 1
+    bw.bits(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.bits(clc_lengths[_KCODE_LENGTH_ORDER[i]], 3)
+    clc_codes = _canonical_codes(clc_lengths)
+    if trimmed:
+        bw.bits(1, 1)  # max_symbol short form: token count bound
+        v = len(seq) - 2
+        npairs = max(1, (v.bit_length() + 1) // 2)
+        bw.bits(npairs - 1, 3)
+        bw.bits(v, 2 * npairs)
+    else:
+        bw.bits(0, 1)
+    for s, extra, ebits in seq:
+        code, ln = clc_codes[s]
+        for b in range(ln - 1, -1, -1):  # MSB of the code first
+            bw.bits((code >> b) & 1, 1)
+        if ebits:
+            bw.bits(extra, ebits)
+    return _canonical_codes(lengths)
+
+
+def _emit_symbol(bw, codes, sym):
+    code, ln = codes[sym]
+    for b in range(ln - 1, -1, -1):
+        bw.bits((code >> b) & 1, 1)
+
+
+def _tokenize(pixels, w, use_runs, cache_bits,
+              vertical_runs=False, far_distances=False):
+    """Pixels -> token stream: ('lit', px) / ('copy', length, dist_code)
+    / ('cache', idx). Horizontal runs are distance-1 backrefs
+    (dist_code 2 via the 2D map, or 121 = 1+120 raw when far_distances
+    exercises the >120 path); vertical_runs adds copy-the-row-above
+    backrefs (dist_code 1 -> map (0,1) -> distance w). Mirrors the
+    decoder's cache-insertion rule: EVERY emitted pixel (literal,
+    copied, cache hit) is inserted."""
+    tokens = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    i, n = 0, len(pixels)
+
+    def insert(px):
+        argb = (px[0] << 24) | (px[1] << 16) | (px[2] << 8) | px[3]
+        cache[(argb * _HASH_MUL & 0xFFFFFFFF) >> shift] = argb
+
+    while i < n:
+        px = pixels[i]
+        if vertical_runs and i >= w and px == pixels[i - w]:
+            j = i
+            # 4096 = the longest length the 24-code prefix scheme encodes
+            while j < n and j - i < 4096 and pixels[j] == pixels[j - w]:
+                j += 1
+            tokens.append(("copy", j - i, 1))
+            if cache is not None:
+                for k in range(i, j):
+                    insert(pixels[k])
+            i = j
+            continue
+        if use_runs and i > 0 and px == pixels[i - 1]:
+            j = i
+            while j < n and j - i < 4096 and pixels[j] == pixels[j - 1]:
+                j += 1
+            tokens.append(("copy", j - i, 121 if far_distances else 2))
+            if cache is not None:
+                insert(px)
+            i = j
+            continue
+        if cache is not None:
+            argb = (px[0] << 24) | (px[1] << 16) | (px[2] << 8) | px[3]
+            idx = (argb * _HASH_MUL & 0xFFFFFFFF) >> shift
+            if cache[idx] == argb:
+                tokens.append(("cache", idx))
+                i += 1
+                continue
+            cache[idx] = argb
+        tokens.append(("lit", px))
+        i += 1
+    return tokens
+
+
+def _length_prefix(v):
+    """value -> (prefix_code, extra, extra_bits): inverse of
+    _prefix_coded_value."""
+    if v <= 4:
+        return v - 1, 0, 0
+    bits = (v - 1).bit_length() - 1
+    rest = v - 1 - (1 << bits)
+    if rest < (1 << (bits - 1)):
+        return 2 * bits, rest, bits - 1
+    return 2 * bits + 1, rest - (1 << (bits - 1)), bits - 1
+
+
+def _write_pixel_stream(bw, pixels, w, use_runs=True, cache_bits=0):
+    """Entropy-code a pixel list: cache bit, no meta, 1 prefix group."""
+    bw.bits(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.bits(cache_bits, 4)
+    _write_pixel_groups(bw, pixels, w, use_runs, cache_bits, None, 1)
+
+
+def _write_pixel_groups(bw, pixels, w, use_runs, cache_bits,
+                        group_of_pos, n_groups,
+                        vertical_runs=False, far_distances=False):
+    """Shared tail: tokenize the pixel stream (cache/run state is
+    stream-global), histogram per owning group (group_of_pos maps pixel
+    index -> group; None = one group), write each group's 5 prefix
+    codes, then emit the tokens."""
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    tokens = _tokenize(
+        pixels, w, use_runs, cache_bits, vertical_runs, far_distances
+    )
+    freqs = [
+        {
+            "g": [0] * green_size,
+            "r": [0] * 256,
+            "b": [0] * 256,
+            "a": [0] * 256,
+            "d": [0] * 40,
+        }
+        for _ in range(n_groups)
+    ]
+    # walk tokens tracking pixel position to attribute to groups
+    pos = 0
+    for tok in tokens:
+        f = freqs[group_of_pos[pos] if group_of_pos is not None else 0]
+        if tok[0] == "lit":
+            a, r, g, b = tok[1]
+            f["g"][g] += 1
+            f["r"][r] += 1
+            f["b"][b] += 1
+            f["a"][a] += 1
+            pos += 1
+        elif tok[0] == "copy":
+            _, length, dcode = tok
+            f["g"][256 + _length_prefix(length)[0]] += 1
+            f["d"][_length_prefix(dcode)[0]] += 1
+            pos += length
+        else:
+            f["g"][280 + tok[1]] += 1
+            pos += 1
+    codes = []
+    for f in freqs:
+        if not any(f["g"]):
+            f["g"][0] = 1  # unreachable group still needs a valid code
+        c = {
+            k: _write_prefix_code(bw, _huffman_lengths(f[k]))
+            for k in ("g", "r", "b", "a", "d")
+        }
+        codes.append(c)
+    pos = 0
+    for tok in tokens:
+        c = codes[group_of_pos[pos] if group_of_pos is not None else 0]
+        if tok[0] == "lit":
+            a, r, g, b = tok[1]
+            _emit_symbol(bw, c["g"], g)
+            _emit_symbol(bw, c["r"], r)
+            _emit_symbol(bw, c["b"], b)
+            _emit_symbol(bw, c["a"], a)
+            pos += 1
+        elif tok[0] == "copy":
+            _, length, dcode = tok
+            lp, extra, ebits = _length_prefix(length)
+            _emit_symbol(bw, c["g"], 256 + lp)
+            if ebits:
+                bw.bits(extra, ebits)
+            dp, dextra, debits = _length_prefix(dcode)
+            _emit_symbol(bw, c["d"], dp)
+            if debits:
+                bw.bits(dextra, debits)
+            pos += length
+        else:
+            _emit_symbol(bw, c["g"], 280 + tok[1])
+            pos += 1
+
+
+def _forward_predictor(pixels, w, h, mode, size_bits):
+    """Forward (encode-side) predictor: residual = pixel - prediction,
+    using the same neighbor rules as the decoder but over the ORIGINAL
+    image (prediction contexts are reconstructed pixels, which equal the
+    originals in lossless coding)."""
+    out = [None] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                left = pixels[i - 1]
+                top = pixels[i - w]
+                topleft = pixels[i - w - 1]
+                topright = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                pred = _predict(mode, left, top, topleft, topright)
+            d = pixels[i]
+            out[i] = tuple((d[c] - pred[c]) & 0xFF for c in range(4))
+    return out
+
+
+def encode_webp_lossless(
+    arr,
+    use_runs: bool = True,
+    cache_bits: int = 0,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    color_transform: tuple | None = None,
+    palette: bool = False,
+    meta_split: bool = False,
+    vertical_runs: bool = False,
+    far_distances: bool = False,
+) -> bytes:
+    """Lossless WebP (VP8L) bytes from an (h, w[, 3|4]) uint8 array.
+    Alpha is carried when a 4th channel is given, else 255. The feature
+    flags exist to exercise every decoder path in round-trip tests:
+    distance-1 run backrefs, a color cache, the subtract-green /
+    single-mode predictor / constant cross-color (color_transform =
+    (green_to_red, green_to_blue, red_to_blue) signed-int8 values) /
+    color-indexing (with pixel bundling) transforms, and a 2-group
+    top/bottom meta prefix split. palette requires <=256 distinct
+    colors and is mutually exclusive with the other transforms (the
+    spec allows combining; real encoders do not, and neither does this
+    one)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.dstack([a, a, a])
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError("expected (h, w), (h, w, 3) or (h, w, 4) uint8")
+    h, w = a.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("dimensions must be 1..16384")
+    if palette and (
+        subtract_green or predictor_mode is not None or color_transform
+    ):
+        raise ValueError("palette excludes the other transforms here")
+    if predictor_mode is not None and not 0 <= predictor_mode <= 13:
+        raise ValueError("predictor_mode must be 0..13")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be 0..11")
+    alpha = a[:, :, 3] if a.shape[2] == 4 else np.full((h, w), 255, np.uint8)
+    pixels = [
+        (int(alpha[y, x]), int(a[y, x, 0]), int(a[y, x, 1]), int(a[y, x, 2]))
+        for y in range(h)
+        for x in range(w)
+    ]
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if a.shape[2] == 4 else 0, 1)
+    bw.bits(0, 3)  # version
+    enc_w = w
+    if palette:
+        colors = list(dict.fromkeys(pixels))  # first-seen order
+        if len(colors) > 256:
+            raise ValueError("palette needs <=256 distinct colors")
+        pal_size = len(colors)
+        index_of = {c: i for i, c in enumerate(colors)}
+        if pal_size <= 2:
+            width_bits = 3
+        elif pal_size <= 4:
+            width_bits = 2
+        elif pal_size <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        bw.bits(1, 1)
+        bw.bits(3, 2)  # transform type: color indexing
+        bw.bits(pal_size - 1, 8)
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for c in colors:
+            deltas.append(tuple((c[k] - prev[k]) & 0xFF for k in range(4)))
+            prev = c
+        _write_pixel_stream(bw, deltas, pal_size, use_runs=False)
+        # bundle indices into the green channel of a packed image
+        packed_w = _sub_size(w, width_bits)
+        packed = []
+        per = 1 << width_bits
+        depth = 8 >> width_bits
+        for y in range(h):
+            for bx in range(packed_w):
+                v = 0
+                for k in range(per):
+                    x = bx * per + k
+                    if x < w:
+                        v |= index_of[pixels[y * w + x]] << (k * depth)
+                packed.append((255, 0, v, 0))
+        pixels = packed
+        enc_w = packed_w
+    else:
+        # forward transforms are written AND applied in the same order
+        # (SG -> cross-color -> predictor); the decoder applies the
+        # inverses in reverse read order, which unwinds this exactly
+        size_bits = 9  # one 512-px block covers any test image tile
+        if subtract_green:
+            bw.bits(1, 1)
+            bw.bits(2, 2)
+            pixels = [
+                (p[0], (p[1] - p[2]) & 0xFF, p[2], (p[3] - p[2]) & 0xFF)
+                for p in pixels
+            ]
+        if color_transform is not None:
+            g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+            bw.bits(1, 1)
+            bw.bits(1, 2)
+            bw.bits(size_bits - 2, 3)
+            sw, sh = _sub_size(w, size_bits), _sub_size(h, size_bits)
+            # element layout: red=red_to_blue, green=green_to_blue,
+            # blue=green_to_red
+            cte_img = [(255, r2b, g2b, g2r)] * (sw * sh)
+            _write_pixel_stream(bw, cte_img, sw, use_runs=False)
+            # forward cross-color (spec §4.3): deltas subtracted using
+            # the current green and the PRE-transform red for red_to_blue
+            out = []
+            for p in pixels:
+                a_, r, g, b = p
+                nr = (r - _ct_delta(g2r, g)) & 0xFF
+                nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+                out.append((a_, nr, g, nb))
+            pixels = out
+        if predictor_mode is not None:
+            bw.bits(1, 1)
+            bw.bits(0, 2)
+            bw.bits(size_bits - 2, 3)
+            sw, sh = _sub_size(w, size_bits), _sub_size(h, size_bits)
+            mode_img = [(255, 0, predictor_mode, 0)] * (sw * sh)
+            _write_pixel_stream(bw, mode_img, sw, use_runs=False)
+            pixels = _forward_predictor(pixels, w, h, predictor_mode, size_bits)
+    bw.bits(0, 1)  # end of transforms
+    bw.bits(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.bits(cache_bits, 4)
+    prefix_bits = 2
+    split_gy = _sub_size(h, prefix_bits) // 2 if meta_split else 0
+    if split_gy > 0:
+        bw.bits(1, 1)  # use meta prefix
+        bw.bits(prefix_bits - 2, 3)
+        gw, gh = _sub_size(enc_w, prefix_bits), _sub_size(h, prefix_bits)
+        meta_img = [
+            (255, 0, 0 if gy < split_gy else 1, 0)
+            for gy in range(gh)
+            for _ in range(gw)
+        ]
+        _write_pixel_stream(bw, meta_img, gw, use_runs=False)
+        group_of_pos = [
+            0 if (i // enc_w) >> prefix_bits < split_gy else 1
+            for i in range(enc_w * h)
+        ]
+        _write_pixel_groups(
+            bw, pixels, enc_w, use_runs, cache_bits, group_of_pos, 2,
+            vertical_runs, far_distances,
+        )
+    else:
+        bw.bits(0, 1)  # no meta prefix
+        _write_pixel_groups(bw, pixels, enc_w, use_runs, cache_bits, None, 1,
+                            vertical_runs, far_distances)
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

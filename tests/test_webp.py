@@ -1,0 +1,222 @@
+"""Lossless WebP (VP8L) codec battery: exact round-trips over the full
+feature matrix (the encoder and decoder share only the spec constants +
+the _predict helper, so a failure localizes to whichever side misread
+the spec), malformed-input Nones, and integration with decode_images /
+the pHash cross-format dedup pipeline."""
+
+import numpy as np
+import pytest
+
+from jsonl_schema_validator_spark.operators.webp import (
+    _parse_webp,
+    encode_webp_lossless,
+)
+
+
+def _roundtrip(arr, **kw):
+    data = encode_webp_lossless(arr, **kw)
+    out = _parse_webp(data)
+    assert out is not None, kw
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = np.dstack([a, a, a])
+    w, h, px = out
+    assert (w, h) == (a.shape[1], a.shape[0]), kw
+    assert np.array_equal(px.reshape(h, w, 3), a[:, :, :3]), kw
+    return data
+
+
+def test_webp_roundtrip_feature_matrix():
+    """Every encoder feature (and so every decoder path) round-trips
+    EXACTLY: literals, distance-1 runs, vertical (row-above) and
+    raw->120 distance codes, color cache, subtract-green / cross-color /
+    all 14 predictor modes / palette with every bundling width, meta
+    prefix groups, RGBA and grey inputs, degenerate shapes."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (21, 17, 3)).astype(np.uint8)
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    rows = np.repeat(
+        rng.integers(0, 256, (1, 20, 3)).astype(np.uint8), 12, axis=0
+    )
+    pal4 = (rng.integers(0, 4, (13, 19)) * 80).astype(np.uint8)
+    _roundtrip(img, use_runs=False)
+    _roundtrip(flat)  # distance-1 runs
+    _roundtrip(rows, vertical_runs=True)  # 2D map (0,1) -> distance w
+    _roundtrip(flat, far_distances=True)  # raw distance codes > 120
+    _roundtrip(img, cache_bits=6)
+    _roundtrip(np.repeat(pal4[:, :, None], 3, 2), cache_bits=4)
+    _roundtrip(img, subtract_green=True)
+    _roundtrip(img, color_transform=(10, -20, 33))
+    _roundtrip(img, subtract_green=True, color_transform=(-5, 7, -120))
+    for mode in range(14):
+        _roundtrip(img, predictor_mode=mode)
+    _roundtrip(
+        img, subtract_green=True, color_transform=(3, -3, 9),
+        predictor_mode=12,
+    )
+    _roundtrip((pal4 > 100).astype(np.uint8) * 255, palette=True)  # 8px/B
+    _roundtrip(np.repeat(pal4[:, :, None], 3, 2), palette=True)  # 4 px/B
+    _roundtrip(
+        (rng.integers(0, 16, (10, 23)) * 16).astype(np.uint8), palette=True
+    )  # 2 px/B
+    _roundtrip(
+        np.repeat(
+            rng.integers(0, 200, (31, 13)).astype(np.uint8)[:, :, None], 3, 2
+        ),
+        palette=True,
+    )  # unbundled
+    _roundtrip(rng.integers(0, 256, (24, 16, 3)).astype(np.uint8),
+               meta_split=True)
+    _roundtrip(np.vstack([flat, flat * 2]), meta_split=True, cache_bits=5)
+    _roundtrip(rng.integers(0, 256, (9, 9, 4)).astype(np.uint8))  # RGBA
+    _roundtrip(rng.integers(0, 256, (11, 7)).astype(np.uint8))  # grey
+    _roundtrip(np.array([[[1, 2, 3]]], np.uint8))  # 1x1
+    _roundtrip(rng.integers(0, 256, (1, 300, 3)).astype(np.uint8))
+
+
+def test_webp_roundtrip_fuzz():
+    """Randomized feature combinations stay exact — 40 draws across
+    content families (noise, gradients, palettized, flat regions)."""
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        family = trial % 4
+        if family == 0:
+            arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif family == 1:
+            arr = np.dstack(
+                [np.tile(np.arange(w, dtype=np.uint8) * 3, (h, 1))] * 3
+            )
+        elif family == 2:
+            arr = (rng.integers(0, 5, (h, w)) * 50).astype(np.uint8)
+            arr = np.repeat(arr[:, :, None], 3, 2)
+        else:
+            arr = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+            arr[: h // 2] = int(rng.integers(0, 256))
+        kw = {}
+        if rng.random() < 0.5:
+            kw["cache_bits"] = int(rng.integers(1, 9))
+        n_colors = len(np.unique(arr.reshape(-1, arr.shape[-1]), axis=0))
+        if rng.random() < 0.3 and n_colors <= 256:
+            kw["palette"] = True
+        else:
+            if rng.random() < 0.5:
+                kw["subtract_green"] = True
+            if rng.random() < 0.4:
+                kw["predictor_mode"] = int(rng.integers(0, 14))
+            if rng.random() < 0.3:
+                kw["color_transform"] = tuple(
+                    int(v) for v in rng.integers(-128, 128, 3)
+                )
+        if rng.random() < 0.3:
+            kw["meta_split"] = True
+        if rng.random() < 0.3:
+            kw["vertical_runs"] = True
+        if rng.random() < 0.3:
+            kw["far_distances"] = True
+        _roundtrip(arr, **kw)
+
+
+def test_webp_malformed_inputs_yield_none():
+    """The undecodable-rows-yield-nulls contract: anything malformed
+    (or lossy VP8, which genuinely needs libwebp) returns None, never
+    raises."""
+    good = _roundtrip(np.full((8, 8, 3), 9, np.uint8))
+    assert _parse_webp(None) is None
+    assert _parse_webp(b"") is None
+    assert _parse_webp(b"RIFF1234WEBP") is None
+    assert _parse_webp(good[:30]) is None  # truncated bitstream
+    # wrong signature byte inside the VP8L chunk
+    assert _parse_webp(good[:20] + b"\x00" + good[21:]) is None
+    # lossy VP8 chunk: present but not decodable here
+    lossy = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
+    )
+    assert _parse_webp(lossy) is None
+    # corrupt entropy data after a valid header
+    assert _parse_webp(good[:-6] + b"\xff" * 6) is None
+    # bit flips anywhere must never raise (None or a wrong image is the
+    # acceptable outcome; an exception would kill a Spark task)
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        broken = bytearray(good)
+        for _ in range(3):
+            broken[int(rng.integers(20, len(broken)))] ^= 1 << int(
+                rng.integers(0, 8)
+            )
+        _parse_webp(bytes(broken))
+
+
+def test_webp_compresses_structure():
+    """Sanity: the encoder is an actual compressor on structured content
+    (runs + palette), not a pixel dump."""
+    flat = np.full((64, 64, 3), 200, np.uint8)
+    data = encode_webp_lossless(flat)
+    assert len(data) < 200  # 12288 raw pixel bytes
+    pal = np.repeat(
+        (np.indices((32, 32)).sum(0) % 4 * 60).astype(np.uint8)[:, :, None],
+        3, 2,
+    )
+    assert len(encode_webp_lossless(pal, palette=True)) < len(
+        encode_webp_lossless(pal, use_runs=False)
+    )
+
+
+def test_webp_encode_validation():
+    img = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="palette excludes"):
+        encode_webp_lossless(img, palette=True, subtract_green=True)
+    with pytest.raises(ValueError, match="predictor_mode"):
+        encode_webp_lossless(img, predictor_mode=14)
+    with pytest.raises(ValueError, match="cache_bits"):
+        encode_webp_lossless(img, cache_bits=12)
+    with pytest.raises(ValueError, match="expected"):
+        encode_webp_lossless(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError, match="distinct colors"):
+        rng = np.random.default_rng(1)
+        encode_webp_lossless(
+            rng.integers(0, 256, (30, 30, 3)).astype(np.uint8), palette=True
+        )
+
+
+def test_webp_in_decode_images_and_phash(spark):
+    """Integration: decode_images(backend='raw') reads WebP rows
+    (dims + pixel mean over RGB), and a WebP re-encode of a PNG image
+    clusters with its PNG/JPEG copies in phash_duplicates — the
+    cross-format dedup story now includes WebP."""
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+        phash_duplicates,
+    )
+
+    h, w = 48, 64  # the proven cross-format fixture geometry (MCU- and
+    # resize-cell-aligned; odd sizes push lossy-JPEG pHash drift out of
+    # the max_hamming radius — that is JPEG quantization, not WebP)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.dstack([
+        (x * 255 // (w - 1)).astype(np.uint8),
+        (y * 255 // (h - 1)).astype(np.uint8),
+        ((x * 3 + y * 7) % 251).astype(np.uint8),
+    ])
+    other = np.dstack([((x * 7 + y * 13) % 251).astype(np.uint8)] * 3)
+    rows = [
+        (0, bytearray(encode_png(img))),
+        (1, bytearray(encode_webp_lossless(img, subtract_green=True))),
+        (2, bytearray(encode_jpeg_baseline(img, quality=80))),
+        (3, bytearray(encode_webp_lossless(other))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw binary")
+    feats = {r.id: r for r in decode_images(df, "raw", "id", backend="raw").collect()}
+    assert (feats[1].width, feats[1].height) == (w, h)
+    # lossless: WebP pixel mean == PNG pixel mean exactly
+    assert feats[1].mean_byte == feats[0].mean_byte
+    out = {r.id: r for r in phash_duplicates(df, "raw", "id").collect()}
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == 0
+    assert out[0].keep and not out[1].keep and not out[2].keep
+    assert out[3].keep and out[3].cluster_id == 3
