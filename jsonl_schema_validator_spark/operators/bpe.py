@@ -247,6 +247,16 @@ def _select_merge_batch(
              (x == a or x == b or y == a or y == b)),
             default=0,
         )
+        if a == b:
+            # a SELF-merge (b,b) mints pairs — (bb,bb) from runs of 4+,
+            # (bb,b)/(b,bb) from odd runs — whose counts are bounded
+            # only by its OWN count, which the != exclusion above
+            # drops. Including n here makes the self-merge the batch's
+            # last member (candidates are count-descending, so nothing
+            # later strictly exceeds n). Round-7 review finding: the
+            # unbounded version diverged from the sequential driver
+            # loop on 13/6000 random corpora, all via doubled symbols.
+            share = max(share, n)
         bound = max(bound, floor, share)
     return batch
 

@@ -1238,7 +1238,16 @@ def simhash_near_pairs(
     quadratic in the hot block's population. 'auto' (=4096) salts blocks
     beyond the cap into md5(id) sub-blocks — bounded candidate volume,
     bounded documented recall loss; None is the exact unguarded opt-in.
+
+    CACHE LIFECYCLE: the packed signature table is persisted and not
+    unpersisted (the returned DataFrame references it from the hot-block
+    aggregation AND both join sides — without the persist, the default-on
+    guard would recompute the whole simhash pipeline once more per call;
+    round-7 review finding, matching phash_near_pairs' lifecycle).
+    Release with spark.catalog.clearCache().
     """
+    from pyspark.storagelevel import StorageLevel
+
     sig = simhash64(df, id_col, text_col)
     packed = sig.select(
         "id",
@@ -1248,7 +1257,7 @@ def simhash_near_pairs(
             .alias(f"p{c}")
             for c in range(4)
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return _packed_hamming_pairs(packed, max_hamming, max_block_size)
 
 

@@ -446,7 +446,13 @@ def _parse_gif(raw: bytes):
         if pos >= len(raw):
             return None  # truncated before the block terminator
         pos += 1
-        idx = _gif_lzw_decode(mcs, bytes(data), np)
+        try:
+            # corrupt-but-well-framed LZW payloads raise ValueError; the
+            # parser's contract (like _parse_webp/_parse_jpeg) is None,
+            # never an exception into the Spark task (round-7 review)
+            idx = _gif_lzw_decode(mcs, bytes(data), np)
+        except ValueError:
+            return None
         if idx.size < iw * ih:
             return None
         idx = idx[: iw * ih].reshape(ih, iw)

@@ -440,7 +440,10 @@ def _apply_inverse_predictor(pixels, w, h, size_bits, sw, sub):
                 left = out[i - 1]
                 top = out[i - w]
                 topleft = out[i - w - 1]
-                topright = out[i - w + 1] if x + 1 < w else out[i - w]
+                # rightmost column: TR wraps to the LEFTMOST pixel of
+                # the SAME row (RFC 9649 border rule; libwebp's
+                # contiguous top[x+1]) — i-w+1 lands there unconditionally
+                topright = out[i - w + 1]
                 pred = _predict(mode, left, top, topleft, topright)
             d = pixels[i]
             out[i] = tuple((d[c] + pred[c]) & 0xFF for c in range(4))
@@ -868,7 +871,8 @@ def _forward_predictor(pixels, w, h, mode, size_bits):
                 left = pixels[i - 1]
                 top = pixels[i - w]
                 topleft = pixels[i - w - 1]
-                topright = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                # same TR wrap rule as the decoder (RFC 9649 border rule)
+                topright = pixels[i - w + 1]
                 pred = _predict(mode, left, top, topleft, topright)
             d = pixels[i]
             out[i] = tuple((d[c] - pred[c]) & 0xFF for c in range(4))

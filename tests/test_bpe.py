@@ -194,7 +194,11 @@ def test_bpe_train_distributed_equals_driver(spark):
     assert bpe_train(df, "text", num_merges=8, max_dict_words=2) == d
 
     rng = random.Random(5)
-    vocab = ["the", "cat", "sat", "lowest", "newest", "ab(c", "x*y"]
+    # doubled-letter words are REQUIRED coverage: self-merges (b,b) mint
+    # pairs bounded by their own count, the case the round-7 batching
+    # fix closed (the earlier vocab couldn't reach it)
+    vocab = ["the", "cat", "sat", "lowest", "newest", "ab(c", "x*y",
+             "bbbbbba", "aabbaabb", "zzzz"]
     rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
         for i in range(30)
@@ -202,6 +206,20 @@ def test_bpe_train_distributed_equals_driver(spark):
     df2 = spark.createDataFrame(rows, "doc_id bigint, text string")
     d2 = bpe_train(df2, "text", num_merges=25, mode="driver")
     assert bpe_train(df2, "text", num_merges=25, mode="distributed") == d2
+
+    # the exact self-merge preemption corpus from the round-7 review:
+    # (b,b) at 55 mints (bb,bb) at 22 > (a,</w>) at 16, so the
+    # sequential loop picks (bb,bb) SECOND — a batch must not jump to
+    # (a,</w>) in the same round
+    df3 = spark.createDataFrame(
+        [(1, " ".join(["bbbbbba"] * 11 + ["a"] * 5))],
+        "doc_id bigint, text string",
+    )
+    d3 = bpe_train(df3, "text", num_merges=4, mode="driver",
+                   min_pair_count=1)
+    assert d3[:2] == [("b", "b"), ("bb", "bb")]
+    assert bpe_train(df3, "text", num_merges=4, mode="distributed",
+                     min_pair_count=1) == d3
 
     import pytest
 
@@ -258,6 +276,18 @@ def test_select_merge_batch_guards():
         [("a", "b", 10), ("b", "c", 9), ("d", "e", 2)],
         floor=0, min_pair_count=1,
     ) == [("a", "b")]
+    # SELF-MERGE ends the batch: (b,b) mints (bb,bb)/(bb,b) pairs
+    # bounded by its OWN count 55, so no later candidate can provably
+    # beat them (round-7 review finding — the minted (bb,bb) really
+    # does preempt (a,x) in the sequential order on the bbbbbba corpus)
+    assert _select_merge_batch(
+        [("b", "b", 55), ("a", "x", 16), ("c", "d", 11)],
+        floor=0, min_pair_count=1,
+    ) == [("b", "b")]
+    # but a self-merge can still JOIN a batch as its last member
+    assert _select_merge_batch(
+        [("a", "x", 100), ("b", "b", 55)], floor=0, min_pair_count=1
+    ) == [("a", "x"), ("b", "b")]
     # sub-threshold candidates end the batch
     assert _select_merge_batch(
         [("a", "b", 1)], floor=0, min_pair_count=2
@@ -309,3 +339,77 @@ def test_bpe_batched_distributed_equals_driver_adversarial(spark):
             df, "text", num_merges=20, mode="distributed", min_pair_count=1
         )
         assert x == d, (seed, d, x)
+
+
+def test_select_merge_batch_faithful_fuzz():
+    """Pure-python fuzz: a batched trainer built on _select_merge_batch
+    must produce the EXACT merge list of the sequential greedy loop, on
+    a 2-letter alphabet maximizing self-merge density (the round-7
+    review's divergence family — the unfixed bound diverged on ~0.2% of
+    these; fixed code: 0/2000)."""
+    import random
+    from collections import Counter
+
+    from jsonl_schema_validator_spark.operators.bpe import (
+        _merge_once,
+        _select_merge_batch,
+        _word_symbols,
+    )
+
+    def pair_counts(dic):
+        pc = Counter()
+        for syms, c in dic.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        return pc
+
+    def seq_train(dic, num_merges):
+        dic = dict(dic)
+        merges = []
+        for _ in range(num_merges):
+            pc = pair_counts(dic)
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b))
+            out = Counter()
+            for s, c in dic.items():
+                out[_merge_once(s, a, b)] += c
+            dic = dict(out)
+        return merges
+
+    def batched_train(dic, num_merges, batch_k=16):
+        dic = dict(dic)
+        merges = []
+        while len(merges) < num_merges:
+            pc = pair_counts(dic)
+            cands = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: batch_k + 1]
+            cands = [(a, b, n) for (a, b), n in cands]
+            if not cands:
+                break
+            floor = cands[-1][2] if len(cands) == batch_k + 1 else 0
+            batch = _select_merge_batch(
+                cands[:batch_k], floor=floor, min_pair_count=1
+            )
+            if not batch:
+                break
+            batch = batch[: num_merges - len(merges)]
+            merges.extend(batch)
+            new = Counter()
+            for s, c in dic.items():
+                for a, b in batch:  # pairwise disjoint -> order-free
+                    s = _merge_once(s, a, b)
+                new[s] += c
+            dic = dict(new)
+        return merges
+
+    rng = random.Random(0)
+    for _ in range(2000):
+        dic = Counter()
+        for _ in range(rng.randint(1, 6)):
+            w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+            dic[_word_symbols(w)] += rng.randint(1, 12)
+        nm = rng.randint(1, 6)
+        assert seq_train(dict(dic), nm) == batched_train(dict(dic), nm)

@@ -1105,7 +1105,20 @@ def test_gif_undecodable_variants():
     assert _parse_gif(b"NOTGIF" + raw[6:]) is None
     assert _parse_gif(raw[:6]) is None
     assert _parse_gif(raw[:14]) is None  # inside the global color table
-    assert _parse_gif(raw[: len(raw) // 2]) is None or True  # no crash
+    assert _parse_gif(raw[: len(raw) // 2]) is None  # mid-data truncation
+    # corrupt-but-well-framed LZW payload must yield None, never raise
+    # (round-7 review: the ValueError used to escape the parser). The
+    # image descriptor ends right before the min-code-size byte; a
+    # first code that is not a root (0x1FE = 510 > table size 258 at
+    # min_code_size 8, LSB-first bytes FE 01) is deterministic corruption.
+    desc_at = raw.index(b"\x2c", 13 + 3 * 8)  # image descriptor block
+    bad_lzw = raw[: desc_at + 10] + bytes([8, 2, 0xFE, 0x01, 0, 0x3B])
+    assert _parse_gif(bad_lzw) is None
+    rng2 = np.random.default_rng(9)
+    for _ in range(40):  # random byte flips anywhere must not raise
+        b2 = bytearray(raw)
+        b2[int(rng2.integers(6, len(b2)))] ^= 1 << int(rng2.integers(0, 8))
+        _parse_gif(bytes(b2))
     # trailer immediately after the header block: no image -> None
     hdr_end = 13 + 3 * 8  # header + LSD + 8-entry GCT
     assert _parse_gif(raw[:hdr_end] + b"\x3b") is None
