@@ -11,9 +11,10 @@ mapInPandas signatures, partition preservation. Decode backends:
                     (SOF2 spectral selection + successive approximation),
                     arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder —
                     all pure numpy/stdlib, see operators/jpeg.py),
-                    GIF87a/89a (stdlib LZW, first frame) AND lossless
+                    GIF87a/89a (stdlib LZW, first frame), lossless
                     WebP (VP8L, full feature set — operators/webp.py)
-                    images, RIFF/WAV (PCM16) audio.
+                    AND baseline TIFF (8-bit grey/RGB/RGBA, none/
+                    PackBits, II+MM) images, RIFF/WAV (PCM16) audio.
 - backend='fake'  : deterministic parse of the fixture header written by
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
@@ -474,6 +475,198 @@ def _parse_gif(raw: bytes):
 # --- uncompressed-format parsers (numpy, no codecs) -------------------------
 
 
+def _packbits_decode(data: bytes, out_len: int, np):
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literals;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op.
+    Returns exactly out_len bytes or raises ValueError."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < out_len:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("packbits literal overruns input")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("packbits run overruns input")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) < out_len:
+        raise ValueError("packbits output short")
+    return bytes(out[:out_len])
+
+
+def _parse_tiff(raw: bytes):
+    """(w, h, pixel_bytes ndarray) for a baseline 8-bit grey/RGB/RGBA
+    TIFF (II or MM byte order, compression none or PackBits, chunky
+    planar config, strip-organized). Photometric 0 (WhiteIsZero) is
+    inverted to the usual scale; RGBA drops alpha (the PNG convention).
+    Tiled, planar, LZW/JPEG-compressed or non-8-bit files return None —
+    the undecodable-row-yields-nulls contract."""
+    import numpy as np
+
+    if raw is None or len(raw) < 8:
+        return None
+    if raw[:4] == b"II*\x00":
+        e = "<"
+    elif raw[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    try:
+        ifd_off = struct.unpack(e + "I", raw[4:8])[0]
+        if ifd_off + 2 > len(raw):
+            return None
+        n_tags = struct.unpack(e + "H", raw[ifd_off : ifd_off + 2])[0]
+        tags = {}
+        type_size = {1: 1, 3: 2, 4: 4}
+        for t in range(n_tags):
+            off = ifd_off + 2 + t * 12
+            if off + 12 > len(raw):
+                return None
+            tag, ttype, count = struct.unpack(
+                e + "HHI", raw[off : off + 8]
+            )
+            if ttype not in type_size:
+                continue  # RATIONAL etc. — not needed for baseline tags
+            total = type_size[ttype] * count
+            voff = off + 8 if total <= 4 else struct.unpack(
+                e + "I", raw[off + 8 : off + 12]
+            )[0]
+            if voff + total > len(raw):
+                return None
+            fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+            tags[tag] = struct.unpack(
+                e + fmt * count, raw[voff : voff + total]
+            )
+        w = tags.get(256, (0,))[0]
+        h = tags.get(257, (0,))[0]
+        spp = tags.get(277, (1,))[0]
+        bits = tags.get(258, (8,) * spp)
+        comp = tags.get(259, (1,))[0]
+        photo = tags.get(262, (1,))[0]
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        rows_per_strip = tags.get(278, (h,))[0]
+        planar = tags.get(284, (1,))[0]
+        if (
+            not offsets
+            or not counts
+            or len(offsets) != len(counts)
+            or w <= 0
+            or h <= 0
+            or planar != 1
+            or comp not in (1, 32773)
+            or any(b != 8 for b in bits)
+            or spp not in (1, 3, 4)
+            or photo not in (0, 1, 2)
+            or (photo == 2) != (spp >= 3)
+        ):
+            return None
+        row_bytes = w * spp
+        data = bytearray()
+        remaining_rows = h
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(raw):
+                return None
+            strip = raw[off : off + cnt]
+            strip_rows = min(rows_per_strip, remaining_rows)
+            if comp == 32773:
+                strip = _packbits_decode(strip, strip_rows * row_bytes, np)
+            data += strip[: strip_rows * row_bytes]
+            remaining_rows -= strip_rows
+        if len(data) < h * row_bytes:
+            return None
+        px = np.frombuffer(bytes(data), np.uint8, count=h * row_bytes).reshape(
+            h, w, spp
+        )
+        if spp == 4:
+            px = px[:, :, :3]
+        if photo == 0:  # WhiteIsZero greyscale
+            px = 255 - px
+        return w, h, px.reshape(-1).copy()
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_tiff(arr, packbits: bool = False) -> bytes:
+    """Minimal little-endian baseline TIFF from an (h, w[, 3|4]) uint8
+    array (one strip; compression none or PackBits) — the fixture
+    writer for _parse_tiff round-trips."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    data = a.tobytes()
+    if packbits:
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            # find a run
+            j = i
+            while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+                j += 1
+            if j > i:  # run of length j-i+1 >= 2
+                out += bytes([257 - (j - i + 1), data[i]])
+                i = j + 1
+            else:  # literal stretch up to the next run or 128 bytes
+                k = i
+                while (
+                    k < n
+                    and k - i < 128
+                    and not (k + 1 < n and k + 2 < n
+                             and data[k + 1] == data[k]
+                             and data[k + 2] == data[k])
+                ):
+                    k += 1
+                out += bytes([k - i - 1]) + data[i:k]
+                i = k
+        data = bytes(out)
+    photo = 1 if spp == 1 else 2
+    tags = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, photo),
+        (277, 3, 1, spp),
+        (278, 4, 1, h),
+        (279, 4, 1, len(data)),
+    ]
+    # BitsPerSample: count=spp; value inline if spp<=2 else pointed-to
+    header_end = 8
+    ifd_entries = len(tags) + 2  # + BitsPerSample + StripOffsets
+    ifd_size = 2 + ifd_entries * 12 + 4
+    extra_off = header_end + ifd_size
+    extra = b""
+    if spp > 2:
+        bits_val = extra_off
+        extra += struct.pack("<" + "H" * spp, *([8] * spp))
+    else:
+        bits_val = 8
+    data_off = extra_off + len(extra)
+    tags.append((258, 3, spp, bits_val))
+    tags.append((273, 4, 1, data_off))
+    tags.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", header_end))
+    out += struct.pack("<H", ifd_entries)
+    for tag, ttype, count, val in tags:
+        out += struct.pack("<HHI", tag, ttype, count)
+        if ttype == 3 and count == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += extra
+    out += data
+    return bytes(out)
+
+
 def _parse_bmp(raw: bytes):
     """(w, h, pixel_bytes ndarray) for a 24bpp BI_RGB BMP, else None."""
     import numpy as np
@@ -745,8 +938,9 @@ def decode_images(
     restart markers), progressive JPEG (SOF2, spectral selection +
     successive approximation), arithmetic-coded JPEG (SOF9, T.81
     Annex D QM-coder — pure numpy/stdlib, operators/jpeg.py), GIF
-    (87a/89a, stdlib LZW, first frame) and lossless WebP (VP8L: full
-    transform/cache/backref/meta feature set, operators/webp.py); no
+    (87a/89a, stdlib LZW, first frame), lossless WebP (VP8L: full
+    transform/cache/backref/meta feature set, operators/webp.py) and
+    baseline TIFF (8-bit grey/RGB/RGBA strips, none/PackBits); no
     codec library needed for any of them. mean_byte is the mean over the
     actual RGB/grey pixel values (padding, headers and alpha excluded);
     undecodable rows yield metadata nulls, never a crash.
@@ -820,6 +1014,7 @@ def _decode_any_image(raw: bytes):
             or _parse_png(raw)
             or _parse_gif(raw)
             or _parse_webp(raw)
+            or _parse_tiff(raw)
             or _parse_jpeg(raw)
         )
     except Exception:

@@ -1334,3 +1334,97 @@ def test_audio_phash_duplicates_spark(spark):
     sdf = spark.createDataFrame([("x", b"")], "id string, raw binary")
     with pytest.raises(ValueError, match="integral"):
         audio_phash(sdf, "raw", "id")
+
+
+def test_tiff_roundtrip_and_malformed():
+    """Baseline TIFF: exact round-trips for grey/RGB/RGBA, uncompressed
+    and PackBits, II written + MM synthesized; WhiteIsZero inversion;
+    multi-strip; malformed/unsupported variants yield None (never an
+    exception into a Spark task)."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (13, 19, 3)).astype(np.uint8)
+    grey = rng.integers(0, 256, (9, 5)).astype(np.uint8)
+    rgba = rng.integers(0, 256, (7, 11, 4)).astype(np.uint8)
+    runs = np.repeat(rng.integers(0, 4, (8, 30)) * 70, 1, 0).astype(np.uint8)
+
+    for arr, want in [
+        (rgb, rgb), (grey, np.dstack([grey])), (rgba, rgba[:, :, :3]),
+        (runs, np.dstack([runs])),
+    ]:
+        for pb in (False, True):
+            out = _parse_tiff(encode_tiff(arr, packbits=pb))
+            assert out is not None, (arr.shape, pb)
+            w, h, px = out
+            assert (w, h) == (arr.shape[1], arr.shape[0])
+            ch = want.shape[2] if want.ndim == 3 else 1
+            assert np.array_equal(px.reshape(h, w, ch).squeeze(),
+                                  want.squeeze()), (arr.shape, pb)
+
+    # PackBits actually compresses run-heavy content
+    assert len(encode_tiff(runs, packbits=True)) < len(encode_tiff(runs))
+
+    # WhiteIsZero: photometric 0 inverts (patch the tag in a grey file)
+    data = bytearray(encode_tiff(grey))
+    i = data.index((262).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert data[i + 8] == 1
+    data[i + 8] = 0
+    w, h, px = _parse_tiff(bytes(data))
+    assert np.array_equal(px.reshape(h, w), 255 - grey)
+
+    # malformed / unsupported
+    good = encode_tiff(rgb)
+    assert _parse_tiff(None) is None
+    assert _parse_tiff(b"II*") is None
+    assert _parse_tiff(b"XX*\x00" + good[4:]) is None
+    assert _parse_tiff(good[:40]) is None  # truncated IFD
+    assert _parse_tiff(good[:-10]) is None  # truncated strip data
+    lzw = bytearray(good)  # compression 5 (LZW) -> unsupported -> None
+    j = lzw.index((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    lzw[j + 8] = 5
+    assert _parse_tiff(bytes(lzw)) is None
+    rng2 = np.random.default_rng(3)
+    for _ in range(60):  # bit flips must never raise
+        b2 = bytearray(good)
+        b2[int(rng2.integers(4, len(b2)))] ^= 1 << int(rng2.integers(0, 8))
+        _parse_tiff(bytes(b2))
+
+
+def test_tiff_in_decode_images_and_phash(spark):
+    """TIFF rows decode through backend='raw' and a TIFF copy clusters
+    with its PNG twin in phash_duplicates (same pixels -> same hash)."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+        encode_tiff,
+        phash_duplicates,
+    )
+
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.dstack([
+        (x * 255 // 63).astype(np.uint8),
+        (y * 255 // 47).astype(np.uint8),
+        ((x * 3 + y * 7) % 251).astype(np.uint8),
+    ])
+    other = np.dstack([((x * 11 + y * 5) % 241).astype(np.uint8)] * 3)
+    rows = [
+        (0, bytearray(encode_png(img))),
+        (1, bytearray(encode_tiff(img, packbits=True))),
+        (2, bytearray(encode_tiff(other))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw binary")
+    feats = {r.id: r for r in decode_images(df, "raw", "id", backend="raw").collect()}
+    assert (feats[1].width, feats[1].height) == (64, 48)
+    assert feats[1].mean_byte == feats[0].mean_byte  # lossless twins
+    out = {r.id: r for r in phash_duplicates(df, "raw", "id").collect()}
+    assert out[0].phash == out[1].phash
+    assert out[0].keep and not out[1].keep
+    assert out[2].keep and out[2].cluster_id == 2
