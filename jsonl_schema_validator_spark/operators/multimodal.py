@@ -19,10 +19,13 @@ mapInPandas signatures, partition preservation. Decode backends:
                     make_fake_image/make_fake_audio (magic + dims). Real
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
-                    the remaining compressed formats (lossy VP8 WebP /
-                    MP3 / MP4) need codec libs not in this container;
-                    the mapInPandas plumbing is identical, only the
-                    per-batch decode function changes.
+                    the remaining compressed formats' SAMPLE DATA
+                    (lossy VP8 WebP / MP3 / MP4) needs codec libs not
+                    in this container; their CONTAINER metadata is
+                    real (media_container_metadata: ISO-BMFF box walk
+                    + MPEG audio frame headers); the mapInPandas
+                    plumbing is identical, only the per-batch decode
+                    function changes.
 
 Scale notes: binary payloads ride the scan; metadata extraction is a narrow
 map. Arrow batch size is bounded via spark.sql.execution.arrow.
@@ -1621,3 +1624,395 @@ def frame_sample(
             )
 
     return cols.mapInPandas(run, out_schema)
+
+
+# --- container metadata (MP4 / MP3) — pure struct walk, no codec ------------
+# The sample DATA of these formats is genuinely codec-bound (lossy VP8/
+# H.26x, MDCT audio — the documented ffmpeg/pil stubs), but their
+# CONTAINER metadata is plain byte structure: an ISO-BMFF box walk and
+# MPEG audio frame headers. A training pipeline filters/buckets on
+# duration, resolution, codec and bitrate long before it decodes samples,
+# so the metadata path is first-class here and the decode stays a stub.
+
+MEDIA_CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("container", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+_MP3_BITRATES_V1 = {  # kbps by (layer, index); index 0/15 invalid
+    3: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_MP3_BITRATES_V2 = {
+    3: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    1: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}  # MPEG1 / MPEG2 / MPEG2.5
+
+
+def _mp3_frame_header(raw: bytes, off: int):
+    """Parse one MPEG audio frame header at off. Returns (frame_len,
+    version_bits, layer_num, bitrate_kbps, sample_rate, channels,
+    samples_per_frame) or None."""
+    if off + 4 > len(raw):
+        return None
+    b0, b1, b2, b3 = raw[off : off + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_bits = (b1 >> 1) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = layer_bits  # keep the bit encoding; layer number = 4 - bits
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    rates = _MP3_RATES[version]
+    sample_rate = rates[sr_idx]
+    table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+    bitrate = table[layer][br_idx]
+    padding = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    if layer == 3:  # Layer I: slots of 4 bytes
+        frame_len = (12 * bitrate * 1000 // sample_rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (version == 3 or layer == 2) else 576
+        # Layer III MPEG2/2.5 uses 576 samples -> 72 factor
+        factor = spf // 8
+        frame_len = factor * bitrate * 1000 // sample_rate + padding
+    if frame_len <= 4:
+        return None
+    return frame_len, version, 4 - layer, bitrate, sample_rate, channels, spf
+
+
+def _parse_mp3_meta(raw: bytes):
+    """MEDIA_CONTAINER_SCHEMA tuple (sans sha256) for an MPEG audio
+    stream (any layer), else None. Skips a leading ID3v2 tag, requires
+    the SECOND frame header to sit exactly where the first frame ends
+    (kills false 0xFFEx syncs in arbitrary bytes), reads a Xing/Info
+    VBR frame count when present, else assumes CBR."""
+    if raw is None or len(raw) < 8:
+        return None
+    off = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        size = 0
+        for b in raw[6:10]:  # synchsafe u28
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        off = 10 + size
+    # tolerate a little junk before the first sync, but not a free scan
+    # over arbitrary binary (false-positive containment)
+    first = None
+    for o in range(off, min(off + 16, len(raw) - 4)):
+        h = _mp3_frame_header(raw, o)
+        if h is not None:
+            first = (o, h)
+            break
+    if first is None:
+        return None
+    o, (frame_len, version, layer_num, bitrate, sample_rate, channels,
+        spf) = first
+    nxt = o + frame_len
+    if nxt > len(raw):
+        return None  # shorter than its own first frame: not an MP3
+    if nxt + 4 <= len(raw) and _mp3_frame_header(raw, nxt) is None:
+        return None  # the claimed frame is not followed by a frame
+    # Xing/Info (Layer III VBR header) sits after the side info
+    n_frames = None
+    if layer_num == 3:
+        side = (
+            (32 if channels == 2 else 17)
+            if version == 3
+            else (17 if channels == 2 else 9)
+        )
+        tag_off = o + 4 + side
+        tag = raw[tag_off : tag_off + 4]
+        if tag in (b"Xing", b"Info") and len(raw) >= tag_off + 12:
+            flags = struct.unpack(">I", raw[tag_off + 4 : tag_off + 8])[0]
+            if flags & 1:
+                n_frames = struct.unpack(
+                    ">I", raw[tag_off + 8 : tag_off + 12]
+                )[0]
+    if n_frames is not None:
+        duration = n_frames * spf / sample_rate
+    else:
+        duration = (len(raw) - o) * 8 / (bitrate * 1000)
+    name = {1: "mp1", 2: "mp2", 3: "mp3"}[layer_num]
+    return (
+        name,
+        round(duration, 6),
+        bitrate,
+        sample_rate,
+        channels,
+        None,
+        None,
+        None,
+        name,
+        1,
+    )
+
+
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for ISO-BMFF boxes in
+    raw[start:end]; raises ValueError on malformed sizes."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", raw[pos : pos + 4])[0]
+        fourcc = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize")
+            size = struct.unpack(">Q", raw[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("box overruns parent")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_find(raw, start, end, fourcc):
+    for cc, b, e in _mp4_boxes(raw, start, end):
+        if cc == fourcc:
+            return b, e
+    return None
+
+
+def _parse_mp4_meta(raw: bytes):
+    """MEDIA_CONTAINER_SCHEMA tuple (sans sha256) for an ISO-BMFF (MP4/
+    MOV/M4A) file, else None: ftyp gate, mvhd movie duration, per-trak
+    handler + stsd codec fourcc + tkhd dims (16.16 fixed). Version 0
+    AND 1 boxes handled. Anything malformed -> None."""
+    if raw is None or len(raw) < 16 or raw[4:8] != b"ftyp":
+        return None
+    try:
+        n = len(raw)
+        moov = _mp4_find(raw, 0, n, b"moov")
+        if moov is None:
+            return None
+        mvhd = _mp4_find(raw, moov[0], moov[1], b"mvhd")
+        if mvhd is None:
+            return None
+        ver = raw[mvhd[0]]
+        if ver == 1:
+            timescale = struct.unpack(">I", raw[mvhd[0] + 20 : mvhd[0] + 24])[0]
+            duration = struct.unpack(">Q", raw[mvhd[0] + 24 : mvhd[0] + 32])[0]
+        else:
+            timescale = struct.unpack(">I", raw[mvhd[0] + 12 : mvhd[0] + 16])[0]
+            duration = struct.unpack(">I", raw[mvhd[0] + 16 : mvhd[0] + 20])[0]
+        if timescale <= 0:
+            return None
+        width = height = None
+        vcodec = acodec = None
+        sample_rate = channels = None
+        n_tracks = 0
+        for cc, b, e in _mp4_boxes(raw, moov[0], moov[1]):
+            if cc != b"trak":
+                continue
+            n_tracks += 1
+            mdia = _mp4_find(raw, b, e, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = _mp4_find(raw, mdia[0], mdia[1], b"hdlr")
+            handler = raw[hdlr[0] + 8 : hdlr[0] + 12] if hdlr else b""
+            minf = _mp4_find(raw, mdia[0], mdia[1], b"minf")
+            stsd = None
+            if minf is not None:
+                stbl = _mp4_find(raw, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    stsd = _mp4_find(raw, stbl[0], stbl[1], b"stsd")
+            entry_cc = None
+            if stsd is not None and stsd[1] - stsd[0] >= 16:
+                entry_cc = raw[stsd[0] + 12 : stsd[0] + 16]
+            if handler == b"vide":
+                if entry_cc is not None and vcodec is None:
+                    vcodec = entry_cc.decode("latin1").strip()
+                tkhd = _mp4_find(raw, b, e, b"tkhd")
+                if tkhd is not None and width is None:
+                    tv = raw[tkhd[0]]
+                    base = tkhd[0] + (96 if tv == 1 else 84)
+                    if base + 8 <= tkhd[1]:
+                        width = struct.unpack(
+                            ">I", raw[base : base + 4]
+                        )[0] >> 16
+                        height = struct.unpack(
+                            ">I", raw[base + 4 : base + 8]
+                        )[0] >> 16
+            elif handler == b"soun":
+                if entry_cc is not None and acodec is None:
+                    acodec = entry_cc.decode("latin1").strip()
+                # audio sample entry: channels u16 at +24, rate 16.16 at
+                # +32 (entry = 36 bytes, stsd header = 8)
+                if stsd is not None and stsd[1] - stsd[0] >= 44:
+                    channels = struct.unpack(
+                        ">H", raw[stsd[0] + 32 : stsd[0] + 34]
+                    )[0]
+                    sample_rate = struct.unpack(
+                        ">I", raw[stsd[0] + 40 : stsd[0] + 44]
+                    )[0] >> 16
+        return (
+            "mp4",
+            round(duration / timescale, 6),
+            None,
+            sample_rate,
+            channels,
+            width,
+            height,
+            vcodec,
+            acodec,
+            n_tracks,
+        )
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def media_container_metadata(
+    df: DataFrame, binary_col: str, id_col: str
+) -> DataFrame:
+    """(id, container, duration_sec, bitrate_kbps, sample_rate, channels,
+    width, height, video_codec, audio_codec, n_tracks, sha256) via
+    Arrow-batched mapInPandas — REAL metadata for MP4/ISO-BMFF (box
+    walk) and MPEG audio (frame headers incl. ID3 skip + Xing VBR frame
+    count), the two formats whose sample decode is codec-bound.
+    Undecodable rows yield metadata nulls, never a crash."""
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + list(MEDIA_CONTAINER_SCHEMA.fields)
+    )
+    cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
+    nulls = (None,) * 10
+
+    def meta_of(raw) -> tuple:
+        b = bytes(raw) if raw is not None else None
+        try:
+            parsed = _parse_mp4_meta(b) or _parse_mp3_meta(b)
+        except Exception:
+            parsed = None
+        if parsed is None:
+            return nulls + (None,)
+        return parsed + (hashlib.sha256(b).hexdigest(),)
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        names = [f.name for f in MEDIA_CONTAINER_SCHEMA.fields]
+        for pdf in batches:
+            feats = [meta_of(r) for r in pdf["raw"]]
+            data = {"id": pdf["id"].values}
+            for i, name in enumerate(names):
+                data[name] = [f[i] for f in feats]
+            yield pd.DataFrame(data)
+
+    return cols.mapInPandas(run, out_schema)
+
+
+def make_mp4_fixture(
+    duration_sec: float = 3.5,
+    timescale: int = 1000,
+    width: int = 640,
+    height: int = 360,
+    vcodec: bytes = b"avc1",
+    acodec: bytes = b"mp4a",
+    sample_rate: int = 44100,
+    channels: int = 2,
+    version: int = 0,
+) -> bytes:
+    """Structurally valid ISO-BMFF skeleton (ftyp + moov with one video
+    and one audio trak + empty mdat) — the fixture writer for
+    _parse_mp4_meta; all box sizes computed, version 0 or 1 mvhd/tkhd."""
+
+    def box(cc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    dur = int(duration_sec * timescale)
+    if version == 1:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0]) + b"\x00" * 16
+            + struct.pack(">IQ", timescale, dur) + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            b"\x00" * 12 + struct.pack(">II", timescale, dur) + b"\x00" * 80,
+        )
+
+    def trak(handler: bytes, entry: bytes, tk_tail: bytes) -> bytes:
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+        stsd = box(b"stsd", b"\x00" * 8 + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdhd = box(
+            b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, dur) + b"\x00" * 4
+        )
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = box(b"tkhd", b"\x00" * 84 + tk_tail)
+        return box(b"trak", tkhd + mdia)
+
+    ventry = struct.pack(">I", 86) + vcodec + b"\x00" * 78
+    aentry = (
+        struct.pack(">I", 36) + acodec + b"\x00" * 16
+        + struct.pack(">HH", channels, 16) + b"\x00" * 4
+        + struct.pack(">I", sample_rate << 16)
+    )
+    vtrak = trak(b"vide", ventry, struct.pack(">II", width << 16, height << 16))
+    atrak = trak(b"soun", aentry, b"\x00" * 8)
+    moov = box(b"moov", mvhd + vtrak + atrak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def make_mp3_fixture(
+    n_frames: int = 10,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    id3_bytes: int = 0,
+    xing_frames: int | None = None,
+) -> bytes:
+    """Valid MPEG-1 Layer III CBR frame headers with zeroed payloads
+    (+ optional ID3v2 prefix and Xing VBR header) — the fixture writer
+    for _parse_mp3_meta."""
+    br_idx = _MP3_BITRATES_V1[1].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            0xC0 if channels == 1 else 0x00,
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = bytearray(hdr + b"\x00" * (frame_len - 4))
+    if xing_frames is not None:
+        side = 32 if channels == 2 else 17
+        frame[4 + side : 4 + side + 12] = (
+            b"Xing" + struct.pack(">II", 1, xing_frames)
+        )
+    out = b""
+    if id3_bytes:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+             (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F]
+        ) + b"\x00" * id3_bytes
+    return out + bytes(frame) * n_frames

@@ -1428,3 +1428,81 @@ def test_tiff_in_decode_images_and_phash(spark):
     assert out[0].phash == out[1].phash
     assert out[0].keep and not out[1].keep
     assert out[2].keep and out[2].cluster_id == 2
+
+
+def test_media_container_metadata_parsers():
+    """MP4 box walk + MP3 frame headers: exact fields from the fixture
+    writers (v0 + v1 mvhd/tkhd, audio entry rate/channels, CBR estimate
+    vs Xing frame count, ID3v2 skip, mono/stereo, Layer awareness);
+    malformed inputs -> None, never an exception."""
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_mp3_meta,
+        _parse_mp4_meta,
+        make_mp3_fixture,
+        make_mp4_fixture,
+    )
+
+    m = _parse_mp4_meta(make_mp4_fixture())
+    assert m == ("mp4", 3.5, None, 44100, 2, 640, 360, "avc1", "mp4a", 2)
+    m1 = _parse_mp4_meta(
+        make_mp4_fixture(version=1, duration_sec=7.25, width=1920,
+                         height=1080, vcodec=b"hvc1", sample_rate=48000,
+                         channels=1)
+    )
+    assert m1 == ("mp4", 7.25, None, 48000, 1, 1920, 1080, "hvc1",
+                  "mp4a", 2)
+
+    p = _parse_mp3_meta(make_mp3_fixture(n_frames=10))
+    assert p[:5] == ("mp3", 0.260625, 128, 44100, 2)  # CBR estimate
+    px = _parse_mp3_meta(
+        make_mp3_fixture(n_frames=5, id3_bytes=64, xing_frames=5000)
+    )
+    assert px[1] == round(5000 * 1152 / 44100, 6)  # Xing frame count wins
+    pm = _parse_mp3_meta(
+        make_mp3_fixture(n_frames=3, bitrate_kbps=320, sample_rate=32000,
+                         channels=1)
+    )
+    assert pm[2:5] == (320, 32000, 1)
+
+    # malformed: lone sync in junk (no second frame), bad ftyp, truncation
+    assert _parse_mp3_meta(b"\xff\xfb\x90\x00 then junk not a frame!!") is None
+    assert _parse_mp3_meta(None) is None and _parse_mp4_meta(None) is None
+    assert _parse_mp4_meta(b"\x00\x00\x00\x08free") is None
+    good = make_mp4_fixture()
+    assert _parse_mp4_meta(good[:40]) is None
+    import numpy as np
+    rng = np.random.default_rng(12)
+    for _ in range(50):  # bit flips must never raise
+        b2 = bytearray(good)
+        b2[int(rng.integers(0, len(b2)))] ^= 1 << int(rng.integers(0, 8))
+        _parse_mp4_meta(bytes(b2))
+        _parse_mp3_meta(bytes(b2))
+
+
+def test_media_container_metadata_spark(spark):
+    """Spark e2e: one mapInPandas pass classifies MP4 vs MP3 vs
+    undecodable rows with the null contract."""
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        make_mp3_fixture,
+        make_mp4_fixture,
+        media_container_metadata,
+    )
+
+    rows = [
+        (0, bytearray(make_mp4_fixture(duration_sec=12.0, width=1280,
+                                       height=720))),
+        (1, bytearray(make_mp3_fixture(n_frames=8, xing_frames=800))),
+        (2, bytearray(b"neither container")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw binary")
+    out = {r.id: r for r in media_container_metadata(df, "raw", "id").collect()}
+    assert len(out) == 4
+    assert (out[0].container, out[0].duration_sec, out[0].width,
+            out[0].height, out[0].video_codec) == ("mp4", 12.0, 1280, 720,
+                                                   "avc1")
+    assert out[1].container == "mp3"
+    assert out[1].duration_sec == round(800 * 1152 / 44100, 6)
+    assert out[1].sha256 is not None
+    assert out[2].container is None and out[2].sha256 is None
+    assert out[3].container is None
