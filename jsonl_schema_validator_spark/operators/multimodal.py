@@ -478,7 +478,7 @@ def _parse_gif(raw: bytes):
 # --- uncompressed-format parsers (numpy, no codecs) -------------------------
 
 
-def _packbits_decode(data: bytes, out_len: int, np):
+def _packbits_decode(data: bytes, out_len: int):
     """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literals;
     n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op.
     Returns exactly out_len bytes or raises ValueError."""
@@ -579,7 +579,7 @@ def _parse_tiff(raw: bytes):
             strip = raw[off : off + cnt]
             strip_rows = min(rows_per_strip, remaining_rows)
             if comp == 32773:
-                strip = _packbits_decode(strip, strip_rows * row_bytes, np)
+                strip = _packbits_decode(strip, strip_rows * row_bytes)
             data += strip[: strip_rows * row_bytes]
             remaining_rows -= strip_rows
         if len(data) < h * row_bytes:
@@ -592,7 +592,9 @@ def _parse_tiff(raw: bytes):
         if photo == 0:  # WhiteIsZero greyscale
             px = 255 - px
         return w, h, px.reshape(-1).copy()
-    except (struct.error, ValueError):
+    except (struct.error, ValueError, IndexError):
+        # IndexError: a count=0 IFD entry leaves an empty value tuple
+        # (round-7 second-review finding) — malformed -> None, contract
         return None
 
 
@@ -606,6 +608,11 @@ def encode_tiff(arr, packbits: bool = False) -> bytes:
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, spp = a.shape
+    if spp not in (1, 3, 4):
+        # e.g. an accidental grey+alpha (h, w, 2) array would otherwise
+        # emit bytes the parser rejects, making decode tests pass
+        # vacuously through the undecodable path
+        raise ValueError(f"encode_tiff: {spp} samples/pixel unsupported")
     data = a.tobytes()
     if packbits:
         out = bytearray()
@@ -1734,15 +1741,17 @@ def _parse_mp3_meta(raw: bytes):
         return None  # shorter than its own first frame: not an MP3
     if nxt + 4 <= len(raw) and _mp3_frame_header(raw, nxt) is None:
         return None  # the claimed frame is not followed by a frame
-    # Xing/Info (Layer III VBR header) sits after the side info
+    # Xing/Info (Layer III VBR header) sits after the optional 2-byte
+    # CRC (protection bit 0 = CRC PRESENT, T-shirt logic) + side info
     n_frames = None
     if layer_num == 3:
+        crc = 0 if (raw[o + 1] & 1) else 2
         side = (
             (32 if channels == 2 else 17)
             if version == 3
             else (17 if channels == 2 else 9)
         )
-        tag_off = o + 4 + side
+        tag_off = o + 4 + crc + side
         tag = raw[tag_off : tag_off + 4]
         if tag in (b"Xing", b"Info") and len(raw) >= tag_off + 12:
             flags = struct.unpack(">I", raw[tag_off + 4 : tag_off + 8])[0]
@@ -1849,7 +1858,13 @@ def _parse_mp4_meta(raw: bytes):
                 tkhd = _mp4_find(raw, b, e, b"tkhd")
                 if tkhd is not None and width is None:
                     tv = raw[tkhd[0]]
-                    base = tkhd[0] + (96 if tv == 1 else 84)
+                    # 16.16 dims at body offset 76 (v0) / 88 (v1):
+                    # ver/flags 4 + times/id/duration 20 (v0) or 32 (v1)
+                    # + reserved 8 + layer/group/volume 8 + matrix 36.
+                    # (Round-7 second-review finding: 84/96 are the
+                    # total BODY SIZES, not the dims offsets — and the
+                    # fixture shared the misread, so round-trips passed.)
+                    base = tkhd[0] + (88 if tv == 1 else 76)
                     if base + 8 <= tkhd[1]:
                         width = struct.unpack(
                             ">I", raw[base : base + 4]
@@ -1894,6 +1909,17 @@ def media_container_metadata(
     walk) and MPEG audio (frame headers incl. ID3 skip + Xing VBR frame
     count), the two formats whose sample decode is codec-bound.
     Undecodable rows yield metadata nulls, never a crash."""
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # validate-at-entry (the image_phash convention): a non-integral
+        # id would otherwise fail deep inside the Arrow batch with an
+        # opaque cast error
+        raise ValueError(
+            f"media_container_metadata: id column {id_col!r} must be an "
+            f"integral type (got {id_type.simpleString()})"
+        )
     out_schema = T.StructType(
         [T.StructField("id", T.LongType())]
         + list(MEDIA_CONTAINER_SCHEMA.fields)
@@ -1965,7 +1991,14 @@ def make_mp4_fixture(
             b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, dur) + b"\x00" * 4
         )
         mdia = box(b"mdia", mdhd + hdlr + minf)
-        tkhd = box(b"tkhd", b"\x00" * 84 + tk_tail)
+        # spec-conformant tkhd body: ver/flags + 72 (v0) / 84 (v1)
+        # bytes through the matrix, then 16.16 width+height
+        tkhd = box(
+            b"tkhd",
+            bytes([version, 0, 0, 0])
+            + b"\x00" * (84 if version == 1 else 72)
+            + tk_tail,
+        )
         return box(b"trak", tkhd + mdia)
 
     ventry = struct.pack(">I", 86) + vcodec + b"\x00" * 78
@@ -1988,16 +2021,17 @@ def make_mp3_fixture(
     channels: int = 2,
     id3_bytes: int = 0,
     xing_frames: int | None = None,
+    crc: bool = False,
 ) -> bytes:
     """Valid MPEG-1 Layer III CBR frame headers with zeroed payloads
-    (+ optional ID3v2 prefix and Xing VBR header) — the fixture writer
-    for _parse_mp3_meta."""
+    (+ optional ID3v2 prefix, Xing VBR header, CRC protection) — the
+    fixture writer for _parse_mp3_meta."""
     br_idx = _MP3_BITRATES_V1[1].index(bitrate_kbps)
     sr_idx = _MP3_RATES[3].index(sample_rate)
     hdr = bytes(
         [
             0xFF,
-            0xFB,  # MPEG1, Layer III, no CRC
+            0xFA if crc else 0xFB,  # MPEG1 Layer III; bit0=0 -> CRC present
             (br_idx << 4) | (sr_idx << 2),
             0xC0 if channels == 1 else 0x00,
         ]
@@ -2005,10 +2039,8 @@ def make_mp3_fixture(
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
     frame = bytearray(hdr + b"\x00" * (frame_len - 4))
     if xing_frames is not None:
-        side = 32 if channels == 2 else 17
-        frame[4 + side : 4 + side + 12] = (
-            b"Xing" + struct.pack(">II", 1, xing_frames)
-        )
+        off = 4 + (2 if crc else 0) + (32 if channels == 2 else 17)
+        frame[off : off + 12] = b"Xing" + struct.pack(">II", 1, xing_frames)
     out = b""
     if id3_bytes:
         out += b"ID3\x04\x00\x00" + bytes(

@@ -1506,3 +1506,91 @@ def test_media_container_metadata_spark(spark):
     assert out[1].sha256 is not None
     assert out[2].container is None and out[2].sha256 is None
     assert out[3].container is None
+
+
+def test_tiff_mm_multistrip_and_count0():
+    """The docstring-claimed paths the first battery missed (round-7
+    second review): a hand-built MM (big-endian) 2-strip greyscale file
+    decodes exactly; an IFD entry with count=0 returns None (was an
+    IndexError leak); encode_tiff rejects 2-channel arrays at entry."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff,
+    )
+
+    # MM, 3x2 grey, RowsPerStrip=1 -> 2 strips at separate offsets
+    px = np.array([[10, 20, 30], [200, 210, 220]], np.uint8)
+    entries = []
+    def e(tag, ttype, count, val):
+        entries.append(st.pack(">HHI", tag, ttype, count)
+                       + (st.pack(">HH", val, 0) if ttype == 3 and count == 1
+                          else st.pack(">I", val)))
+    ifd_off = 8
+    n = 9
+    data_off = ifd_off + 2 + n * 12 + 4
+    # strip offsets/counts arrays (2 entries each) live after pixel data
+    arr_off = data_off + 6
+    e(256, 4, 1, 3); e(257, 4, 1, 2); e(258, 3, 1, 8); e(259, 3, 1, 1)
+    e(262, 3, 1, 1); e(273, 4, 2, arr_off); e(277, 3, 1, 1)
+    e(278, 4, 1, 1); e(279, 4, 2, arr_off + 8)
+    entries.sort(key=lambda b: st.unpack(">H", b[:2])[0])
+    raw = (b"MM\x00*" + st.pack(">I", ifd_off) + st.pack(">H", n)
+           + b"".join(entries) + st.pack(">I", 0)
+           + px[0].tobytes() + px[1].tobytes()
+           + st.pack(">II", data_off, data_off + 3)
+           + st.pack(">II", 3, 3))
+    out = _parse_tiff(raw)
+    assert out is not None
+    w, h, flat = out
+    assert (w, h) == (3, 2) and np.array_equal(flat.reshape(2, 3), px)
+
+    # count=0 width entry: malformed -> None, never IndexError
+    bad = bytearray(encode_tiff(np.dstack([px] * 3)))
+    i = bad.index((256).to_bytes(2, "little"))
+    bad[i + 4 : i + 8] = (0).to_bytes(4, "little")
+    assert _parse_tiff(bytes(bad)) is None
+
+    with pytest.raises(ValueError, match="samples/pixel"):
+        encode_tiff(np.zeros((2, 2, 2), np.uint8))
+
+
+def test_media_container_metadata_second_review_pins(spark):
+    """tkhd dims at the SPEC offsets (76 v0 / 88 v1 — the fixture used
+    to share the 84/96 misread); CRC-protected Xing frames found behind
+    the 2-byte CRC; string id rejected at entry."""
+    import pytest
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_mp3_meta,
+        _parse_mp4_meta,
+        make_mp3_fixture,
+        make_mp4_fixture,
+        media_container_metadata,
+    )
+
+    # v0 tkhd body must be exactly 84 bytes with dims at 76/80
+    raw = make_mp4_fixture(width=640, height=360)
+    i = raw.index(b"tkhd")
+    body_len = int.from_bytes(raw[i - 4 : i], "big") - 8
+    assert body_len == 84
+    assert int.from_bytes(raw[i + 4 + 76 : i + 4 + 80], "big") >> 16 == 640
+    assert _parse_mp4_meta(raw)[5:7] == (640, 360)
+    # v1 tkhd: 96-byte body, dims at 88
+    raw1 = make_mp4_fixture(version=1, width=1920, height=1080)
+    i = raw1.index(b"tkhd")
+    assert int.from_bytes(raw1[i - 4 : i], "big") - 8 == 96
+    assert _parse_mp4_meta(raw1)[5:7] == (1920, 1080)
+
+    # CRC-protected VBR: Xing sits 2 bytes later and must still be found
+    pc = _parse_mp3_meta(make_mp3_fixture(n_frames=4, xing_frames=400,
+                                          crc=True))
+    assert pc[1] == round(400 * 1152 / 44100, 6)
+
+    sdf = spark.createDataFrame([("x", b"")], "id string, raw binary")
+    with pytest.raises(ValueError, match="integral"):
+        media_container_metadata(sdf, "raw", "id")
