@@ -550,6 +550,19 @@ LEFT JOIN winner w ON w.doc_id IS NOT DISTINCT FROM d.doc_id
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard packing (GPT-style data packing): shard =
+    floor(tokens_before_doc / budget) in id order, computed as a
+    distributed prefix sum (approx-quantile buckets -> driver offsets ->
+    within-bucket window; NO global single-partition window). The result
+    is bucketing-invariant, so the DuckDB oracle is a plain window
+    cumsum over the same shared BPE_TOKEN_PATTERN counts."""
+    from jsonl_schema_validator_spark.operators import shard_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assign(docs, "doc_id", "text", tokens_per_shard=50000)
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling (arXiv:2302.03169 completed): Gumbel-top-k over
     the q_dsir_weights log-weights with md5-derived deterministic noise
@@ -1252,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 entries, appended at the tail per the contract
         "dsir_sample": q_dsir_sample,
         "langid_nb": q_langid_nb,
+        "shard_assign": q_shard_assign,
     }
 
 
@@ -2763,4 +2777,15 @@ FROM documents
         "psi_nchars": _PSI_NCHARS_SQL,
         "dsir_sample": _dsir_sample_sql(n_target=150, salt=""),
         "langid_nb": _langid_nb_sql(num_buckets=1024, add_k=0.5),
+        "shard_assign": f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         COALESCE(CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INT), 0) AS n_tokens
+  FROM documents)
+SELECT id, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+              ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) * 1.0 / 50000) AS BIGINT) AS shard
+FROM w
+""",
     }

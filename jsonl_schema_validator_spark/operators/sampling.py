@@ -339,3 +339,93 @@ def dsir_sample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(n_target)
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_shard: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, n_tokens, shard) — pack documents into token-budgeted
+    training shards in id order: shard = floor(tokens_before_doc /
+    tokens_per_shard), docs never split (a doc larger than the budget
+    owns its shard boundary). The GPT-style data-packing step between
+    cleaning and export.
+
+    Scale design — a distributed prefix sum, NOT a global window (a
+    bare `Window.orderBy(id)` moves the corpus to ONE task): (1) one
+    approx-quantile agg picks n_buckets-1 id boundaries; (2) per-bucket
+    token totals (n_buckets rows) collect to the driver and cumsum into
+    bucket offsets; (3) a within-bucket window adds the local running
+    sum. The RESULT is a pure function of (id order, token counts) —
+    bucket boundaries only shape execution, so approx quantiles are
+    fine and the DuckDB oracle is a plain window cumsum. The driver
+    sees exactly n_buckets rows. Token counts use the shared
+    BPE_TOKEN_PATTERN (token_count's bpe_like definition); NULL text
+    counts 0.
+
+    PRECONDITION: ids unique and non-null (the stratified_hash_sample
+    convention) — duplicate ids would double-count budget; a NULL id
+    has no position in the id order."""
+    if tokens_per_shard < 1:
+        raise ValueError("tokens_per_shard must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from jsonl_schema_validator_spark.operators.textops import token_count
+
+    w = token_count(df, id_col, text_col, bpe_like=True).select(
+        "id", F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens")
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        w.agg(F.percentile_approx("id", qs).alias("b")).collect()[0]["b"]
+        if qs
+        else []
+    ) or []
+    if bounds:
+        # one shallow aggregate-HOF over the boundary array — a chained
+        # (id > b0) + (id > b1) + ... expression is a DEEP Add tree that
+        # Catalyst analyzes superlinearly (measured 9.2s vs 1.5s total
+        # at 64 vs 8 buckets on a 500-row table); the HOF runs
+        # interpreted but is 63 integer compares per row on ONE column
+        arr = F.array(*[F.lit(int(b)) for b in bounds])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + (F.col("id") > b).cast("int"),
+        )
+    else:
+        bucket = F.lit(0)
+    wb = w.withColumn("__jsv_bucket", bucket)
+    totals = {
+        r["__jsv_bucket"]: r["t"]
+        for r in wb.groupBy("__jsv_bucket")
+        .agg(F.sum(F.col("n_tokens").cast("long")).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for k in range(n_buckets):
+        offsets.append((k, acc))
+        acc += int(totals.get(k, 0))
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__jsv_bucket int, __jsv_offset long")
+    )
+    local = (
+        Window.partitionBy("__jsv_bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col("n_tokens").cast("long")).over(local), F.lit(0)
+    ) + F.col("__jsv_offset")
+    return (
+        wb.join(off_df, "__jsv_bucket")
+        .withColumn(
+            "shard",
+            F.floor(cum_before / F.lit(tokens_per_shard)).cast("long"),
+        )
+        .select("id", "n_tokens", "shard")
+    )

@@ -982,3 +982,70 @@ def test_langid_nb_accuracy_on_multilingual_fixture(spark):
         langid_nb_train(df, "text", "lang", num_buckets=0)
     with pytest.raises(ValueError, match="n must"):
         langid_nb_train(df, "text", "lang", n=0)
+
+
+def test_shard_assign_exact_and_bucket_invariant(spark):
+    """shard = floor(tokens_before_doc / budget) in id order, exact vs a
+    python reference; invariant across n_buckets (boundaries shape
+    execution, never the result); a doc larger than the budget owns its
+    boundary; NULL text counts 0; the plan contains NO single-partition
+    window (the distributed-prefix-sum point)."""
+    import re
+
+    import pytest
+
+    from jsonl_schema_validator_spark.operators import shard_assign
+    from jsonl_schema_validator_spark.operators.textops import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    texts = {
+        1: "one two three four",
+        2: "a b",
+        3: None,
+        4: "x " * 50,
+        5: "single",
+        6: "tail doc here",
+    }
+    rows = [(i, t) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    budget = 5
+
+    counts = {
+        i: len(re.findall(BPE_TOKEN_PATTERN, t)) if t else 0
+        for i, t in texts.items()
+    }
+    cum, expect = 0, {}
+    for i in sorted(counts):
+        expect[i] = cum // budget
+        cum += counts[i]
+
+    base = None
+    for nb in (1, 3, 64):
+        out = {
+            r.id: (r.n_tokens, r.shard)
+            for r in shard_assign(
+                df, "doc_id", "text", budget, n_buckets=nb
+            ).collect()
+        }
+        assert {i: s for i, (_, s) in out.items()} == expect, nb
+        assert {i: n for i, (n, _) in out.items()} == counts, nb
+        if base is None:
+            base = out
+        assert out == base, nb  # bucket-count invariance
+
+    # doc 4 (50 tokens >> budget 5) must own its boundary: doc 5 starts
+    # at floor((4+2+0+50)/5) = 11
+    assert expect[5] == 11 and base[5][1] == 11
+
+    plan = (
+        shard_assign(df, "doc_id", "text", budget, n_buckets=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan  # never a global-window scan
+
+    with pytest.raises(ValueError, match="tokens_per_shard"):
+        shard_assign(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        shard_assign(df, "doc_id", "text", 5, n_buckets=0)
