@@ -307,3 +307,83 @@ def test_fast_accept_sound_across_random_schemas():
                 line = json.dumps(rec, separators=seps)
                 if fast.match(line):
                     assert validate_line(line, js) == [], (doc, line)
+
+
+# --- codec property pins (round 7): exact round-trips over arbitrary ---------
+# hypothesis-generated content x feature flags. The example-based codec
+# batteries pin curated cases; these search the input space for the
+# shapes nobody thought to plant (odd dims, extreme values, degenerate
+# histograms -> simple prefix codes / single-symbol alphabets).
+
+
+@st.composite
+def small_rgb(draw, max_dim=14):
+    h = draw(st.integers(1, max_dim))
+    w = draw(st.integers(1, max_dim))
+    import numpy as np
+
+    flat = draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.array(flat, np.uint8).reshape(h, w, 3)
+
+
+@given(
+    small_rgb(),
+    st.booleans(),
+    st.integers(0, 8),
+    st.sampled_from([None, 0, 7, 11, 13]),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_webp_roundtrip_property(arr, subtract_green, cache_bits, pred, runs):
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.webp import (
+        _parse_webp,
+        encode_webp_lossless,
+    )
+
+    data = encode_webp_lossless(
+        arr,
+        use_runs=runs,
+        cache_bits=cache_bits,
+        subtract_green=subtract_green,
+        predictor_mode=pred,
+    )
+    w, h, px = _parse_webp(data)
+    assert (w, h) == (arr.shape[1], arr.shape[0])
+    assert np.array_equal(px.reshape(h, w, 3), arr)
+
+
+@given(small_rgb(max_dim=20), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_property(arr, packbits):
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff,
+    )
+
+    w, h, px = _parse_tiff(encode_tiff(arr, packbits=packbits))
+    assert (w, h) == (arr.shape[1], arr.shape[0])
+    assert np.array_equal(px.reshape(h, w, 3), arr)
+
+
+@given(small_rgb(max_dim=20))
+@settings(max_examples=40, deadline=None)
+def test_webp_palette_roundtrip_property(arr):
+    """Quantize to <=8 colors, then the palette/bundling path must be
+    exact for whatever color set hypothesis produced."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.webp import (
+        _parse_webp,
+        encode_webp_lossless,
+    )
+
+    arr = (arr // 96) * 96  # <= 3 levels/channel, <= 27 colors
+    data = encode_webp_lossless(arr, palette=True)
+    w, h, px = _parse_webp(data)
+    assert np.array_equal(px.reshape(h, w, 3), arr)
