@@ -341,6 +341,23 @@ def dsir_sample(
     )
 
 
+def _check_numeric_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Validate-at-entry that id_col is a numeric type (the audio_phash
+    precedent — ADVICE r7): non-numeric ids would otherwise fail deep
+    inside percentile_approx / the driver's int(boundary) with opaque
+    analysis or TypeError messages."""
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"{op} needs a numeric id column (its distributed prefix sum "
+            f"buckets ids by approx quantiles); {id_col!r} is "
+            f"{dt.simpleString()} — cast it or re-key with a numeric "
+            "surrogate (e.g. xxhash64) first"
+        )
+
+
 def shard_assign(
     df: DataFrame,
     id_col: str,
@@ -373,6 +390,7 @@ def shard_assign(
         raise ValueError("tokens_per_shard must be >= 1")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    _check_numeric_id(df, id_col, "shard_assign")
     from jsonl_schema_validator_spark.operators.textops import token_count
 
     w = token_count(df, id_col, text_col, bpe_like=True).select(

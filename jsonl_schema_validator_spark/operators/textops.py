@@ -8,6 +8,8 @@ deliberately portable so each op has a DuckDB oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -664,6 +666,17 @@ def langid_nb(
     )
     if not langs:
         raise ValueError("model has no languages")
+    # validate-at-entry (round-8 ADVICE): language labels become pivoted
+    # column names and F.col references — a dot/space/backtick label would
+    # misparse as a nested-field reference or fail resolution with an
+    # opaque AnalysisException deep in the plan. Fail clearly instead.
+    bad = [l for l in langs if not re.fullmatch(r"[A-Za-z0-9_-]+", l)]
+    if bad:
+        raise ValueError(
+            f"language labels must match [A-Za-z0-9_-]+ (they become "
+            f"model column names); offending labels: {bad[:5]!r} — "
+            "re-key the seed's lang column first"
+        )
     priors = {
         r["lang"]: r["p"]
         for r in model.groupBy("lang").agg(F.first("prior").alias("p")).collect()
@@ -686,13 +699,26 @@ def langid_nb(
             for lang in langs
         ],
     )
-    guess = F.lit(langs[0])
-    best = F.col(f"__s_{langs[0]}")
-    for lang in langs[1:]:
-        s = F.col(f"__s_{lang}")
-        new_guess = F.when(s > best, F.lit(lang)).otherwise(guess)
-        best = F.when(s > best, s).otherwise(best)
-        guess = new_guess
+    # argmax as ONE shallow array_min over (negated score, lang) structs —
+    # struct order is (field1 asc, field2 asc), so the min is the largest
+    # score with ties broken language-asc, exactly the when-chain it
+    # replaces (round-8, VERDICT r7 note: an L-deep nested `when` tree hits
+    # Catalyst's superlinear deep-tree analysis at hundreds of languages —
+    # the shard_assign lesson). Double negation is exact in IEEE doubles,
+    # so nb_score round-trips bit-identically.
+    winner = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"__s_{lang}")).alias("ns"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ]
+        )
+    )
+    guess = winner["lang"]
+    best = -winner["ns"]
     base = df.select(F.col(id_col).alias("id"))
     return (
         base.join(per_id, base["id"].eqNullSafe(per_id["id"]), "left")

@@ -498,7 +498,20 @@ def _apply_inverse_color_transform(pixels, w, h, size_bits, sw, sub):
 
 def _apply_inverse_transforms(pixels, w, h, transforms):
     """Inverse transforms in reverse read order. Returns (pixels, w)
-    — color indexing widens the packed image back to full width."""
+    — color indexing widens the packed image back to full width.
+
+    Width tracking (round-8 ADVICE fix): a spec-legal stream may read a
+    predictor/color transform AFTER the color-indexing transform; the
+    pixel stream then decodes at the PACKED width, and those inverses
+    (which run BEFORE the color-indexing inverse here) must use it —
+    their sub-image dims were likewise computed from the packed width at
+    read time and ride in the payload. Color indexing is unique (the
+    duplicate-transform guard), so the decoded width is packed iff a
+    type-3 transform exists; its inverse restores the full width for the
+    transforms read before it."""
+    for ttype, payload in transforms:
+        if ttype == 3:
+            w = _sub_size(payload[2], payload[0])
     for ttype, payload in reversed(transforms):
         if ttype == 2:  # add green back
             pixels = [

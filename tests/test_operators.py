@@ -982,6 +982,15 @@ def test_langid_nb_accuracy_on_multilingual_fixture(spark):
         langid_nb_train(df, "text", "lang", num_buckets=0)
     with pytest.raises(ValueError, match="n must"):
         langid_nb_train(df, "text", "lang", n=0)
+    # round-8 ADVICE: labels become pivoted column names — a dot label
+    # would misparse as a nested-field reference; fail clearly at entry
+    bad_seed = spark.createDataFrame(
+        [(1, "en.US", "the of and to the of and")],
+        "doc_id bigint, lang string, text string",
+    )
+    bad_model = langid_nb_train(bad_seed, "text", "lang", num_buckets=64)
+    with pytest.raises(ValueError, match=r"A-Za-z0-9_-"):
+        langid_nb(df, "doc_id", "text", bad_model, num_buckets=64)
 
 
 def test_shard_assign_exact_and_bucket_invariant(spark):
@@ -1049,3 +1058,8 @@ def test_shard_assign_exact_and_bucket_invariant(spark):
         shard_assign(df, "doc_id", "text", 0)
     with pytest.raises(ValueError, match="n_buckets"):
         shard_assign(df, "doc_id", "text", 5, n_buckets=0)
+    # round-8 ADVICE: non-numeric id fails clearly at entry, not deep
+    # inside percentile_approx
+    sdf = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="numeric id"):
+        shard_assign(sdf, "doc_id", "text", 5)

@@ -220,3 +220,45 @@ def test_webp_in_decode_images_and_phash(spark):
     assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == 0
     assert out[0].keep and not out[1].keep and not out[2].keep
     assert out[3].keep and out[3].cluster_id == 3
+
+
+def test_inverse_transforms_after_bundling_use_packed_width():
+    """Round-8 ADVICE fix: a spec-legal stream may read a predictor (or
+    color) transform AFTER the color-indexing transform, so its inverse
+    runs over PACKED-width pixels (the decoded stream's width) before the
+    color-indexing inverse restores the full width. The local encoder
+    never emits that order, so this drives _apply_inverse_transforms with
+    payloads exactly as _decode_image_stream builds them for such a
+    stream (predictor sub dims computed from the packed width)."""
+    from jsonl_schema_validator_spark.operators.webp import (
+        _apply_inverse_transforms,
+        _sub_size,
+    )
+
+    w, h = 4, 2
+    pal = [
+        (255, 10, 20, 30),
+        (255, 40, 50, 60),
+        (255, 70, 80, 90),
+        (255, 100, 110, 120),
+    ]
+    width_bits = 2  # 4-entry palette -> 4 indices per packed pixel
+    packed_w = _sub_size(w, width_bits)
+    assert packed_w == 1
+    # packed green channels: row0 indices [0,1,2,3], row1 [3,2,1,0]
+    p0 = (255, 0, 0 | (1 << 2) | (2 << 4) | (3 << 6), 0)
+    p1 = (255, 0, 3 | (2 << 2) | (1 << 4) | (0 << 6), 0)
+    # predictor residuals over the PACKED 1x2 image: (0,0) predicts
+    # (255,0,0,0); x==0 rows predict top
+    d0 = tuple((p0[c] - (255, 0, 0, 0)[c]) & 0xFF for c in range(4))
+    d1 = tuple((p1[c] - p0[c]) & 0xFF for c in range(4))
+    # read order: color indexing FIRST, then the predictor (read at the
+    # packed width: sub dims _sub_size(1,2) x _sub_size(2,2) = 1x1)
+    transforms = [
+        (3, (width_bits, pal, w)),
+        (0, (2, 1, 1, [(255, 0, 2, 0)])),
+    ]
+    pixels, out_w = _apply_inverse_transforms([d0, d1], w, h, transforms)
+    assert out_w == w
+    expect = [pal[i] for i in (0, 1, 2, 3, 3, 2, 1, 0)]
+    assert pixels == expect
