@@ -425,25 +425,26 @@ def shard_assign(
     }
     offsets, acc = [], 0
     for k in range(n_buckets):
-        offsets.append((k, acc))
+        offsets.append(acc)
         acc += int(totals.get(k, 0))
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__jsv_bucket int, __jsv_offset long")
-    )
     local = (
         Window.partitionBy("__jsv_bucket")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # offsets are a pure function of the bucket index and there are only
+    # n_buckets of them — map via element_at over a literal array instead
+    # of a broadcast join. Besides being join-free, this dodges a Spark
+    # 4.1 executor-side binding bug ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND])
+    # where a window over (parquet-scan-with-outer-capture-HOF bucket) ⋈
+    # broadcast LocalRelation mis-binds the collapsed lambda capture when
+    # the result feeds a partitionBy parquet write (V1Writes sort
+    # insertion) — reproduced and pinned in tests/test_export_job.py.
+    off_arr = F.array(*[F.lit(v).cast("long") for v in offsets])
     cum_before = F.coalesce(
         F.sum(F.col("n_tokens").cast("long")).over(local), F.lit(0)
-    ) + F.col("__jsv_offset")
-    return (
-        wb.join(off_df, "__jsv_bucket")
-        .withColumn(
-            "shard",
-            F.floor(cum_before / F.lit(tokens_per_shard)).cast("long"),
-        )
-        .select("id", "n_tokens", "shard")
-    )
+    ) + F.element_at(off_arr, F.col("__jsv_bucket") + 1)
+    return wb.withColumn(
+        "shard",
+        F.floor(cum_before / F.lit(tokens_per_shard)).cast("long"),
+    ).select("id", "n_tokens", "shard")
