@@ -563,6 +563,29 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assign(docs, "doc_id", "text", tokens_per_shard=50000)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed context-window sequence packing (what a training EXAMPLE is,
+    vs shard_assign's storage budgeting): quota prefix sum over
+    window-clipped token counts, docs never split, boundary-spilling
+    tails truncated (their quota space is padding). Pure function of
+    (id order, counts, window) — same distributed-prefix-sum shape as
+    shard_assign, so the oracle is the same window cumsum over clipped
+    counts."""
+    from jsonl_schema_validator_spark.operators import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", window=64)
+
+
+def q_pack_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row padding-waste gauge over q_pack_sequences' grid: the
+    number to watch when choosing the context window for a corpus."""
+    from jsonl_schema_validator_spark.operators import pack_waste
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_waste(docs, "doc_id", "text", window=64)
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling (arXiv:2302.03169 completed): Gumbel-top-k over
     the q_dsir_weights log-weights with md5-derived deterministic noise
@@ -1266,6 +1289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "langid_nb": q_langid_nb,
         "shard_assign": q_shard_assign,
+        # round-8 entries, appended at the tail per the contract
+        "pack_sequences": q_pack_sequences,
+        "pack_waste": q_pack_waste,
     }
 
 
@@ -2787,5 +2813,44 @@ SELECT id, n_tokens,
               ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
             ), 0) * 1.0 / 50000) AS BIGINT) AS shard
 FROM w
+""",
+        "pack_sequences": f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         COALESCE(CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INT), 0) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT id, n_tokens, LEAST(n_tokens, 64) AS clip,
+         COALESCE(SUM(CAST(LEAST(n_tokens, 64) AS BIGINT)) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM w)
+SELECT id, n_tokens,
+       CAST(FLOOR(cum * 1.0 / 64) AS BIGINT) AS seq,
+       CAST(cum % 64 AS BIGINT) AS "offset",
+       CAST(LEAST(clip, 64 - (cum % 64)) AS BIGINT) AS n_kept
+FROM c
+""",
+        "pack_waste": f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         COALESCE(CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INT), 0) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT LEAST(n_tokens, 64) AS clip,
+         COALESCE(SUM(CAST(LEAST(n_tokens, 64) AS BIGINT)) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM w),
+a AS (
+  SELECT COALESCE(SUM(CAST(clip AS BIGINT)), 0) AS clip_total,
+         COALESCE(SUM(CAST(LEAST(clip, 64 - (cum % 64)) AS BIGINT)), 0) AS kept
+  FROM c)
+SELECT CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) AS n_seqs,
+       CAST(64 AS BIGINT) AS "window",
+       kept AS kept_tokens,
+       CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) * 64 - kept AS padded_tokens,
+       ROUND(1.0 - kept * 1.0 / (CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) * 64), 6) AS padding_frac
+FROM a
 """,
     }

@@ -391,11 +391,35 @@ def shard_assign(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     _check_numeric_id(df, id_col, "shard_assign")
+    w = _token_counts(df, id_col, text_col)
+    cum = _distributed_cum_before(w, "n_tokens", n_buckets)
+    return cum.select(
+        "id",
+        "n_tokens",
+        F.floor(F.col("__jsv_cum_before") / F.lit(tokens_per_shard))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def _token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens) over the shared BPE_TOKEN_PATTERN, NULL text = 0 —
+    the one token definition shard_assign and pack_sequences agree on."""
     from jsonl_schema_validator_spark.operators.textops import token_count
 
-    w = token_count(df, id_col, text_col, bpe_like=True).select(
+    return token_count(df, id_col, text_col, bpe_like=True).select(
         "id", F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens")
     )
+
+
+def _distributed_cum_before(
+    w: DataFrame, sum_col: str, n_buckets: int
+) -> DataFrame:
+    """Adds `__jsv_cum_before` = SUM(sum_col) over rows with smaller id —
+    the distributed exclusive prefix sum shared by shard_assign and
+    pack_sequences (see shard_assign's docstring for the scale argument).
+    All input columns pass through; the bucket scaffold column does not.
+    PRECONDITION: a numeric unique non-null `id` column (caller-checked)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = (
         w.agg(F.percentile_approx("id", qs).alias("b")).collect()[0]["b"]
@@ -420,7 +444,7 @@ def shard_assign(
     totals = {
         r["__jsv_bucket"]: r["t"]
         for r in wb.groupBy("__jsv_bucket")
-        .agg(F.sum(F.col("n_tokens").cast("long")).alias("t"))
+        .agg(F.sum(F.col(sum_col).cast("long")).alias("t"))
         .collect()
     }
     offsets, acc = [], 0
@@ -442,9 +466,122 @@ def shard_assign(
     # insertion) — reproduced and pinned in tests/test_export_job.py.
     off_arr = F.array(*[F.lit(v).cast("long") for v in offsets])
     cum_before = F.coalesce(
-        F.sum(F.col("n_tokens").cast("long")).over(local), F.lit(0)
+        F.sum(F.col(sum_col).cast("long")).over(local), F.lit(0)
     ) + F.element_at(off_arr, F.col("__jsv_bucket") + 1)
-    return wb.withColumn(
-        "shard",
-        F.floor(cum_before / F.lit(tokens_per_shard)).cast("long"),
-    ).select("id", "n_tokens", "shard")
+    return wb.withColumn("__jsv_cum_before", cum_before).drop("__jsv_bucket")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    n_buckets: int = 64,
+    mode: str = "truncate",
+) -> DataFrame:
+    """Pack documents into fixed context-window training sequences in id
+    order — the operator that decides what a training EXAMPLE is (distinct
+    from shard_assign's storage budgeting). Token counts use the shared
+    BPE_TOKEN_PATTERN (same definition as shard_assign); NULL text = 0.
+
+    mode='truncate' (default) — docs never split. Each doc's contribution
+    is clipped to the window; the quota prefix sum places it at
+    offset = cum_before % window of sequence floor(cum_before / window),
+    and tokens spilling past the sequence end are DROPPED (their quota
+    space becomes padding at the head of the next sequence). Every
+    sequence is exactly `window` slots: kept tokens + padding. Returns
+    (id, n_tokens, seq, offset, n_kept); pack_waste turns the same frame
+    into the padding-waste gauge.
+
+    mode='split' — standard GPT-style concatenate-and-chunk: documents DO
+    cross sequence boundaries, zero padding except the global tail.
+    Returns (id, n_tokens, seq, seq_last, offset) where the doc occupies
+    sequences seq..seq_last starting at offset.
+
+    Both modes are pure functions of (id order, token counts, window) —
+    the greedy recurrence of first-fit packing is deliberately avoided
+    because it is not expressible as a prefix sum (each placement depends
+    on the running remainder), so it cannot be computed distributed-exact
+    without a sequential pass; the quota/truncate rule keeps the hard
+    window guarantee AND the shard_assign prefix-sum scale shape (no
+    SinglePartition window). DuckDB oracle: a plain window cumsum.
+
+    PRECONDITION: ids numeric, unique and non-null (shard_assign's
+    contract)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if mode not in ("truncate", "split"):
+        raise ValueError(f"mode must be 'truncate' or 'split', got {mode!r}")
+    _check_numeric_id(df, id_col, "pack_sequences")
+    w = _token_counts(df, id_col, text_col)
+    if mode == "truncate":
+        w = w.withColumn("__jsv_clip", F.least("n_tokens", F.lit(window)))
+        cum = _distributed_cum_before(w, "__jsv_clip", n_buckets)
+        c = F.col("__jsv_cum_before")
+        seq = F.floor(c / F.lit(window)).cast("long")
+        offset = (c % F.lit(window)).cast("long")
+        return cum.select(
+            "id",
+            "n_tokens",
+            seq.alias("seq"),
+            offset.alias("offset"),
+            F.least(F.col("__jsv_clip").cast("long"), F.lit(window) - offset)
+            .cast("long")
+            .alias("n_kept"),
+        )
+    cum = _distributed_cum_before(w, "n_tokens", n_buckets)
+    c = F.col("__jsv_cum_before")
+    return cum.select(
+        "id",
+        "n_tokens",
+        F.floor(c / F.lit(window)).cast("long").alias("seq"),
+        F.floor(
+            (c + F.greatest(F.col("n_tokens").cast("long"), F.lit(1)) - 1)
+            / F.lit(window)
+        )
+        .cast("long")
+        .alias("seq_last"),
+        (c % F.lit(window)).cast("long").alias("offset"),
+    )
+
+
+def pack_waste(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One-row padding-waste gauge over pack_sequences(mode='truncate'):
+    (n_seqs, window, kept_tokens, padded_tokens, padding_frac). The
+    sequence grid is ceil(total_clipped / window) windows; padding is the
+    grid minus the tokens actually kept (boundary-truncated tails AND
+    their vacated head space both count as waste — this is the number to
+    watch when choosing `window` for a corpus). padding_frac rounded to
+    6 dp; NULL on an empty corpus (no grid to waste)."""
+    p = pack_sequences(df, id_col, text_col, window, n_buckets=n_buckets)
+    agg = p.agg(
+        F.coalesce(
+            F.sum(F.least(F.col("n_tokens").cast("long"), F.lit(window))),
+            F.lit(0),
+        ).alias("__clip_total"),
+        F.coalesce(F.sum("n_kept"), F.lit(0)).alias("kept_tokens"),
+    )
+    n_seqs = F.floor(
+        (F.col("__clip_total") + F.lit(window) - 1) / F.lit(window)
+    ).cast("long")
+    return agg.select(
+        n_seqs.alias("n_seqs"),
+        F.lit(window).cast("long").alias("window"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        (n_seqs * F.lit(window) - F.col("kept_tokens"))
+        .cast("long")
+        .alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.col("kept_tokens"), n_seqs * F.lit(window)),
+            6,
+        ).alias("padding_frac"),
+    )

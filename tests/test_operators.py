@@ -1063,3 +1063,116 @@ def test_shard_assign_exact_and_bucket_invariant(spark):
     sdf = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with pytest.raises(ValueError, match="numeric id"):
         shard_assign(sdf, "doc_id", "text", 5)
+
+
+def test_pack_sequences_exact_and_waste(spark):
+    """pack_sequences vs a python reference in both modes; invariant
+    across n_buckets; hard window guarantee in 'truncate' (kept tokens of
+    a sequence never exceed the window, docs never split); 'split' spans
+    cover exactly the concat-and-chunk layout; pack_waste matches the
+    hand-computed grid; plan has NO single-partition window."""
+    import re
+
+    import pytest
+
+    from jsonl_schema_validator_spark.operators import (
+        pack_sequences,
+        pack_waste,
+    )
+    from jsonl_schema_validator_spark.operators.textops import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    texts = {
+        1: "one two three four",   # 4 tokens
+        2: "a b",                  # 2
+        3: None,                   # 0
+        4: "x " * 50,              # 50 (>> window)
+        5: "single",               # 1
+        6: "tail doc here",        # 3
+        7: "zz yy",                # 2
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    W = 5
+    counts = {
+        i: len(re.findall(BPE_TOKEN_PATTERN, t)) if t else 0
+        for i, t in texts.items()
+    }
+
+    # python reference, truncate mode: quota cumsum over clipped counts
+    cum, exp_t = 0, {}
+    for i in sorted(counts):
+        clip = min(counts[i], W)
+        seq, off = cum // W, cum % W
+        exp_t[i] = (counts[i], seq, off, min(clip, W - off))
+        cum += clip
+    # python reference, split mode: raw cumsum, span to last token
+    cum, exp_s = 0, {}
+    for i in sorted(counts):
+        n = counts[i]
+        exp_s[i] = (n, cum // W, (cum + max(n, 1) - 1) // W, cum % W)
+        cum += n
+
+    base = None
+    for nb in (1, 3, 64):
+        got = {
+            r.id: (r.n_tokens, r.seq, r.offset, r.n_kept)
+            for r in pack_sequences(
+                df, "doc_id", "text", W, n_buckets=nb
+            ).collect()
+        }
+        assert got == exp_t, nb
+        if base is None:
+            base = got
+        assert got == base, nb
+    got_s = {
+        r.id: (r.n_tokens, r.seq, r.seq_last, r.offset)
+        for r in pack_sequences(
+            df, "doc_id", "text", W, n_buckets=3, mode="split"
+        ).collect()
+    }
+    assert got_s == exp_s
+
+    # hard window guarantee: per-sequence kept tokens <= W, offsets+kept
+    # never cross the boundary
+    per_seq = {}
+    for n, seq, off, kept in exp_t.values():
+        assert off + kept <= W
+        per_seq[seq] = per_seq.get(seq, 0) + kept
+    assert all(v <= W for v in per_seq.values())
+
+    # waste gauge vs the hand grid: clip_total = 4+2+0+5+1+3+2 = 17,
+    # n_seqs = ceil(17/5) = 4, kept = sum of n_kept
+    w = pack_waste(df, "doc_id", "text", W).collect()[0]
+    clip_total = sum(min(c, W) for c in counts.values())
+    kept = sum(k for (_, _, _, k) in exp_t.values())
+    n_seqs = -(-clip_total // W)
+    assert (w.n_seqs, w.window, w.kept_tokens) == (n_seqs, W, kept)
+    assert w.padded_tokens == n_seqs * W - kept
+    assert w.padding_frac == round(1.0 - kept / (n_seqs * W), 6)
+
+    plan = (
+        pack_sequences(df, "doc_id", "text", W, n_buckets=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+    with pytest.raises(ValueError, match="window"):
+        pack_sequences(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="mode"):
+        pack_sequences(df, "doc_id", "text", 5, mode="firstfit")
+    sdf = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="numeric id"):
+        pack_sequences(sdf, "doc_id", "text", 5)
+
+
+def test_pack_waste_empty_corpus(spark):
+    from jsonl_schema_validator_spark.operators import pack_waste
+
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    w = pack_waste(df, "doc_id", "text", 5).collect()[0]
+    assert (w.n_seqs, w.kept_tokens, w.padded_tokens) == (0, 0, 0)
+    assert w.padding_frac is None
