@@ -11,6 +11,8 @@
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
         [--image-col img --phash-dedup --phash-max-hamming 3] \
         [--audio-col clip --aphash-dedup --aphash-max-hamming 3] \
+        [--langid-seed /path/labeled.parquet --keep-langs en,de] \
+        [--langid-lang-col lang --langid-text-col text --langid-num-buckets 4096] \
         [--drop] [--dedup-spans 20] [--fail-on-drop-frac 0.5]
 
 Outputs under --output: report/ (the per-doc verdict table: signals,
@@ -33,9 +35,19 @@ stage (a dedup pass must not drop what it could not read). --aphash-dedup
 audio_phash_duplicates clusters re-encodes of the same recording (gain
 change, mono/stereo, resample) by spectral-hash Hamming distance; the
 report gains audio_phash / audio_cluster_id columns and dropped copies
-append 'audio_duplicate' (after 'image_duplicate' when both run; fixed
-reasons order: duplicate, near_duplicate, contaminated, quality...,
-image_duplicate, audio_duplicate). Exit code 1
+append 'audio_duplicate' (after 'image_duplicate' when both run). With
+--langid-seed (VERDICT r7 #4), a hashed char-trigram Naive Bayes language
+model is TRAINED from the labeled seed parquet (columns --langid-lang-col
++ --langid-text-col, defaulting to 'lang' / the corpus --text-col) and
+the corpus scored against it: the report gains nb_lang / nb_score
+columns. With --keep-langs (requires the seed), docs whose NB verdict is
+outside the list append 'language_nb' to reasons and are dropped;
+no-evidence docs (NULL/too-short text -> NULL nb_lang) are KEPT — a
+language filter must not drop what it could not read, the same principle
+as undecodable media. This is the corpus-trained upgrade of the stopword
+--allowed-langs heuristic (both can run; their reasons are distinct).
+Fixed reasons order: duplicate, near_duplicate, contaminated, quality...,
+language_nb, image_duplicate, audio_duplicate. Exit code 1
 when the drop fraction exceeds --fail-on-drop-frac (a
 cleaning pass that rejects most of a corpus usually means a misconfigured
 threshold, not a dirty corpus — fail loudly rather than train on the
@@ -78,6 +90,24 @@ def parse_args(argv):
         help="drop near-duplicate audio clips (spectral-hash Hamming clusters keep the min-id member); requires --audio-col",
     )
     p.add_argument("--aphash-max-hamming", type=int, default=3)
+    p.add_argument(
+        "--langid-seed", default=None,
+        help="labeled parquet to train the NB language model from",
+    )
+    p.add_argument(
+        "--langid-lang-col", default="lang",
+        help="label column in the --langid-seed parquet",
+    )
+    p.add_argument(
+        "--langid-text-col", default=None,
+        help="text column in the --langid-seed parquet (default: --text-col)",
+    )
+    p.add_argument("--langid-num-buckets", type=int, default=4096)
+    p.add_argument(
+        "--keep-langs", default="",
+        help="comma-separated NB verdicts to keep (requires --langid-seed); "
+        "empty = annotate only",
+    )
     p.add_argument("--split", default=None, help="name=weight,... (weights sum to 1)")
     p.add_argument("--split-salt", default="")
     p.add_argument("--drop", action="store_true", help="also write kept/ with keep=true rows")
@@ -106,6 +136,12 @@ def parse_args(argv):
         p.error("--audio-col is only used by --aphash-dedup (pass both)")
     if args.aphash_max_hamming < 0:
         p.error("--aphash-max-hamming must be >= 0")
+    # a language FILTER without a model to produce verdicts is a
+    # misconfiguration; a seed without --keep-langs is fine (annotate-only)
+    if args.keep_langs.strip() and not args.langid_seed:
+        p.error("--keep-langs requires --langid-seed (the NB training seed)")
+    if args.langid_num_buckets < 1:
+        p.error("--langid-num-buckets must be >= 1")
     return args
 
 
@@ -182,6 +218,54 @@ def main(argv=None) -> int:
             .withColumn("keep", F.col("keep") & ~dup)
             .drop("__jsv_ph_keep")
         )
+
+    if args.langid_seed:
+        # corpus-trained NB language stage BEFORE the media stages: the
+        # documented reasons order puts 'language_nb' between the quality
+        # reasons and image_duplicate/audio_duplicate
+        from jsonl_schema_validator_spark.operators.textops import (
+            langid_nb,
+            langid_nb_train,
+        )
+
+        seed = spark.read.parquet(args.langid_seed)
+        model = langid_nb_train(
+            seed,
+            args.langid_text_col or args.text_col,
+            args.langid_lang_col,
+            num_buckets=args.langid_num_buckets,
+        )
+        scored = langid_nb(
+            df, args.id_col, args.text_col, model,
+            num_buckets=args.langid_num_buckets,
+        ).select(
+            F.col("id").alias("__jsv_li_id"),
+            F.col("nb_lang"),
+            F.col("nb_score"),
+        )
+        report = report.join(
+            scored, report["id"].eqNullSafe(F.col("__jsv_li_id")), "left"
+        ).drop("__jsv_li_id")
+        keep_langs = [
+            s.strip() for s in args.keep_langs.split(",") if s.strip()
+        ]
+        if keep_langs:
+            # NULL nb_lang = no evidence -> KEPT (the undecodable-media
+            # principle: never drop what the stage could not read)
+            bad = F.col("nb_lang").isNotNull() & ~F.col("nb_lang").isin(
+                keep_langs
+            )
+            report = report.withColumn(
+                "reasons",
+                F.when(
+                    bad,
+                    F.concat_ws(
+                        ",",
+                        F.nullif(F.col("reasons"), F.lit("")),
+                        F.lit("language_nb"),
+                    ),
+                ).otherwise(F.col("reasons")),
+            ).withColumn("keep", F.col("keep") & ~bad)
 
     if args.phash_dedup:
         from jsonl_schema_validator_spark.operators.multimodal import (

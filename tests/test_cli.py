@@ -347,3 +347,85 @@ def test_clean_job_aphash_dedup_e2e(spark, tmp_path):
             "--input", "x", "--output", "y", "--audio-col", "c",
             "--aphash-dedup", "--aphash-max-hamming", "-1",
         ])
+
+
+def test_clean_job_langid_nb_e2e(spark, tmp_path):
+    """--langid-seed/--keep-langs (VERDICT r7 #4): an NB model trained
+    from a labeled seed parquet filters the corpus by language verdict.
+    Planted multilingual corpus: fr docs drop with reason 'language_nb'
+    (an exact-duplicate fr doc shows the fixed order
+    'duplicate,language_nb'), en/de docs survive, a NULL-text doc is KEPT
+    (no evidence never drops); without --keep-langs the job only
+    annotates (nb_lang/nb_score columns, keep untouched); --keep-langs
+    without a seed is a parse error."""
+    import random
+
+    import pytest
+
+    import jobs.clean_job as cj
+    from jsonl_schema_validator_spark.operators.textops import LANG_STOPWORDS
+
+    rng = random.Random(29)
+
+    def doc(lang, n=25):
+        return " ".join(rng.choice(LANG_STOPWORDS[lang]) for _ in range(n))
+
+    seed_rows = [
+        (lang, doc(lang)) for lang in ("en", "de", "fr") for _ in range(40)
+    ]
+    seed = spark.createDataFrame(seed_rows, "lang string, text string")
+    seed_path = str(tmp_path / "seed")
+    seed.write.parquet(seed_path)
+
+    fr_dup = doc("fr")
+    rows = [
+        (0, doc("en")),
+        (1, doc("de")),
+        (2, doc("fr")),     # wrong language
+        (3, fr_dup),        # wrong language, duplicated ->
+        (4, fr_dup),        #   'duplicate,language_nb' on the copy
+        (5, None),          # no evidence: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inp = str(tmp_path / "mldocs")
+    df.write.parquet(inp)
+
+    out = str(tmp_path / "mlout")
+    assert cj.main([
+        "--input", inp, "--output", out, "--drop", "--min-tokens", "5",
+        "--langid-seed", seed_path, "--keep-langs", "en,de",
+    ]) == 0
+    rep = {r.id: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert rep[0].keep and rep[0].nb_lang == "en"
+    assert rep[1].keep and rep[1].nb_lang == "de"
+    assert not rep[2].keep and rep[2].reasons == "language_nb"
+    assert rep[2].nb_lang == "fr"
+    # fixed reasons order: text-stage reasons first, then language_nb
+    dup_id = 4 if not rep[4].keep and "duplicate" in rep[4].reasons else 3
+    assert rep[dup_id].reasons == "duplicate,language_nb"
+    assert not rep[3].keep and not rep[4].keep  # both fr either way
+    # no evidence: the langid stage must NOT drop or tag the NULL-text
+    # doc (it still fails the unrelated quality gate, which is fine —
+    # the pin is that 'language_nb' never appears without a verdict)
+    assert rep[5].nb_lang is None
+    assert rep[5].reasons == "too_few_tokens"
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {0, 1}
+
+    # annotate-only: no --keep-langs -> columns present, nothing dropped
+    # for language (doc 2 survives; the fr dup still drops as 'duplicate')
+    out2 = str(tmp_path / "mlout2")
+    assert cj.main([
+        "--input", inp, "--output", out2, "--min-tokens", "5",
+        "--langid-seed", seed_path,
+    ]) == 0
+    rep2 = {r.id: r for r in spark.read.parquet(f"{out2}/report").collect()}
+    assert rep2[2].keep and rep2[2].nb_lang == "fr"
+    assert "language_nb" not in (rep2[3].reasons + rep2[4].reasons)
+
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y",
+                       "--keep-langs", "en"])
+    with pytest.raises(SystemExit):
+        cj.parse_args(["--input", "x", "--output", "y",
+                       "--langid-seed", "s", "--langid-num-buckets", "0"])
