@@ -586,6 +586,75 @@ def q_pack_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_waste(docs, "doc_id", "text", window=64)
 
 
+def q_hamming_guard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-chunk-guard recall gauge (VERDICT r7 #3): a planted signature
+    corpus derived deterministically from doc_id where EVERY doc shares
+    chunk p0 (one deliberately hot block, cap 32 forces the salt at test
+    scale) and consecutive-id pairs are hamming-3 near-dups in two
+    classes — 'hot-only' pairs (pid even) share ONLY the hot chunk, so
+    the guard finds them only when both ids salt into the same md5
+    sub-block; 'normal' pairs (pid odd) also share quiet chunk p1 and
+    must ALWAYS be found. One row: overall and hot-only recall — the
+    documented 'bounded recall loss' as a number the driver re-checks.
+    The DuckDB oracle replays the construction, the brute-force truth,
+    AND the guard's exact salting math end-to-end."""
+    from jsonl_schema_validator_spark.operators import hamming_guard_recall
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pid = F.floor(F.col("doc_id") / 2).cast("long")
+    role = (F.col("doc_id") % 2).cast("int")
+    cls = (pid % 2).cast("int")
+    h = F.md5(pid.cast("string").cast("binary"))
+    b = [
+        F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
+        for i in range(3)
+    ]
+    odd_hot = (role == 1) & (cls == 0)   # flips 1 bit in EACH quiet chunk
+    odd_nrm = (role == 1) & (cls == 1)   # shares p1, flips 2+1 bits in p2/p3
+    packed = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit(0).cast("long").alias("p0"),
+        F.when(odd_hot, b[0].bitwiseXOR(F.lit(1))).otherwise(b[0]).alias("p1"),
+        F.when(odd_hot, b[1].bitwiseXOR(F.lit(2)))
+        .when(odd_nrm, b[1].bitwiseXOR(F.lit(3)))
+        .otherwise(b[1])
+        .alias("p2"),
+        F.when(odd_hot, b[2].bitwiseXOR(F.lit(4)))
+        .when(odd_nrm, b[2].bitwiseXOR(F.lit(1)))
+        .otherwise(b[2])
+        .alias("p3"),
+    )
+    pairs = hamming_guard_recall(packed, max_hamming=3, max_block_size=32)
+    hot_only = (
+        (F.col("id_b") == F.col("id_a") + 1)
+        & (F.col("id_a") % 2 == 0)
+        & (F.floor(F.col("id_a") / 2) % 2 == 0)
+    )
+    return (
+        pairs.select("found", hot_only.alias("hot_only"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum(F.col("found").cast("long")), F.lit(0)).alias(
+                "n_found"
+            ),
+            F.coalesce(
+                F.sum(F.col("hot_only").cast("long")), F.lit(0)
+            ).alias("n_hot_only"),
+            F.coalesce(
+                F.sum((F.col("hot_only") & F.col("found")).cast("long")),
+                F.lit(0),
+            ).alias("n_hot_only_found"),
+        )
+        .select(
+            "*",
+            F.round(F.try_divide("n_found", "n_true"), 6).alias("recall"),
+            F.round(
+                F.try_divide("n_hot_only_found", "n_hot_only"), 6
+            ).alias("recall_hot_only"),
+        )
+    )
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling (arXiv:2302.03169 completed): Gumbel-top-k over
     the q_dsir_weights log-weights with md5-derived deterministic noise
@@ -1292,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 entries, appended at the tail per the contract
         "pack_sequences": q_pack_sequences,
         "pack_waste": q_pack_waste,
+        "hamming_guard_recall": q_hamming_guard_recall,
     }
 
 
@@ -2852,5 +2922,67 @@ SELECT CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) AS n_seqs,
        CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) * 64 - kept AS padded_tokens,
        ROUND(1.0 - kept * 1.0 / (CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) * 64), 6) AS padding_frac
 FROM a
+""",
+        "hamming_guard_recall": """
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(FLOOR(doc_id / 2) AS BIGINT) AS pid,
+         doc_id % 2 AS role,
+         CAST(FLOOR(doc_id / 2) AS BIGINT) % 2 AS cls
+  FROM documents),
+sig AS (
+  SELECT id, CAST(0 AS BIGINT) AS p0,
+    CASE WHEN role = 1 AND cls = 0
+         THEN xor(('0x'||substr(md5(CAST(pid AS VARCHAR)), 1, 4))::BIGINT, 1)
+         ELSE ('0x'||substr(md5(CAST(pid AS VARCHAR)), 1, 4))::BIGINT END AS p1,
+    CASE WHEN role = 1 AND cls = 0
+         THEN xor(('0x'||substr(md5(CAST(pid AS VARCHAR)), 5, 4))::BIGINT, 2)
+         WHEN role = 1 AND cls = 1
+         THEN xor(('0x'||substr(md5(CAST(pid AS VARCHAR)), 5, 4))::BIGINT, 3)
+         ELSE ('0x'||substr(md5(CAST(pid AS VARCHAR)), 5, 4))::BIGINT END AS p2,
+    CASE WHEN role = 1 AND cls = 0
+         THEN xor(('0x'||substr(md5(CAST(pid AS VARCHAR)), 9, 4))::BIGINT, 4)
+         WHEN role = 1 AND cls = 1
+         THEN xor(('0x'||substr(md5(CAST(pid AS VARCHAR)), 9, 4))::BIGINT, 1)
+         ELSE ('0x'||substr(md5(CAST(pid AS VARCHAR)), 9, 4))::BIGINT END AS p3
+  FROM base),
+tp AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
+      + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) <= 3),
+ch AS (
+  SELECT id, c.chunk,
+         CASE c.chunk WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS val
+  FROM sig, (VALUES (0),(1),(2),(3)) c(chunk)),
+cnt AS (SELECT chunk, val, COUNT(*) AS bn FROM ch GROUP BY 1, 2),
+chs AS (
+  SELECT ch.id, ch.chunk, ch.val,
+         CASE WHEN cnt.bn > 32
+              THEN ('0x'||substr(md5(CAST(ch.id AS VARCHAR)), 1, 8))::BIGINT
+                   % CAST(CEIL(cnt.bn * 1.0 / 32) AS BIGINT)
+              ELSE 0 END AS sub
+  FROM ch JOIN cnt USING (chunk, val)),
+fnd AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM chs a JOIN chs b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.sub = b.sub AND a.id < b.id
+  JOIN sig sa ON sa.id = a.id JOIN sig sb ON sb.id = b.id
+  WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1))
+      + bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) <= 3),
+flagged AS (
+  SELECT tp.id_a, tp.id_b,
+         (fnd.id_a IS NOT NULL) AS found,
+         (tp.id_b = tp.id_a + 1 AND tp.id_a % 2 = 0
+          AND CAST(FLOOR(tp.id_a / 2) AS BIGINT) % 2 = 0) AS hot_only
+  FROM tp LEFT JOIN fnd ON tp.id_a = fnd.id_a AND tp.id_b = fnd.id_b)
+SELECT COUNT(*) AS n_true,
+       COALESCE(SUM(CAST(found AS BIGINT)), 0) AS n_found,
+       COALESCE(SUM(CAST(hot_only AS BIGINT)), 0) AS n_hot_only,
+       COALESCE(SUM(CAST(found AND hot_only AS BIGINT)), 0) AS n_hot_only_found,
+       ROUND(SUM(CAST(found AS BIGINT)) * 1.0 / COUNT(*), 6) AS recall,
+       ROUND(SUM(CAST(found AND hot_only AS BIGINT)) * 1.0
+             / SUM(CAST(hot_only AS BIGINT)), 6) AS recall_hot_only
+FROM flagged
 """,
     }

@@ -1386,3 +1386,52 @@ def _packed_hamming_pairs(
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def hamming_guard_recall(
+    packed: DataFrame,
+    max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
+) -> DataFrame:
+    """Recall gauge for the hot-chunk guard (VERDICT r7 #3): every TRUE
+    near pair of the packed (id, p0..p3) frame — from an exact unguarded
+    run — flagged with whether the GUARDED blocking still finds it:
+    (id_a, id_b, hamming, found). Aggregate `found` for the recall
+    number; the driver query q_hamming_guard_recall does exactly that on
+    a planted corpus with a deliberately hot block, so the documented
+    'bounded recall loss' is a number the correctness gate re-checks
+    every round (measured values recorded in SCALE.md).
+
+    found => true by construction (both runs verify hamming exactly;
+    blocking only prunes candidates), so the join is a left from truth.
+
+    CACHE LIFECYCLE: persists the packed frame (it feeds the unguarded
+    run, the guarded run, and the guard's hot-block aggregation — the
+    simhash_near_pairs convention); release with
+    spark.catalog.clearCache().
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if max_block_size is None:
+        raise ValueError(
+            "hamming_guard_recall measures the guard; max_block_size None "
+            "(unguarded) would always read 1.0 — pass the cap under test"
+        )
+    packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
+    true_pairs = _packed_hamming_pairs(packed, max_hamming, None)
+    found = _packed_hamming_pairs(packed, max_hamming, max_block_size).select(
+        F.col("id_a").alias("__jsv_f_a"),
+        F.col("id_b").alias("__jsv_f_b"),
+        F.lit(True).alias("__jsv_hit"),
+    )
+    return true_pairs.join(
+        found,
+        (F.col("id_a") == F.col("__jsv_f_a"))
+        & (F.col("id_b") == F.col("__jsv_f_b")),
+        "left",
+    ).select(
+        "id_a",
+        "id_b",
+        "hamming",
+        F.coalesce(F.col("__jsv_hit"), F.lit(False)).alias("found"),
+    )

@@ -867,3 +867,61 @@ def test_simhash_near_pairs_guard_no_bite_on_fixture(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_hamming_guard_recall_gauge(spark):
+    """hamming_guard_recall (VERDICT r7 #3): on a planted frame with one
+    hot block, found is a SUBSET of true pairs, pairs sharing a quiet
+    chunk are ALWAYS found, and hot-only pairs are found exactly when the
+    guard's md5 sub-block salt agrees — replicated bit-for-bit in python.
+    max_block_size=None (nothing to measure) raises at entry."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from jsonl_schema_validator_spark.operators import hamming_guard_recall
+
+    # 40 ids, all share p0=0 (hot at cap 8); pairs (2k,2k+1): even pid ->
+    # hot-only (1 bit flipped in each quiet chunk), odd pid -> shares p1
+    rows = []
+    for i in range(40):
+        pid, role = i // 2, i % 2
+        # md5-derived 16-bit quiet chunks: sequential ints would plant
+        # ACCIDENTAL near pairs (consecutive integers are hamming-close)
+        h = hashlib.md5(str(pid).encode()).hexdigest()
+        b1, b2, b3 = (int(h[4 * j : 4 * j + 4], 16) for j in range(3))
+        if role == 1:
+            if pid % 2 == 0:
+                b1, b2, b3 = b1 ^ 1, b2 ^ 2, b3 ^ 4
+            else:
+                b2, b3 = b2 ^ 3, b3 ^ 1
+        rows.append((i, 0, b1, b2, b3))
+    packed = spark.createDataFrame(
+        rows, "id bigint, p0 long, p1 long, p2 long, p3 long"
+    )
+    cap = 8
+    out = {
+        (r.id_a, r.id_b): (r.hamming, r.found)
+        for r in hamming_guard_recall(
+            packed, max_hamming=3, max_block_size=cap
+        ).collect()
+    }
+    # truth: exactly the 20 planted consecutive pairs, hamming 3
+    assert set(out) == {(2 * k, 2 * k + 1) for k in range(20)}
+    assert all(h == 3 for h, _ in out.values())
+
+    # the guard's salt, replicated: block (0,0) has bn=40 > 8 -> n_sub=5;
+    # sub(id) = (32-bit md5 prefix of str(id)) % 5
+    n_sub = math.ceil(40 / cap)
+
+    def sub(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_sub
+
+    for k in range(20):
+        a, b = 2 * k, 2 * k + 1
+        expect = True if k % 2 == 1 else (sub(a) == sub(b))
+        assert out[(a, b)][1] == expect, (a, b)
+
+    with pytest.raises(ValueError, match="None"):
+        hamming_guard_recall(packed, max_block_size=None)
