@@ -34,6 +34,24 @@ Correctness is pinned against an independent regex-based python
 reference and hand-computed fixtures (tests/test_bpe.py); no DuckDB
 oracle — iterative merge training is not expressible as a reasonable
 SQL recursion, which is documented here as the deliberate trade.
+
+THE 100 TB RECIPE — train on a sample, apply everywhere (VERDICT r7
+#6): production vocabularies (32k+ merges) should NOT be trained on the
+full corpus. Real tokenizers never are — BPE merge statistics are
+dominated by the head of the Zipf word distribution, which a
+deterministic ``hash_sample`` of a few million documents already pins
+down. Train on ``hash_sample(df, id_col, rate, salt)`` (md5-determinstic
+→ the merge list is reproducible from (corpus, salt, params) alone),
+then run ``bpe_token_count(full_df, ..., merges)`` corpus-wide:
+application cost is bounded by the DISTINCT-word dictionary of the full
+corpus, never by num_merges, and never moves the corpus. The exact
+distributed training path remains the correctness backstop — use it
+when the merge list itself must provably reflect the whole corpus — but
+budget ~1 sequential Spark round per merge beyond what
+``_select_merge_batch`` can batch (provably-order-preserving batches
+only); a 32k-merge vocab on that path is ~10^3 rounds and hours of
+scheduler latency, vs minutes for sample-train + full-apply. Pinned by
+tests/test_bpe.py::test_bpe_sample_train_full_apply.
 """
 
 from __future__ import annotations
