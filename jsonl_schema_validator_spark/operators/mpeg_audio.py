@@ -1,0 +1,752 @@
+"""MPEG-1 Audio Layer I/II codec in pure numpy + stdlib (ISO/IEC
+11172-3) — encode AND decode, the house codec pattern (jpeg.py /
+webp.py): real spec bitstreams, no codec libraries, evidence =
+round-trip batteries + spec-vs-code review + cross-module consistency
+(frames produced here parse under multimodal._mp3_frame_header /
+media_container_metadata, which were written independently in round 7).
+
+What is spec-exact here (ISO/IEC 11172-3 normative math):
+- frame headers (syncword, bitrate/sample-rate indices, mode, padding),
+  Layer I slot framing (12*bitrate/fs 4-byte slots) and Layer II
+  framing (144*bitrate/fs bytes);
+- the quantizer constants: for an n-step quantizer with nb =
+  n.bit_length() code bits, encode is c = floor(2^(nb-1)*(A*x+B)) +
+  2^(nb-1) with A = n/2^nb and B = A - 1, decode is s'' = C*(tc + D)
+  with tc the MSB-inverted two's-complement fraction, C = 2^nb/n and
+  D = 1 - (n-1)/2^nb. These reproduce the published Table 3-C.2/3-B.4
+  rows exactly (n=3: A=0.75 B=-0.25 C=1.3333 D=0.5; n=5: A=0.625
+  B=-0.375 C=1.6 D=0.5; n=7: C=1.14285714 D=0.25; n=65535:
+  D=0.00003051758) and give the symmetric odd-step level grids
+  {2k/n : k = -(n-1)/2 .. (n-1)/2} the spec describes;
+- Layer I: 4-bit allocation per subband (value a -> a+1 code bits,
+  2^(a+1)-1 steps, a=15 forbidden), one 6-bit scalefactor per active
+  subband, 12 samples, sample order (s, sb, ch);
+- Layer II: table selection by (sample rate, bitrate per channel),
+  per-subband allocation widths and step menus (tables 3-B.2a-d),
+  scfsi scalefactor sharing (0: three, 1: scf0=scf1, 2: all equal,
+  3: scf1=scf2), 3/5/9-step GROUPED triplets in 5/7/10 bits
+  (c = s0 + n*s1 + n^2*s2), granule sample order (gr, sb, ch);
+- the scalefactor table scf[i] = 2 * 2^(-i/3), i = 0..62 (Table 3-B.1);
+- the polyphase matrixing M[i,k] = cos((2i+1)(k-16)pi/64) (analysis)
+  and N[i,k] = cos((16+i)(2k+1)pi/64) (synthesis) with the standard
+  X/Z/Y and V/U/W buffer shuffles (spec figures 3-C.4 / 3-A.2).
+
+What is deliberately NOT the ISO table — stated honestly: the 512-tap
+prototype window. The ISO C/D tables are published only as 512 decimal
+coefficients with no closed form; re-typing them from memory is exactly
+the shared-misread failure class the repo's codec rules call out
+(CLAUDE.md round-7: round-trips cannot catch a shared misread). Instead
+the window is GENERATED at first use by _make_prototype(): a 32-band
+pseudo-QMF prototype from frequency sampling with an exactly
+power-complementary warped-raised-cosine transition and 200 alternating
+time/frequency projections, symmetric about tap 256. The integer-256
+center is forced by the matrixing phases: writing the analysis filter
+h_i[n] = h[n]cos((2i+1)(n-16)pi/64) about a center c gives phase
+(2i+1)(c-16)pi/64, which hits the alias-cancelling -pi/4 (+pi/4 on the
+synthesis side, (n+16) phase) only for c = 256 — a half-sample-centered
+prototype measurably caps reconstruction at ~43 dB, the integer-center
+one reaches ~90 dB (the ISO tables' class). Measured, pinned in tests:
+analysis+synthesis SNR >= 85 dB on noise and sweep, delay exactly 481
+samples, unity gain. CONSEQUENCE: this encoder<->decoder pair is
+bit-exact at the bitstream layer, and PCM from third-party encoders
+decodes correctly to filterbank precision (two near-PR windows of the
+same class differ by a small linear filtering), not bit-exactly.
+
+Layer III remains a documented stub (multimodal.py's ffmpeg slot): its
+Huffman-coded MDCT layer is the genuinely codec-bound part.
+
+Encoder simplifications (all spec-legal): protection_bit=1 (no CRC),
+padding_bit=0 (unused slot bits are zero ancillary data), greedy
+max-scalefactor-first bit allocation (allocation strategy is encoder
+freedom; the spec normates only the bitstream), scfsi chosen by
+scalefactor equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ISO/IEC 11172-3; bitrate/rate indices shared with
+# multimodal._mp3_frame_header, written independently in round 7)
+# ---------------------------------------------------------------------------
+
+LAYER1_BITRATES = (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                   384, 416, 448)
+LAYER2_BITRATES = (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                   320, 384)
+SAMPLE_RATES = (44100, 48000, 32000)  # header sr_idx 0, 1, 2
+
+# Table 3-B.1 (63 valid indices; 63 itself forbidden)
+SCF_TABLE = 2.0 * 2.0 ** (-np.arange(63) / 3.0)
+
+# Layer II step menus (tables 3-B.2a-d): per subband range, the list of
+# step counts selectable by the allocation index (index 0 = no bits)
+_STEPS_AB_0_2 = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+                 16383, 32767, 65535)
+_STEPS_AB_3_10 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                  8191, 65535)
+_STEPS_AB_11_22 = (3, 5, 7, 9, 15, 31, 63, 65535)
+_STEPS_AB_23UP = (3, 5, 65535)
+_STEPS_CD_0_1 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 16383, 32767)
+_STEPS_CD_2UP = (3, 5, 7, 9, 15, 31, 63, 127)
+
+# grouped quantizers: 3 samples in one code of g bits (3^3<=2^5 etc.)
+_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def layer2_qtable(table_id: str) -> list[tuple[int, tuple[int, ...]]]:
+    """Per-subband (allocation field width, step menu) for table
+    'a'/'b'/'c'/'d'; len(list) is the table's sblimit (27/30/8/12)."""
+    if table_id in ("a", "b"):
+        sblimit = 27 if table_id == "a" else 30
+        rows = []
+        for sb in range(sblimit):
+            if sb < 3:
+                rows.append((4, _STEPS_AB_0_2))
+            elif sb < 11:
+                rows.append((4, _STEPS_AB_3_10))
+            elif sb < 23:
+                rows.append((3, _STEPS_AB_11_22))
+            else:
+                rows.append((2, _STEPS_AB_23UP))
+        return rows
+    if table_id in ("c", "d"):
+        sblimit = 8 if table_id == "c" else 12
+        return [
+            (4, _STEPS_CD_0_1) if sb < 2 else (3, _STEPS_CD_2UP)
+            for sb in range(sblimit)
+        ]
+    raise ValueError(f"unknown layer II table {table_id!r}")
+
+
+def layer2_table_id(sample_rate: int, bitrate_per_ch: int) -> str:
+    """Table 3-B.2 selection: low rates use the short tables (C, or D at
+    32 kHz); 56-80 kbps/ch always table A; high rates A at 48 kHz and B
+    at 44.1/32 kHz."""
+    if bitrate_per_ch <= 48:
+        return "d" if sample_rate == 32000 else "c"
+    if bitrate_per_ch <= 80:
+        return "a"
+    return "a" if sample_rate == 48000 else "b"
+
+
+# ---------------------------------------------------------------------------
+# polyphase filterbank
+# ---------------------------------------------------------------------------
+
+_FB_CACHE: dict[str, np.ndarray] = {}
+
+
+def _make_prototype() -> np.ndarray:
+    """Generate the 512-tap near-PR pseudo-QMF prototype (see module
+    docstring): frequency-sampled magnitude with an exactly
+    power-complementary transition A(u) = cos(pi/2 * g(u)),
+    g(u) = u - 0.9*sin(2*pi*u)/(2*pi) (g(u)+g(1-u) = 1, so
+    A(u)^2 + A(1-u)^2 = 1 on the whole transition), transition
+    half-width 0.99/128 around the band edge 1/128, then 200
+    alternating projections between the 512-tap time support and the
+    target magnitude, symmetrized about tap 256. Parameters were tuned
+    by measured reconstruction SNR (43 dB half-sample center -> 57 dB
+    plain raised-cosine -> 90.9 dB this warp); deterministic — no RNG."""
+    NFFT = 16384
+    f = np.arange(NFFT // 2 + 1) / NFFT
+    fe = 1.0 / 128.0
+    tb = 0.99 * fe
+    A = np.zeros_like(f)
+    A[f <= fe - tb] = 1.0
+    mask = (f > fe - tb) & (f < fe + tb)
+    u = (f[mask] - (fe - tb)) / (2 * tb)
+    g = u - 0.9 * np.sin(2 * np.pi * u) / (2 * np.pi)
+    A[mask] = np.cos(np.pi / 2 * g)
+    h = np.fft.irfft(A * np.exp(-2j * np.pi * f * 256.0), NFFT)[:512]
+    for _ in range(200):
+        H = np.fft.rfft(h, NFFT)
+        h = np.fft.irfft(A * np.exp(1j * np.angle(H)), NFFT)[:512]
+    out = h.copy()
+    out[1:] = 0.5 * (h[1:] + h[1:][::-1])
+    return out
+
+
+def _fb():
+    """Lazy filterbank constants: C (analysis window, prototype with the
+    (-1)^floor(n/64) block signs that fold the 128-periodic cosine into
+    the 64-wide matrixing), D (synthesis window; the structural gain of
+    analysis+synthesis is exactly 4, folded in here so the cascade is
+    unity), M, N matrixing."""
+    if not _FB_CACHE:
+        h = _make_prototype()
+        # (-1)^floor(n/64): folds the 128-periodic modulation cosine into
+        # the 64-wide matrixing (cos((2i+1)(k+64j-16)pi/64) =
+        # (-1)^j cos((2i+1)(k-16)pi/64))
+        signs = np.repeat([-1.0, 1.0] * 4, 64)
+        C = h * signs
+        _FB_CACHE["C"] = C
+        # analysis+synthesis structural gain is exactly 1/128 with unit
+        # windows (measured 4.0 with D=32C); fold the compensation in
+        _FB_CACHE["D"] = 128.0 * C
+        i = np.arange(32)[:, None]
+        k = np.arange(64)[None, :]
+        _FB_CACHE["M"] = np.cos((2 * i + 1) * (k - 16) * np.pi / 64)
+        i2 = np.arange(64)[:, None]
+        k2 = np.arange(32)[None, :]
+        _FB_CACHE["N"] = np.cos((16 + i2) * (2 * k2 + 1) * np.pi / 64)
+    return _FB_CACHE
+
+
+FILTERBANK_DELAY = 481  # samples, analysis+synthesis (measured + pinned)
+
+
+def analyze_subbands(x: np.ndarray) -> np.ndarray:
+    """[T, 32] subband samples from float signal x (len multiple of 32):
+    spec figure 3-C.4 vectorized — sliding 512-windows (newest sample
+    first), window by C, fold 8x64, matrix by M."""
+    fb = _fb()
+    T = len(x) // 32
+    xp = np.concatenate([np.zeros(511), np.asarray(x, dtype=np.float64)])
+    # window t = samples x[(t+1)*32-1-i], i = 0..511
+    idx = (np.arange(T)[:, None] + 1) * 32 - 1 - np.arange(512)[None, :] + 511
+    Z = xp[idx] * fb["C"]
+    Y = Z.reshape(T, 8, 64).sum(axis=1)
+    return Y @ fb["M"].T
+
+
+def synthesize_subbands(S: np.ndarray) -> np.ndarray:
+    """float signal [T*32] from subband samples [T, 32]: spec figure
+    3-A.2 vectorized — matrix by N into the V shift register, U gather,
+    window by D, fold 16x32."""
+    fb = _fb()
+    S = np.asarray(S, dtype=np.float64)
+    T = S.shape[0]
+    B = np.concatenate([np.zeros((16, 64)), S @ fb["N"].T])
+    U = np.empty((T, 512))
+    for i in range(8):
+        U[:, 64 * i : 64 * i + 32] = B[16 - 2 * i : 16 - 2 * i + T, 0:32]
+        U[:, 64 * i + 32 : 64 * i + 64] = B[
+            15 - 2 * i : 15 - 2 * i + T, 32:64
+        ]
+    W = U * fb["D"]
+    return W.reshape(T, 16, 32).sum(axis=1).ravel()
+
+
+# ---------------------------------------------------------------------------
+# quantizer (Layer I and II share the math; Layer I steps = 2^nb - 1)
+# ---------------------------------------------------------------------------
+
+
+def _nbits(n: int) -> int:
+    return int(n).bit_length()
+
+
+def quantize(x: np.ndarray, n: int) -> np.ndarray:
+    """Codes 0..n-1 for normalized samples x in (-1, 1) under the n-step
+    spec quantizer (A/B affine + MSB inversion; see module docstring)."""
+    nb = _nbits(n)
+    a = n / (1 << nb)
+    c = np.floor((1 << (nb - 1)) * (a * x + (a - 1.0))) + (1 << (nb - 1))
+    return np.clip(c, 0, n - 1).astype(np.int64)
+
+
+def dequantize(c: np.ndarray, n: int) -> np.ndarray:
+    """Inverse: the symmetric level grid {2k/n}."""
+    nb = _nbits(n)
+    tc = (np.asarray(c, dtype=np.float64) - (1 << (nb - 1))) / (
+        1 << (nb - 1)
+    )
+    return (float(1 << nb) / n) * (tc + (1.0 - (n - 1) / (1 << nb)))
+
+
+def _pick_scf(maxabs: float) -> int:
+    """Largest (smallest-value) scalefactor index with scf > maxabs —
+    tightest normalization keeping x/scf inside (-1, 1)."""
+    idx = int(np.searchsorted(-SCF_TABLE, -maxabs)) - 1
+    return max(0, min(62, idx))
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (int(value) & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def pad_to(self, nbytes: int) -> bytes:
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+        if len(self.buf) > nbytes:
+            raise ValueError(
+                f"frame overflow: {len(self.buf)} > {nbytes} bytes"
+            )
+        return bytes(self.buf) + b"\x00" * (nbytes - len(self.buf))
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        end = self.pos + nbits
+        if end > len(self.data) * 8:
+            raise ValueError("truncated MPEG audio frame payload")
+        v = 0
+        p = self.pos
+        while p < end:
+            byte = self.data[p >> 3]
+            take = min(8 - (p & 7), end - p)
+            shift = 8 - (p & 7) - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            p += take
+        self.pos = end
+        return v
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _greedy_alloc(
+    budgets: int,
+    costs0: list[int],
+    step_costs: list[list[int]],
+    step_counts: list[list[int]],
+    priorities: list[float],
+) -> list[int]:
+    """Greedy allocation: repeatedly raise the allocation index of the
+    slot with the highest remaining priority (scalefactor value divided
+    by current quantizer step count — loudest-and-coarsest first, a
+    direct quantization-noise proxy) while the bit budget allows.
+    costs0[i] = extra one-time bits when slot i first activates (scf
+    transmission); step_costs[i][a] = sample bits at allocation index a
+    (a=0 -> 0); step_counts[i][a] = the quantizer step count there.
+    Deterministic tie-break by slot index."""
+    nslots = len(costs0)
+    alloc = [0] * nslots
+    used = 0
+    while True:
+        best, best_pri = -1, 0.0
+        for i in range(nslots):
+            a = alloc[i]
+            if a + 1 >= len(step_costs[i]):
+                continue
+            delta = step_costs[i][a + 1] - step_costs[i][a]
+            if a == 0:
+                delta += costs0[i]
+            if used + delta > budgets:
+                continue
+            pri = priorities[i] / (step_counts[i][a] + 1.0)
+            if pri > best_pri or (pri == best_pri and best == -1):
+                best, best_pri = i, pri
+        if best < 0:
+            return alloc
+        a = alloc[best]
+        delta = step_costs[best][a + 1] - step_costs[best][a]
+        if a == 0:
+            delta += costs0[best]
+        alloc[best] = a + 1
+        used += delta
+
+
+def _header(layer: int, bitrate: int, sample_rate: int, nch: int) -> int:
+    br_table = LAYER1_BITRATES if layer == 1 else LAYER2_BITRATES
+    br_idx = br_table.index(bitrate) + 1
+    sr_idx = SAMPLE_RATES.index(sample_rate)
+    layer_bits = 3 if layer == 1 else 2
+    mode = 3 if nch == 1 else 0  # single_channel / stereo
+    h = 0xFFF
+    h = (h << 1) | 1            # ID: MPEG-1
+    h = (h << 2) | layer_bits
+    h = (h << 1) | 1            # protection_bit: no CRC
+    h = (h << 4) | br_idx
+    h = (h << 2) | sr_idx
+    h = (h << 1) | 0            # padding
+    h = (h << 1) | 0            # private
+    h = (h << 2) | mode
+    h = (h << 2) | 0            # mode_extension
+    h = (h << 1) | 0            # copyright
+    h = (h << 1) | 1            # original
+    h = (h << 2) | 0            # emphasis
+    return h
+
+
+def encode_mpeg1_audio(
+    samples: np.ndarray,
+    sample_rate: int,
+    layer: int = 2,
+    bitrate_kbps: int | None = None,
+) -> bytes:
+    """Encode int16 PCM ([n] mono or [n, ch<=2]) to an MPEG-1 Layer I/II
+    elementary stream. Input is zero-padded to a whole number of frames
+    (384 / 1152 samples); decoding therefore yields the padded length,
+    shifted by FILTERBANK_DELAY."""
+    if layer not in (1, 2):
+        raise ValueError("layer must be 1 or 2 (Layer III: codec-bound stub)")
+    if sample_rate not in SAMPLE_RATES:
+        raise ValueError(f"sample_rate must be one of {SAMPLE_RATES}")
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError("samples must be [n] or [n, ch] with ch <= 2")
+    nch = s.shape[1]
+    if bitrate_kbps is None:
+        bitrate_kbps = (384 if layer == 1 else 192) if nch == 2 else (
+            192 if layer == 1 else 96
+        )
+    br_table = LAYER1_BITRATES if layer == 1 else LAYER2_BITRATES
+    if bitrate_kbps not in br_table:
+        raise ValueError(
+            f"layer {layer} bitrate must be one of {br_table} kbps"
+        )
+    spf = 384 if layer == 1 else 1152
+    n = s.shape[0]
+    nframes = max(1, -(-n // spf))
+    x = np.zeros((nframes * spf, nch))
+    x[:n] = s.astype(np.float64) / 32768.0
+
+    sub = np.stack([analyze_subbands(x[:, c]) for c in range(nch)])
+    # sub: [nch, nframes*spf/32, 32]
+    out = bytearray()
+    if layer == 1:
+        flen = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+        for fr in range(nframes):
+            blk = sub[:, fr * 12 : (fr + 1) * 12, :]  # [nch, 12, 32]
+            out += _encode_frame_l1(
+                blk, bitrate_kbps, sample_rate, nch, flen
+            )
+    else:
+        flen = 144 * bitrate_kbps * 1000 // sample_rate
+        table_id = layer2_table_id(sample_rate, bitrate_kbps // nch)
+        qtab = layer2_qtable(table_id)
+        for fr in range(nframes):
+            blk = sub[:, fr * 36 : (fr + 1) * 36, :]  # [nch, 36, 32]
+            out += _encode_frame_l2(
+                blk, bitrate_kbps, sample_rate, nch, flen, qtab
+            )
+    return bytes(out)
+
+
+def _encode_frame_l1(blk, bitrate, fs, nch, flen) -> bytes:
+    w = _BitWriter()
+    w.write(_header(1, bitrate, fs, nch), 32)
+    budget = flen * 8 - 32 - 32 * 4 * nch
+    # scalefactors + priorities per (ch, sb)
+    scf_idx = np.empty((nch, 32), dtype=int)
+    pri, costs0, step_costs, step_counts = [], [], [], []
+    for c in range(nch):
+        for sb in range(32):
+            m = float(np.abs(blk[c, :, sb]).max())
+            scf_idx[c, sb] = _pick_scf(m)
+            pri.append(m)
+            costs0.append(6)
+            # allocation a -> a+1 bits per sample, 12 samples
+            step_costs.append([0] + [12 * (a + 1) for a in range(1, 15)])
+            step_counts.append([0] + [(1 << (a + 1)) - 1 for a in range(1, 15)])
+    alloc_flat = _greedy_alloc(budget, costs0, step_costs, step_counts, pri)
+    alloc = np.array(alloc_flat, dtype=int).reshape(nch, 32)
+    # bit allocation fields: for sb, for ch (spec 2.4.1.5 order)
+    for sb in range(32):
+        for c in range(nch):
+            w.write(int(alloc[c, sb]), 4)
+    for sb in range(32):
+        for c in range(nch):
+            if alloc[c, sb]:
+                w.write(int(scf_idx[c, sb]), 6)
+    codes = np.zeros((nch, 12, 32), dtype=np.int64)
+    for c in range(nch):
+        for sb in range(32):
+            a = alloc[c, sb]
+            if a:
+                nrm = blk[c, :, sb] / SCF_TABLE[scf_idx[c, sb]]
+                codes[c, :, sb] = quantize(nrm, (1 << (a + 1)) - 1)
+    for sidx in range(12):
+        for sb in range(32):
+            for c in range(nch):
+                a = alloc[c, sb]
+                if a:
+                    w.write(int(codes[c, sidx, sb]), a + 1)
+    return w.pad_to(flen)
+
+
+def _l2_scfsi(s0: int, s1: int, s2: int) -> tuple[int, list[int]]:
+    if s0 == s1 == s2:
+        return 2, [s0]
+    if s0 == s1:
+        return 1, [s0, s2]
+    if s1 == s2:
+        return 3, [s0, s1]
+    return 0, [s0, s1, s2]
+
+
+def _encode_frame_l2(blk, bitrate, fs, nch, flen, qtab) -> bytes:
+    w = _BitWriter()
+    w.write(_header(2, bitrate, fs, nch), 32)
+    sblimit = len(qtab)
+    budget = flen * 8 - 32 - sum(width for width, _ in qtab) * nch
+    scf_idx = np.zeros((nch, sblimit, 3), dtype=int)
+    scfsi = np.zeros((nch, sblimit), dtype=int)
+    pri, costs0, step_costs, step_counts = [], [], [], []
+    for c in range(nch):
+        for sb in range(sblimit):
+            parts = [
+                _pick_scf(float(np.abs(blk[c, 12 * p : 12 * p + 12, sb]).max()))
+                for p in range(3)
+            ]
+            scf_idx[c, sb] = parts
+            si, tx = _l2_scfsi(*parts)
+            scfsi[c, sb] = si
+            pri.append(float(SCF_TABLE[min(parts)]))
+            costs0.append(2 + 6 * len(tx))
+            width, steps = qtab[sb]
+            # an allocation index must fit its field: cap the menu at
+            # 2^width - 1 (some menus have one more entry than a narrow
+            # field can address)
+            sc = [0]
+            for nsteps in steps[: (1 << width) - 1]:
+                g = _GROUP_BITS.get(nsteps)
+                sc.append(12 * (g if g else 3 * _nbits(nsteps)))
+            step_costs.append(sc)
+            step_counts.append([0] + list(steps[: (1 << width) - 1]))
+    alloc_flat = _greedy_alloc(budget, costs0, step_costs, step_counts, pri)
+    alloc = np.array(alloc_flat, dtype=int).reshape(nch, sblimit)
+    for sb in range(sblimit):
+        width, _ = qtab[sb]
+        for c in range(nch):
+            w.write(int(alloc[c, sb]), width)
+    for sb in range(sblimit):
+        for c in range(nch):
+            if alloc[c, sb]:
+                w.write(int(scfsi[c, sb]), 2)
+    for sb in range(sblimit):
+        for c in range(nch):
+            if alloc[c, sb]:
+                _, tx = _l2_scfsi(*(int(v) for v in scf_idx[c, sb]))
+                for v in tx:
+                    w.write(v, 6)
+    # quantize all active subbands once
+    codes = {}
+    for c in range(nch):
+        for sb in range(sblimit):
+            a = alloc[c, sb]
+            if not a:
+                continue
+            nsteps = qtab[sb][1][a - 1]
+            nrm = np.empty(36)
+            for p in range(3):
+                nrm[12 * p : 12 * p + 12] = (
+                    blk[c, 12 * p : 12 * p + 12, sb]
+                    / SCF_TABLE[scf_idx[c, sb, p]]
+                )
+            codes[(c, sb)] = quantize(nrm, nsteps)
+    for gr in range(12):
+        for sb in range(sblimit):
+            for c in range(nch):
+                a = alloc[c, sb]
+                if not a:
+                    continue
+                nsteps = qtab[sb][1][a - 1]
+                tri = codes[(c, sb)][3 * gr : 3 * gr + 3]
+                g = _GROUP_BITS.get(nsteps)
+                if g:
+                    v = int(tri[0]) + nsteps * int(tri[1]) + nsteps * nsteps * int(tri[2])
+                    w.write(v, g)
+                else:
+                    nb = _nbits(nsteps)
+                    for v in tri:
+                        w.write(int(v), nb)
+    return w.pad_to(flen)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _parse_header(data: bytes, off: int):
+    """(layer, bitrate_kbps, sample_rate, nch, flen, protection) or None.
+    MPEG-1 Layer I/II only — Layer III and MPEG-2/2.5 return None (the
+    documented stub boundary)."""
+    if off + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[off : off + 4]
+    if b0 != 0xFF or (b1 & 0xF0) != 0xF0:
+        return None
+    if ((b1 >> 3) & 1) != 1:
+        return None  # MPEG-2/2.5
+    layer_bits = (b1 >> 1) & 3
+    if layer_bits not in (3, 2):
+        return None  # Layer III or reserved
+    layer = 4 - layer_bits
+    protection = (b1 & 1) == 0
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = (LAYER1_BITRATES if layer == 1 else LAYER2_BITRATES)[
+        br_idx - 1
+    ]
+    fs = SAMPLE_RATES[sr_idx]
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3
+    nch = 1 if mode == 3 else 2
+    if layer == 1:
+        flen = (12 * bitrate * 1000 // fs + padding) * 4
+    else:
+        flen = 144 * bitrate * 1000 // fs + padding
+    return layer, bitrate, fs, nch, flen, protection, mode
+
+
+def decode_mpeg1_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MPEG-1 Layer I/II elementary stream to (int16 [n, ch],
+    sample_rate). Raises ValueError on anything that is not a clean
+    Layer I/II stream (Layer III / MPEG-2 included — those are the
+    documented codec-bound stubs)."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 4:
+        raise ValueError("not an MPEG-1 audio stream (too short)")
+    hdr = _parse_header(bytes(data), 0)
+    if hdr is None:
+        raise ValueError(
+            "not an MPEG-1 Layer I/II stream (Layer III and MPEG-2 sample "
+            "decode are the documented codec-bound stubs)"
+        )
+    layer0, _, fs0, nch0, _, _, _ = hdr
+    data = bytes(data)
+    off = 0
+    subbands = []  # list of [nch, T, 32] per frame
+    while off + 4 <= len(data):
+        hdr = _parse_header(data, off)
+        if hdr is None:
+            raise ValueError(f"bad frame header at byte {off}")
+        layer, bitrate, fs, nch, flen, protection, mode = hdr
+        if (layer, fs, nch) != (layer0, fs0, nch0):
+            raise ValueError("mid-stream format change is not supported")
+        if off + flen > len(data):
+            raise ValueError("truncated final frame")
+        payload = data[off + 4 : off + flen]
+        r = _BitReader(payload)
+        if protection:
+            r.read(16)  # CRC (not verified; the Xing-behind-CRC lesson)
+        if layer == 1:
+            subbands.append(_decode_frame_l1(r, nch))
+        else:
+            subbands.append(
+                _decode_frame_l2(
+                    r, nch, layer2_qtable(layer2_table_id(fs, bitrate // nch))
+                )
+            )
+        off += flen
+    S = np.concatenate(subbands, axis=1)  # [nch, T, 32]
+    pcm = np.stack(
+        [synthesize_subbands(S[c]) for c in range(nch0)], axis=1
+    )
+    return (
+        np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16),
+        fs0,
+    )
+
+
+def _decode_frame_l1(r: _BitReader, nch: int) -> np.ndarray:
+    alloc = np.zeros((nch, 32), dtype=int)
+    for sb in range(32):
+        for c in range(nch):
+            a = r.read(4)
+            if a == 15:
+                raise ValueError("forbidden layer I allocation value 15")
+            alloc[c, sb] = a
+    scf = np.zeros((nch, 32), dtype=int)
+    for sb in range(32):
+        for c in range(nch):
+            if alloc[c, sb]:
+                v = r.read(6)
+                if v == 63:
+                    raise ValueError("forbidden scalefactor index 63")
+                scf[c, sb] = v
+    out = np.zeros((nch, 12, 32))
+    for sidx in range(12):
+        for sb in range(32):
+            for c in range(nch):
+                a = alloc[c, sb]
+                if a:
+                    code = r.read(a + 1)
+                    out[c, sidx, sb] = (
+                        dequantize(np.array([code]), (1 << (a + 1)) - 1)[0]
+                        * SCF_TABLE[scf[c, sb]]
+                    )
+    return out
+
+
+def _decode_frame_l2(r: _BitReader, nch: int, qtab) -> np.ndarray:
+    sblimit = len(qtab)
+    alloc = np.zeros((nch, 32), dtype=int)
+    for sb in range(sblimit):
+        width, steps = qtab[sb]
+        for c in range(nch):
+            a = r.read(width)
+            if a > len(steps):
+                raise ValueError(
+                    f"allocation {a} out of range for subband {sb}"
+                )
+            alloc[c, sb] = a
+    scfsi = np.zeros((nch, 32), dtype=int)
+    for sb in range(sblimit):
+        for c in range(nch):
+            if alloc[c, sb]:
+                scfsi[c, sb] = r.read(2)
+    scf = np.zeros((nch, 32, 3), dtype=int)
+    for sb in range(sblimit):
+        for c in range(nch):
+            if not alloc[c, sb]:
+                continue
+            si = scfsi[c, sb]
+            nv = {0: 3, 1: 2, 2: 1, 3: 2}[si]
+            vs = [r.read(6) for _ in range(nv)]
+            if any(v == 63 for v in vs):
+                raise ValueError("forbidden scalefactor index 63")
+            if si == 0:
+                scf[c, sb] = vs
+            elif si == 1:
+                scf[c, sb] = [vs[0], vs[0], vs[1]]
+            elif si == 2:
+                scf[c, sb] = [vs[0], vs[0], vs[0]]
+            else:
+                scf[c, sb] = [vs[0], vs[1], vs[1]]
+    out = np.zeros((nch, 36, 32))
+    for gr in range(12):
+        for sb in range(sblimit):
+            _, steps = qtab[sb]
+            for c in range(nch):
+                a = alloc[c, sb]
+                if not a:
+                    continue
+                nsteps = steps[a - 1]
+                g = _GROUP_BITS.get(nsteps)
+                if g:
+                    v = r.read(g)
+                    tri = [
+                        v % nsteps,
+                        (v // nsteps) % nsteps,
+                        (v // (nsteps * nsteps)) % nsteps,
+                    ]
+                else:
+                    nb = _nbits(nsteps)
+                    tri = [r.read(nb) for _ in range(3)]
+                part = gr // 4
+                vals = dequantize(np.array(tri), nsteps) * SCF_TABLE[
+                    scf[c, sb, part]
+                ]
+                out[c, 3 * gr : 3 * gr + 3, sb] = vals
+    return out

@@ -899,6 +899,34 @@ def _parse_wav(raw: bytes):
     return rate, channels, samples
 
 
+def _parse_pcm_audio(raw: bytes):
+    """(sample_rate, channels, samples int16 [n, ch]) from RIFF/WAV PCM16
+    OR an MPEG-1 Layer I/II elementary stream (round 8: operators/
+    mpeg_audio.py turns media_container_metadata's MPEG header parsing
+    into real sample decode). Layer III and MPEG-2/2.5 return None —
+    the documented codec-bound stubs. The MPEG branch only engages on a
+    leading frame sync, so arbitrary binary blobs stay cheap Nones."""
+    parsed = _parse_wav(raw)
+    if parsed is not None:
+        return parsed
+    if (
+        raw is None
+        or len(raw) < 4
+        or raw[0] != 0xFF
+        or (raw[1] & 0xE0) != 0xE0
+    ):
+        return None
+    try:
+        from jsonl_schema_validator_spark.operators.mpeg_audio import (
+            decode_mpeg1_audio,
+        )
+
+        samples, rate = decode_mpeg1_audio(bytes(raw))
+    except ValueError:
+        return None
+    return rate, samples.shape[1], samples
+
+
 def binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     """Pure-expression metadata: byte size + sha256 + magic tag. No Python."""
     col = F.col(binary_col)
@@ -1372,8 +1400,9 @@ def audio_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     re-encode near-dup detection, not fingerprint-grade matching —
     perceptually near-identical smooth-spectrum clips can collide, the
     audio analog of flat images under pHash.
-    backend is the raw WAV decoder (the
-    only PCM source in this container); no DuckDB oracle — the shared
+    backend is the raw PCM decoder (RIFF/WAV, plus MPEG-1 Layer I/II
+    streams since round 8 — aphash invariance under the MP2 codec is
+    part of the codec's test battery); no DuckDB oracle — the shared
     parquet tables carry no audio column, so correctness is pinned by a
     pure-python reference and planted near-duplicate e2e tests (the
     image_phash precedent)."""
@@ -1401,7 +1430,7 @@ def audio_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             out = []
             for raw in pdf["raw"]:
                 try:
-                    parsed = _parse_wav(
+                    parsed = _parse_pcm_audio(
                         bytes(raw) if raw is not None else None
                     )
                     out.append(
@@ -1486,11 +1515,13 @@ def decode_audio(
     """(id, sample_rate, channels, n_samples, duration_sec, rms, max_abs,
     sha256) via Arrow-batched mapInPandas.
 
-    backend='raw' really decodes RIFF/WAV PCM16 (chunk walk, word-aligned;
-    rms/max_abs over the actual int16 samples, all channels). 'fake'
-    parses the FAUD fixture header, treating its payload as '<i2' mono.
-    'ffmpeg' is the compressed-format slot (MP3/AAC/video audio) — not in
-    this container."""
+    backend='raw' really decodes RIFF/WAV PCM16 (chunk walk, word-aligned)
+    AND MPEG-1 Layer I/II elementary streams (round 8, operators/
+    mpeg_audio.py — pure-numpy polyphase synthesis); rms/max_abs over the
+    actual int16 samples, all channels. 'fake' parses the FAUD fixture
+    header, treating its payload as '<i2' mono. 'ffmpeg' is the slot for
+    the remaining codec-bound formats (MP3 Layer III/AAC/video audio) —
+    not in this container."""
     if backend == "ffmpeg":
         raise NotImplementedError(
             "ffmpeg is not available in this container; plug an ffmpeg "
@@ -1523,7 +1554,7 @@ def decode_audio(
     def decode(raw: bytes) -> tuple:
         nulls = (None, None, None, None, None, None)
         if backend == "raw":
-            parsed = _parse_wav(raw)
+            parsed = _parse_pcm_audio(raw)
             if parsed is None:
                 return nulls + (None,)
             return stats(*parsed) + (hashlib.sha256(raw).hexdigest(),)
@@ -1604,7 +1635,7 @@ def frame_sample(
         if raw is None:
             return []
         if backend == "raw":
-            parsed = _parse_wav(raw)
+            parsed = _parse_pcm_audio(raw)
             if parsed is None:
                 return []
             rate, channels, samples = parsed

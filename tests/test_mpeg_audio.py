@@ -1,0 +1,341 @@
+"""MPEG-1 Audio Layer I/II codec battery (VERDICT r7 #5): quantizer
+constants pinned to the published spec table rows, filterbank
+reconstruction SNR/delay/gain pins, round-trip SNR across layers /
+sample rates / bitrates / channel modes (all four Layer II allocation
+tables), bitstream-level scfsi + grouped-quantizer path assertions via
+an independent in-test reader, cross-module header consistency with the
+round-7 media_container_metadata parser, aphash invariance under the
+codec, and the _parse_pcm_audio wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jsonl_schema_validator_spark.operators.mpeg_audio import (
+    FILTERBANK_DELAY,
+    LAYER2_BITRATES,
+    SCF_TABLE,
+    _GROUP_BITS,
+    _BitReader,
+    _nbits,
+    analyze_subbands,
+    decode_mpeg1_audio,
+    dequantize,
+    encode_mpeg1_audio,
+    layer2_qtable,
+    layer2_table_id,
+    quantize,
+    synthesize_subbands,
+)
+
+FS = 44100
+
+
+def _tone(n=FS, fs=FS):
+    t = np.arange(n)
+    return (
+        10000 * np.sin(2 * np.pi * 440 * t / fs)
+        + 4000 * np.sin(2 * np.pi * 3000 * t / fs)
+    ).astype(np.int16)
+
+
+def _mixed(n=2 * FS, fs=FS, seed=11):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    return (
+        8000 * np.sin(2 * np.pi * 300 * t / fs)
+        * (1 + 0.5 * np.sin(2 * np.pi * 1.5 * t / fs))
+        + 5000 * np.sin(2 * np.pi * 2500 * t / fs) * (t < n // 2)
+        + 2000 * rng.randn(n)
+    ).clip(-32000, 32000).astype(np.int16)
+
+
+def _snr(orig, dec):
+    d = FILTERBANK_DELAY
+    o = orig if orig.ndim == 2 else orig[:, None]
+    a = o[: o.shape[0] - d].astype(np.float64)
+    b = dec[d : d + a.shape[0]].astype(np.float64)
+    err = a - b
+    return 10 * np.log10((a * a).sum() / ((err * err).sum() + 1e-30))
+
+
+def test_quantizer_matches_published_spec_rows():
+    """A/B/C/D for the n-step quantizer reproduce the published Table
+    3-C.2 / 3-B.4 rows, the level grid is the symmetric {2k/n}, and
+    quantize is the nearest-level map (the decision boundaries sit
+    midway between levels)."""
+    rows = {  # n: (A, B, C, D) from the spec tables
+        3: (0.75, -0.25, 4 / 3, 0.5),
+        5: (0.625, -0.375, 1.6, 0.5),
+        7: (0.875, -0.125, 8 / 7, 0.25),
+        9: (0.5625, -0.4375, 16 / 9, 0.5),
+        15: (0.9375, -0.0625, 16 / 15, 0.125),
+        65535: (65535 / 65536, -1 / 65536, 65536 / 65535, 2 / 65536),
+    }
+    for n, (A, B, C, D) in rows.items():
+        nb = _nbits(n)
+        assert n / (1 << nb) == pytest.approx(A)
+        assert n / (1 << nb) - 1 == pytest.approx(B)
+        assert (1 << nb) / n == pytest.approx(C)
+        assert 1 - (n - 1) / (1 << nb) == pytest.approx(D)
+    for n in (3, 5, 7, 9, 15, 31, 63, 65535):
+        codes = np.arange(n)
+        levels = dequantize(codes, n)
+        expect = 2 * (codes - (n - 1) / 2) / n
+        assert np.allclose(levels, expect)
+        # nearest-level: midpoints quantize to the level on each side
+        x = np.linspace(-0.999, 0.999, 4001)
+        got = dequantize(quantize(x, n), n)
+        best = expect[np.argmin(np.abs(x[:, None] - expect[None, :]), 1)]
+        assert np.allclose(got, best)
+
+
+def test_filterbank_near_pr_pins():
+    """Analysis+synthesis: >= 85 dB SNR on noise AND a sweep, delay
+    exactly 481 samples, unity gain — the measured properties of the
+    generated prototype (module docstring records the design search:
+    43 dB half-sample center -> 90.9 dB integer-center warp)."""
+    rng = np.random.RandomState(3)
+    for name, x in (
+        ("noise", rng.randn(32 * 100)),
+        ("sweep", np.sin(2 * np.pi * np.cumsum(np.linspace(0.001, 0.45, 32 * 120)))),
+    ):
+        y = synthesize_subbands(analyze_subbands(x))
+        # delay: impulse-free estimate via best-shift alignment
+        best = max(
+            range(470, 492),
+            key=lambda d: float(np.dot(x[: len(x) - d], y[d:][: len(x) - d])),
+        )
+        assert best == FILTERBANK_DELAY == 481, (name, best)
+        a = x[: len(x) - 481]
+        b = y[481:][: len(a)]
+        gain = float(a @ b) / float(b @ b)
+        assert abs(gain - 1.0) < 1e-3, (name, gain)
+        snr = 10 * np.log10(float(a @ a) / float(((a - b) ** 2).sum()))
+        assert snr >= 85.0, (name, snr)
+
+
+@pytest.mark.parametrize(
+    "layer,fs,br,nch,min_snr",
+    [
+        (2, 44100, 192, 1, 60),   # table b
+        (2, 48000, 96, 1, 60),    # table a
+        (2, 32000, 48, 1, 30),    # table d
+        (2, 44100, 32, 1, 25),    # table c
+        (1, 44100, 192, 1, 60),
+        (2, 44100, 384, 2, 55),
+        (1, 48000, 448, 2, 55),
+        (2, 32000, 112, 2, 30),   # table b at 32 kHz, 56 kbps/ch -> a
+    ],
+)
+def test_round_trip_snr(layer, fs, br, nch, min_snr):
+    tone = _tone(fs=fs)
+    sig = tone if nch == 1 else np.stack([tone, (tone // 2)], axis=1)
+    enc = encode_mpeg1_audio(sig, fs, layer=layer, bitrate_kbps=br)
+    dec, fs2 = decode_mpeg1_audio(enc)
+    assert fs2 == fs and dec.shape[1] == nch
+    # padded to whole frames
+    spf = 384 if layer == 1 else 1152
+    assert dec.shape[0] % spf == 0
+    assert _snr(sig, dec) >= min_snr
+
+
+def test_round_trip_mixed_content_and_stereo_independence():
+    """Mixed tonal+noise content (the hard case for a maskless
+    allocator) still round-trips intelligibly, and stereo channels are
+    coded independently (reversed copy reconstructs like the forward
+    one)."""
+    sig = _mixed()
+    st = np.stack([sig, sig[::-1].copy()], axis=1)
+    dec, _ = decode_mpeg1_audio(encode_mpeg1_audio(st, FS, 2, 384))
+    d = FILTERBANK_DELAY
+    for c in range(2):
+        a = st[: len(st) - d, c].astype(float)
+        b = dec[d : d + len(a), c].astype(float)
+        snr = 10 * np.log10((a @ a) / (((a - b) ** 2).sum() + 1e-30))
+        assert snr >= 15.0, (c, snr)
+
+
+# ---------------------------------------------------------------------------
+# independent bitstream reader (test-side; shares only the public tables)
+# ---------------------------------------------------------------------------
+
+
+def _read_l2_frame_fields(frame: bytes, fs: int, br: int, nch: int):
+    """(alloc[(ch,sb)], scfsi[(ch,sb)]) parsed straight off the wire."""
+    qtab = layer2_qtable(layer2_table_id(fs, br // nch))
+    r = _BitReader(frame[4:])
+    alloc, scfsi = {}, {}
+    for sb in range(len(qtab)):
+        width, _ = qtab[sb]
+        for c in range(nch):
+            alloc[(c, sb)] = r.read(width)
+    for sb in range(len(qtab)):
+        for c in range(nch):
+            if alloc[(c, sb)]:
+                scfsi[(c, sb)] = r.read(2)
+    return qtab, alloc, scfsi
+
+
+def test_layer2_scfsi_paths_on_the_wire_and_round_trip():
+    """Scalefactor-select exercise: a frame-long constant envelope makes
+    all three scalefactors equal (scfsi=2 on the wire), an amplitude
+    drop in the LAST third gives scf0=scf1 (scfsi=1), in the FIRST
+    third gives scf1=scf2 (scfsi=3) — asserted by an independent
+    in-test bitstream reader, then round-tripped through the decoder."""
+    fs, br = 44100, 96
+    n = 3 * 1152
+    t = np.arange(n)
+    base = np.sin(2 * np.pi * 440 * t / fs)
+    flen = 144 * br * 1000 // fs  # 313 bytes
+
+    # the analysis window reaches 512 samples back, so a planted
+    # envelope change must carry a >=512-sample guard band and the
+    # assertion reads FRAME 2 (samples 1152..2304), whose parts are
+    # then cleanly loud/quiet; a naive per-third envelope measures
+    # scfsi=2 (the smeared drop never empties a whole part's windows)
+    def stream(env):
+        sig = (20000 * env * base).astype(np.int16)
+        enc = encode_mpeg1_audio(sig, fs, layer=2, bitrate_kbps=br)
+        _, alloc, scfsi = _read_l2_frame_fields(
+            enc[flen : 2 * flen], fs, br, 1
+        )
+        assert alloc[(0, 0)]  # the 440 Hz tone lives in subband 0
+        dec, _ = decode_mpeg1_audio(enc)
+        assert dec.shape[0] == n
+        return scfsi[(0, 0)]
+
+    env = np.ones(n)
+    assert stream(env) == 2  # all three scalefactors equal
+
+    env = np.ones(n)
+    env[1441:2304] = 0.02  # part 2 of frame 2 fully quiet: s0=s1 != s2
+    assert stream(env) == 1
+
+    env = np.ones(n)
+    env[672:1536] = 0.02  # part 0 of frame 2 fully quiet: s1=s2 != s0
+    assert stream(env) == 3
+
+
+def test_layer2_grouped_quantizers_on_the_wire():
+    """At 32 kbps the allocator must fall back to the 3/5/9-step grouped
+    quantizers somewhere; assert a grouped allocation actually appears
+    on the wire and the stream still round-trips."""
+    sig = _mixed(n=1152 * 4)
+    enc = encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=32)
+    qtab, alloc, _ = _read_l2_frame_fields(enc, 44100, 32, 1)
+    grouped = [
+        (sb, qtab[sb][1][a - 1])
+        for (c, sb), a in alloc.items()
+        if a and qtab[sb][1][a - 1] in _GROUP_BITS
+    ]
+    assert grouped, "no grouped quantizer chosen at 32 kbps"
+    dec, _ = decode_mpeg1_audio(enc)
+    assert dec.shape[0] == -(-len(sig) // 1152) * 1152
+
+
+def test_cross_module_header_consistency():
+    """Frames produced here parse under multimodal._mp3_frame_header
+    (written independently in round 7): layer, bitrate, rate, channels,
+    samples-per-frame and frame length all agree, for both layers."""
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _mp3_frame_header,
+    )
+
+    sig = _tone(n=4000)
+    for layer, br, spf in ((1, 192, 384), (2, 96, 1152)):
+        enc = encode_mpeg1_audio(sig, 44100, layer=layer, bitrate_kbps=br)
+        h = _mp3_frame_header(enc, 0)
+        assert h is not None
+        flen, version, layer_num, bitrate, rate, ch, spf_got = h
+        assert (version, layer_num, bitrate, rate, ch, spf_got) == (
+            3, layer, br, 44100, 1, spf,
+        )
+        # its frame_len walks exactly onto the next syncword
+        assert enc[flen] == 0xFF and (enc[flen + 1] & 0xE0) == 0xE0
+        assert len(enc) % flen == 0
+
+
+def test_validation_and_decode_errors():
+    sig = _tone(n=2000)
+    with pytest.raises(ValueError, match="layer"):
+        encode_mpeg1_audio(sig, 44100, layer=3)
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_mpeg1_audio(sig, 22050)
+    with pytest.raises(ValueError, match="bitrate"):
+        encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=193)
+    with pytest.raises(ValueError, match="ch <= 2"):
+        encode_mpeg1_audio(np.zeros((100, 3), dtype=np.int16), 44100)
+    with pytest.raises(ValueError, match="not an MPEG-1"):
+        decode_mpeg1_audio(b"RIFFxxxxWAVE")
+    # Layer III header: documented stub boundary
+    l3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 100
+    with pytest.raises(ValueError, match="Layer I/II"):
+        decode_mpeg1_audio(l3)
+    # truncated final frame
+    good = encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=96)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mpeg1_audio(good[:-10])
+
+
+def test_parse_pcm_audio_wiring():
+    """_parse_pcm_audio: WAV still parses, MPEG-1 L I/II streams decode
+    to (rate, channels, samples), garbage and Layer III return None."""
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _parse_pcm_audio,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import encode_wav
+
+    sig = _tone(n=FS // 2)
+    wav = encode_wav(FS, sig[:, None])
+    r = _parse_pcm_audio(wav)
+    assert r is not None and r[0] == FS and r[1] == 1
+    enc = encode_mpeg1_audio(sig, FS, layer=2, bitrate_kbps=96)
+    r2 = _parse_pcm_audio(enc)
+    assert r2 is not None and r2[0] == FS and r2[1] == 1
+    assert r2[2].shape[0] % 1152 == 0
+    assert _parse_pcm_audio(b"\x00" * 64) is None
+    assert _parse_pcm_audio(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 64) is None
+
+
+def test_aphash_invariance_under_codec():
+    """The round-7 audio perceptual hash survives an MP2/MP1 re-encode
+    at production bitrates within the near-dup threshold (<= 3 bits;
+    measured 0-2), including the 481-sample codec delay and frame
+    padding — heavy low-bitrate requantization is NOT claimed (measured
+    ~15+ bits at 32-96 kbps on noisy content, a genuinely different
+    signal)."""
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        _aphash64_from_pcm,
+    )
+
+    sig = _mixed()
+    h0 = _aphash64_from_pcm(FS, sig[:, None], np)
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for layer, br in ((2, 192), (1, 192), (2, 384)):
+        dec, _ = decode_mpeg1_audio(
+            encode_mpeg1_audio(sig, FS, layer=layer, bitrate_kbps=br)
+        )
+        h1 = _aphash64_from_pcm(FS, dec, np)
+        assert ham(h0, h1) <= 3, (layer, br, ham(h0, h1))
+
+
+def test_all_layer2_tables_reachable():
+    """The table-selection rule reaches all four menus across the legal
+    (fs, bitrate/ch) grid, and every menu's allocation indices fit
+    their field widths (the wire-corruption class caught in review)."""
+    seen = {
+        layer2_table_id(fs, br // nch)
+        for fs in (32000, 44100, 48000)
+        for br in LAYER2_BITRATES
+        for nch in (1, 2)
+        if (br // nch) in LAYER2_BITRATES or nch == 1
+    }
+    assert seen == {"a", "b", "c", "d"}
+    for tid in "abcd":
+        for width, steps in layer2_qtable(tid):
+            assert len(steps[: (1 << width) - 1]) >= 1

@@ -1594,3 +1594,40 @@ def test_media_container_metadata_second_review_pins(spark):
     sdf = spark.createDataFrame([("x", b"")], "id string, raw binary")
     with pytest.raises(ValueError, match="integral"):
         media_container_metadata(sdf, "raw", "id")
+
+
+def test_decode_audio_mpeg_stream(spark):
+    """decode_audio(backend='raw') now really decodes MPEG-1 Layer I/II
+    elementary streams next to WAV (round 8, operators/mpeg_audio.py):
+    rate/channels/duration come from the decoded samples; garbage and a
+    Layer III header stay NULL rows."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        encode_mpeg1_audio,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    fs = 44100
+    t = np.arange(fs // 2)
+    mono = (9000 * np.sin(2 * np.pi * 440 * t / fs)).astype(np.int16)
+    stereo = np.stack([mono, mono // 2], axis=1)
+    rows = [
+        (0, bytearray(encode_wav(fs, mono[:, None]))),
+        (1, bytearray(encode_mpeg1_audio(mono, fs, layer=2, bitrate_kbps=96))),
+        (2, bytearray(encode_mpeg1_audio(stereo, fs, layer=1, bitrate_kbps=384))),
+        (3, bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 64)),  # Layer III
+        (4, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, clip binary")
+    out = {r.id: r for r in decode_audio(df, "clip", "doc_id").collect()}
+    assert out[0].sample_rate == fs and out[0].channels == 1
+    assert out[1].sample_rate == fs and out[1].channels == 1
+    # padded to whole 1152-sample frames
+    assert out[1].n_samples % 1152 == 0 and out[1].n_samples >= len(mono)
+    assert out[2].channels == 2 and out[2].n_samples % 384 == 0
+    assert out[3].sample_rate is None  # Layer III: documented stub
+    assert out[4].sample_rate is None
