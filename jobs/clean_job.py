@@ -183,6 +183,24 @@ def main(argv=None) -> int:
         split_weights=weights,
         split_salt=args.split_salt,
     )
+    def append_reason(report, dropped, label):
+        # the ONE reason-append/keep-update shape shared by the language
+        # and media stages (review finding r8): append `label` to the
+        # comma-joined reasons of rows where `dropped` holds (preserving
+        # the fixed order — earlier stages' reasons stay first) and
+        # clear their keep flag
+        return report.withColumn(
+            "reasons",
+            F.when(
+                dropped,
+                F.concat_ws(
+                    ",",
+                    F.nullif(F.col("reasons"), F.lit("")),
+                    F.lit(label),
+                ),
+            ).otherwise(F.col("reasons")),
+        ).withColumn("keep", F.col("keep") & ~dropped)
+
     def media_dedup_stage(report, verdict_fn, media_col, max_hamming, kind):
         # media near-dup verdict folded into the SAME report row set: the
         # verdict fn returns exactly one row per input row (min-id keeper
@@ -203,20 +221,8 @@ def main(argv=None) -> int:
             ph, report["id"].eqNullSafe(F.col("__jsv_ph_id")), "left"
         ).drop("__jsv_ph_id")
         dup = ~F.coalesce(F.col("__jsv_ph_keep"), F.lit(True))
-        return (
-            report.withColumn(
-                "reasons",
-                F.when(
-                    dup,
-                    F.concat_ws(
-                        ",",
-                        F.nullif(F.col("reasons"), F.lit("")),
-                        F.lit(f"{kind}_duplicate"),
-                    ),
-                ).otherwise(F.col("reasons")),
-            )
-            .withColumn("keep", F.col("keep") & ~dup)
-            .drop("__jsv_ph_keep")
+        return append_reason(report, dup, f"{kind}_duplicate").drop(
+            "__jsv_ph_keep"
         )
 
     if args.langid_seed:
@@ -255,17 +261,7 @@ def main(argv=None) -> int:
             bad = F.col("nb_lang").isNotNull() & ~F.col("nb_lang").isin(
                 keep_langs
             )
-            report = report.withColumn(
-                "reasons",
-                F.when(
-                    bad,
-                    F.concat_ws(
-                        ",",
-                        F.nullif(F.col("reasons"), F.lit("")),
-                        F.lit("language_nb"),
-                    ),
-                ).otherwise(F.col("reasons")),
-            ).withColumn("keep", F.col("keep") & ~bad)
+            report = append_reason(report, bad, "language_nb")
 
     if args.phash_dedup:
         from jsonl_schema_validator_spark.operators.multimodal import (

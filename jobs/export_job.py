@@ -120,7 +120,23 @@ def main(argv=None) -> int:
     asg_path = f"{args.output}/assignment"
 
     # --- stage 1: the (id, n_tokens, shard) assignment, committed once ---
-    if _ASSIGN_KEY not in manifest.completed():
+    done = manifest.completed()
+    if _ASSIGN_KEY in done:
+        # a resumed run must pack under the SAME budget the committed
+        # assignment was built with — silently reusing it under a new
+        # --tokens-per-shard would write old-budget shards while the
+        # summary reports the new number (review finding r8)
+        staged = done[_ASSIGN_KEY].get("metrics", {}).get("tokens_per_shard")
+        if staged != args.tokens_per_shard:
+            print(
+                f"[export] committed assignment was built with "
+                f"--tokens-per-shard {staged}, not {args.tokens_per_shard}; "
+                "re-run with the original budget or export to a fresh "
+                "--output",
+                file=sys.stderr,
+            )
+            return 2
+    if _ASSIGN_KEY not in done:
         asg = shard_assign(
             df,
             args.id_col,
@@ -171,8 +187,13 @@ def main(argv=None) -> int:
     # dynamic overwrite: each batch write replaces exactly the shard
     # directories it touches — the idempotent-rewrite contract resume
     # relies on (a half-written shard from a killed batch is uncommitted
-    # and rewritten whole)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # and rewritten whole). The conf is restored on exit: leaking
+    # dynamic-overwrite semantics into a shared session silently changes
+    # later overwrite-writes from truncate-all to partition-replace
+    # (review finding r8)
+    _OVW = "spark.sql.sources.partitionOverwriteMode"
+    prev_ovw = spark.conf.get(_OVW, None)
+    spark.conf.set(_OVW, "dynamic")
     shards_path = f"{args.output}/shards"
     state = {"batches": 0}
 
@@ -201,14 +222,20 @@ def main(argv=None) -> int:
             for k in batch_keys
         }
 
-    summary = run_partitioned_batched(
-        full,
-        "shard",
-        batch_fn,
-        manifest,
-        keys=keys,
-        batch_size=args.batch_size,
-    )
+    try:
+        summary = run_partitioned_batched(
+            full,
+            "shard",
+            batch_fn,
+            manifest,
+            keys=keys,
+            batch_size=args.batch_size,
+        )
+    finally:
+        if prev_ovw is None:
+            spark.conf.unset(_OVW)
+        else:
+            spark.conf.set(_OVW, prev_ovw)
     total_rows = sum(int(stats[k]["rows"]) for k in keys)
     total_tokens = sum(int(stats[k]["tokens"]) for k in keys)
     print(

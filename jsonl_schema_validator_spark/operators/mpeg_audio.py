@@ -86,11 +86,18 @@ _STEPS_AB_0_2 = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
                  16383, 32767, 65535)
 _STEPS_AB_3_10 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
                   8191, 65535)
-_STEPS_AB_11_22 = (3, 5, 7, 9, 15, 31, 63, 65535)
+_STEPS_AB_11_22 = (3, 5, 7, 9, 15, 31, 65535)
 _STEPS_AB_23UP = (3, 5, 65535)
-_STEPS_CD_0_1 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+_STEPS_CD_0_1 = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
                  8191, 16383, 32767)
-_STEPS_CD_2UP = (3, 5, 7, 9, 15, 31, 63, 127)
+_STEPS_CD_2UP = (3, 5, 9, 15, 31, 63, 127)
+# REVIEW PIN (round 8): every menu has EXACTLY (1 << field_width) - 1
+# entries — the spec designs the menus to fill their allocation fields
+# (B.2a/b sb11-22 jump 31 -> 65535 with no 63; the C/D menus carry no
+# 7-step entry). The first draft padded two menus with spurious entries
+# and capped them at encode time, which round-trips (shared tables) but
+# desyncs against real third-party streams — the shared-misread class.
+# layer2_qtable asserts the invariant.
 
 # grouped quantizers: 3 samples in one code of g bits (3^3<=2^5 etc.)
 _GROUP_BITS = {3: 5, 5: 7, 9: 10}
@@ -111,14 +118,17 @@ def layer2_qtable(table_id: str) -> list[tuple[int, tuple[int, ...]]]:
                 rows.append((3, _STEPS_AB_11_22))
             else:
                 rows.append((2, _STEPS_AB_23UP))
-        return rows
-    if table_id in ("c", "d"):
+    elif table_id in ("c", "d"):
         sblimit = 8 if table_id == "c" else 12
-        return [
+        rows = [
             (4, _STEPS_CD_0_1) if sb < 2 else (3, _STEPS_CD_2UP)
             for sb in range(sblimit)
         ]
-    raise ValueError(f"unknown layer II table {table_id!r}")
+    else:
+        raise ValueError(f"unknown layer II table {table_id!r}")
+    # menus exactly fill their allocation fields (see the menu comment)
+    assert all(len(steps) == (1 << width) - 1 for width, steps in rows)
+    return rows
 
 
 def layer2_table_id(sample_rate: int, bitrate_per_ch: int) -> str:
@@ -511,16 +521,13 @@ def _encode_frame_l2(blk, bitrate, fs, nch, flen, qtab) -> bytes:
             scfsi[c, sb] = si
             pri.append(float(SCF_TABLE[min(parts)]))
             costs0.append(2 + 6 * len(tx))
-            width, steps = qtab[sb]
-            # an allocation index must fit its field: cap the menu at
-            # 2^width - 1 (some menus have one more entry than a narrow
-            # field can address)
+            _, steps = qtab[sb]
             sc = [0]
-            for nsteps in steps[: (1 << width) - 1]:
+            for nsteps in steps:
                 g = _GROUP_BITS.get(nsteps)
                 sc.append(12 * (g if g else 3 * _nbits(nsteps)))
             step_costs.append(sc)
-            step_counts.append([0] + list(steps[: (1 << width) - 1]))
+            step_counts.append([0] + list(steps))
     alloc_flat = _greedy_alloc(budget, costs0, step_costs, step_counts, pri)
     alloc = np.array(alloc_flat, dtype=int).reshape(nch, sblimit)
     for sb in range(sblimit):
@@ -630,6 +637,12 @@ def decode_mpeg1_audio(data: bytes) -> tuple[np.ndarray, int]:
     while off + 4 <= len(data):
         hdr = _parse_header(data, off)
         if hdr is None:
+            if subbands:
+                # trailing non-frame bytes (ID3v1 'TAG', APE tags,
+                # ancillary junk — the normal shape of ripped files):
+                # stop cleanly, keep everything decoded so far (review
+                # finding r8; media_container_metadata's ID3-skip lesson)
+                break
             raise ValueError(f"bad frame header at byte {off}")
         layer, bitrate, fs, nch, flen, protection, mode = hdr
         if (layer, fs, nch) != (layer0, fs0, nch0):
@@ -675,17 +688,24 @@ def _decode_frame_l1(r: _BitReader, nch: int) -> np.ndarray:
                 if v == 63:
                     raise ValueError("forbidden scalefactor index 63")
                 scf[c, sb] = v
-    out = np.zeros((nch, 12, 32))
+    # read codes (bit reading is inherently sequential), then dequantize
+    # ONE vector op per active (ch, sb) — the jpeg.py decoder shape
+    codes = np.zeros((nch, 12, 32), dtype=np.int64)
     for sidx in range(12):
         for sb in range(32):
             for c in range(nch):
                 a = alloc[c, sb]
                 if a:
-                    code = r.read(a + 1)
-                    out[c, sidx, sb] = (
-                        dequantize(np.array([code]), (1 << (a + 1)) - 1)[0]
-                        * SCF_TABLE[scf[c, sb]]
-                    )
+                    codes[c, sidx, sb] = r.read(a + 1)
+    out = np.zeros((nch, 12, 32))
+    for c in range(nch):
+        for sb in range(32):
+            a = alloc[c, sb]
+            if a:
+                out[c, :, sb] = (
+                    dequantize(codes[c, :, sb], (1 << (a + 1)) - 1)
+                    * SCF_TABLE[scf[c, sb]]
+                )
     return out
 
 
@@ -724,7 +744,7 @@ def _decode_frame_l2(r: _BitReader, nch: int, qtab) -> np.ndarray:
                 scf[c, sb] = [vs[0], vs[0], vs[0]]
             else:
                 scf[c, sb] = [vs[0], vs[1], vs[1]]
-    out = np.zeros((nch, 36, 32))
+    codes = np.zeros((nch, 36, 32), dtype=np.int64)
     for gr in range(12):
         for sb in range(sblimit):
             _, steps = qtab[sb]
@@ -736,17 +756,23 @@ def _decode_frame_l2(r: _BitReader, nch: int, qtab) -> np.ndarray:
                 g = _GROUP_BITS.get(nsteps)
                 if g:
                     v = r.read(g)
-                    tri = [
-                        v % nsteps,
-                        (v // nsteps) % nsteps,
-                        (v // (nsteps * nsteps)) % nsteps,
-                    ]
+                    codes[c, 3 * gr, sb] = v % nsteps
+                    codes[c, 3 * gr + 1, sb] = (v // nsteps) % nsteps
+                    codes[c, 3 * gr + 2, sb] = (v // (nsteps * nsteps)) % nsteps
                 else:
                     nb = _nbits(nsteps)
-                    tri = [r.read(nb) for _ in range(3)]
-                part = gr // 4
-                vals = dequantize(np.array(tri), nsteps) * SCF_TABLE[
-                    scf[c, sb, part]
-                ]
-                out[c, 3 * gr : 3 * gr + 3, sb] = vals
+                    for k in range(3):
+                        codes[c, 3 * gr + k, sb] = r.read(nb)
+    # dequantize one vector op per active (ch, sb); scalefactors apply
+    # per 12-sample third via a repeat (review finding r8 — the fresh
+    # np.array per triplet dominated decode time)
+    out = np.zeros((nch, 36, 32))
+    for c in range(nch):
+        for sb in range(sblimit):
+            a = alloc[c, sb]
+            if not a:
+                continue
+            nsteps = qtab[sb][1][a - 1]
+            scfs = np.repeat(SCF_TABLE[scf[c, sb]], 12)
+            out[c, :, sb] = dequantize(codes[c, :, sb], nsteps) * scfs
     return out

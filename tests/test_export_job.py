@@ -211,3 +211,24 @@ def test_export_job_from_zip_subprocess(spark, tmp_path):
         for r2 in spark.read.parquet(f"{out}/shards").collect()
     }
     assert got == expect
+
+
+def test_export_job_resume_budget_mismatch_and_conf_restore(spark, tmp_path):
+    """Review r8 pins: (a) resuming with a different --tokens-per-shard
+    than the committed assignment fails loudly (exit 2) instead of
+    silently writing old-budget shards; (b) the job restores the
+    partitionOverwriteMode conf it sets (no dynamic-overwrite leak into
+    the shared session)."""
+    import jobs.export_job as ej
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    inp, _ = _mk_corpus(spark, tmp_path)
+    out = str(tmp_path / "exp")
+    assert ej.main([
+        "--input", inp, "--output", out, "--tokens-per-shard", "5",
+    ]) == 0
+    assert spark.conf.get(key, None) == before
+    assert ej.main([
+        "--input", inp, "--output", out, "--tokens-per-shard", "7",
+    ]) == 2

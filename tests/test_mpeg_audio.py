@@ -339,3 +339,31 @@ def test_all_layer2_tables_reachable():
     for tid in "abcd":
         for width, steps in layer2_qtable(tid):
             assert len(steps[: (1 << width) - 1]) >= 1
+
+
+def test_decode_tolerates_trailing_tag_bytes():
+    """Review r8 pin: a valid stream followed by an ID3v1 'TAG' block
+    (the normal shape of ripped files) decodes everything instead of
+    raising; leading garbage still raises (no free scan)."""
+    sig = _tone(n=3000)
+    enc = encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=96)
+    tagged = enc + b"TAG" + b"\x00" * 125
+    dec, fs = decode_mpeg1_audio(tagged)
+    ref, _ = decode_mpeg1_audio(enc)
+    assert fs == 44100 and np.array_equal(dec, ref)
+    with pytest.raises(ValueError, match="not an MPEG-1"):
+        decode_mpeg1_audio(b"TAG" + enc)
+
+
+def test_layer2_menus_exactly_fill_allocation_fields():
+    """Review r8 pin (the third-party-desync class): every table menu
+    has exactly (1 << width) - 1 entries — the spec designs them to
+    fill their fields, so no encode-side cap may exist; B.2a/b sb11-22
+    carry no 63-step entry and the C/D menus no 7-step entry."""
+    for tid in "abcd":
+        for width, steps in layer2_qtable(tid):
+            assert len(steps) == (1 << width) - 1, (tid, width, steps)
+    a = layer2_qtable("a")
+    assert 63 not in a[11][1] and a[11][1][-1] == 65535
+    c = layer2_qtable("c")
+    assert 7 not in c[0][1] and 7 not in c[2][1]
