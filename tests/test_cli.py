@@ -429,3 +429,56 @@ def test_clean_job_langid_nb_e2e(spark, tmp_path):
     with pytest.raises(SystemExit):
         cj.parse_args(["--input", "x", "--output", "y",
                        "--langid-seed", "s", "--langid-num-buckets", "0"])
+
+
+def test_clean_job_aphash_cross_format_wav_mp2(spark, tmp_path):
+    """Cross-FORMAT audio dedup (round 8, the image cross-format
+    precedent): an MP2 re-encode of a WAV clip clusters with it through
+    clean_job --aphash-dedup — audio_phash now ingests MPEG-1 Layer I/II
+    next to WAV via _parse_pcm_audio (measured cross-format hamming 0,
+    distinct content 14). Distinct and undecodable clips survive."""
+    import numpy as np
+
+    import jobs.clean_job as cj
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        encode_mpeg1_audio,
+    )
+    from jsonl_schema_validator_spark.operators.multimodal import encode_wav
+
+    fs = 44100
+    t = np.arange(2 * fs)
+    rng = np.random.RandomState(5)
+    sig = (
+        8000 * np.sin(2 * np.pi * 330 * t / fs)
+        * (1 + 0.4 * np.sin(2 * np.pi * 2 * t / fs))
+        + 4000 * np.sin(2 * np.pi * 1800 * t / fs) * (t > fs)
+        + 1500 * rng.randn(len(t))
+    ).clip(-32000, 32000).astype(np.int16)
+    other = (
+        7000 * np.sin(2 * np.pi * 700 * t / fs) + 1500 * rng.randn(len(t))
+    ).clip(-32000, 32000).astype(np.int16)
+
+    good = ("the a of and to in is it that for " * 4).strip()
+    rows = [
+        (0, good + " zero", bytearray(encode_wav(fs, sig[:, None]))),
+        (1, good + " one", bytearray(
+            encode_mpeg1_audio(sig, fs, layer=2, bitrate_kbps=192))),
+        (2, good + " two", bytearray(encode_wav(fs, other[:, None]))),
+        (3, good + " three", bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, clip binary")
+    inp = str(tmp_path / "xfmt")
+    df.write.parquet(inp)
+    out = str(tmp_path / "xfmtout")
+    assert cj.main([
+        "--input", inp, "--output", out, "--drop",
+        "--audio-col", "clip", "--aphash-dedup",
+    ]) == 0
+    rep = {r.id: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert rep[0].keep and rep[0].audio_cluster_id == 0
+    assert not rep[1].keep and rep[1].reasons == "audio_duplicate"
+    assert rep[1].audio_cluster_id == 0
+    assert rep[2].keep and rep[2].audio_cluster_id == 2
+    assert rep[3].keep and rep[3].audio_phash is None
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {0, 2, 3}
