@@ -577,6 +577,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "text", window=64)
 
 
+def q_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences(mode='split') — standard GPT concatenate-and-chunk:
+    docs DO cross sequence boundaries, (seq..seq_last, offset) is the
+    doc's span on the token grid. Raw (unclipped) cumsum, so the oracle
+    is the same window cumsum without the LEAST clip."""
+    from jsonl_schema_validator_spark.operators import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", window=64, mode="split")
+
+
 def q_pack_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row padding-waste gauge over q_pack_sequences' grid: the
     number to watch when choosing the context window for a corpus."""
@@ -1371,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_waste": q_pack_waste,
         "hamming_guard_recall": q_hamming_guard_recall,
+        "pack_split": q_pack_split,
     }
 
 
@@ -2931,6 +2943,23 @@ SELECT CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) AS n_seqs,
        CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) * 64 - kept AS padded_tokens,
        ROUND(1.0 - kept * 1.0 / (CAST(FLOOR((clip_total + 63) * 1.0 / 64) AS BIGINT) * 64), 6) AS padding_frac
 FROM a
+""",
+        "pack_split": f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         COALESCE(CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INT), 0) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT id, n_tokens,
+         COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM w)
+SELECT id, n_tokens,
+       CAST(FLOOR(cum * 1.0 / 64) AS BIGINT) AS seq,
+       CAST(FLOOR((cum + GREATEST(CAST(n_tokens AS BIGINT), 1) - 1) * 1.0 / 64) AS BIGINT) AS seq_last,
+       CAST(cum % 64 AS BIGINT) AS "offset"
+FROM c
 """,
         "hamming_guard_recall": """
 WITH base AS (

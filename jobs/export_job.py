@@ -71,6 +71,11 @@ def parse_args(argv):
         "exported rows gain seq/offset/n_kept from pack_sequences(W) "
         "(quota packing, docs never split, boundary tails truncated)",
     )
+    p.add_argument(
+        "--tokens-col", default=None,
+        help="pre-computed token-count column to budget by (e.g. real BPE "
+        "counts joined onto the input) instead of the regex heuristic",
+    )
     p.add_argument("--n-buckets", type=int, default=64,
                    help="execution buckets for the distributed prefix sum")
     p.add_argument("--batch-size", type=int, default=8,
@@ -131,6 +136,12 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.tokens_col is not None and args.tokens_col not in df.columns:
+        print(
+            f"[export] input lacks --tokens-col {args.tokens_col!r}",
+            file=sys.stderr,
+        )
+        return 2
 
     manifest = CheckpointManifest(
         f"{args.output}/manifest", run_id=args.run_id, spark=spark
@@ -148,12 +159,16 @@ def main(argv=None) -> int:
         staged = (
             staged_m.get("tokens_per_shard"),
             staged_m.get("pack_window"),
+            staged_m.get("tokens_col"),
         )
-        if staged != (args.tokens_per_shard, args.pack_window):
+        if staged != (
+            args.tokens_per_shard, args.pack_window, args.tokens_col
+        ):
             print(
                 f"[export] committed assignment was built with "
-                f"(--tokens-per-shard, --pack-window) = {staged}, not "
-                f"({args.tokens_per_shard}, {args.pack_window}); re-run "
+                f"(--tokens-per-shard, --pack-window, --tokens-col) = "
+                f"{staged}, not ({args.tokens_per_shard}, "
+                f"{args.pack_window}, {args.tokens_col}); re-run "
                 "with the original parameters or export to a fresh "
                 "--output",
                 file=sys.stderr,
@@ -166,6 +181,7 @@ def main(argv=None) -> int:
             args.text_col,
             args.tokens_per_shard,
             n_buckets=args.n_buckets,
+            tokens_col=args.tokens_col,
         )
         if args.pack_window:
             # the training-example grid rides the SAME staged table: one
@@ -176,6 +192,7 @@ def main(argv=None) -> int:
                 args.text_col,
                 args.pack_window,
                 n_buckets=args.n_buckets,
+                tokens_col=args.tokens_col,
             ).select(
                 F.col("id").alias("__jsv_pk_id"), "seq", "offset", "n_kept"
             )
@@ -193,6 +210,7 @@ def main(argv=None) -> int:
             {
                 "tokens_per_shard": args.tokens_per_shard,
                 "pack_window": args.pack_window,
+                "tokens_col": args.tokens_col,
             },
         )
         print("[export] assignment staged")

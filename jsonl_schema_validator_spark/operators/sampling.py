@@ -364,6 +364,7 @@ def shard_assign(
     text_col: str,
     tokens_per_shard: int,
     n_buckets: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, shard) — pack documents into token-budgeted
     training shards in id order: shard = floor(tokens_before_doc /
@@ -381,7 +382,10 @@ def shard_assign(
     fine and the DuckDB oracle is a plain window cumsum. The driver
     sees exactly n_buckets rows. Token counts use the shared
     BPE_TOKEN_PATTERN (token_count's bpe_like definition); NULL text
-    counts 0.
+    counts 0. Pass `tokens_col` to pack by PRE-COMPUTED counts instead
+    (e.g. real BPE counts from bpe_token_count joined onto the corpus —
+    the sample-train + full-apply recipe); NULLs count 0, text_col is
+    then unused.
 
     PRECONDITION: ids unique and non-null (the stratified_hash_sample
     convention) — duplicate ids would double-count budget; a NULL id
@@ -391,7 +395,7 @@ def shard_assign(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     _check_numeric_id(df, id_col, "shard_assign")
-    w = _token_counts(df, id_col, text_col)
+    w = _token_counts(df, id_col, text_col, tokens_col)
     cum = _distributed_cum_before(w, "n_tokens", n_buckets)
     return cum.select(
         "id",
@@ -402,9 +406,34 @@ def shard_assign(
     )
 
 
-def _token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """(id, n_tokens) over the shared BPE_TOKEN_PATTERN, NULL text = 0 —
-    the one token definition shard_assign and pack_sequences agree on."""
+    the one token definition shard_assign and pack_sequences agree on.
+    With tokens_col, the caller's pre-computed counts are used instead
+    (validated numeric at entry; NULLs and negatives count 0 — a
+    negative budget contribution would walk the prefix sum backwards)."""
+    if tokens_col is not None:
+        from pyspark.sql.types import NumericType
+
+        dt = df.schema[tokens_col].dataType
+        if not isinstance(dt, NumericType):
+            raise ValueError(
+                f"tokens_col {tokens_col!r} must be numeric (got "
+                f"{dt.simpleString()}) — join real counts (e.g. "
+                "bpe_token_count's n_tokens_bpe) onto the corpus first"
+            )
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.greatest(
+                F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)),
+                F.lit(0),
+            ).alias("n_tokens"),
+        )
     from jsonl_schema_validator_spark.operators.textops import token_count
 
     return token_count(df, id_col, text_col, bpe_like=True).select(
@@ -478,11 +507,14 @@ def pack_sequences(
     window: int,
     n_buckets: int = 64,
     mode: str = "truncate",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Pack documents into fixed context-window training sequences in id
     order — the operator that decides what a training EXAMPLE is (distinct
     from shard_assign's storage budgeting). Token counts use the shared
-    BPE_TOKEN_PATTERN (same definition as shard_assign); NULL text = 0.
+    BPE_TOKEN_PATTERN (same definition as shard_assign); NULL text = 0;
+    `tokens_col` switches to pre-computed counts (the shard_assign
+    contract — e.g. real BPE counts).
 
     mode='truncate' (default) — docs never split. Each doc's contribution
     is clipped to the window; the quota prefix sum places it at
@@ -515,7 +547,7 @@ def pack_sequences(
     if mode not in ("truncate", "split"):
         raise ValueError(f"mode must be 'truncate' or 'split', got {mode!r}")
     _check_numeric_id(df, id_col, "pack_sequences")
-    w = _token_counts(df, id_col, text_col)
+    w = _token_counts(df, id_col, text_col, tokens_col)
     if mode == "truncate":
         w = w.withColumn("__jsv_clip", F.least("n_tokens", F.lit(window)))
         cum = _distributed_cum_before(w, "__jsv_clip", n_buckets)
@@ -553,6 +585,7 @@ def pack_waste(
     text_col: str,
     window: int,
     n_buckets: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """One-row padding-waste gauge over pack_sequences(mode='truncate'):
     (n_seqs, window, kept_tokens, padded_tokens, padding_frac). The
@@ -561,7 +594,10 @@ def pack_waste(
     their vacated head space both count as waste — this is the number to
     watch when choosing `window` for a corpus). padding_frac rounded to
     6 dp; NULL on an empty corpus (no grid to waste)."""
-    p = pack_sequences(df, id_col, text_col, window, n_buckets=n_buckets)
+    p = pack_sequences(
+        df, id_col, text_col, window, n_buckets=n_buckets,
+        tokens_col=tokens_col,
+    )
     agg = p.agg(
         F.coalesce(
             F.sum(F.least(F.col("n_tokens").cast("long"), F.lit(window))),

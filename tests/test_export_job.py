@@ -285,3 +285,42 @@ def test_export_job_pack_window(spark, tmp_path):
     with pytest.raises(SystemExit):
         ej.parse_args(["--input", "x", "--output", "y",
                        "--tokens-per-shard", "5", "--pack-window", "0"])
+
+
+def test_export_job_tokens_col(spark, tmp_path):
+    """--tokens-col: the export budgets by a pre-computed count column;
+    shard ids match a direct shard_assign(tokens_col=...) call; a
+    missing column fails loudly; the staged parameter is pinned for
+    resume."""
+    import jobs.export_job as ej
+    from jsonl_schema_validator_spark.operators import shard_assign
+
+    rows = [(i, "x", (i * 3) % 11) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, nt int")
+    inp = str(tmp_path / "ntdocs")
+    df.write.parquet(inp)
+    out = str(tmp_path / "ntexp")
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "7", "--tokens-col", "nt",
+    ]) == 0
+    got = {
+        r.doc_id: r.shard
+        for r in spark.read.parquet(f"{out}/shards").collect()
+    }
+    direct = {
+        r.id: r.shard
+        for r in shard_assign(
+            spark.read.parquet(inp), "doc_id", "text", 7, tokens_col="nt"
+        ).collect()
+    }
+    assert got == direct
+    # resume without the tokens-col is refused (parameter pinned)
+    assert ej.main([
+        "--input", inp, "--output", out, "--tokens-per-shard", "7",
+    ]) == 2
+    # missing column fails loudly
+    assert ej.main([
+        "--input", inp, "--output", str(tmp_path / "o4"),
+        "--tokens-per-shard", "7", "--tokens-col", "nope",
+    ]) == 2

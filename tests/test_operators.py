@@ -1176,3 +1176,64 @@ def test_pack_waste_empty_corpus(spark):
     w = pack_waste(df, "doc_id", "text", 5).collect()[0]
     assert (w.n_seqs, w.kept_tokens, w.padded_tokens) == (0, 0, 0)
     assert w.padding_frac is None
+
+
+def test_pack_and_shard_tokens_col_override(spark):
+    """tokens_col (round 8): shard_assign/pack_sequences/pack_waste budget
+    by PRE-COMPUTED counts (the real-BPE recipe) instead of the regex
+    heuristic — exact vs a python reference; NULL and negative counts
+    clamp to 0; non-numeric tokens_col fails at entry."""
+    import pytest
+
+    from jsonl_schema_validator_spark.operators import (
+        pack_sequences,
+        pack_waste,
+        shard_assign,
+    )
+
+    rows = [
+        (1, "ignored", 4),
+        (2, "ignored", 2),
+        (3, None, None),      # NULL count -> 0
+        (4, "ignored", 50),
+        (5, "ignored", -7),   # negative clamps to 0
+        (6, "ignored", 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, nt int")
+    counts = {1: 4, 2: 2, 3: 0, 4: 50, 5: 0, 6: 3}
+    W = 5
+
+    cum, exp_shard, exp_pack = 0, {}, {}
+    for i in sorted(counts):
+        exp_shard[i] = cum // W
+        cum += counts[i]
+    cum = 0
+    for i in sorted(counts):
+        clip = min(counts[i], W)
+        exp_pack[i] = (cum // W, cum % W, min(clip, W - cum % W))
+        cum += clip
+
+    got = {
+        r.id: (r.n_tokens, r.shard)
+        for r in shard_assign(
+            df, "doc_id", "text", W, tokens_col="nt"
+        ).collect()
+    }
+    assert {i: s for i, (_, s) in got.items()} == exp_shard
+    assert {i: n for i, (n, _) in got.items()} == counts
+
+    gotp = {
+        r.id: (r.seq, r.offset, r.n_kept)
+        for r in pack_sequences(
+            df, "doc_id", "text", W, tokens_col="nt"
+        ).collect()
+    }
+    assert gotp == exp_pack
+
+    w = pack_waste(df, "doc_id", "text", W, tokens_col="nt").collect()[0]
+    clip_total = sum(min(c, W) for c in counts.values())
+    kept = sum(k for (_, _, k) in exp_pack.values())
+    assert w.n_seqs == -(-clip_total // W) and w.kept_tokens == kept
+
+    with pytest.raises(ValueError, match="numeric"):
+        shard_assign(df, "doc_id", "text", W, tokens_col="text")
