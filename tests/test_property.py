@@ -419,3 +419,40 @@ def test_mpeg_audio_roundtrip_property(n, nch, layer, fs, seed):
     assert dec.dtype == np.int16
     assert dec.shape == (max(1, -(-n // spf)) * spf, nch)
     assert np.isfinite(dec.astype(np.float64)).all()
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.lists(
+        st.tuples(st.integers(4, 10_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_mpeg_audio_corrupt_stream_never_crashes(seed, mutations):
+    """Decoder robustness pin (round 8): the MPEG decoder runs inside
+    corpus mapInPandas tasks, so byte corruption in a stream must either
+    raise ValueError (the per-row catch turns it into a NULL row) or
+    return finite int16 samples — never crash with another exception
+    type, hang, or emit NaN/inf."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        decode_mpeg1_audio,
+        encode_mpeg1_audio,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    sig = rng.randint(-32768, 32768, size=1500).astype(np.int16)
+    enc = bytearray(encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=96))
+    for pos, val in mutations:
+        if pos < len(enc):
+            enc[pos] = val  # never touches the first header (pos >= 4)
+    try:
+        dec, fs = decode_mpeg1_audio(bytes(enc))
+    except ValueError:
+        return
+    assert fs == 44100
+    assert dec.dtype == np.int16
+    assert np.isfinite(dec.astype(np.float64)).all()
