@@ -644,6 +644,12 @@ def _parse_header(data: bytes, off: int):
     fs = SAMPLE_RATES[sr_idx]
     padding = (b2 >> 1) & 1
     mode = (b3 >> 6) & 3
+    if mode == 1:
+        # joint (intensity) stereo changes the Layer II payload layout
+        # above the bound subband — decoding it as independent stereo
+        # would silently desync into garbage PCM. Reject loudly; the
+        # honest stub boundary (this encoder never emits mode 01).
+        return None
     nch = 1 if mode == 3 else 2
     if layer == 1:
         flen = (12 * bitrate * 1000 // fs + padding) * 4

@@ -367,3 +367,16 @@ def test_layer2_menus_exactly_fill_allocation_fields():
     assert 63 not in a[11][1] and a[11][1][-1] == 65535
     c = layer2_qtable("c")
     assert 7 not in c[0][1] and 7 not in c[2][1]
+
+
+def test_joint_stereo_rejected_not_garbled():
+    """mode 01 (joint/intensity stereo) changes the Layer II payload
+    layout — decoding it as independent stereo would silently produce
+    garbage PCM for real-world joint-stereo files. The decoder must
+    reject it loudly (documented stub boundary) rather than desync."""
+    sig = _tone(n=2000)
+    enc = bytearray(encode_mpeg1_audio(
+        np.stack([sig, sig], axis=1), 44100, layer=2, bitrate_kbps=192))
+    enc[3] = (enc[3] & 0x3F) | 0x40  # mode 00 (stereo) -> 01 (joint)
+    with pytest.raises(ValueError, match="Layer I/II"):
+        decode_mpeg1_audio(bytes(enc))
