@@ -6,7 +6,8 @@ per-shard checkpoint/resume (VERDICT r7 #1).
         jobs/export_job.py \
         --input /path/clean_out/kept --id-col doc_id --text-col text \
         --output /path/export --tokens-per-shard 1000000 \
-        [--pack-window 2048] [--n-buckets 64] [--batch-size 8] [--run-id r1]
+        [--pack-window 2048] [--tokens-col n_bpe] [--verify] \
+        [--n-buckets 64] [--batch-size 8] [--run-id r1]
 
 Outputs under --output:
 - shards/shard=K/*.parquet — the input rows plus `n_tokens` (the doc's
@@ -81,6 +82,13 @@ def parse_args(argv):
     p.add_argument("--batch-size", type=int, default=8,
                    help="shards written per Spark job (checkpoint batch)")
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--verify", action="store_true",
+        help="after the write, re-read shards/ and check them against "
+        "the committed assignment: every id exactly once, per-shard "
+        "row/token counts equal to the manifest metrics; exit 1 on any "
+        "mismatch",
+    )
     p.add_argument(
         "--fail-after-batches", type=int, default=None,
         help="TEST HOOK: raise after N committed batches (simulates a "
@@ -303,6 +311,52 @@ def main(argv=None) -> int:
             spark.conf.set(_OVW, prev_ovw)
     total_rows = sum(int(stats[k]["rows"]) for k in keys)
     total_tokens = sum(int(stats[k]["tokens"]) for k in keys)
+    verified = None
+    if args.verify:
+        # trust-but-verify for a resumable writer: recompute per-shard
+        # (rows, tokens, distinct ids) FROM THE WRITTEN FILES and compare
+        # to the committed assignment's stats — a stale shard directory
+        # left by a non-dynamic overwrite, a double-written batch, or a
+        # changed input between run and resume all surface here
+        back = spark.read.parquet(shards_path)
+        got = {
+            int(r["shard"]): r
+            for r in back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("n_tokens").cast("long")).alias("tokens"),
+                F.countDistinct(args.id_col).alias("ids"),
+            )
+            .collect()
+        }
+        problems = []
+        if set(got) != set(keys):
+            problems.append(
+                f"shard set mismatch: written {sorted(set(got) - set(keys))} "
+                f"extra, {sorted(set(keys) - set(got))} missing"
+            )
+        for k in keys:
+            if k not in got:
+                continue
+            g = got[k]
+            want = stats[k]
+            if int(g["ids"]) != int(g["rows"]):
+                problems.append(f"shard {k}: duplicate ids in output")
+            if (int(g["rows"]), int(g["tokens"])) != (
+                int(want["rows"]), int(want["tokens"])
+            ):
+                problems.append(
+                    f"shard {k}: rows/tokens {int(g['rows'])}/"
+                    f"{int(g['tokens'])} != committed "
+                    f"{int(want['rows'])}/{int(want['tokens'])}"
+                )
+        if problems:
+            for msg in problems:
+                print(f"[export] VERIFY FAILED: {msg}", file=sys.stderr)
+            spark.catalog.clearCache()
+            return 1
+        verified = {"shards": len(keys), "rows": total_rows}
+        print(f"[export] verify OK: {len(keys)} shards, {total_rows} rows")
     print(
         json.dumps(
             {
@@ -316,6 +370,7 @@ def main(argv=None) -> int:
                 "tokens": total_tokens,
                 "tokens_per_shard": args.tokens_per_shard,
                 "pack_window": args.pack_window,
+                "verified": verified,
             }
         )
     )

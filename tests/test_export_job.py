@@ -324,3 +324,31 @@ def test_export_job_tokens_col(spark, tmp_path):
         "--input", inp, "--output", str(tmp_path / "o4"),
         "--tokens-per-shard", "7", "--tokens-col", "nope",
     ]) == 2
+
+
+def test_export_job_verify_mode(spark, tmp_path):
+    """--verify re-reads the written shards and checks them against the
+    committed assignment (rows, tokens, id uniqueness, shard set): a
+    clean run passes; a corrupted shard directory (planted stale extra
+    file) fails with exit 1."""
+    import jobs.export_job as ej
+
+    inp, texts = _mk_corpus(spark, tmp_path)
+    out = str(tmp_path / "vexp")
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "5", "--verify",
+    ]) == 0
+
+    # plant a duplicate row inside an existing shard directory: verify
+    # must catch both the row-count drift and the duplicated id
+    import glob
+    import shutil
+
+    files = glob.glob(f"{out}/shards/shard=0/*.parquet")
+    assert files
+    shutil.copy(files[0], files[0].replace(".parquet", "_dup.parquet"))
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "5", "--verify",
+    ]) == 1

@@ -380,3 +380,40 @@ def test_joint_stereo_rejected_not_garbled():
     enc[3] = (enc[3] & 0x3F) | 0x40  # mode 00 (stereo) -> 01 (joint)
     with pytest.raises(ValueError, match="Layer I/II"):
         decode_mpeg1_audio(bytes(enc))
+
+
+def test_bit_io_matches_naive_reference():
+    """The vectorized _BitWriter/_BitReader.read_many are pinned against
+    a naive big-int bit packer on random (value, width) sequences —
+    round-trips alone would miss a mirrored indexing error in the pair."""
+    import random
+
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    rng = random.Random(23)
+    for _ in range(50):
+        fields = [
+            (rng.randrange(1 << w), w)
+            for w in (rng.randint(1, 16) for _ in range(rng.randint(1, 400)))
+        ]
+        total = sum(w for _, w in fields)
+        nbytes = (total + 7) // 8 + rng.randint(0, 3)
+        # naive reference: one big int, MSB-first
+        acc = 0
+        for v, w in fields:
+            acc = (acc << w) | v
+        acc <<= nbytes * 8 - total
+        ref = acc.to_bytes(nbytes, "big")
+        wtr = _BitWriter()
+        for v, w in fields:
+            wtr.write(v, w)
+        assert wtr.pad_to(nbytes) == ref
+        rdr = _BitReader(ref)
+        got = rdr.read_many([w for _, w in fields])
+        assert list(got) == [v for v, _ in fields]
+        # scalar read agrees too
+        rdr2 = _BitReader(ref)
+        assert [rdr2.read(w) for _, w in fields] == [v for v, _ in fields]
