@@ -870,21 +870,46 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition order, and one sf0.1 hour-bucket's mean sits EXACTLY on a
     .5 boundary at the 6th decimal (43.4728125), where the engines'
     float rounding disagrees — caught by the round-8 battery as a
-    one-row VALUE-MISMATCH that earlier runs' summation order hid."""
+    one-row VALUE-MISMATCH that earlier runs' summation order hid.
+
+    Second-review refinement (r8): decimal DIVISION is not enough — the
+    engines' division semantics differ (DuckDB promotes DECIMAL/COUNT to
+    double; Spark's decimal division may round at an intermediate scale
+    and the long./. path floors a double beyond 2^53), so avg_value is
+    computed by an EXACT integer half-away-from-zero formula on both
+    sides: avg*1e6 = sum_int/(cnt*1e4) with sum_int = sum_dec*1e10, and
+    round(x) = sign * ((2|sum_int| + cnt*1e4) div (2*cnt*1e4)). Overflow
+    bound: |sum per group| < 4.6e8 (sum_int*2 within int64), far above
+    any hour-bucket of this table."""
     ev = _t(spark, sf_dir, "events")
     dec_sum = F.sum(F.col("value").cast("decimal(30,10)"))
-    return (
+    g = (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
             F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.round(dec_sum, 4).cast("double").alias("sum_value"),
-            F.round(dec_sum / F.count(F.lit(1)), 6)
-            .cast("double")
-            .alias("avg_value"),
+            dec_sum.alias("__ds"),
         )
+        .withColumn(
+            "__si", (F.col("__ds") * F.lit(10000000000)).cast("long")
+        )
+    )
+    return g.select(
+        "window_start",
+        "event_type",
+        "events",
+        F.round(F.col("__ds"), 4).cast("double").alias("sum_value"),
+        (
+            F.expr(
+                "CASE WHEN __si >= 0 "
+                "THEN (__si * 2 + events * 10000) DIV (events * 20000) "
+                "ELSE -((-__si * 2 + events * 10000) DIV (events * 20000)) "
+                "END"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_value"),
     )
 
 
@@ -2781,11 +2806,19 @@ FROM events WHERE event_type = 'error'
 HAVING count(*) > 0
 """,
         "tumbling_events": """
-SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
-       count(*) AS events,
-       round(sum(CAST(value AS DECIMAL(30,10))), 4)::DOUBLE AS sum_value,
-       round(sum(CAST(value AS DECIMAL(30,10))) / count(*), 6)::DOUBLE AS avg_value
-FROM events GROUP BY 1, 2
+WITH g AS (
+  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+         count(*) AS events,
+         sum(CAST(value AS DECIMAL(30,10))) AS ds,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) * 10000000000 AS HUGEINT) AS si
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, events,
+       round(ds, 4)::DOUBLE AS sum_value,
+       CAST(CASE WHEN si >= 0
+                 THEN (si * 2 + events * 10000) // (events * 20000)
+                 ELSE -((-si * 2 + events * 10000) // (events * 20000))
+            END AS DOUBLE) / 1000000 AS avg_value
+FROM g
 """,
         "topk_orders": """
 WITH r AS (

@@ -183,24 +183,48 @@ def main(argv=None) -> int:
             )
             return 2
     if _ASSIGN_KEY not in done:
+        # ONE persisted (id, n_tokens) frame feeds every prefix-sum pass
+        # (shard_assign and pack_sequences each run percentile + bucket
+        # collects; without this, --pack-window regex-tokenized the
+        # corpus twice and every collect re-scanned it — second-review
+        # finding r8). Both operators consume it via tokens_col; the
+        # text_col argument is unused on that path.
+        from pyspark.storagelevel import StorageLevel
+
+        if args.tokens_col is not None:
+            wtok = df.select(
+                F.col(args.id_col).alias("id"),
+                F.col(args.tokens_col).alias("n_tokens"),
+            )
+        else:
+            from jsonl_schema_validator_spark.operators.textops import (
+                token_count,
+            )
+
+            wtok = token_count(
+                df, args.id_col, args.text_col, bpe_like=True
+            ).select(
+                "id", F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens")
+            )
+        wtok = wtok.persist(StorageLevel.MEMORY_AND_DISK)
         asg = shard_assign(
-            df,
-            args.id_col,
-            args.text_col,
+            wtok,
+            "id",
+            "id",
             args.tokens_per_shard,
             n_buckets=args.n_buckets,
-            tokens_col=args.tokens_col,
+            tokens_col="n_tokens",
         )
         if args.pack_window:
             # the training-example grid rides the SAME staged table: one
             # committed artifact pins both groupings for resume
             pk = pack_sequences(
-                df,
-                args.id_col,
-                args.text_col,
+                wtok,
+                "id",
+                "id",
                 args.pack_window,
                 n_buckets=args.n_buckets,
-                tokens_col=args.tokens_col,
+                tokens_col="n_tokens",
             ).select(
                 F.col("id").alias("__jsv_pk_id"), "seq", "offset", "n_kept"
             )
@@ -213,6 +237,7 @@ def main(argv=None) -> int:
             .partitionBy("shard")
             .parquet(asg_path)
         )
+        wtok.unpersist()
         manifest.mark_complete(
             _ASSIGN_KEY,
             {

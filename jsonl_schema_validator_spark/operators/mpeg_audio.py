@@ -292,10 +292,6 @@ class _BitWriter:
         self.vals.append(int(value) & ((1 << nbits) - 1))
         self.widths.append(nbits)
 
-    def write_many(self, values, nbits: int) -> None:
-        for v in values:
-            self.write(int(v), nbits)
-
     def pad_to(self, nbytes: int) -> bytes:
         w = np.asarray(self.widths, dtype=np.int64)
         v = np.asarray(self.vals, dtype=np.int64)
@@ -678,13 +674,26 @@ def decode_mpeg1_audio(data: bytes) -> tuple[np.ndarray, int]:
     while off + 4 <= len(data):
         hdr = _parse_header(data, off)
         if hdr is None:
-            if subbands:
+            has_sync = (
+                off + 2 <= len(data)
+                and data[off] == 0xFF
+                and (data[off + 1] & 0xE0) == 0xE0
+            )
+            if subbands and not has_sync:
                 # trailing non-frame bytes (ID3v1 'TAG', APE tags,
                 # ancillary junk — the normal shape of ripped files):
                 # stop cleanly, keep everything decoded so far (review
                 # finding r8; media_container_metadata's ID3-skip lesson)
                 break
-            raise ValueError(f"bad frame header at byte {off}")
+            # bytes carrying a frame SYNC that we cannot parse — e.g. a
+            # mid-stream switch to joint stereo or MPEG-2 — must raise,
+            # not silently truncate the decode (second-review finding r8:
+            # real encoders switch LR/intensity per frame, and a clip
+            # hashed from a 3-frame torso would corrupt dedup verdicts)
+            raise ValueError(
+                f"unsupported or corrupt frame header at byte {off} "
+                "(joint stereo / MPEG-2 / Layer III are documented stubs)"
+            )
         layer, bitrate, fs, nch, flen, protection, mode = hdr
         if (layer, fs, nch) != (layer0, fs0, nch0):
             raise ValueError("mid-stream format change is not supported")
@@ -794,7 +803,7 @@ def _decode_frame_l2(r: _BitReader, nch: int, qtab) -> np.ndarray:
     # the per-granule field plan repeats 12x: one read_many over the
     # tiled widths replaces ~2000 python read() calls (round-8 perf);
     # grouped triplets decompose vectorized afterwards
-    plan = []  # (c, sb, nsteps, grouped, field_count)
+    plan = []  # (c, sb, nsteps, grouped) — grouped = 1 field, else 3
     widths_gr = []
     for sb in range(sblimit):
         _, steps = qtab[sb]

@@ -420,6 +420,12 @@ def _token_counts(
     if tokens_col is not None:
         from pyspark.sql.types import NumericType
 
+        if tokens_col not in df.columns:
+            raise ValueError(
+                f"tokens_col {tokens_col!r} is not a column of the input "
+                f"frame (columns: {df.columns}) — join the pre-computed "
+                "counts on first"
+            )
         dt = df.schema[tokens_col].dataType
         if not isinstance(dt, NumericType):
             raise ValueError(

@@ -417,3 +417,18 @@ def test_bit_io_matches_naive_reference():
         # scalar read agrees too
         rdr2 = _BitReader(ref)
         assert [rdr2.read(w) for _, w in fields] == [v for v, _ in fields]
+
+
+def test_mid_stream_joint_stereo_raises_not_truncates():
+    """Second-review pin r8: a frame sync we cannot parse MID-stream
+    (e.g. a per-frame switch to joint stereo, which real encoders do)
+    must raise — the trailing-junk tolerance is only for NON-sync tag
+    bytes; silently truncating would hash a torso clip and corrupt
+    dedup verdicts."""
+    sig = np.tile(_tone(n=1152), 10)[: 10 * 1152]
+    enc = bytearray(encode_mpeg1_audio(
+        np.stack([sig, sig], axis=1), 44100, layer=2, bitrate_kbps=192))
+    flen = 144 * 192 * 1000 // 44100
+    enc[3 * flen + 3] = (enc[3 * flen + 3] & 0x3F) | 0x40  # frame 3 -> joint
+    with pytest.raises(ValueError, match="unsupported or corrupt"):
+        decode_mpeg1_audio(bytes(enc))
