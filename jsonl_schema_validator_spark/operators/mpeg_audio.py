@@ -52,6 +52,10 @@ bit-exact at the bitstream layer, and PCM from third-party encoders
 decodes correctly to filterbank precision (two near-PR windows of the
 same class differ by a small linear filtering), not bit-exactly.
 
+The filterbank constants are generated lazily and cached per process:
+~0.4s once per python worker (measured), amortized across every clip
+the worker decodes — the same cost class as the JPEG DCT matrix setup.
+
 Layer III remains a documented stub (multimodal.py's ffmpeg slot): its
 Huffman-coded MDCT layer is the genuinely codec-bound part.
 

@@ -1,0 +1,81 @@
+"""Export-job evidence bench: throughput of the clean->pack->write last
+mile and the cost of RESUME (a killed run's second invocation must pay
+only for the missing shards, not re-stage or rewrite committed ones).
+
+Run: python tools/bench_export.py [n_docs]
+Prints one JSON line: {"rows": N, "full_sec": ..., "resume_sec": ...,
+"resume_frac": ...} — resume_frac is resume_sec/full_sec after a kill at
+half the batches; well under 1.0 is the point (the staged assignment and
+committed shards are reused, only the tail batches run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_docs: int = 60_000) -> None:
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark import get_spark
+    import jobs.export_job as ej
+
+    spark = get_spark(
+        app_name="bench-export", master="local[8]", shuffle_partitions=8
+    )
+    base = tempfile.mkdtemp(prefix="jsv_export_bench_")
+    inp = f"{base}/docs"
+    # synthetic corpus: ~40-token docs, deterministic
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok "), F.lpad(F.col("id").cast("string"), 8, "0"),
+            F.lit(" lorem ipsum dolor sit amet " * 6),
+        ).alias("text"),
+    ).write.parquet(inp)
+
+    budget = ["--tokens-per-shard", "50000", "--batch-size", "4"]
+
+    out_full = f"{base}/full"
+    t0 = time.time()
+    rc = ej.main(["--input", inp, "--output", out_full, *budget])
+    full_sec = time.time() - t0
+    assert rc == 0
+
+    # kill at half the batches, then resume
+    out_res = f"{base}/res"
+    try:
+        ej.main([
+            "--input", inp, "--output", out_res, *budget,
+            "--fail-after-batches", "3",
+        ])
+    except RuntimeError:
+        pass
+    t0 = time.time()
+    rc = ej.main(["--input", inp, "--output", out_res, *budget, "--verify"])
+    resume_sec = time.time() - t0
+    assert rc == 0
+
+    n_full = spark.read.parquet(f"{out_full}/shards").count()
+    n_res = spark.read.parquet(f"{out_res}/shards").count()
+    assert n_full == n_res == n_docs, (n_full, n_res)
+    print(json.dumps({
+        "rows": n_docs,
+        "full_sec": round(full_sec, 2),
+        "resume_sec": round(resume_sec, 2),
+        "resume_frac": round(resume_sec / full_sec, 3),
+        "rows_per_sec_full": int(n_docs / full_sec),
+    }))
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 60_000)
