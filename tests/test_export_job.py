@@ -352,3 +352,23 @@ def test_export_job_verify_mode(spark, tmp_path):
         "--input", inp, "--output", out,
         "--tokens-per-shard", "5", "--verify",
     ]) == 1
+
+
+def test_export_job_verify_catches_missing_shard(spark, tmp_path):
+    """--verify must also catch a MISSING shard directory (the planted
+    case above only covers a duplicated file)."""
+    import shutil
+
+    import jobs.export_job as ej
+
+    inp, _ = _mk_corpus(spark, tmp_path)
+    out = str(tmp_path / "vmexp")
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "5", "--verify",
+    ]) == 0
+    shutil.rmtree(f"{out}/shards/shard=0")
+    assert ej.main([
+        "--input", inp, "--output", out,
+        "--tokens-per-shard", "5", "--verify",
+    ]) == 1

@@ -1237,3 +1237,58 @@ def test_pack_and_shard_tokens_col_override(spark):
 
     with pytest.raises(ValueError, match="numeric"):
         shard_assign(df, "doc_id", "text", W, tokens_col="text")
+
+
+def test_prefix_sum_packing_fuzz_vs_python(spark):
+    """Seeded fuzz of the shared distributed-prefix-sum core: shard and
+    sequence assignment over random corpora (non-contiguous, negative,
+    adversarially clustered ids; zero/huge counts) match a pure-python
+    reference exactly at several bucket counts — the hand fixtures only
+    cover small contiguous ids."""
+    import random
+
+    from jsonl_schema_validator_spark.operators import (
+        pack_sequences,
+        shard_assign,
+    )
+
+    rng = random.Random(47)
+    for trial in range(6):
+        n = rng.randint(1, 60)
+        ids = rng.sample(range(-(10**6), 10**6), n)
+        if trial % 2:
+            # adversarial clustering: most ids in a tight band
+            ids = [i % 97 for i in range(n - 1)]
+            ids = sorted(set(ids))
+            ids.append(10**6)
+        counts = {
+            i: rng.choice([0, 1, 2, 3, 7, 50, 0, 1]) for i in ids
+        }
+        W = rng.choice([1, 3, 5, 11])
+        df = spark.createDataFrame(
+            [(i, c) for i, c in counts.items()], "doc_id long, nt int"
+        )
+        cum, exp_shard, exp_pack = 0, {}, {}
+        for i in sorted(counts):
+            exp_shard[i] = cum // W
+            cum += counts[i]
+        cum = 0
+        for i in sorted(counts):
+            clip = min(counts[i], W)
+            exp_pack[i] = (cum // W, cum % W, min(clip, W - cum % W))
+            cum += clip
+        nb = rng.choice([1, 2, 8, 64])
+        got = {
+            r.id: r.shard
+            for r in shard_assign(
+                df, "doc_id", "nt", W, n_buckets=nb, tokens_col="nt"
+            ).collect()
+        }
+        assert got == exp_shard, (trial, W, nb)
+        gotp = {
+            r.id: (r.seq, r.offset, r.n_kept)
+            for r in pack_sequences(
+                df, "doc_id", "nt", W, n_buckets=nb, tokens_col="nt"
+            ).collect()
+        }
+        assert gotp == exp_pack, (trial, W, nb)
