@@ -608,10 +608,21 @@ def q_hamming_guard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     must ALWAYS be found. One row: overall and hot-only recall — the
     documented 'bounded recall loss' as a number the driver re-checks.
     The DuckDB oracle replays the construction, the brute-force truth,
-    AND the guard's exact salting math end-to-end."""
+    AND the guard's exact salting math end-to-end.
+
+    The planted corpus is CAPPED at doc_id < 2000 (VERDICT r8 #2): every
+    doc shares hot chunk p0, so the exact truth side is O(n²) in the
+    corpus — uncapped it inherited the sf (24s at sf0.1, 40 min at sf1).
+    The cap keeps the gauge O(constant²) at any sf while still forcing
+    the salt (2000 ≫ cap 32 → 63 sub-blocks at sf0.1, 16 at sf0.01's
+    500 docs). The oracle replays the same cap."""
     from jsonl_schema_validator_spark.operators import hamming_guard_recall
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 2000)
+    )
     pid = F.floor(F.col("doc_id") / 2).cast("long")
     role = (F.col("doc_id") % 2).cast("int")
     cls = (pid % 2).cast("int")
@@ -1345,7 +1356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned by the _cdf_pair fixtures) takes its tail slot
         "psi_nchars": q_psi_nchars,
         "exact_dup_documents": q_exact_dup_documents,
-        "jaccard_pairs": q_jaccard_pairs,
+        # round-9 swap (VERDICT r8 #1): pack_sequences is round-8 work the
+        # external gate never value-checked; jaccard_pairs (stable since
+        # r2, fixture- and skew-bench-pinned) takes its tail slot
+        "pack_sequences": q_pack_sequences,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
         "semantic_dup": q_semantic_dup,
@@ -1355,11 +1369,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "clean_docs": q_clean_docs,
         "clean_docs_near": q_clean_docs_near,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
+        # round-9 swaps (VERDICT r8 #1): pack_waste + pack_split enter the
+        # window; hash_split + stratified_sample (md5-deterministic,
+        # oracle-exact, stable since r4) rotate to the tail in exchange
+        "pack_waste": q_pack_waste,
+        "pack_split": q_pack_split,
         "simhash_documents": q_simhash_documents,
         "cosine_topk": q_cosine_topk,
-        "cosine_pairs": q_cosine_pairs,
+        # round-9 swap (VERDICT r8 #1): hamming_guard_recall is the gauge
+        # that re-measures the Hamming guard's recall loss — precisely the
+        # entry the external gate should re-check every round; cosine_pairs
+        # (stable since r2, bounded-probe plan-pinned) takes its tail slot
+        "hamming_guard_recall": q_hamming_guard_recall,
         "lm_perplexity": q_lm_perplexity,
         "weighted_sample": q_weighted_sample,
         "tfidf_terms": q_tfidf_terms,
@@ -1403,11 +1424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "langid_nb": q_langid_nb,
         "shard_assign": q_shard_assign,
-        # round-8 entries, appended at the tail per the contract
-        "pack_sequences": q_pack_sequences,
-        "pack_waste": q_pack_waste,
-        "hamming_guard_recall": q_hamming_guard_recall,
-        "pack_split": q_pack_split,
+        # round-9 tail: the four stable queries rotated OUT of the window
+        # in exchange for the round-8 operators (swaps documented at each
+        # swap site above); all four stay oracle-checked locally via
+        # tools/oracle_check.py and are fixture-/plan-pinned in tests/
+        "jaccard_pairs": q_jaccard_pairs,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "cosine_pairs": q_cosine_pairs,
     }
 
 
@@ -3000,7 +3024,7 @@ WITH base AS (
          CAST(FLOOR(doc_id / 2) AS BIGINT) AS pid,
          doc_id % 2 AS role,
          CAST(FLOOR(doc_id / 2) AS BIGINT) % 2 AS cls
-  FROM documents),
+  FROM documents WHERE doc_id < 2000),
 sig AS (
   SELECT id, CAST(0 AS BIGINT) AS p0,
     CASE WHEN role = 1 AND cls = 0

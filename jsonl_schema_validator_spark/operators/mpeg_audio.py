@@ -619,9 +619,9 @@ def _encode_frame_l2(blk, bitrate, fs, nch, flen, qtab) -> bytes:
 
 
 def _parse_header(data: bytes, off: int):
-    """(layer, bitrate_kbps, sample_rate, nch, flen, protection) or None.
-    MPEG-1 Layer I/II only — Layer III and MPEG-2/2.5 return None (the
-    documented stub boundary)."""
+    """(layer, bitrate_kbps, sample_rate, nch, flen, protection, mode)
+    or None. MPEG-1 Layer I/II only — Layer III and MPEG-2/2.5 return
+    None (the documented stub boundary)."""
     if off + 4 > len(data):
         return None
     b0, b1, b2, b3 = data[off : off + 4]
