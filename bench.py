@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "bpe_token_count",
     "dsir_weights",
+    # round-9 (VERDICT r8 #8): the prefix-sum core's two consumers, so a
+    # regression in _distributed_cum_before shows in BENCH_r*.json deltas
+    "shard_assign",
+    "pack_sequences",
     "langid",
     "token_count",
     "fingerprint",
@@ -315,6 +319,36 @@ def main() -> None:
     }
     print(f"[bench] checkpoint batching: {ckpt_block}", file=sys.stderr)
 
+    # export job stage timing (round-9, VERDICT r8 #8): the full clean->
+    # shards last mile over the documents table — assignment staging, the
+    # batched per-shard writes, and the --verify audit all inside the
+    # wall. One run (the job is driver-orchestrated; Spark 4's result
+    # cache cannot serve a partitionBy write).
+    import jobs.export_job as _export_job
+
+    exp_dir = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        t0 = time.time()
+        rc = _export_job.main([
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", f"{exp_dir}/out",
+            "--tokens-per-shard", "8192",
+            "--batch-size", "8",
+            "--run-id", "bench",
+            "--verify",
+        ])
+        t_export = time.time() - t0
+        assert rc == 0, "export_job failed in bench"
+        n_shards = len([
+            d
+            for d in os.listdir(f"{exp_dir}/out/shards")
+            if d.startswith("shard=")
+        ])
+    finally:
+        shutil.rmtree(exp_dir, ignore_errors=True)
+    export_block = {"sec": round(t_export, 3), "shards": n_shards}
+    print(f"[bench] export job: {export_block}", file=sys.stderr)
+
     spark.stop()
 
     # flagship validation throughput at full parallelism, in a FRESH session
@@ -408,6 +442,7 @@ def main() -> None:
                 "rows_validated": n_rows,
                 "ivf_index": ivf_block,
                 "checkpoint_batching": ckpt_block,
+                "export_job": export_block,
                 "scaling": scaling,
                 "elapsed_sec": round(time.time() - t_start, 1),
             }

@@ -1,0 +1,88 @@
+"""Chained clean_job -> export_job e2e (VERDICT r8 #5): the full README
+pipeline — raw corpus -> clean (drop dups/low-quality) -> kept/ ->
+export (token-budgeted shards, --verify audit) — executed by ONE test,
+asserting the end-to-end invariant each job's own battery cannot see:
+every kept id lands in EXACTLY one shard row and every dropped id in
+none, with the manifest metrics consistent with the shards on disk."""
+
+from __future__ import annotations
+
+
+def _mk_raw_corpus(spark, tmp_path):
+    """Raw corpus with planted drops: one low-quality doc (too few
+    tokens) and one exact duplicate, among clean keepers."""
+    good = ("the a of and to in is it that for " * 4).strip()
+    rows = [
+        (i, f"{good} doc {i} unique tail words number {i * 7}")
+        for i in range(10)
+    ]
+    rows.append((100, "short"))          # too_few_tokens -> dropped
+    rows.append((101, rows[0][1]))       # exact duplicate -> dropped
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inp = str(tmp_path / "raw")
+    df.write.parquet(inp)
+    return inp, {i for i, _ in rows}
+
+
+def test_clean_then_export_pipeline(spark, tmp_path):
+    import jobs.clean_job as cj
+    import jobs.export_job as ej
+
+    inp, all_ids = _mk_raw_corpus(spark, tmp_path)
+    clean_out = str(tmp_path / "clean")
+    assert cj.main([
+        "--input", inp, "--output", clean_out, "--drop",
+    ]) == 0
+
+    report = {r.id: r for r in
+              spark.read.parquet(f"{clean_out}/report").collect()}
+    assert set(report) == all_ids
+    kept_ids = {i for i, r in report.items() if r.keep}
+    dropped_ids = all_ids - kept_ids
+    assert not report[100].keep and "too_few_tokens" in report[100].reasons
+    assert not report[101].keep and report[101].reasons.startswith(
+        "duplicate"
+    )
+    assert dropped_ids == {100, 101}
+    kept = spark.read.parquet(f"{clean_out}/kept")
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == kept_ids
+
+    # export the kept/ directory exactly as the README pipeline advertises;
+    # --verify makes the job itself audit shards vs the committed
+    # assignment (exit 1 on any mismatch)
+    exp_out = str(tmp_path / "exp")
+    assert ej.main([
+        "--input", f"{clean_out}/kept", "--output", exp_out,
+        "--tokens-per-shard", "64", "--batch-size", "2", "--verify",
+    ]) == 0
+
+    shards = spark.read.parquet(f"{exp_out}/shards").collect()
+    # THE invariant: every kept id in exactly one shard row, dropped in none
+    shard_ids = [r.doc_id for r in shards]
+    assert sorted(shard_ids) == sorted(kept_ids)
+    assert not dropped_ids & set(shard_ids)
+    # text survives the chain byte-identical
+    kept_text = {r.doc_id: r.text for r in kept.collect()}
+    assert all(r.text == kept_text[r.doc_id] for r in shards)
+
+    # manifest metrics consistent with the shards on disk: one committed
+    # partition=<shard>.json per shard (plus the staged __assignment__
+    # entry) whose metrics carry the per-shard rows/tokens
+    from jsonl_schema_validator_spark.plans.checkpoint import (
+        CheckpointManifest,
+    )
+
+    committed = CheckpointManifest(f"{exp_out}/manifest").completed()
+    stats = {
+        int(k): rec["metrics"]
+        for k, rec in committed.items()
+        if k != "__assignment__"
+    }
+    per_shard = {}
+    for r in shards:
+        per_shard.setdefault(r.shard, []).append(r.n_tokens)
+    assert set(stats) == set(per_shard)
+    for s, toks in per_shard.items():
+        assert stats[s]["rows"] == len(toks)
+        assert stats[s]["tokens"] == sum(toks)
+    assert sum(v["rows"] for v in stats.values()) == len(kept_ids)
