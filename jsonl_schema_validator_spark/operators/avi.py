@@ -1,0 +1,262 @@
+"""MJPEG-in-AVI video: RIFF/AVI container walk + per-frame baseline
+JPEG — the one video format that needs zero new codec math (reference
+parity: the video-decode slot the reference leaves to external codecs;
+house pattern per `multimodal.py`'s ISO-BMFF walker and `jpeg.py`).
+
+Both ways, pure stdlib+numpy:
+
+- `encode_mjpeg_avi(frames, ...)` muxes (h, w, 3) uint8 frames as
+  `encode_jpeg_baseline` chunks into a spec-shaped AVI (RIFF 'AVI ' →
+  LIST hdrl {avih, LIST strl {strh 'vids'/'MJPG', strf
+  BITMAPINFOHEADER}} → LIST movi {'00dc' chunks, word-aligned} → idx1).
+- `parse_avi(raw)` walks the RIFF tree and returns header metadata plus
+  the movi chunk OFFSETS — no frame is decoded at parse time, which is
+  what makes sampled decode cheap: `decode_avi_frame(raw, info, k)`
+  slices and JPEG-decodes exactly one frame.
+
+100 TB notes: video bytes dominate a multimodal corpus, so the
+container walk (O(#chunks) pointer arithmetic, no pixel work) is
+deliberately separate from frame decode — `video_sample_frames` in
+`multimodal.py` walks once per row and decodes ONLY the sampled
+frames inside the one documented mapInPandas pass. Non-MJPEG AVIs
+(fourcc says the stream needs a real codec) parse fine for metadata
+and yield no sampled frames rather than a task crash.
+
+Format notes (public AVI/RIFF spec):
+- Every chunk is word-aligned: an odd-sized body is followed by one
+  pad byte that is NOT counted in the chunk size.
+- idx1 entry offsets are relative to the position of the 'movi'
+  fourcc (the common convention; some muxers use absolute file
+  offsets — the parser does not rely on idx1 at all and walks movi
+  directly, so both conventions decode identically).
+- fps = strh.dwRate / strh.dwScale.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _chunk(cc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def encode_mjpeg_avi(
+    frames,
+    fps: int = 10,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """Mux (h, w, 3) uint8 RGB frames (all same dims) into an MJPEG AVI.
+    Each frame is an independent `encode_jpeg_baseline` image (that IS
+    the MJPEG codec), so quality/subsampling knobs and pixel-error
+    bounds are exactly the pinned JPEG ones."""
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    if not frames:
+        raise ValueError("encode_mjpeg_avi: need at least one frame")
+    if fps < 1:
+        raise ValueError("encode_mjpeg_avi: fps must be >= 1")
+    first = np.asarray(frames[0])
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError("encode_mjpeg_avi: frames must be (h, w, 3) uint8")
+    h, w = first.shape[:2]
+    jpegs = []
+    for f in frames:
+        a = np.asarray(f)
+        if a.shape != (h, w, 3):
+            raise ValueError(
+                "encode_mjpeg_avi: all frames must share the first frame's "
+                f"dims ({h}x{w}x3); got {a.shape}"
+            )
+        jpegs.append(
+            encode_jpeg_baseline(a, quality=quality, subsampling=subsampling)
+        )
+
+    max_len = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        max_len * fps,         # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags: AVIF_HASINDEX
+        len(jpegs),            # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        max_len,               # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi4H",
+            0,                 # dwFlags
+            0, 0,              # wPriority, wLanguage
+            0,                 # dwInitialFrames
+            1,                 # dwScale
+            fps,               # dwRate (fps = rate/scale)
+            0,                 # dwStart
+            len(jpegs),        # dwLength (in frames)
+            max_len,           # dwSuggestedBufferSize
+            0,                 # dwQuality
+            0,                 # dwSampleSize (0: variable-size samples)
+            0, 0, w, h,        # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,                    # biSize
+        w,
+        h,
+        1,                     # biPlanes
+        24,                    # biBitCount
+        b"MJPG",               # biCompression
+        w * h * 3,             # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    # movi chunks + idx1 offsets relative to the 'movi' fourcc position
+    movi_body = b""
+    idx_entries = []
+    for j in jpegs:
+        # offset counts from the 'movi' fourcc itself (so first chunk = 4)
+        idx_entries.append((4 + len(movi_body), len(j)))
+        movi_body += _chunk(b"00dc", j)
+    movi = _list(b"movi", movi_body)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+            for off, size in idx_entries
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _walk_riff(raw: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for each chunk in
+    [pos, end); LIST chunks are yielded as (b'LIST:'+listType, ...) with
+    the body EXCLUDING the list-type fourcc."""
+    while pos + 8 <= end:
+        cc = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            # truncated tail: a cut LIST still yields its COMPLETE
+            # children (clamped recursion salvages the prefix — the
+            # resumable-ingest shape); a cut leaf chunk is unusable
+            if cc == b"LIST" and body + 4 <= end:
+                yield b"LIST:" + raw[body : body + 4], body + 4, end - body - 4
+            break
+        if cc == b"LIST" and size >= 4:
+            yield b"LIST:" + raw[body : body + 4], body + 4, size - 4
+        else:
+            yield cc, body, size
+        pos = body + size + (size & 1)  # word alignment pad
+
+
+def parse_avi(raw: bytes):
+    """Metadata + frame index of an AVI, or None if not an AVI:
+    {width, height, fps, n_frames, codec, frames: [(offset, size)]}.
+    frames lists the video stream's movi chunks ('00dc'/'00db', plus
+    chunks inside nested LIST 'rec ' groups) in file order — offsets
+    point at the CODEC BYTES (JPEG for MJPG), nothing is decoded here.
+    Never raises on malformed bytes (None contract, the _parse_gif
+    convention)."""
+    try:
+        return _parse_avi_inner(raw)
+    except Exception:
+        return None
+
+
+def _parse_avi_inner(raw: bytes):
+    if (
+        raw is None
+        or len(raw) < 12
+        or raw[:4] != b"RIFF"
+        or raw[8:12] != b"AVI "
+    ):
+        return None
+    (riff_size,) = struct.unpack("<I", raw[4:8])
+    end = min(len(raw), 8 + riff_size)
+    width = height = n_frames = 0
+    n_streams = 1
+    fps = 0.0
+    codec = None
+    frames: list[tuple[int, int]] = []
+
+    def scan_movi(pos: int, lim: int):
+        for cc, body, size in _walk_riff(raw, pos, lim):
+            if cc == b"LIST:rec ":
+                scan_movi(body, body + size)
+            elif cc[2:4] in (b"dc", b"db"):
+                frames.append((body, size))
+
+    for cc, body, size in _walk_riff(raw, 12, end):
+        if cc == b"LIST:hdrl":
+            for c2, b2, s2 in _walk_riff(raw, body, body + size):
+                if c2 == b"avih" and s2 >= 40:
+                    vals = struct.unpack("<10I", raw[b2 : b2 + 40])
+                    n_frames = vals[4]
+                    n_streams = vals[6]
+                    width, height = vals[8], vals[9]
+                elif c2 == b"LIST:strl":
+                    fcc_type = handler = None
+                    scale = rate = 0
+                    for c3, b3, s3 in _walk_riff(raw, b2, b2 + s2):
+                        if c3 == b"strh" and s3 >= 28:
+                            fcc_type = raw[b3 : b3 + 4]
+                            handler = raw[b3 + 4 : b3 + 8]
+                            scale, rate = struct.unpack(
+                                "<II", raw[b3 + 20 : b3 + 28]
+                            )
+                    if fcc_type == b"vids":
+                        codec = handler.decode("ascii", "replace")
+                        if scale:
+                            fps = rate / scale
+        elif cc == b"LIST:movi":
+            scan_movi(body, body + size)
+    if codec is None and not frames:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": n_frames or len(frames),
+        "n_streams": n_streams,
+        "codec": codec,
+        "frames": frames,
+    }
+
+
+def decode_avi_frame(raw: bytes, info: dict, k: int):
+    """(w, h, rgb_flat_uint8) of frame k, or None (non-MJPEG codec,
+    undecodable chunk, or k out of range). Decodes ONLY this frame's
+    chunk — the sampled-decode contract."""
+    from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
+
+    if info is None or info.get("codec") != "MJPG":
+        return None
+    frames = info["frames"]
+    if not 0 <= k < len(frames):
+        return None
+    off, size = frames[k]
+    return _parse_jpeg(raw[off : off + size])
