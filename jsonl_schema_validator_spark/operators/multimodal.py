@@ -901,11 +901,14 @@ def _parse_wav(raw: bytes):
 
 def _parse_pcm_audio(raw: bytes):
     """(sample_rate, channels, samples int16 [n, ch]) from RIFF/WAV PCM16
-    OR an MPEG-1 Layer I/II elementary stream (round 8: operators/
-    mpeg_audio.py turns media_container_metadata's MPEG header parsing
-    into real sample decode). Layer III and MPEG-2/2.5 return None —
-    the documented codec-bound stubs. The MPEG branch only engages on a
-    leading frame sync, so arbitrary binary blobs stay cheap Nones."""
+    OR an MPEG-1 Layer I/II/III elementary stream (round 8/9:
+    operators/mpeg_audio.py turns media_container_metadata's MPEG header
+    parsing into real sample decode; Layer III since round 9 — .mp3
+    within the shipped-Huffman-table boundary, see the mpeg_audio module
+    docstring). MPEG-2/2.5, L1/L2 joint stereo, L3 intensity stereo and
+    unshipped Huffman tables return None here (ValueError inside the
+    decoder). The MPEG branch only engages on a leading frame sync, so
+    arbitrary binary blobs stay cheap Nones."""
     parsed = _parse_wav(raw)
     if parsed is not None:
         return parsed
@@ -1516,17 +1519,19 @@ def decode_audio(
     sha256) via Arrow-batched mapInPandas.
 
     backend='raw' really decodes RIFF/WAV PCM16 (chunk walk, word-aligned)
-    AND MPEG-1 Layer I/II elementary streams (round 8, operators/
-    mpeg_audio.py — pure-numpy polyphase synthesis); rms/max_abs over the
-    actual int16 samples, all channels. 'fake' parses the FAUD fixture
-    header, treating its payload as '<i2' mono. 'ffmpeg' is the slot for
-    the remaining codec-bound formats (MP3 Layer III/AAC/video audio) —
-    not in this container."""
+    AND MPEG-1 Layer I/II/III elementary streams (rounds 8-9, operators/
+    mpeg_audio.py — pure-numpy polyphase synthesis + the L3 MDCT chain);
+    rms/max_abs over the actual int16 samples, all channels. 'fake'
+    parses the FAUD fixture header, treating its payload as '<i2' mono.
+    'ffmpeg' is the slot for the remaining codec-bound formats (AAC /
+    MPEG-2 audio / L3 streams using unshipped Huffman tables) — not in
+    this container."""
     if backend == "ffmpeg":
         raise NotImplementedError(
             "ffmpeg is not available in this container; plug an ffmpeg "
             "batch decoder into the same mapInPandas plumbing "
-            "(backend='raw' already decodes RIFF/WAV PCM16)"
+            "(backend='raw' already decodes RIFF/WAV PCM16 and MPEG-1 "
+            "L I/II/III)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")

@@ -260,18 +260,21 @@ def test_cross_module_header_consistency():
 def test_validation_and_decode_errors():
     sig = _tone(n=2000)
     with pytest.raises(ValueError, match="layer"):
-        encode_mpeg1_audio(sig, 44100, layer=3)
+        encode_mpeg1_audio(sig, 44100, layer=4)
     with pytest.raises(ValueError, match="sample_rate"):
         encode_mpeg1_audio(sig, 22050)
     with pytest.raises(ValueError, match="bitrate"):
         encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=193)
     with pytest.raises(ValueError, match="ch <= 2"):
         encode_mpeg1_audio(np.zeros((100, 3), dtype=np.int16), 44100)
+    with pytest.raises(ValueError, match="Layer III"):
+        encode_mpeg1_audio(sig, 44100, layer=2, ms_stereo=True)
     with pytest.raises(ValueError, match="not an MPEG-1"):
         decode_mpeg1_audio(b"RIFFxxxxWAVE")
-    # Layer III header: documented stub boundary
+    # a Layer III header with a zero tail is a TRUNCATED L3 frame now
+    # (round 9: Layer III decodes for real — tests/test_mpeg_layer3.py)
     l3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 100
-    with pytest.raises(ValueError, match="Layer I/II"):
+    with pytest.raises(ValueError, match="truncated"):
         decode_mpeg1_audio(l3)
     # truncated final frame
     good = encode_mpeg1_audio(sig, 44100, layer=2, bitrate_kbps=96)
