@@ -11,6 +11,7 @@
         [--split train=0.98,val=0.01,test=0.01] [--split-salt v1] \
         [--image-col img --phash-dedup --phash-max-hamming 3] \
         [--audio-col clip --aphash-dedup --aphash-max-hamming 3] \
+        [--video-col vid --vphash-dedup --vphash-max-hamming 3 --vphash-every-n 10] \
         [--langid-seed /path/labeled.parquet --keep-langs en,de] \
         [--langid-lang-col lang --langid-text-col text --langid-num-buckets 4096] \
         [--drop] [--dedup-spans 20] [--fail-on-drop-frac 0.5]
@@ -35,7 +36,14 @@ stage (a dedup pass must not drop what it could not read). --aphash-dedup
 audio_phash_duplicates clusters re-encodes of the same recording (gain
 change, mono/stereo, resample) by spectral-hash Hamming distance; the
 report gains audio_phash / audio_cluster_id columns and dropped copies
-append 'audio_duplicate' (after 'image_duplicate' when both run). With
+append 'audio_duplicate' (after 'image_duplicate' when both run).
+--vphash-dedup (requires --video-col, a binary MJPEG-AVI column) is the
+same stage for VIDEO: video_phash_duplicates clusters re-encodes of the
+same footage (per-frame quality changes, re-mux) by the majority-folded
+frame-pHash Hamming distance, sampling every --vphash-every-n-th frame;
+the report gains video_phash / video_cluster_id columns and dropped
+copies append 'video_duplicate' (after 'audio_duplicate'). Unreadable /
+non-MJPEG rows keep a NULL video_phash and are never dropped. With
 --langid-seed (VERDICT r7 #4), a hashed char-trigram Naive Bayes language
 model is TRAINED from the labeled seed parquet (columns --langid-lang-col
 + --langid-text-col, defaulting to 'lang' / the corpus --text-col) and
@@ -47,7 +55,7 @@ language filter must not drop what it could not read, the same principle
 as undecodable media. This is the corpus-trained upgrade of the stopword
 --allowed-langs heuristic (both can run; their reasons are distinct).
 Fixed reasons order: duplicate, near_duplicate, contaminated, quality...,
-language_nb, image_duplicate, audio_duplicate. Exit code 1
+language_nb, image_duplicate, audio_duplicate, video_duplicate. Exit code 1
 when the drop fraction exceeds --fail-on-drop-frac (a
 cleaning pass that rejects most of a corpus usually means a misconfigured
 threshold, not a dirty corpus — fail loudly rather than train on the
@@ -90,6 +98,16 @@ def parse_args(argv):
         help="drop near-duplicate audio clips (spectral-hash Hamming clusters keep the min-id member); requires --audio-col",
     )
     p.add_argument("--aphash-max-hamming", type=int, default=3)
+    p.add_argument("--video-col", default=None, help="binary MJPEG-AVI column for --vphash-dedup")
+    p.add_argument(
+        "--vphash-dedup", action="store_true",
+        help="drop near-duplicate videos (majority-folded frame-pHash Hamming clusters keep the min-id member); requires --video-col",
+    )
+    p.add_argument("--vphash-max-hamming", type=int, default=3)
+    p.add_argument(
+        "--vphash-every-n", type=int, default=10,
+        help="decode every N-th frame for the video signature",
+    )
     p.add_argument(
         "--langid-seed", default=None,
         help="labeled parquet to train the NB language model from",
@@ -136,6 +154,14 @@ def parse_args(argv):
         p.error("--audio-col is only used by --aphash-dedup (pass both)")
     if args.aphash_max_hamming < 0:
         p.error("--aphash-max-hamming must be >= 0")
+    if args.vphash_dedup and not args.video_col:
+        p.error("--vphash-dedup requires --video-col (the binary MJPEG-AVI column)")
+    if args.video_col and not args.vphash_dedup:
+        p.error("--video-col is only used by --vphash-dedup (pass both)")
+    if args.vphash_max_hamming < 0:
+        p.error("--vphash-max-hamming must be >= 0")
+    if args.vphash_every_n < 1:
+        p.error("--vphash-every-n must be >= 1")
     # a language FILTER without a model to produce verdicts is a
     # misconfiguration; a seed without --keep-langs is fine (annotate-only)
     if args.keep_langs.strip() and not args.langid_seed:
@@ -208,7 +234,7 @@ def main(argv=None) -> int:
         # back on the report's id under reserved aliases. Dropped copies
         # append '<kind>_duplicate' AFTER the earlier reasons (fixed
         # order contract: duplicate, near_duplicate, contaminated,
-        # quality..., image_duplicate, audio_duplicate).
+        # quality..., image_duplicate, audio_duplicate, video_duplicate).
         ph = verdict_fn(
             df, media_col, args.id_col, max_hamming=max_hamming
         ).select(
@@ -280,6 +306,22 @@ def main(argv=None) -> int:
         report = media_dedup_stage(
             report, audio_phash_duplicates, args.audio_col,
             args.aphash_max_hamming, "audio",
+        )
+    if args.vphash_dedup:
+        import functools
+
+        from jsonl_schema_validator_spark.operators.multimodal import (
+            video_phash_duplicates,
+        )
+
+        report = media_dedup_stage(
+            report,
+            functools.partial(
+                video_phash_duplicates, every_n=args.vphash_every_n
+            ),
+            args.video_col,
+            args.vphash_max_hamming,
+            "video",
         )
     report.write.mode("overwrite").parquet(f"{args.output}/report")
     report = spark.read.parquet(f"{args.output}/report")  # re-read: one compute

@@ -20,10 +20,14 @@ mapInPandas signatures, partition preservation. Decode backends:
                     byte-level work, fully testable.
 - backend='pil' / 'ffmpeg': raise NotImplementedError with guidance —
                     the remaining compressed formats' SAMPLE DATA
-                    (lossy VP8 WebP / MP3 / MP4) needs codec libs not
-                    in this container; their CONTAINER metadata is
-                    real (media_container_metadata: ISO-BMFF box walk
-                    + MPEG audio frame headers); the mapInPandas
+                    (lossy VP8 WebP, MP4/inter-frame video codecs,
+                    MPEG-2/2.5 audio) needs codec libs not in this
+                    container; MPEG-1 audio incl. MP3 Layer III and
+                    MJPEG-in-AVI video decode ARE real (operators/
+                    mpeg_audio.py, operators/avi.py); CONTAINER
+                    metadata is real for the rest
+                    (media_container_metadata: ISO-BMFF box walk +
+                    MPEG audio frame headers); the mapInPandas
                     plumbing is identical, only the per-batch decode
                     function changes.
 
@@ -1764,6 +1768,176 @@ def video_sample_frames(
             )
 
     return cols.mapInPandas(run, out_schema)
+
+
+def _vphash64_majority(phashes, np) -> int | None:
+    """Fold sampled-frame pHashes into ONE 64-bit video signature by
+    per-bit MAJORITY vote (MSB-first, matching _phash64_from_rgb's bit
+    order); ties take the FIRST sampled frame's bit. Majority damps
+    per-frame re-encode noise (each frame hash moves <= ~3 bits under a
+    quality change, and the flips land on different bits per frame), and
+    the first-frame tie anchor keeps the fold deterministic AND stable
+    across sampling rates (every sampling of the same stream starts at
+    frame 0) — a ties->1 rule would drift with sampled-frame-count
+    parity. Returns a SIGNED int64 (Spark bigint) or None for an empty
+    frame list."""
+    if not phashes:
+        return None
+    a = np.array(
+        [ph & 0xFFFFFFFFFFFFFFFF for ph in phashes], dtype=np.uint64
+    )
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    bits = ((a[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    cnt = bits.sum(axis=0)
+    n = len(phashes)
+    maj = np.where(cnt * 2 > n, 1, np.where(cnt * 2 < n, 0, bits[0]))
+    v = 0
+    for b in maj:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def video_phash(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 10,
+) -> DataFrame:
+    """(id, phash, n_frames_hashed) — ONE 64-bit perceptual signature
+    per VIDEO: the per-bit majority fold (`_vphash64_majority`) of the
+    sampled frames' DCT pHashes, computed in the same single mapInPandas
+    pass as `video_sample_frames` (container walk once, decode only the
+    every_n-th frames — on a 100 TB corpus the cost scales with sampled
+    frames, not stream bytes; the round-6 image precedent of hashing in
+    the decode pass).
+
+    This is the video analog of image_phash/audio_phash: re-encodes of
+    the same footage (different JPEG quality per frame) land within a
+    few bits, and the majority fold is stable under moderate sampling-
+    rate changes on slowly varying content — re-encode/re-mux near-dup
+    detection, not motion-robust fingerprinting (a shuffled frame order
+    still folds to the same hash; temporal structure is deliberately
+    not encoded, matching the dedup use case where re-encodes preserve
+    order anyway). Feed to video_phash_near_pairs.
+
+    NULL phash (row kept) when the container is unreadable, the stream
+    is not MJPEG (metadata-only codecs — the documented stub boundary),
+    or no sampled frame decodes; n_frames_hashed counts the frames that
+    contributed. No DuckDB oracle — the shared parquet tables carry no
+    video column, so correctness is pinned by a pure-python reference
+    and planted re-encode e2e tests (the image_phash precedent)."""
+    from jsonl_schema_validator_spark.operators.avi import (
+        decode_avi_frame,
+        parse_avi,
+    )
+
+    if every_n < 1:
+        raise ValueError("video_phash: every_n must be >= 1")
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"video_phash: id column {id_col!r} must be an integral type "
+            f"(got {id_type.simpleString()}); cast or re-key upstream"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("n_frames_hashed", T.IntegerType()),
+        ]
+    )
+    cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
+
+    def run(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out, nf = [], []
+            for raw in pdf["raw"]:
+                try:
+                    b = bytes(raw) if raw is not None else None
+                    info = parse_avi(b)
+                    if info is None or info.get("codec") != "MJPG":
+                        out.append(None)
+                        nf.append(0)
+                        continue
+                    phs = []
+                    for k in range(0, len(info["frames"]), every_n):
+                        decoded = decode_avi_frame(b, info, k)
+                        if decoded is not None:
+                            w, h, flat = decoded
+                            phs.append(_phash64_from_rgb(flat, w, h, np))
+                    out.append(_vphash64_majority(phs, np))
+                    nf.append(len(phs))
+                except Exception:
+                    out.append(None)
+                    nf.append(0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "phash": pd.array(out, dtype="Int64"),
+                    "n_frames_hashed": pd.array(nf, dtype="Int32"),
+                }
+            )
+
+    return cols.mapInPandas(run, out_schema)
+
+
+def video_phash_near_pairs(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video near-duplicate pairs: (id_a, id_b, hamming) with video-
+    signature Hamming distance <= max_hamming — identical semantics,
+    blocking and hot-chunk guard as phash_near_pairs (the shared
+    _packed_hamming_pairs core; exact for max_hamming <= 3). Same cache
+    lifecycle: the signature table persists for both join sides."""
+    from pyspark.storagelevel import StorageLevel
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _packed_hamming_pairs,
+    )
+
+    sig = (
+        video_phash(df, binary_col, id_col, every_n=every_n)
+        .select("id", "phash")
+        .where(F.col("phash").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _packed_hamming_pairs(_phash_packed(sig), max_hamming, max_block_size)
+
+
+def video_phash_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_block_size: int | str | None = "auto",
+    every_n: int = 10,
+) -> DataFrame:
+    """Per-video near-duplicate VERDICT — phash_duplicates for video:
+    (id, phash, cluster_id, keep), one row per input row, min-id keeper
+    per Hamming cluster; unreadable / non-MJPEG / zero-frame rows are
+    kept with null phash (never drop what could not be read).
+    PRECONDITION: ids unique and non-null. Same cache lifecycle as
+    phash_duplicates."""
+    from pyspark.storagelevel import StorageLevel
+
+    sig = (
+        video_phash(df, binary_col, id_col, every_n=every_n)
+        .select("id", "phash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _hamming_hash_verdict(sig, max_hamming, max_block_size)
 
 
 # --- container metadata (MP4 / MP3) — pure struct walk, no codec ------------

@@ -1,0 +1,264 @@
+"""Video-level perceptual hash + near-dup (round 9): the majority fold
+of sampled-frame pHashes into ONE 64-bit signature per video, its
+near-pair/duplicates surfaces on the shared guarded Hamming core, and
+the clean_job --vphash-dedup stage.
+
+Evidence pattern (the image_phash precedent — no video column in the
+shared parquet tables, so no DuckDB oracle): a TEST-LOCAL pure-python
+majority fold over frame hashes obtained through the independently
+pinned avi+jpeg decode path must equal the operator's output bit for
+bit, plus planted re-encode e2e and invariance/discrimination bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jsonl_schema_validator_spark.operators.avi import (
+    decode_avi_frame,
+    encode_mjpeg_avi,
+    parse_avi,
+)
+from jsonl_schema_validator_spark.operators.multimodal import (
+    _phash64_from_rgb,
+    _vphash64_majority,
+    video_phash,
+    video_phash_duplicates,
+    video_phash_near_pairs,
+)
+from tests.test_avi import _frames
+
+
+def _frames_other(n=12, h=48, w=64):
+    """Structurally different content (diagonal bands + counter-moving
+    block) for the discrimination assertions."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for k in range(n):
+        r = (255 - (xx * 3 + yy) * 2 + 7 * k) % 256
+        g = ((xx - yy) * 5 + 11 * k) % 256
+        b = ((xx // 8 + yy // 8) * 31) % 256
+        img = np.stack([r, g, b], axis=2).astype(np.uint8)
+        img[30 - k : 40 - k, 40:60, :] = [10, 220, 160]
+        out.append(img)
+    return out
+
+
+def _frames_slow(n=12, h=48, w=64):
+    """Slowly varying content (quarter-speed block, 1-level gradient
+    steps) for the sampling-rate stability pin."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for k in range(n):
+        r = (xx * 2 + yy * 3 + k) % 256
+        g = ((xx + yy) * 2 + k) % 256
+        b = np.full((h, w), 40 + k)
+        img = np.stack([r, g, b], axis=2).astype(np.uint8)
+        img[10 + k // 4 : 20 + k // 4, 15:30, :] = [240, 30, 80]
+        out.append(img)
+    return out
+
+
+def _ref_majority(hashes: list[int]) -> int:
+    """Test-local bit-loop majority (ties -> first frame's bit),
+    written independently of the numpy fold under test."""
+    n = len(hashes)
+    u = [h & (2**64 - 1) for h in hashes]
+    v = 0
+    for bit in range(63, -1, -1):
+        ones = sum((h >> bit) & 1 for h in u)
+        if ones * 2 > n:
+            b = 1
+        elif ones * 2 < n:
+            b = 0
+        else:
+            b = (u[0] >> bit) & 1
+        v = (v << 1) | b
+    return v - 2**64 if v >= 2**63 else v
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_vphash_majority_unit_and_ties():
+    # empty -> None
+    assert _vphash64_majority([], np) is None
+    # single frame -> that frame's hash, sign handled (MSB set)
+    h = -(2**63) + 5
+    assert _vphash64_majority([h], np) == h
+    # two frames: every differing bit is a TIE -> first frame wins all
+    assert _vphash64_majority([0b10, 0b01], np) == 0b10
+    # three frames: strict majority beats the first-frame anchor
+    assert _vphash64_majority([0b100, 0b111, 0b011], np) == 0b111
+    # fuzz vs the independent reference, incl. negative (MSB-set) hashes
+    rng = np.random.RandomState(9)
+    for trial in range(200):
+        n = int(rng.randint(1, 9))
+        hs = [
+            int.from_bytes(rng.bytes(8), "big") - (2**63)
+            for _ in range(n)
+        ]
+        assert _vphash64_majority(hs, np) == _ref_majority(hs)
+
+
+def test_video_phash_matches_frame_level_reference(spark):
+    frames = _frames(n=12)
+    vid = encode_mjpeg_avi(frames, quality=92)
+    df = spark.createDataFrame([(7, bytearray(vid))], "vid bigint, raw binary")
+    row = video_phash(df, "raw", "vid", every_n=5).collect()[0]
+
+    # reference path: walk + decode the same sampled frames OUTSIDE the
+    # operator and fold with the test-local majority
+    info = parse_avi(vid)
+    hs = []
+    for k in range(0, len(info["frames"]), 5):
+        w, h, flat = decode_avi_frame(vid, info, k)
+        hs.append(_phash64_from_rgb(flat, w, h, np))
+    assert row.n_frames_hashed == len(hs) == 3
+    assert row.phash == _ref_majority(hs)
+
+
+def test_video_phash_invariance_and_discrimination(spark):
+    frames = _frames(n=12)
+    rows = [
+        (1, bytearray(encode_mjpeg_avi(frames, quality=95))),
+        (2, bytearray(encode_mjpeg_avi(frames, quality=60))),
+        (3, bytearray(encode_mjpeg_avi(_frames_other(n=12), quality=90))),
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, raw binary")
+    got = {r.id: r.phash for r in video_phash(df, "raw", "vid", every_n=5).collect()}
+    # re-encode near-dup: the majority fold damps per-frame flips
+    assert _ham(got[1], got[2]) <= 3
+    # different footage: far in Hamming space
+    assert _ham(got[1], got[3]) >= 16
+    # sampling-rate stability is a property of SLOWLY varying content
+    # (the documented claim): _frames moves its block 1 px/frame and
+    # shifts gradients 5 levels/frame, which measures ~6 bits between
+    # every_n=1 and every_n=3 — honest drift, different frames really
+    # differ. The slow variant below (quarter-speed block, 1-level
+    # gradient steps) measures 0; pin <= 2.
+    slow = _frames_slow(n=12)
+    df2 = spark.createDataFrame(
+        [(1, bytearray(encode_mjpeg_avi(slow, quality=92)))],
+        "vid bigint, raw binary",
+    )
+    per_rate = [
+        video_phash(df2, "raw", "vid", every_n=n).collect()[0].phash
+        for n in (1, 2, 3)
+    ]
+    for other in per_rate[1:]:
+        assert _ham(per_rate[0], other) <= 2
+
+
+def test_video_phash_null_contract_and_validate_at_entry(spark):
+    frames = _frames(n=4)
+    xvid = bytearray(encode_mjpeg_avi(frames))
+    strh_at = xvid.index(b"strh") + 8
+    xvid[strh_at + 4 : strh_at + 8] = b"XVID"
+    rows = [
+        (1, bytearray(encode_mjpeg_avi(frames))),
+        (2, bytearray(b"garbage bytes")),
+        (3, None),
+        (4, bytearray(bytes(xvid))),  # metadata-only codec: no frames
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, raw binary")
+    got = {r.id: r for r in video_phash(df, "raw", "vid").collect()}
+    assert len(got) == 4  # one row per input row, unreadable included
+    assert got[1].phash is not None and got[1].n_frames_hashed == 1
+    for i in (2, 3, 4):
+        assert got[i].phash is None and got[i].n_frames_hashed == 0
+
+    with pytest.raises(ValueError, match="integral"):
+        video_phash(df.withColumn("vid", df.vid.cast("string")), "raw", "vid")
+    with pytest.raises(ValueError, match="every_n"):
+        video_phash(df, "raw", "vid", every_n=0)
+
+
+def test_video_near_pairs_and_duplicates(spark):
+    frames = _frames(n=12)
+    rows = [
+        (1, bytearray(encode_mjpeg_avi(frames, quality=95))),
+        (2, bytearray(encode_mjpeg_avi(frames, quality=60))),
+        (3, bytearray(encode_mjpeg_avi(_frames_other(n=12), quality=90))),
+        (4, bytearray(b"not a container")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, raw binary")
+
+    pairs = video_phash_near_pairs(df, "raw", "vid", every_n=5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert all(p.hamming <= 3 for p in pairs)
+
+    verdict = {
+        r.id: r
+        for r in video_phash_duplicates(df, "raw", "vid", every_n=5).collect()
+    }
+    assert set(verdict) == {1, 2, 3, 4, 5}
+    # the re-encode pair clusters on the min id; only id 1 survives
+    assert verdict[1].cluster_id == 1 and verdict[1].keep
+    assert verdict[2].cluster_id == 1 and not verdict[2].keep
+    # distinct footage is its own singleton cluster
+    assert verdict[3].cluster_id == 3 and verdict[3].keep
+    # unreadable rows: null hash + cluster, KEPT (never drop the unread)
+    for i in (4, 5):
+        assert verdict[i].phash is None
+        assert verdict[i].cluster_id is None
+        assert verdict[i].keep
+    spark.catalog.clearCache()
+
+
+def test_clean_job_vphash_stage(spark, tmp_path):
+    """clean_job --video-col/--vphash-dedup e2e: the dropped re-encode
+    carries the video_duplicate reason (after the text-stage reasons),
+    unreadable video rows survive the stage, and kept/ excludes only
+    the non-keeper copy."""
+    import pandas as pd
+
+    from jobs.clean_job import main
+
+    frames = _frames(n=8)
+    text = (
+        "A sufficiently long and ordinary paragraph of english text that "
+        "passes every quality gate because it has many distinct words, "
+        "normal punctuation, and no repetition to speak of, the quick "
+        "brown fox jumps over the lazy dog while seventeen other animals "
+        "watch from a comfortable distance in the afternoon sun."
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [text, text + " one", text + " two", text + " three"],
+            "vid": [
+                encode_mjpeg_avi(frames, quality=95),
+                encode_mjpeg_avi(frames, quality=60),
+                encode_mjpeg_avi(_frames_other(n=8), quality=90),
+                b"unreadable video bytes",
+            ],
+        }
+    )
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", inp,
+            "--output", out,
+            "--min-tokens", "5",
+            "--video-col", "vid",
+            "--vphash-dedup",
+            "--vphash-every-n", "3",
+            "--drop",
+        ]
+    )
+    assert rc == 0
+    report = {r.id: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert not report[2].keep and report[2].reasons == "video_duplicate"
+    for i in (1, 3, 4):
+        assert report[i].keep and report[i].reasons == ""
+    assert report[4].video_phash is None and report[4].video_cluster_id is None
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    assert kept_ids == {1, 3, 4}
+    spark.catalog.clearCache()
