@@ -1,7 +1,8 @@
-"""MJPEG-in-AVI video: RIFF/AVI container walk + per-frame baseline
-JPEG — the one video format that needs zero new codec math (reference
-parity: the video-decode slot the reference leaves to external codecs;
-house pattern per `multimodal.py`'s ISO-BMFF walker and `jpeg.py`).
+"""MJPEG-in-AVI + raw-DIB-in-AVI video: RIFF/AVI container walk +
+per-frame decode — the two video formats that need zero new codec math
+(reference parity: the video-decode slot the reference leaves to
+external codecs; house pattern per `multimodal.py`'s ISO-BMFF walker
+and `jpeg.py`).
 
 Both ways, pure stdlib+numpy:
 
@@ -9,10 +10,14 @@ Both ways, pure stdlib+numpy:
   `encode_jpeg_baseline` chunks into a spec-shaped AVI (RIFF 'AVI ' →
   LIST hdrl {avih, LIST strl {strh 'vids'/'MJPG', strf
   BITMAPINFOHEADER}} → LIST movi {'00dc' chunks, word-aligned} → idx1).
+- `encode_dib_avi(frames, ...)` muxes the same frames UNCOMPRESSED
+  ('00db' chunks of bottom-up 4-byte-stride BGR rasters, strf
+  biCompression BI_RGB) — lossless, exact-pixel round-trip.
 - `parse_avi(raw)` walks the RIFF tree and returns header metadata plus
   the movi chunk OFFSETS — no frame is decoded at parse time, which is
   what makes sampled decode cheap: `decode_avi_frame(raw, info, k)`
-  slices and JPEG-decodes exactly one frame.
+  slices and decodes exactly one frame (JPEG or DIB raster per the
+  strf compression field; `avi_decodable` is the shared gate).
 
 100 TB notes: video bytes dominate a multimodal corpus, so the
 container walk (O(#chunks) pointer arithmetic, no pixel work) is
@@ -46,6 +51,26 @@ def _list(list_type: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", list_type + body)
 
 
+def _check_frames(frames, fps, who):
+    import numpy as np
+
+    if not frames:
+        raise ValueError(f"{who}: need at least one frame")
+    if fps < 1:
+        raise ValueError(f"{who}: fps must be >= 1")
+    first = np.asarray(frames[0])
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError(f"{who}: frames must be (h, w, 3) uint8")
+    h, w = first.shape[:2]
+    for f in frames:
+        if np.asarray(f).shape != (h, w, 3):
+            raise ValueError(
+                f"{who}: all frames must share the first frame's dims "
+                f"({h}x{w}x3); got {np.asarray(f).shape}"
+            )
+    return h, w
+
+
 def encode_mjpeg_avi(
     frames,
     fps: int = 10,
@@ -56,40 +81,51 @@ def encode_mjpeg_avi(
     Each frame is an independent `encode_jpeg_baseline` image (that IS
     the MJPEG codec), so quality/subsampling knobs and pixel-error
     bounds are exactly the pinned JPEG ones."""
-    import numpy as np
-
     from jsonl_schema_validator_spark.operators.jpeg import (
         encode_jpeg_baseline,
     )
 
-    if not frames:
-        raise ValueError("encode_mjpeg_avi: need at least one frame")
-    if fps < 1:
-        raise ValueError("encode_mjpeg_avi: fps must be >= 1")
-    first = np.asarray(frames[0])
-    if first.ndim != 3 or first.shape[2] != 3:
-        raise ValueError("encode_mjpeg_avi: frames must be (h, w, 3) uint8")
-    h, w = first.shape[:2]
-    jpegs = []
-    for f in frames:
-        a = np.asarray(f)
-        if a.shape != (h, w, 3):
-            raise ValueError(
-                "encode_mjpeg_avi: all frames must share the first frame's "
-                f"dims ({h}x{w}x3); got {a.shape}"
-            )
-        jpegs.append(
-            encode_jpeg_baseline(a, quality=quality, subsampling=subsampling)
-        )
+    h, w = _check_frames(frames, fps, "encode_mjpeg_avi")
+    jpegs = [
+        encode_jpeg_baseline(f, quality=quality, subsampling=subsampling)
+        for f in frames
+    ]
+    return _mux_avi(jpegs, w, h, fps, b"MJPG", b"MJPG", b"00dc")
 
-    max_len = max(len(j) for j in jpegs)
+
+def encode_dib_avi(frames, fps: int = 10) -> bytes:
+    """Mux (h, w, 3) uint8 RGB frames into an UNCOMPRESSED ('DIB ',
+    BI_RGB) AVI: each '00db' chunk is a bottom-up device-independent
+    bitmap — BGR byte order, every row padded to a 4-byte stride (the
+    BMP raster rules, shared convention with _parse_bmp). Lossless, so
+    decode round-trips EXACT pixels — the raw-video fixture writer and
+    the one video format whose pixels survive the container bit-for-bit."""
+    import numpy as np
+
+    h, w = _check_frames(frames, fps, "encode_dib_avi")
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        dibs.append(rows.tobytes())
+    return _mux_avi(dibs, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", b"00db")
+
+
+def _mux_avi(chunks, w, h, fps, handler, bi_compression, chunk_cc) -> bytes:
+    """Shared AVI writer: RIFF 'AVI ' -> LIST hdrl {avih, LIST strl
+    {strh 'vids'/handler, strf BITMAPINFOHEADER(bi_compression)}} ->
+    LIST movi {chunk_cc chunks, word-aligned} -> idx1. bi_compression
+    is the raw 4-byte strf field (b'MJPG', or zeros for BI_RGB)."""
+    max_len = max(len(j) for j in chunks)
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,      # dwMicroSecPerFrame
         max_len * fps,         # dwMaxBytesPerSec
         0,                     # dwPaddingGranularity
         0x10,                  # dwFlags: AVIF_HASINDEX
-        len(jpegs),            # dwTotalFrames
+        len(chunks),           # dwTotalFrames
         0,                     # dwInitialFrames
         1,                     # dwStreams
         max_len,               # dwSuggestedBufferSize
@@ -99,7 +135,7 @@ def encode_mjpeg_avi(
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + handler
         + struct.pack(
             "<IHHIIIIIIIi4H",
             0,                 # dwFlags
@@ -108,7 +144,7 @@ def encode_mjpeg_avi(
             1,                 # dwScale
             fps,               # dwRate (fps = rate/scale)
             0,                 # dwStart
-            len(jpegs),        # dwLength (in frames)
+            len(chunks),       # dwLength (in frames)
             max_len,           # dwSuggestedBufferSize
             0,                 # dwQuality
             0,                 # dwSampleSize (0: variable-size samples)
@@ -122,7 +158,7 @@ def encode_mjpeg_avi(
         h,
         1,                     # biPlanes
         24,                    # biBitCount
-        b"MJPG",               # biCompression
+        bi_compression,        # biCompression
         w * h * 3,             # biSizeImage
         0, 0, 0, 0,
     )
@@ -135,15 +171,15 @@ def encode_mjpeg_avi(
     # movi chunks + idx1 offsets relative to the 'movi' fourcc position
     movi_body = b""
     idx_entries = []
-    for j in jpegs:
+    for j in chunks:
         # offset counts from the 'movi' fourcc itself (so first chunk = 4)
         idx_entries.append((4 + len(movi_body), len(j)))
-        movi_body += _chunk(b"00dc", j)
+        movi_body += _chunk(chunk_cc, j)
     movi = _list(b"movi", movi_body)
     idx1 = _chunk(
         b"idx1",
         b"".join(
-            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+            chunk_cc + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
             for off, size in idx_entries
         ),
     )
@@ -201,6 +237,7 @@ def _parse_avi_inner(raw: bytes):
     n_streams = 1
     fps = 0.0
     codec = None
+    bit_count = compression = None
     frames: list[tuple[int, int]] = []
 
     def scan_movi(pos: int, lim: int):
@@ -221,6 +258,7 @@ def _parse_avi_inner(raw: bytes):
                 elif c2 == b"LIST:strl":
                     fcc_type = handler = None
                     scale = rate = 0
+                    s_bits, s_comp = None, None
                     for c3, b3, s3 in _walk_riff(raw, b2, b2 + s2):
                         if c3 == b"strh" and s3 >= 28:
                             fcc_type = raw[b3 : b3 + 4]
@@ -228,10 +266,19 @@ def _parse_avi_inner(raw: bytes):
                             scale, rate = struct.unpack(
                                 "<II", raw[b3 + 20 : b3 + 28]
                             )
+                        elif c3 == b"strf" and s3 >= 20:
+                            # BITMAPINFOHEADER: biBitCount at body offset
+                            # 14, biCompression at 16 (raw 4-byte field —
+                            # b'MJPG', or zeros for BI_RGB)
+                            (s_bits,) = struct.unpack(
+                                "<H", raw[b3 + 14 : b3 + 16]
+                            )
+                            s_comp = raw[b3 + 16 : b3 + 20]
                     if fcc_type == b"vids":
                         codec = handler.decode("ascii", "replace")
                         if scale:
                             fps = rate / scale
+                        bit_count, compression = s_bits, s_comp
         elif cc == b"LIST:movi":
             scan_movi(body, body + size)
     if codec is None and not frames:
@@ -243,20 +290,58 @@ def _parse_avi_inner(raw: bytes):
         "n_frames": n_frames or len(frames),
         "n_streams": n_streams,
         "codec": codec,
+        "bit_count": bit_count,
+        "compression": compression,
         "frames": frames,
     }
 
 
+def _is_raw_dib(info: dict) -> bool:
+    """Uncompressed video stream: strf biCompression BI_RGB (zeros) at
+    24 bpp. The strh handler is advisory for raw streams (muxers write
+    'DIB ', 'RGB ', or zeros) — biCompression is the normative field."""
+    return (
+        info.get("compression") == b"\x00\x00\x00\x00"
+        and info.get("bit_count") == 24
+    )
+
+
+def avi_decodable(info: dict) -> bool:
+    """True when decode_avi_frame can really produce pixels for this
+    stream: MJPEG (per-frame baseline JPEG via jpeg.py) or uncompressed
+    24-bpp DIB. Inter-frame codecs (XVID/H.26x/...) parse for metadata
+    only — the documented stub boundary."""
+    return info is not None and (
+        info.get("codec") == "MJPG" or _is_raw_dib(info)
+    )
+
+
 def decode_avi_frame(raw: bytes, info: dict, k: int):
-    """(w, h, rgb_flat_uint8) of frame k, or None (non-MJPEG codec,
+    """(w, h, rgb_flat_uint8) of frame k, or None (codec-bound stream,
     undecodable chunk, or k out of range). Decodes ONLY this frame's
-    chunk — the sampled-decode contract."""
+    chunk — the sampled-decode contract. MJPEG chunks are baseline
+    JPEGs; raw DIB chunks are bottom-up 4-byte-stride BGR rasters
+    (exact pixels, no codec loss)."""
     from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
 
-    if info is None or info.get("codec") != "MJPG":
+    if info is None:
         return None
     frames = info["frames"]
     if not 0 <= k < len(frames):
         return None
     off, size = frames[k]
-    return _parse_jpeg(raw[off : off + size])
+    if info.get("codec") == "MJPG":
+        return _parse_jpeg(raw[off : off + size])
+    if _is_raw_dib(info):
+        import numpy as np
+
+        w, h = info["width"], info["height"]
+        stride = (w * 3 + 3) & ~3
+        if w <= 0 or h <= 0 or size < stride * h:
+            return None
+        rows = np.frombuffer(
+            raw[off : off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        rgb = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+        return w, h, rgb.reshape(-1).copy()
+    return None

@@ -1695,12 +1695,15 @@ def video_sample_frames(
     detection on keyframes). frame_sha256 hashes the frame's CODEC
     bytes (exact-dup joins without pixel work).
 
-    Non-AVI bytes, non-MJPEG AVIs (fourcc needs a real codec — the
-    documented stub boundary, narrowed from 'all video'), and
-    undecodable chunks yield NO rows for that id/frame, never a task
-    crash (the frame_sample convention). phash is NULL only when the
-    chunk slice fails to JPEG-decode but the container entry exists."""
+    Uncompressed 24-bpp DIB AVIs decode too (exact pixels — see
+    avi.encode_dib_avi). Non-AVI bytes, codec-bound AVIs (inter-frame
+    fourccs need a real codec — the documented stub boundary, narrowed
+    from 'all video'), and undecodable chunks yield NO rows for that
+    id/frame, never a task crash (the frame_sample convention). phash
+    is NULL only when the chunk slice fails to decode but the container
+    entry exists."""
     from jsonl_schema_validator_spark.operators.avi import (
+        avi_decodable,
         decode_avi_frame,
         parse_avi,
     )
@@ -1737,7 +1740,7 @@ def video_sample_frames(
             for i, raw in zip(pdf["id"], pdf["raw"]):
                 b = bytes(raw) if raw is not None else None
                 info = parse_avi(b)
-                if info is None or info.get("codec") != "MJPG":
+                if not avi_decodable(info):
                     continue
                 for k in range(0, len(info["frames"]), every_n):
                     decoded = decode_avi_frame(b, info, k)
@@ -1823,12 +1826,13 @@ def video_phash(
     order anyway). Feed to video_phash_near_pairs.
 
     NULL phash (row kept) when the container is unreadable, the stream
-    is not MJPEG (metadata-only codecs — the documented stub boundary),
-    or no sampled frame decodes; n_frames_hashed counts the frames that
+    is codec-bound (neither MJPEG nor raw DIB — the documented stub
+    boundary), or no sampled frame decodes; n_frames_hashed counts the frames that
     contributed. No DuckDB oracle — the shared parquet tables carry no
     video column, so correctness is pinned by a pure-python reference
     and planted re-encode e2e tests (the image_phash precedent)."""
     from jsonl_schema_validator_spark.operators.avi import (
+        avi_decodable,
         decode_avi_frame,
         parse_avi,
     )
@@ -1862,7 +1866,7 @@ def video_phash(
                 try:
                     b = bytes(raw) if raw is not None else None
                     info = parse_avi(b)
-                    if info is None or info.get("codec") != "MJPG":
+                    if not avi_decodable(info):
                         out.append(None)
                         nf.append(0)
                         continue

@@ -18,7 +18,9 @@ import numpy as np
 import pytest
 
 from jsonl_schema_validator_spark.operators.avi import (
+    avi_decodable,
     decode_avi_frame,
+    encode_dib_avi,
     encode_mjpeg_avi,
     parse_avi,
 )
@@ -185,3 +187,71 @@ def test_media_container_metadata_avi(spark):
     assert r.n_tracks == 1
     assert r.sha256 == hashlib.sha256(vid).hexdigest()
     assert got[2].container is None
+
+def test_dib_avi_exact_roundtrip_and_spec_offsets():
+    """Uncompressed ('DIB ', BI_RGB) AVI: odd dims exercise the 4-byte
+    row stride (31*3=93 -> 96), pixels round-trip EXACT (no codec), and
+    the raster layout is pinned at SPEC offsets independent of the
+    decoder: first chunk bytes = BOTTOM row in BGR order."""
+    frames = _frames(n=6, h=33, w=31)
+    raw = encode_dib_avi(frames, fps=7)
+    info = parse_avi(raw)
+    assert info["codec"] == "DIB " and avi_decodable(info)
+    assert info["bit_count"] == 24
+    assert info["compression"] == b"\x00\x00\x00\x00"
+    assert info["fps"] == 7.0 and len(info["frames"]) == 6
+
+    # spec pins (not via the decoder): strf biBitCount/biCompression at
+    # body offsets 14/16; chunk fourcc '00db'; chunk size = stride*h
+    strf_at = raw.index(b"strf") + 8
+    assert struct.unpack("<H", raw[strf_at + 14 : strf_at + 16])[0] == 24
+    assert raw[strf_at + 16 : strf_at + 20] == b"\x00\x00\x00\x00"
+    stride = (31 * 3 + 3) & ~3
+    assert stride == 96
+    for k, (off, size) in enumerate(info["frames"]):
+        assert raw[off - 8 : off - 4] == b"00db"
+        assert size == stride * 33
+        # bottom-up BGR: the chunk's first pixel is frame[-1, 0, ::-1]
+        assert raw[off : off + 3] == bytes(frames[k][-1, 0, ::-1])
+        # stride padding bytes are zero
+        assert raw[off + 93 : off + 96] == b"\x00\x00\x00"
+
+    for k, f in enumerate(frames):
+        w, h, flat = decode_avi_frame(raw, info, k)
+        assert (w, h) == (31, 33)
+        assert np.array_equal(flat.reshape(33, 31, 3), f)
+
+    # truncated chunk (shorter than stride*h): None, never a garbled frame
+    cut_info = dict(info, frames=[(info["frames"][0][0], stride * 33 - 1)])
+    assert decode_avi_frame(raw, cut_info, 0) is None
+
+
+def test_dib_and_mjpeg_cross_codec_video_near_dup(spark):
+    """The same footage muxed raw (DIB) and as MJPEG q90 is a NEAR-DUP
+    pair under the majority-folded video pHash (measured 0 bits) — the
+    cross-CODEC analog of the image cross-format re-encode e2e, and the
+    proof that video_phash's gate accepts both decodable AVI flavors."""
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        video_phash_near_pairs,
+    )
+
+    frames = _frames(n=10)
+    rows = [
+        (1, bytearray(encode_dib_avi(frames))),
+        (2, bytearray(encode_mjpeg_avi(frames, quality=90))),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, raw binary")
+    pairs = video_phash_near_pairs(df, "raw", "vid", every_n=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert all(p.hamming <= 3 for p in pairs)
+    spark.catalog.clearCache()
+
+
+def test_dib_avi_validate_at_entry():
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_dib_avi([])
+    with pytest.raises(ValueError, match="fps"):
+        encode_dib_avi(_frames(n=1), fps=0)
+    with pytest.raises(ValueError, match="dims"):
+        encode_dib_avi([_frames(n=1)[0], _frames(n=1, h=8, w=8)[0]])
