@@ -238,6 +238,7 @@ def _parse_avi_inner(raw: bytes):
     fps = 0.0
     codec = None
     bit_count = compression = None
+    top_down = False
     frames: list[tuple[int, int]] = []
 
     def scan_movi(pos: int, lim: int):
@@ -258,7 +259,7 @@ def _parse_avi_inner(raw: bytes):
                 elif c2 == b"LIST:strl":
                     fcc_type = handler = None
                     scale = rate = 0
-                    s_bits, s_comp = None, None
+                    s_bits = s_comp = s_height = None
                     for c3, b3, s3 in _walk_riff(raw, b2, b2 + s2):
                         if c3 == b"strh" and s3 >= 28:
                             fcc_type = raw[b3 : b3 + 4]
@@ -267,9 +268,13 @@ def _parse_avi_inner(raw: bytes):
                                 "<II", raw[b3 + 20 : b3 + 28]
                             )
                         elif c3 == b"strf" and s3 >= 20:
-                            # BITMAPINFOHEADER: biBitCount at body offset
-                            # 14, biCompression at 16 (raw 4-byte field —
-                            # b'MJPG', or zeros for BI_RGB)
+                            # BITMAPINFOHEADER: biHeight (SIGNED; negative
+                            # = top-down raster) at body offset 8,
+                            # biBitCount at 14, biCompression at 16 (raw
+                            # 4-byte field — b'MJPG', or zeros for BI_RGB)
+                            (s_height,) = struct.unpack(
+                                "<i", raw[b3 + 8 : b3 + 12]
+                            )
                             (s_bits,) = struct.unpack(
                                 "<H", raw[b3 + 14 : b3 + 16]
                             )
@@ -279,6 +284,7 @@ def _parse_avi_inner(raw: bytes):
                         if scale:
                             fps = rate / scale
                         bit_count, compression = s_bits, s_comp
+                        top_down = s_height is not None and s_height < 0
         elif cc == b"LIST:movi":
             scan_movi(body, body + size)
     if codec is None and not frames:
@@ -292,6 +298,7 @@ def _parse_avi_inner(raw: bytes):
         "codec": codec,
         "bit_count": bit_count,
         "compression": compression,
+        "top_down": top_down,
         "frames": frames,
     }
 
@@ -342,6 +349,10 @@ def decode_avi_frame(raw: bytes, info: dict, k: int):
         rows = np.frombuffer(
             raw[off : off + stride * h], dtype=np.uint8
         ).reshape(h, stride)
-        rgb = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
-        return w, h, rgb.reshape(-1).copy()
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        # strf biHeight < 0 marks a TOP-DOWN raster (no row flip);
+        # the common positive-height case is bottom-up
+        if not info.get("top_down"):
+            bgr = bgr[::-1]
+        return w, h, bgr[:, :, ::-1].reshape(-1).copy()
     return None

@@ -225,6 +225,16 @@ def test_dib_avi_exact_roundtrip_and_spec_offsets():
     cut_info = dict(info, frames=[(info["frames"][0][0], stride * 33 - 1)])
     assert decode_avi_frame(raw, cut_info, 0) is None
 
+    # strf biHeight < 0 marks a TOP-DOWN raster: patch the sign on the
+    # same (physically bottom-up) bytes — decode must now trust the flag
+    # and come out vertically flipped relative to the original frame
+    flipped = bytearray(raw)
+    struct.pack_into("<i", flipped, strf_at + 8, -33)
+    finfo = parse_avi(bytes(flipped))
+    assert finfo["top_down"] and avi_decodable(finfo)
+    w, h, flat = decode_avi_frame(bytes(flipped), finfo, 0)
+    assert np.array_equal(flat.reshape(33, 31, 3), frames[0][::-1])
+
 
 def test_dib_and_mjpeg_cross_codec_video_near_dup(spark):
     """The same footage muxed raw (DIB) and as MJPEG q90 is a NEAR-DUP
