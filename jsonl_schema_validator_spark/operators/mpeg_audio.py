@@ -468,6 +468,7 @@ def encode_mpeg1_audio(
     bitrate_kbps: int | None = None,
     ms_stereo: bool = False,
     reservoir: bool = False,
+    l3_blocks: str = "long",
 ) -> bytes:
     """Encode int16 PCM ([n] mono or [n, ch<=2]) to an MPEG-1 Layer
     I/II/III elementary stream. Input is zero-padded to a whole number
@@ -476,11 +477,21 @@ def encode_mpeg1_audio(
     granule of look-back). Layer III is the FIXTURE-GRADE encoder
     (module docstring): block-float quantization, long blocks, shipped
     Huffman tables only; ms_stereo / reservoir exercise the MS and
-    bit-reservoir decode paths (Layer III only)."""
+    bit-reservoir decode paths (Layer III only). l3_blocks selects the
+    granule block type: 'long' (default), 'short' (every granule
+    block_type 2 — all-short streams are TDAC-complete, no start/stop
+    transitions needed), or 'mixed' (block_type 2 with the mixed flag:
+    subbands 0-1 long windows + alias butterfly, the rest short) —
+    'short'/'mixed' exist to machine-generate window-switching streams
+    that round-trip the decoder's short/mixed paths."""
     if layer not in (1, 2, 3):
         raise ValueError("layer must be 1, 2 or 3")
     if (ms_stereo or reservoir) and layer != 3:
         raise ValueError("ms_stereo/reservoir are Layer III options")
+    if l3_blocks not in ("long", "short", "mixed"):
+        raise ValueError("l3_blocks must be 'long', 'short' or 'mixed'")
+    if l3_blocks != "long" and layer != 3:
+        raise ValueError("l3_blocks is a Layer III option")
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"sample_rate must be one of {SAMPLE_RATES}")
     s = np.asarray(samples)
@@ -513,7 +524,8 @@ def encode_mpeg1_audio(
     if layer == 3:
         flen = 144 * bitrate_kbps * 1000 // sample_rate
         return _encode_l3(
-            sub, sample_rate, bitrate_kbps, nch, flen, ms_stereo, reservoir
+            sub, sample_rate, bitrate_kbps, nch, flen, ms_stereo,
+            reservoir, l3_blocks,
         )
     if layer == 1:
         flen = (12 * bitrate_kbps * 1000 // sample_rate) * 4
@@ -1407,6 +1419,65 @@ def _l3_forward_granule(s_prev: np.ndarray, s_cur: np.ndarray) -> np.ndarray:
     return xr
 
 
+def _l3_forward_granule_short(
+    s_prev: np.ndarray, s_cur: np.ndarray, fs: int, mixed: bool
+) -> np.ndarray:
+    """xr[576] in HUFFMAN order for a block_type-2 granule: frequency
+    inversion -> three windowed 12-point MDCTs per subband (1/3 TDAC
+    normalization — the 4/N rule that gives the long path its 1/9;
+    all-short streams are TDAC-complete, so no start/stop blocks are
+    needed) -> for mixed, the long 36-point MDCT on subbands 0-1 plus
+    the forward alias butterfly on their one boundary -> inverse of the
+    decoder's _l3_reorder. Exactness vs the decode chain is pinned in
+    tests (float TDAC error ~1e-14)."""
+    cst = _l3_mdct_consts()
+    x = np.concatenate([s_prev, s_cur], axis=0).copy()  # [36, 32]
+    x[1::2, 1::2] *= -1.0  # frequency inversion (self-inverse)
+    X = np.empty((32, 18))
+    n_long = 2 if mixed else 0
+    for sb in range(32):
+        if sb < n_long:
+            X[sb] = (cst["C36"].T @ (x[:, sb] * cst["W"][0])) / 9.0
+        else:
+            for w in range(3):
+                X[sb, w::3] = (
+                    cst["C12"].T @ (x[6 + 6 * w : 18 + 6 * w, sb] * cst["w12"])
+                ) / 3.0
+    inter = X.reshape(576).copy()  # the decoder's post-reorder layout
+    if mixed:
+        # forward alias butterfly (transpose of decode) on the one long
+        # boundary the decoder will undo
+        lo = inter[17 - np.arange(8)].copy()
+        hi = inter[18 + np.arange(8)].copy()
+        inter[17 - np.arange(8)] = lo * _L3_CS + hi * _L3_CA
+        inter[18 + np.arange(8)] = hi * _L3_CS - lo * _L3_CA
+    return _l3_unreorder(inter, fs, mixed)
+
+
+def _l3_unreorder(inter: np.ndarray, fs: int, mixed: bool) -> np.ndarray:
+    """Huffman-order xr from the decoder's interleaved layout — the
+    exact inverse of _l3_reorder (same (sfb, window, line) walk, indices
+    swapped); pinned by a reorder(unreorder(x)) == x fuzz test."""
+    sband = SFB_SHORT[fs]
+    lband = SFB_LONG[fs]
+    first_sfb = 3 if mixed else 0
+    long_end = lband[8] if mixed else 0
+    out = inter.copy()
+    src = long_end
+    for sfb in range(first_sfb, 13):
+        w0, w1 = sband[sfb], sband[sfb + 1]
+        width = w1 - w0
+        for w in range(3):
+            for k in range(width):
+                dst = (w0 + k) * 3 + w
+                if dst >= long_end:
+                    out[src] = inter[dst]
+                src += 1
+                if src >= 576:
+                    break
+    return out
+
+
 def _l3_quantize_granule(xr: np.ndarray, fs: int, max_sfb: int):
     """(is[576], scf[21], global_gain) block-float quantization:
     scalefac_scale=1 (scf steps of 2^-1), per-band scf lifts quiet bands,
@@ -1523,7 +1594,143 @@ def _l3_granule_bits(is_: np.ndarray, scf, gg, fs, write_scf_bands):
     return fields, g
 
 
-def _encode_l3(sub, fs, bitrate, nch, flen, ms, reservoir):
+def _l3_quantize_granule_short(
+    xr: np.ndarray, fs: int, max_sfb_s: int, mixed: bool
+):
+    """(is[576], scf_l[22], scf_s[13, 3], global_gain) for a
+    block_type-2 granule, xr in HUFFMAN order: the long quantizer's
+    block-float scheme applied per (short sfb, window) band — plus the
+    long sfb 0-7 bands for mixed granules. subblock_gain stays 0 (the
+    per-window scalefactors already carry the lift). Short sfbs at or
+    above max_sfb_s are zeroed (bandwidth trim, the bit-budget knob)."""
+    sband = SFB_SHORT[fs]
+    lband = SFB_LONG[fs]
+    first_sfb = 3 if mixed else 0
+    long_end = lband[8] if mixed else 0
+    xr = xr.copy()
+    if max_sfb_s < 13:
+        cut = long_end + 3 * (sband[max(max_sfb_s, first_sfb)] - sband[first_sfb])
+        xr[cut:] = 0.0
+    amax = float(np.abs(xr).max())
+    if amax == 0.0:
+        return (
+            np.zeros(576, dtype=np.int64),
+            np.zeros(22, dtype=int),
+            np.zeros((13, 3), dtype=int),
+            210,
+        )
+    target = 3.0 ** (4.0 / 3.0)
+    gg = 210 + int(np.round(4.0 * np.log2(amax / target)))
+    gg = max(0, min(255, gg))
+    if (amax / 2.0 ** ((gg - 210) / 4.0)) ** 0.75 > 3.49:
+        gg = min(255, gg + 1)
+    step0 = 2.0 ** ((gg - 210) / 4.0)
+    scf_l = np.zeros(22, dtype=int)
+    scf_s = np.zeros((13, 3), dtype=int)
+    is_ = np.zeros(576, dtype=np.int64)
+
+    def _qband(band, factor):
+        q = np.round(np.abs(band / (step0 * factor)) ** 0.75)
+        return (np.sign(band) * np.minimum(q, 3)).astype(np.int64)
+
+    def _fit(lo, hi, cap):
+        """SSE-best scalefactor in the +-1 neighborhood (the long
+        quantizer's rule) for xr[lo:hi]; returns (scf, q)."""
+        band = xr[lo:hi]
+        bmax = float(np.abs(band).max())
+        if bmax == 0.0:
+            return 0, np.zeros(hi - lo, dtype=np.int64)
+        want = int(np.round(2.0 * np.log2(step0 * target / bmax)))
+        best = None
+        for cand in (want - 1, want, want + 1):
+            cand = max(0, min(cap, cand))
+            f = 2.0 ** (-cand / 2.0)
+            q = _qband(band, f)
+            err = float(np.sum(
+                ((np.sign(q) * np.abs(q) ** (4.0 / 3.0)) * step0 * f
+                 - band) ** 2
+            ))
+            if best is None or err < best[0]:
+                best = (err, cand, q)
+        return best[1], best[2]
+
+    if mixed:
+        for sfb in range(8):  # long bands, slen1=4 (scalefac_compress 15)
+            lo, hi = lband[sfb], min(lband[sfb + 1], long_end)
+            if lo >= long_end:
+                break
+            scf_l[sfb], is_[lo:hi] = _fit(lo, hi, 15)
+    for sfb in range(first_sfb, 13):
+        width = sband[sfb + 1] - sband[sfb]
+        base = long_end + 3 * (sband[sfb] - sband[first_sfb])
+        cap = 15 if sfb < 6 else (7 if sfb < 12 else 0)
+        for w in range(3):
+            lo = base + w * width
+            if sfb < 12:
+                scf_s[sfb, w], is_[lo : lo + width] = _fit(lo, lo + width, cap)
+            else:
+                is_[lo : lo + width] = _qband(xr[lo : lo + width], 1.0)
+    return is_, scf_l, scf_s, gg
+
+
+def _l3_granule_bits_short(is_, scf_l, scf_s, gg, fs, mixed):
+    """((value, width) field list, side-info dict) for a block_type-2
+    granule: scalefactors in the decoder's exact read order (mixed: long
+    sfb 0-7 slen1, short sfb 3-11; unmixed: short sfb 0-11), then
+    Huffman big values over the TWO short-block regions (region
+    boundaries fixed at 36/576 by the spec — no region counts on the
+    wire). count1 is empty by construction."""
+    fields = []
+    if mixed:
+        for sfb in range(8):
+            fields.append((int(scf_l[sfb]), 4))
+        scf_start = 3
+    else:
+        scf_start = 0
+    for sfb in range(scf_start, 12):
+        for w in range(3):
+            fields.append((int(scf_s[sfb, w]), 4 if sfb < 6 else 3))
+    nz = np.nonzero(is_)[0]
+    nlines = 0 if len(nz) == 0 else int(nz[-1]) + 1
+    big_values = (nlines + 1) // 2
+    bounds = (36, 576)
+    table_select = []
+    start = 0
+    for region in range(2):
+        end = min(bounds[region], 2 * big_values)
+        seg = np.abs(is_[start:end])
+        m = int(seg.max()) if len(seg) else 0
+        tid = {0: 0, 1: 1, 2: 2, 3: 5}[m]
+        table_select.append(tid)
+        tab = _L3_CODES[tid]
+        for i in range(start, end, 2):
+            x, y = int(is_[i]), int(is_[i + 1])
+            if tid:
+                hl, hc = tab[(abs(x), abs(y))]
+                fields.append((hc, hl))
+                if x:
+                    fields.append((1 if x < 0 else 0, 1))
+                if y:
+                    fields.append((1 if y < 0 else 0, 1))
+        start = end
+        if start >= 2 * big_values:
+            table_select += [0] * (1 - region)
+            break
+    g = {
+        "part2_3_length": sum(w for _, w in fields),
+        "big_values": big_values,
+        "global_gain": gg,
+        "scalefac_compress": 15,  # slen (4, 3)
+        "window_switching": 1,
+        "block_type": 2,
+        "mixed": 1 if mixed else 0,
+        "table_select": table_select,
+        "subblock_gain": [0, 0, 0],
+    }
+    return fields, g
+
+
+def _encode_l3(sub, fs, bitrate, nch, flen, ms, reservoir, blocks="long"):
     """Assemble the whole Layer III stream: per-frame quantize ->
     serialize granule bits into ONE global main-data bitstring ->
     distribute its bytes across frame sections, computing each frame's
@@ -1532,7 +1739,9 @@ def _encode_l3(sub, fs, bitrate, nch, flen, ms, reservoir):
     side_bytes = 17 if nch == 1 else 32
     cap = flen - 4 - side_bytes
     nframes = sub.shape[1] // 36
-    max_sfb0 = 22
+    mixed = blocks == "mixed"
+    short = blocks in ("short", "mixed")
+    max_sfb0 = 13 if short else 22
     md = _BitWriter()
     md_bits = 0
     frames_meta = []  # (B_i bytes, [per-gr-ch side dicts], scfsi)
@@ -1553,18 +1762,31 @@ def _encode_l3(sub, fs, bitrate, nch, flen, ms, reservoir):
                         if gr == 0
                         else sub[c, fr * 36 : fr * 36 + 18]
                     )
-                    xrs.append(_l3_forward_granule(back, cur))
+                    xrs.append(
+                        _l3_forward_granule_short(back, cur, fs, mixed)
+                        if short
+                        else _l3_forward_granule(back, cur)
+                    )
                 if ms:
                     inv = 1.0 / np.sqrt(2.0)
                     xrs = [(xrs[0] + xrs[1]) * inv,
                            (xrs[0] - xrs[1]) * inv]
                 grs.append([
-                    _l3_quantize_granule(xr, fs, max_sfb) for xr in xrs
+                    (
+                        _l3_quantize_granule_short(xr, fs, max_sfb, mixed)
+                        if short
+                        else _l3_quantize_granule(xr, fs, max_sfb)
+                    )
+                    for xr in xrs
                 ])
             # scfsi per channel: bands equal across granules -> share
+            # (the spec FORBIDS scfsi on short granules: all zeros there)
             scfsi = []
             groups = ((0, 6), (6, 11), (11, 16), (16, 21))
             for c in range(nch):
+                if short:
+                    scfsi.append([0, 0, 0, 0])
+                    continue
                 s0, s1 = grs[0][c][1], grs[1][c][1]
                 scfsi.append([
                     1 if np.array_equal(s0[lo:hi], s1[lo:hi]) else 0
@@ -1574,13 +1796,19 @@ def _encode_l3(sub, fs, bitrate, nch, flen, ms, reservoir):
             ok = True
             for gr in range(2):
                 for c in range(nch):
-                    is_, scf, gg = grs[gr][c]
-                    bands = set(range(21))
-                    if gr == 1:
-                        for b, (lo, hi) in enumerate(groups):
-                            if scfsi[c][b]:
-                                bands -= set(range(lo, hi))
-                    fields, g = _l3_granule_bits(is_, scf, gg, fs, bands)
+                    if short:
+                        is_, scf_l, scf_s, gg = grs[gr][c]
+                        fields, g = _l3_granule_bits_short(
+                            is_, scf_l, scf_s, gg, fs, mixed
+                        )
+                    else:
+                        is_, scf, gg = grs[gr][c]
+                        bands = set(range(21))
+                        if gr == 1:
+                            for b, (lo, hi) in enumerate(groups):
+                                if scfsi[c][b]:
+                                    bands -= set(range(lo, hi))
+                        fields, g = _l3_granule_bits(is_, scf, gg, fs, bands)
                     if g["part2_3_length"] > 4095:
                         ok = False
                         break
@@ -1653,11 +1881,21 @@ def _encode_l3(sub, fs, bitrate, nch, flen, ms, reservoir):
                 w.write(g["big_values"], 9)
                 w.write(g["global_gain"], 8)
                 w.write(g["scalefac_compress"], 4)
-                w.write(0, 1)  # window_switching: long blocks only
-                for t in g["table_select"]:
-                    w.write(t, 5)
-                w.write(g["region0_count"], 4)
-                w.write(g["region1_count"], 3)
+                if g.get("window_switching"):
+                    w.write(1, 1)   # window_switching
+                    w.write(g["block_type"], 2)
+                    w.write(g["mixed"], 1)
+                    for t in g["table_select"]:  # exactly 2 on the wire
+                        w.write(t, 5)
+                    for sbg in g["subblock_gain"]:
+                        w.write(sbg, 3)
+                    # region counts are implicit (spec) — nothing written
+                else:
+                    w.write(0, 1)  # window_switching: long blocks
+                    for t in g["table_select"]:
+                        w.write(t, 5)
+                    w.write(g["region0_count"], 4)
+                    w.write(g["region1_count"], 3)
                 w.write(0, 1)  # preflag
                 w.write(0, 1)  # scalefac_scale = 0 (scf steps of 2^-1/2)
                 w.write(1, 1)  # count1table_select (region empty)

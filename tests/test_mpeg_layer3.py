@@ -426,3 +426,99 @@ def test_l3_frame_is_1152_samples_and_analysis_consistent():
     sub = analyze_subbands(pcm[:, 0].astype(np.float64) / 32768.0)
     energy = (sub[40:-40] ** 2).sum(axis=0)
     assert energy.argmax() == int(1000 / (FS / 64))
+
+
+# --- short / mixed block modes (round 9, late) -------------------------------
+
+
+def test_unreorder_is_exact_inverse_of_reorder_fuzz():
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        _l3_reorder,
+        _l3_unreorder,
+    )
+
+    rng = np.random.RandomState(5)
+    for fs in (44100, 48000, 32000):
+        for mixed in (0, 1):
+            g = {"block_type": 2, "mixed": mixed}
+            for _ in range(10):
+                x = rng.randn(576)
+                assert np.allclose(
+                    _l3_reorder(_l3_unreorder(x, fs, bool(mixed)), g, fs), x
+                )
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_forward_short_chain_is_exact_inverse(mixed):
+    """Float TDAC over a chain of block_type-2 granules: forward (in
+    Huffman order) -> the decoder's reorder -> antialias -> IMDCT with
+    overlap-add reconstructs the subband stream exactly (one granule
+    delay) — for ALL 32 subbands at once, so the mixed long/short
+    subband split, the alias butterfly and the frequency inversion are
+    all exercised."""
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        _l3_forward_granule_short,
+        _l3_reorder,
+    )
+
+    rng = np.random.RandomState(7)
+    n_gr = 6
+    stream = rng.randn(n_gr * 18, 32)
+    g = {"block_type": 2, "mixed": 1 if mixed else 0, "window_switching": 1}
+    overlap = np.zeros((32, 18))
+    prev = np.zeros((18, 32))
+    rec = []
+    for k in range(n_gr):
+        cur = stream[k * 18 : (k + 1) * 18]
+        xr = _l3_forward_granule_short(prev, cur, FS, mixed)
+        xr = _l3_reorder(xr, g, FS)
+        xr = _l3_antialias(xr, g)
+        rec.append(_l3_imdct_granule(xr, g, overlap))
+        prev = cur
+    rec = np.concatenate(rec, axis=0)
+    assert np.abs(rec[18:] - stream[: (n_gr - 1) * 18]).max() < 1e-10
+
+
+@pytest.mark.parametrize("blocks,min_snr", [("short", 16.0), ("mixed", 16.0)])
+def test_round_trip_short_and_mixed_blocks(blocks, min_snr):
+    a, b = _roundtrip(_tone(), bitrate_kbps=192, l3_blocks=blocks)
+    assert _snr(a, b) >= min_snr
+    # stereo MS + short combined exercises the MS fold on block-type-2
+    sig = np.stack([_mix(), _tone(f=700)], axis=1)
+    a, b = _roundtrip(sig, bitrate_kbps=256, ms_stereo=True,
+                      l3_blocks=blocks)
+    assert min(_snr(a[:, 0], b[:, 0]), _snr(a[:, 1], b[:, 1])) >= 13.0
+
+
+@pytest.mark.parametrize("blocks", ["short", "mixed"])
+def test_short_side_info_on_the_wire(blocks):
+    """Read the encoded stream's side info back with the DECODER's
+    parser: window_switching set, block_type 2, the mixed flag, zero
+    scfsi (the spec forbids sharing on short granules), zero
+    subblock_gain, and the spec-implied region counts."""
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        _l3_side_info,
+    )
+
+    enc = encode_mpeg1_audio(
+        _tone(n=1152 * 3), FS, layer=3, bitrate_kbps=192, l3_blocks=blocks
+    )
+    r = _BitReader(enc[4:])  # past the 32-bit header, no CRC
+    si = _l3_side_info(r, 1)
+    assert si["scfsi"] == [[0, 0, 0, 0]]
+    for gr in range(2):
+        g = si["granules"][gr][0]
+        assert g["window_switching"] == 1
+        assert g["block_type"] == 2
+        assert g["mixed"] == (1 if blocks == "mixed" else 0)
+        assert g["subblock_gain"] == [0, 0, 0]
+        assert g["table_select"][2] == 0  # only two regions on the wire
+        assert g["region0_count"] == (7 if blocks == "mixed" else 8)
+        assert g["region1_count"] == 20 - g["region0_count"]
+
+
+def test_l3_blocks_validate_at_entry():
+    with pytest.raises(ValueError, match="l3_blocks must be"):
+        encode_mpeg1_audio(_tone(n=1152), FS, layer=3, l3_blocks="start")
+    with pytest.raises(ValueError, match="Layer III option"):
+        encode_mpeg1_audio(_tone(n=1152), FS, layer=2, l3_blocks="short")
