@@ -56,8 +56,10 @@ def _check_frames(frames, fps, who):
 
     if not frames:
         raise ValueError(f"{who}: need at least one frame")
-    if fps < 1:
-        raise ValueError(f"{who}: fps must be >= 1")
+    if not isinstance(fps, int) or fps < 1:
+        # validate-at-entry: a float fps (29.97) would otherwise die in
+        # struct.pack with an opaque 'not an integer'
+        raise ValueError(f"{who}: fps must be an integer >= 1")
     first = np.asarray(frames[0])
     if first.ndim != 3 or first.shape[2] != 3:
         raise ValueError(f"{who}: frames must be (h, w, 3) uint8")
@@ -90,7 +92,7 @@ def encode_mjpeg_avi(
         encode_jpeg_baseline(f, quality=quality, subsampling=subsampling)
         for f in frames
     ]
-    return _mux_avi(jpegs, w, h, fps, b"MJPG", b"MJPG", b"00dc")
+    return _mux_avi(jpegs, w, h, fps, b"MJPG", b"MJPG", b"00dc", w * h * 3)
 
 
 def encode_dib_avi(frames, fps: int = 10) -> bytes:
@@ -110,14 +112,23 @@ def encode_dib_avi(frames, fps: int = 10) -> bytes:
         rows = np.zeros((h, stride), dtype=np.uint8)
         rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
         dibs.append(rows.tobytes())
-    return _mux_avi(dibs, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", b"00db")
+    # biSizeImage must count the STRIDE-padded raster (review finding:
+    # w*h*3 understates it for widths not a multiple of 4, and a strict
+    # third-party parser slicing by the field would misparse the fixture)
+    return _mux_avi(
+        dibs, w, h, fps, b"DIB ", b"\x00\x00\x00\x00", b"00db", stride * h
+    )
 
 
-def _mux_avi(chunks, w, h, fps, handler, bi_compression, chunk_cc) -> bytes:
+def _mux_avi(
+    chunks, w, h, fps, handler, bi_compression, chunk_cc, size_image
+) -> bytes:
     """Shared AVI writer: RIFF 'AVI ' -> LIST hdrl {avih, LIST strl
     {strh 'vids'/handler, strf BITMAPINFOHEADER(bi_compression)}} ->
     LIST movi {chunk_cc chunks, word-aligned} -> idx1. bi_compression
-    is the raw 4-byte strf field (b'MJPG', or zeros for BI_RGB)."""
+    is the raw 4-byte strf field (b'MJPG', or zeros for BI_RGB);
+    size_image is strf biSizeImage (the stride-padded raster size for
+    raw DIB, the conventional uncompressed size for MJPEG)."""
     max_len = max(len(j) for j in chunks)
     avih = struct.pack(
         "<14I",
@@ -159,7 +170,7 @@ def _mux_avi(chunks, w, h, fps, handler, bi_compression, chunk_cc) -> bytes:
         1,                     # biPlanes
         24,                    # biBitCount
         bi_compression,        # biCompression
-        w * h * 3,             # biSizeImage
+        size_image,            # biSizeImage
         0, 0, 0, 0,
     )
     hdrl = _list(
@@ -239,15 +250,25 @@ def _parse_avi_inner(raw: bytes):
     codec = None
     bit_count = compression = None
     top_down = False
+    vid_stream = None  # index of the 'vids' strl within hdrl
     frames: list[tuple[int, int]] = []
 
     def scan_movi(pos: int, lim: int):
+        # only the VIDEO stream's chunks (two-digit stream-number
+        # prefix): a second stream's '01wb'/'01dc' chunks interleaved in
+        # movi must not enter the frame list (review finding — they
+        # would shift frame_idx and feed alien bytes to the decoder).
+        # Fallback when hdrl named no vids stream: accept any dc/db.
+        prefix = None if vid_stream is None else b"%02d" % vid_stream
         for cc, body, size in _walk_riff(raw, pos, lim):
             if cc == b"LIST:rec ":
                 scan_movi(body, body + size)
-            elif cc[2:4] in (b"dc", b"db"):
+            elif cc[2:4] in (b"dc", b"db") and (
+                prefix is None or cc[:2] == prefix
+            ):
                 frames.append((body, size))
 
+    strl_idx = -1
     for cc, body, size in _walk_riff(raw, 12, end):
         if cc == b"LIST:hdrl":
             for c2, b2, s2 in _walk_riff(raw, body, body + size):
@@ -257,6 +278,7 @@ def _parse_avi_inner(raw: bytes):
                     n_streams = vals[6]
                     width, height = vals[8], vals[9]
                 elif c2 == b"LIST:strl":
+                    strl_idx += 1
                     fcc_type = handler = None
                     scale = rate = 0
                     s_bits = s_comp = s_height = None
@@ -279,7 +301,8 @@ def _parse_avi_inner(raw: bytes):
                                 "<H", raw[b3 + 14 : b3 + 16]
                             )
                             s_comp = raw[b3 + 16 : b3 + 20]
-                    if fcc_type == b"vids":
+                    if fcc_type == b"vids" and vid_stream is None:
+                        vid_stream = strl_idx
                         codec = handler.decode("ascii", "replace")
                         if scale:
                             fps = rate / scale
@@ -313,23 +336,38 @@ def _is_raw_dib(info: dict) -> bool:
     )
 
 
+def _is_mjpeg(info: dict) -> bool:
+    """MJPEG stream per the NORMATIVE strf biCompression ('MJPG',
+    case-insensitive — review finding: gating on the advisory strh
+    handler rejected files whose handler is blank or lowercase). The
+    handler is consulted only when no strf was parsed."""
+    comp = info.get("compression")
+    if comp is not None:
+        return comp.upper() == b"MJPG"
+    return (info.get("codec") or "").upper() == "MJPG"
+
+
 def avi_decodable(info: dict) -> bool:
     """True when decode_avi_frame can really produce pixels for this
-    stream: MJPEG (per-frame baseline JPEG via jpeg.py) or uncompressed
-    24-bpp DIB. Inter-frame codecs (XVID/H.26x/...) parse for metadata
-    only — the documented stub boundary."""
-    return info is not None and (
-        info.get("codec") == "MJPG" or _is_raw_dib(info)
-    )
+    stream: MJPEG (per-frame baseline JPEG via jpeg.py, incl. the AVI1
+    omit-DHT convention) or uncompressed 24-bpp DIB. Inter-frame codecs
+    (XVID/H.26x/...) parse for metadata only — the documented stub
+    boundary."""
+    return info is not None and (_is_mjpeg(info) or _is_raw_dib(info))
 
 
 def decode_avi_frame(raw: bytes, info: dict, k: int):
     """(w, h, rgb_flat_uint8) of frame k, or None (codec-bound stream,
     undecodable chunk, or k out of range). Decodes ONLY this frame's
     chunk — the sampled-decode contract. MJPEG chunks are baseline
-    JPEGs; raw DIB chunks are bottom-up 4-byte-stride BGR rasters
-    (exact pixels, no codec loss)."""
-    from jsonl_schema_validator_spark.operators.jpeg import _parse_jpeg
+    JPEGs — frames using the ubiquitous AVI1 omit-DHT convention (no
+    Huffman tables in-stream; the fixed T.81 K.3 tables are implied)
+    get the standard tables spliced in before decode. Raw DIB chunks
+    are bottom-up 4-byte-stride BGR rasters (exact pixels)."""
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        _parse_jpeg,
+        inject_standard_dht,
+    )
 
     if info is None:
         return None
@@ -337,8 +375,8 @@ def decode_avi_frame(raw: bytes, info: dict, k: int):
     if not 0 <= k < len(frames):
         return None
     off, size = frames[k]
-    if info.get("codec") == "MJPG":
-        return _parse_jpeg(raw[off : off + size])
+    if _is_mjpeg(info):
+        return _parse_jpeg(inject_standard_dht(raw[off : off + size]))
     if _is_raw_dib(info):
         import numpy as np
 

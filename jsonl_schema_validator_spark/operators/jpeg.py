@@ -853,6 +853,55 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def standard_dht_segment() -> bytes:
+    """One DHT marker segment carrying the four fixed T.81 Annex K.3
+    Huffman tables (DC/AC luma + chroma) — exactly the tables the
+    baseline encoder writes. The MJPEG/AVI1 convention omits DHT from
+    every frame and implies these."""
+    payload = b""
+    for cls, tid, (bits, values) in (
+        (0, 0, _DC_LUMA),
+        (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA),
+        (1, 1, _AC_CHROMA),
+    ):
+        payload += bytes([(cls << 4) | tid] + bits + values)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def inject_standard_dht(raw: bytes) -> bytes:
+    """If `raw` is a JPEG with NO DHT segment before its first SOS
+    (the AVI1 omit-DHT MJPEG convention), splice the standard Annex K.3
+    tables in front of the SOS; otherwise return it unchanged. Walks
+    real marker segments (never a byte scan — an APPn/COM payload may
+    contain 0xFFDA); anything malformed returns unchanged and is left
+    for the parser's None contract."""
+    if raw is None or len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+        return raw
+    pos = 2
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            return raw
+        marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xC4:
+            return raw  # carries its own tables
+        if marker == 0xDA:  # first SOS with no DHT seen: splice
+            return raw[:pos] + standard_dht_segment() + raw[pos:]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers have no length field
+            continue
+        if pos + 4 > len(raw):
+            return raw
+        (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        if ln < 2:
+            return raw
+        pos += 2 + ln
+    return raw
+
+
 def _parse_jpeg(raw: bytes):
     """(w, h, rgb_flat_uint8) for a baseline JPEG, else None."""
     import numpy as np

@@ -1357,7 +1357,14 @@ class _L3Decoder:
             self.reservoir[len(self.reservoir) - si["main_data_begin"]:]
             + main
         )
-        md = _BitReader(buf)
+        buf_bits = len(buf) * 8
+        # 3 scratch zero bytes: a spec-conforming final count1 quadruple
+        # may OVERSHOOT part2_3_length (it is then rewound and dropped),
+        # and when the limit sits exactly at the physical end of main
+        # data the overshoot reads would otherwise run off the buffer
+        # and reject a valid stream (review finding). A quadruple needs
+        # at most count1-code(6) + 4 sign bits < 24.
+        md = _BitReader(buf + b"\x00\x00\x00")
         out = np.empty((self.nch, 36, 32))
         prev_scf = [None] * self.nch
         for gr in range(2):
@@ -1366,7 +1373,7 @@ class _L3Decoder:
                 g = si["granules"][gr][ch]
                 start = md.pos
                 limit = start + g["part2_3_length"]
-                if limit > len(buf) * 8:
+                if limit > buf_bits:
                     raise ValueError("layer III main data truncated")
                 scf_l, scf_s = _l3_scalefactors(
                     md, g, si["scfsi"][ch], gr, prev_scf[ch]
@@ -1478,92 +1485,62 @@ def _l3_unreorder(inter: np.ndarray, fs: int, mixed: bool) -> np.ndarray:
     return out
 
 
-def _l3_quantize_granule(xr: np.ndarray, fs: int, max_sfb: int):
-    """(is[576], scf[21], global_gain) block-float quantization:
-    scalefac_scale=1 (scf steps of 2^-1), per-band scf lifts quiet bands,
-    |q| clipped to 3 (the shipped 4x4 tables' ceiling). Lines at or
-    above SFB_LONG[fs][max_sfb] are zeroed (bandwidth trim — encoder
-    freedom, used by the bit-budget loop)."""
-    lband = SFB_LONG[fs]
-    xr = xr.copy()
-    xr[lband[max_sfb]:] = 0.0
-    amax = float(np.abs(xr).max())
-    if amax == 0.0:
-        return np.zeros(576, dtype=np.int64), np.zeros(21, dtype=int), 210
-    # choose global_gain so the loudest line lands ON the |q|=3 level:
-    # |q| = (|xr| / 2^((gg-210)/4))^(3/4) => want amax/step = 3^(4/3);
-    # rounding (not ceiling) halves the worst-case placement error —
-    # measured +9 dB tonal SNR — with a bump guard against q=4 clips
+def _l3_qband(band: np.ndarray, step: float) -> np.ndarray:
+    """Quantize one scalefactor band: |q| = round((|x|/step)^(3/4))
+    clipped to 3 (the shipped 4x4 tables' ceiling)."""
+    q = np.round(np.abs(band / step) ** 0.75)
+    return (np.sign(band) * np.minimum(q, 3)).astype(np.int64)
+
+
+def _l3_fit_band(band: np.ndarray, cap: int, step0: float, target: float):
+    """(scalefactor, q) for one band — the SSE-best scalefactor in the
+    +-1 neighborhood of the analytic placement (which mis-centers bands
+    whose energy is not at the band max). scalefac_scale=0 grid:
+    dequant factor 2^(-scf/2). Shared by the long and short quantizers
+    (review finding: the two paths had drifted into near-verbatim
+    copies of this logic)."""
+    bmax = float(np.abs(band).max())
+    if bmax == 0.0:
+        return 0, np.zeros(len(band), dtype=np.int64)
+    want = int(np.round(2.0 * np.log2(step0 * target / bmax)))
+    best = None
+    for cand in (want - 1, want, want + 1):
+        cand = max(0, min(cap, cand))
+        f = 2.0 ** (-cand / 2.0)
+        q = _l3_qband(band, step0 * f)
+        err = float(np.sum(
+            ((np.sign(q) * np.abs(q) ** (4.0 / 3.0)) * step0 * f - band) ** 2
+        ))
+        if best is None or err < best[0]:
+            best = (err, cand, q)
+    return best[1], best[2]
+
+
+def _l3_global_gain(amax: float) -> tuple[int, float]:
+    """(global_gain, step0): place the loudest line ON the |q|=3 level;
+    ROUND (not ceil) halves the worst-case placement error (+9 dB tonal
+    SNR measured), with a bump guard against q=4 clips."""
     target = 3.0 ** (4.0 / 3.0)
     gg = 210 + int(np.round(4.0 * np.log2(amax / target)))
     gg = max(0, min(255, gg))
     if (amax / 2.0 ** ((gg - 210) / 4.0)) ** 0.75 > 3.49:
         gg = min(255, gg + 1)
-    step0 = 2.0 ** ((gg - 210) / 4.0)
-    scf = np.zeros(21, dtype=int)
-    is_ = np.zeros(576, dtype=np.int64)
-
-    def _qband(band, factor):
-        q = np.round(np.abs(band / (step0 * factor)) ** 0.75)
-        return (np.sign(band) * np.minimum(q, 3)).astype(np.int64)
-
-    for sfb in range(21):
-        lo, hi = lband[sfb], lband[sfb + 1]
-        if lo >= lband[max_sfb]:
-            break
-        band = xr[lo:hi]
-        bmax = float(np.abs(band).max())
-        if bmax == 0.0:
-            continue
-        # scalefac_scale=0: the dequant factor is 2^(-scf/2), sqrt(2)
-        # steps — lift this band so ITS max also lands near |q|=3,
-        # picking the SSE-best of the neighborhood (the analytic 'want'
-        # mis-centers bands whose energy is not at the band max)
-        want = int(np.round(2.0 * np.log2(step0 * target / bmax)))
-        cap = 15 if sfb < 11 else 7  # slen (4,3) via scalefac_compress=15
-        best = None
-        for cand in (want - 1, want, want + 1):
-            cand = max(0, min(cap, cand))
-            f = 2.0 ** (-cand / 2.0)
-            q = _qband(band, f)
-            err = float(np.sum(
-                ((np.sign(q) * np.abs(q) ** (4.0 / 3.0)) * step0 * f
-                 - band) ** 2
-            ))
-            if best is None or err < best[0]:
-                best = (err, cand, q)
-        scf[sfb] = best[1]
-        is_[lo:hi] = best[2]
-    # band 21 (lband[21]..576) has no scalefactor: quantize with scf 0
-    lo, hi = lband[21], min(lband[22], lband[max_sfb])
-    if hi > lo:
-        is_[lo:hi] = _qband(xr[lo:hi], 1.0)
-    return is_, scf, gg
+    return gg, 2.0 ** ((gg - 210) / 4.0)
 
 
-def _l3_granule_bits(is_: np.ndarray, scf, gg, fs, write_scf_bands):
-    """((value, width) field list, side-info dict) for one granule:
-    scalefactors (slen 4/3, skipping scfsi-shared bands) + Huffman big
-    values with per-region shipped-table selection. count1 region is
-    empty by construction (big_values spans all nonzero lines)."""
-    fields = []
-    for sfb in range(21):
-        if sfb in write_scf_bands:
-            fields.append((int(scf[sfb]), 4 if sfb < 11 else 3))
+def _l3_code_bigvalues(is_: np.ndarray, bounds, fields):
+    """Append Huffman big-values codes for the regions whose absolute
+    line bounds are `bounds` (3 entries for long blocks, 2 for short —
+    the wire carries len(bounds) table selects); returns (big_values,
+    table_select). count1 stays empty by construction: big_values spans
+    every nonzero line."""
     nz = np.nonzero(is_)[0]
     nlines = 0 if len(nz) == 0 else int(nz[-1]) + 1
     big_values = (nlines + 1) // 2
-    lband = SFB_LONG[fs]
-    # fixed region split (encoder freedom) — region1_count is a 3-BIT
-    # field, max 7 (the first draft wrote 12, which the field masked to
-    # 4 and silently moved the region-2 boundary: the menus-fit-fields
-    # class, caught by the encoder-vs-decoder side-info probe)
-    r0c, r1c = 7, 7
-    bounds = (lband[r0c + 1], lband[r0c + r1c + 2], 576)
     table_select = []
     start = 0
-    for region in range(3):
-        end = min(bounds[region], 2 * big_values)
+    for region, bound in enumerate(bounds):
+        end = min(bound, 2 * big_values)
         seg = np.abs(is_[start:end])
         m = int(seg.max()) if len(seg) else 0
         tid = {0: 0, 1: 1, 2: 2, 3: 5}[m]
@@ -1580,8 +1557,59 @@ def _l3_granule_bits(is_: np.ndarray, scf, gg, fs, write_scf_bands):
                     fields.append((1 if y < 0 else 0, 1))
         start = end
         if start >= 2 * big_values:
-            table_select += [0] * (2 - region)
+            table_select += [0] * (len(bounds) - 1 - region)
             break
+    return big_values, table_select
+
+
+def _l3_quantize_granule(xr: np.ndarray, fs: int, max_sfb: int):
+    """(is[576], scf[21], global_gain) block-float quantization:
+    scalefac_scale=0 on the wire (scf steps of 2^-1/2, the sqrt(2)
+    grid the in-loop comment derives), per-band scf lifts quiet bands,
+    |q| clipped to 3 (the shipped 4x4 tables' ceiling). Lines at or
+    above SFB_LONG[fs][max_sfb] are zeroed (bandwidth trim — encoder
+    freedom, used by the bit-budget loop)."""
+    lband = SFB_LONG[fs]
+    xr = xr.copy()
+    xr[lband[max_sfb]:] = 0.0
+    amax = float(np.abs(xr).max())
+    if amax == 0.0:
+        return np.zeros(576, dtype=np.int64), np.zeros(21, dtype=int), 210
+    gg, step0 = _l3_global_gain(amax)
+    target = 3.0 ** (4.0 / 3.0)
+    scf = np.zeros(21, dtype=int)
+    is_ = np.zeros(576, dtype=np.int64)
+    for sfb in range(21):
+        lo, hi = lband[sfb], lband[sfb + 1]
+        if lo >= lband[max_sfb]:
+            break
+        cap = 15 if sfb < 11 else 7  # slen (4,3) via scalefac_compress=15
+        scf[sfb], is_[lo:hi] = _l3_fit_band(xr[lo:hi], cap, step0, target)
+    # band 21 (lband[21]..576) has no scalefactor: quantize with scf 0
+    lo, hi = lband[21], min(lband[22], lband[max_sfb])
+    if hi > lo:
+        is_[lo:hi] = _l3_qband(xr[lo:hi], step0)
+    return is_, scf, gg
+
+
+def _l3_granule_bits(is_: np.ndarray, scf, gg, fs, write_scf_bands):
+    """((value, width) field list, side-info dict) for one granule:
+    scalefactors (slen 4/3, skipping scfsi-shared bands) + Huffman big
+    values with per-region shipped-table selection. count1 region is
+    empty by construction (big_values spans all nonzero lines)."""
+    fields = []
+    for sfb in range(21):
+        if sfb in write_scf_bands:
+            fields.append((int(scf[sfb]), 4 if sfb < 11 else 3))
+    lband = SFB_LONG[fs]
+    # fixed region split (encoder freedom) — region1_count is a 3-BIT
+    # field, max 7 (the first draft wrote 12, which the field masked to
+    # 4 and silently moved the region-2 boundary: the menus-fit-fields
+    # class, caught by the encoder-vs-decoder side-info probe)
+    r0c, r1c = 7, 7
+    big_values, table_select = _l3_code_bigvalues(
+        is_, (lband[r0c + 1], lband[r0c + r1c + 2], 576), fields
+    )
     g = {
         "part2_3_length": sum(w for _, w in fields),
         "big_values": big_values,
@@ -1619,57 +1647,31 @@ def _l3_quantize_granule_short(
             np.zeros((13, 3), dtype=int),
             210,
         )
+    gg, step0 = _l3_global_gain(amax)
     target = 3.0 ** (4.0 / 3.0)
-    gg = 210 + int(np.round(4.0 * np.log2(amax / target)))
-    gg = max(0, min(255, gg))
-    if (amax / 2.0 ** ((gg - 210) / 4.0)) ** 0.75 > 3.49:
-        gg = min(255, gg + 1)
-    step0 = 2.0 ** ((gg - 210) / 4.0)
     scf_l = np.zeros(22, dtype=int)
     scf_s = np.zeros((13, 3), dtype=int)
     is_ = np.zeros(576, dtype=np.int64)
-
-    def _qband(band, factor):
-        q = np.round(np.abs(band / (step0 * factor)) ** 0.75)
-        return (np.sign(band) * np.minimum(q, 3)).astype(np.int64)
-
-    def _fit(lo, hi, cap):
-        """SSE-best scalefactor in the +-1 neighborhood (the long
-        quantizer's rule) for xr[lo:hi]; returns (scf, q)."""
-        band = xr[lo:hi]
-        bmax = float(np.abs(band).max())
-        if bmax == 0.0:
-            return 0, np.zeros(hi - lo, dtype=np.int64)
-        want = int(np.round(2.0 * np.log2(step0 * target / bmax)))
-        best = None
-        for cand in (want - 1, want, want + 1):
-            cand = max(0, min(cap, cand))
-            f = 2.0 ** (-cand / 2.0)
-            q = _qband(band, f)
-            err = float(np.sum(
-                ((np.sign(q) * np.abs(q) ** (4.0 / 3.0)) * step0 * f
-                 - band) ** 2
-            ))
-            if best is None or err < best[0]:
-                best = (err, cand, q)
-        return best[1], best[2]
-
     if mixed:
         for sfb in range(8):  # long bands, slen1=4 (scalefac_compress 15)
             lo, hi = lband[sfb], min(lband[sfb + 1], long_end)
             if lo >= long_end:
                 break
-            scf_l[sfb], is_[lo:hi] = _fit(lo, hi, 15)
+            scf_l[sfb], is_[lo:hi] = _l3_fit_band(
+                xr[lo:hi], 15, step0, target
+            )
     for sfb in range(first_sfb, 13):
         width = sband[sfb + 1] - sband[sfb]
         base = long_end + 3 * (sband[sfb] - sband[first_sfb])
-        cap = 15 if sfb < 6 else (7 if sfb < 12 else 0)
+        cap = 15 if sfb < 6 else 7
         for w in range(3):
             lo = base + w * width
             if sfb < 12:
-                scf_s[sfb, w], is_[lo : lo + width] = _fit(lo, lo + width, cap)
+                scf_s[sfb, w], is_[lo : lo + width] = _l3_fit_band(
+                    xr[lo : lo + width], cap, step0, target
+                )
             else:
-                is_[lo : lo + width] = _qband(xr[lo : lo + width], 1.0)
+                is_[lo : lo + width] = _l3_qband(xr[lo : lo + width], step0)
     return is_, scf_l, scf_s, gg
 
 
@@ -1690,32 +1692,7 @@ def _l3_granule_bits_short(is_, scf_l, scf_s, gg, fs, mixed):
     for sfb in range(scf_start, 12):
         for w in range(3):
             fields.append((int(scf_s[sfb, w]), 4 if sfb < 6 else 3))
-    nz = np.nonzero(is_)[0]
-    nlines = 0 if len(nz) == 0 else int(nz[-1]) + 1
-    big_values = (nlines + 1) // 2
-    bounds = (36, 576)
-    table_select = []
-    start = 0
-    for region in range(2):
-        end = min(bounds[region], 2 * big_values)
-        seg = np.abs(is_[start:end])
-        m = int(seg.max()) if len(seg) else 0
-        tid = {0: 0, 1: 1, 2: 2, 3: 5}[m]
-        table_select.append(tid)
-        tab = _L3_CODES[tid]
-        for i in range(start, end, 2):
-            x, y = int(is_[i]), int(is_[i + 1])
-            if tid:
-                hl, hc = tab[(abs(x), abs(y))]
-                fields.append((hc, hl))
-                if x:
-                    fields.append((1 if x < 0 else 0, 1))
-                if y:
-                    fields.append((1 if y < 0 else 0, 1))
-        start = end
-        if start >= 2 * big_values:
-            table_select += [0] * (1 - region)
-            break
+    big_values, table_select = _l3_code_bigvalues(is_, (36, 576), fields)
     g = {
         "part2_3_length": sum(w for _, w in fields),
         "big_values": big_values,

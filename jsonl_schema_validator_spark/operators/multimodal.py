@@ -934,8 +934,22 @@ def _parse_pcm_audio(raw: bytes):
     return rate, samples.shape[1], samples
 
 
+def _require_binary(df: DataFrame, binary_col: str, who: str) -> None:
+    """Validate-at-entry that binary_col really is BINARY (round-9
+    review drive: an id column passed by mistake coerces through
+    bytes(int) into n zero bytes and every row decodes to NULL —
+    silent all-null output where the call site has the args swapped)."""
+    col_type = df.schema[binary_col].dataType
+    if not isinstance(col_type, T.BinaryType):
+        raise ValueError(
+            f"{who}: binary column {binary_col!r} must be BINARY "
+            f"(got {col_type.simpleString()}); check the argument order"
+        )
+
+
 def binary_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     """Pure-expression metadata: byte size + sha256 + magic tag. No Python."""
+    _require_binary(df, binary_col, "binary_metadata")
     col = F.col(binary_col)
     return df.withColumn(
         f"{binary_col}_meta",
@@ -1005,6 +1019,7 @@ def decode_images(
     out_schema = T.StructType(
         [T.StructField("id", T.LongType())] + list(IMAGE_FEATURES_SCHEMA.fields)
     )
+    _require_binary(df, binary_col, "decode_images")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def decode_raw(raw: bytes) -> tuple:
@@ -1166,6 +1181,7 @@ def image_phash(
             T.StructField("phash", T.LongType()),
         ]
     )
+    _require_binary(df, binary_col, "image_phash")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def run(batches: Iterator):
@@ -1427,6 +1443,7 @@ def audio_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             T.StructField("phash", T.LongType()),
         ]
     )
+    _require_binary(df, binary_col, "audio_phash")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def run(batches: Iterator):
@@ -1583,6 +1600,7 @@ def decode_audio(
     out_schema = T.StructType(
         [T.StructField("id", T.LongType())] + list(AUDIO_FEATURES_SCHEMA.fields)
     )
+    _require_binary(df, binary_col, "decode_audio")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def run(batches: Iterator):
@@ -1640,6 +1658,7 @@ def frame_sample(
             T.StructField("frame_sha256", T.StringType()),
         ]
     )
+    _require_binary(df, binary_col, "frame_sample")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def frames_of(raw: bytes) -> list:
@@ -1729,6 +1748,7 @@ def video_sample_frames(
             T.StructField("frame_sha256", T.StringType()),
         ]
     )
+    _require_binary(df, binary_col, "video_sample_frames")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def run(batches: Iterator):
@@ -1738,27 +1758,44 @@ def video_sample_frames(
         for pdf in batches:
             ids, idxs, ws, hs, phs, shas = [], [], [], [], [], []
             for i, raw in zip(pdf["id"], pdf["raw"]):
-                b = bytes(raw) if raw is not None else None
-                info = parse_avi(b)
-                if not avi_decodable(info):
+                # per-row blanket guard (the image_phash convention —
+                # review finding: this was the one decode loop without
+                # it): a row that defeats the walk/hash math yields no
+                # rows, never a task abort. Rows accumulate LOCALLY so a
+                # mid-frame failure cannot desync the output columns.
+                r_ids, r_idxs, r_ws, r_hs, r_phs, r_shas = (
+                    [], [], [], [], [], []
+                )
+                try:
+                    b = bytes(raw) if raw is not None else None
+                    info = parse_avi(b)
+                    if not avi_decodable(info):
+                        continue
+                    for k in range(0, len(info["frames"]), every_n):
+                        decoded = decode_avi_frame(b, info, k)
+                        off, size = info["frames"][k]
+                        r_ids.append(i)
+                        r_idxs.append(k)
+                        r_shas.append(
+                            hashlib.sha256(b[off : off + size]).hexdigest()
+                        )
+                        if decoded is None:
+                            r_ws.append(None)
+                            r_hs.append(None)
+                            r_phs.append(None)
+                        else:
+                            w, h, flat = decoded
+                            r_ws.append(w)
+                            r_hs.append(h)
+                            r_phs.append(_phash64_from_rgb(flat, w, h, np))
+                except Exception:
                     continue
-                for k in range(0, len(info["frames"]), every_n):
-                    decoded = decode_avi_frame(b, info, k)
-                    off, size = info["frames"][k]
-                    ids.append(i)
-                    idxs.append(k)
-                    shas.append(
-                        hashlib.sha256(b[off : off + size]).hexdigest()
-                    )
-                    if decoded is None:
-                        ws.append(None)
-                        hs.append(None)
-                        phs.append(None)
-                    else:
-                        w, h, flat = decoded
-                        ws.append(w)
-                        hs.append(h)
-                        phs.append(_phash64_from_rgb(flat, w, h, np))
+                ids.extend(r_ids)
+                idxs.extend(r_idxs)
+                ws.extend(r_ws)
+                hs.extend(r_hs)
+                phs.extend(r_phs)
+                shas.extend(r_shas)
             yield pd.DataFrame(
                 {
                     "id": pd.array(ids, dtype="Int64"),
@@ -1854,6 +1891,7 @@ def video_phash(
             T.StructField("n_frames_hashed", T.IntegerType()),
         ]
     )
+    _require_binary(df, binary_col, "video_phash")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
 
     def run(batches: Iterator):
@@ -2264,6 +2302,7 @@ def media_container_metadata(
         [T.StructField("id", T.LongType())]
         + list(MEDIA_CONTAINER_SCHEMA.fields)
     )
+    _require_binary(df, binary_col, "media_container_metadata")
     cols = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("raw"))
     nulls = (None,) * 10
 

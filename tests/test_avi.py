@@ -265,3 +265,125 @@ def test_dib_avi_validate_at_entry():
         encode_dib_avi(_frames(n=1), fps=0)
     with pytest.raises(ValueError, match="dims"):
         encode_dib_avi([_frames(n=1)[0], _frames(n=1, h=8, w=8)[0]])
+
+def test_mjpeg_gate_is_normative_bicompression():
+    """Review finding: the decode gate must follow strf biCompression
+    (normative), not the advisory strh handler — a blank or lowercase
+    handler with biCompression 'MJPG' is a decodable real-world MJPEG."""
+    frames = _frames(n=2)
+    raw = bytearray(encode_mjpeg_avi(frames))
+    strh_at = raw.index(b"strh") + 8
+    for handler in (b"\x00\x00\x00\x00", b"mjpg", b"dmb1"):
+        raw[strh_at + 4 : strh_at + 8] = handler
+        info = parse_avi(bytes(raw))
+        assert avi_decodable(info), handler
+        assert decode_avi_frame(bytes(raw), info, 0) is not None, handler
+    # lowercase biCompression also decodes (case-insensitive match)
+    raw[strh_at + 4 : strh_at + 8] = b"MJPG"
+    strf_at = raw.index(b"strf") + 8
+    raw[strf_at + 16 : strf_at + 20] = b"mjpg"
+    info = parse_avi(bytes(raw))
+    assert avi_decodable(info)
+    assert decode_avi_frame(bytes(raw), info, 0) is not None
+
+
+def test_avi1_omit_dht_frames_decode():
+    """The ubiquitous MJPEG/AVI1 convention ships frames WITHOUT DHT
+    segments (the fixed T.81 K.3 tables are implied). Strip every DHT
+    from the muxed frames and re-mux: decode must splice the standard
+    tables back in and produce the SAME pixels as the with-DHT stream."""
+    from jsonl_schema_validator_spark.operators.avi import _chunk, _list
+    from jsonl_schema_validator_spark.operators.jpeg import (
+        inject_standard_dht,
+        standard_dht_segment,
+    )
+
+    frames = _frames(n=3)
+    raw = encode_mjpeg_avi(frames, quality=90)
+    info = parse_avi(raw)
+
+    def strip_dht(j: bytes) -> bytes:
+        out = bytearray(j[:2])
+        pos = 2
+        while pos + 4 <= len(j):
+            marker = j[pos + 1]
+            if marker == 0xDA:
+                out += j[pos:]
+                break
+            ln = struct.unpack(">H", j[pos + 2 : pos + 4])[0]
+            if marker != 0xC4:
+                out += j[pos : pos + 2 + ln]
+            pos += 2 + ln
+        return bytes(out)
+
+    stripped = []
+    for off, size in info["frames"]:
+        s = strip_dht(raw[off : off + size])
+        assert b"\xff\xc4" not in s[: s.index(b"\xff\xda")]
+        assert len(s) < size
+        stripped.append(s)
+    # splice-at-SOS sanity, independent of the mux: the injected stream
+    # carries exactly the encoder's standard segment before SOS
+    inj = inject_standard_dht(stripped[0])
+    sos = stripped[0].index(b"\xff\xda")
+    assert inj == stripped[0][:sos] + standard_dht_segment() + stripped[0][sos:]
+    # a stream with its own DHT passes through unchanged
+    assert inject_standard_dht(raw[info["frames"][0][0] :][: info["frames"][0][1]]) == raw[info["frames"][0][0] : info["frames"][0][0] + info["frames"][0][1]]
+
+    # re-mux the DHT-less frames into a hand-rolled movi with the same
+    # headers, and compare decoded pixels frame by frame
+    movi_body = b""
+    for s in stripped:
+        movi_body += _chunk(b"00dc", s)
+    movi = _list(b"movi", movi_body)
+    head = raw[: raw.index(b"movi") - 8]  # everything before LIST movi
+    avi1 = head + movi  # idx1 dropped: the parser walks movi directly
+    # RIFF size must cover the new body
+    avi1 = b"RIFF" + struct.pack("<I", len(avi1) - 8) + avi1[8:]
+    info1 = parse_avi(avi1)
+    assert info1 is not None and len(info1["frames"]) == 3
+    for k in range(3):
+        a = decode_avi_frame(raw, info, k)
+        b = decode_avi_frame(avi1, info1, k)
+        assert b is not None
+        assert np.array_equal(a[2], b[2])
+
+
+def test_parse_avi_filters_foreign_stream_chunks():
+    """Review finding: movi chunks of OTHER streams ('01wb' audio,
+    '01dc' second video) must not enter the video frame list."""
+    from jsonl_schema_validator_spark.operators.avi import _chunk, _list
+
+    frames = _frames(n=2)
+    raw = encode_mjpeg_avi(frames)
+    info = parse_avi(raw)
+    (o0, s0), (o1, s1) = info["frames"]
+    j0, j1 = raw[o0 : o0 + s0], raw[o1 : o1 + s1]
+    movi = _list(
+        b"movi",
+        _chunk(b"00dc", j0)
+        + _chunk(b"01wb", b"\x01\x02" * 300)   # interleaved audio
+        + _chunk(b"01dc", b"not jpeg")          # a second video stream
+        + _chunk(b"00dc", j1),
+    )
+    head = raw[: raw.index(b"movi") - 8]
+    avi = b"RIFF" + struct.pack("<I", len(head + movi) - 8) + (head + movi)[8:]
+    got = parse_avi(avi)
+    assert len(got["frames"]) == 2
+    for k in range(2):
+        assert decode_avi_frame(avi, got, k) is not None
+
+
+def test_dib_bisizeimage_counts_stride(spark=None):
+    frames = _frames(n=2, h=10, w=33)  # 33*3=99 -> stride 100
+    raw = encode_dib_avi(frames)
+    strf_at = raw.index(b"strf") + 8
+    (size_image,) = struct.unpack("<I", raw[strf_at + 20 : strf_at + 24])
+    assert size_image == 100 * 10
+
+
+def test_avi_fps_validate_at_entry():
+    with pytest.raises(ValueError, match="integer"):
+        encode_mjpeg_avi(_frames(n=1), fps=29.97)
+    with pytest.raises(ValueError, match="integer"):
+        encode_dib_avi(_frames(n=1), fps=7.5)

@@ -522,3 +522,35 @@ def test_l3_blocks_validate_at_entry():
         encode_mpeg1_audio(_tone(n=1152), FS, layer=3, l3_blocks="start")
     with pytest.raises(ValueError, match="Layer III option"):
         encode_mpeg1_audio(_tone(n=1152), FS, layer=2, l3_blocks="short")
+
+
+def test_count1_overshoot_at_buffer_end_drops_final_quad():
+    """Spec: a count1 quadruple that OVERSHOOTS part2_3_length is
+    rewound and dropped. Review finding: when the limit sits exactly at
+    the physical end of main data, the overshooting quad's sign reads
+    ran off the buffer and raised — rejecting a conforming stream. The
+    decoder now reads against 3 scratch zero bytes (a quad needs < 24
+    bits), so the rewind path decides, not a buffer bound.
+
+    Stream: three zero quads (table B code 1111) + code 0111 = quad
+    (1,0,0,0) whose 1 sign bit lies beyond both limit and buffer."""
+    from jsonl_schema_validator_spark.operators.mpeg_audio import (
+        _l3_huffman,
+    )
+
+    buf = bytes([0xFF, 0xF7])  # 1111 1111 1111 0111
+    g = {
+        "window_switching": 0,
+        "block_type": 0,
+        "mixed": 0,
+        "big_values": 0,
+        "table_select": [0, 0, 0],
+        "region0_count": 0,
+        "region1_count": 0,
+        "count1table_select": 1,
+    }
+    # replicate _L3Decoder.frame's scratch pad
+    r = _BitReader(buf + b"\x00\x00\x00")
+    is_ = _l3_huffman(r, g, 16, FS)
+    assert r.pos == 16  # parked at the limit
+    assert not is_.any()  # 3 zero quads kept, the overshooting one dropped

@@ -154,8 +154,12 @@ def test_video_phash_invariance_and_discrimination(spark):
 def test_video_phash_null_contract_and_validate_at_entry(spark):
     frames = _frames(n=4)
     xvid = bytearray(encode_mjpeg_avi(frames))
+    # a real codec-bound stream flips BOTH fields; biCompression is the
+    # normative one (a strh-only flip still decodes, by design)
     strh_at = xvid.index(b"strh") + 8
     xvid[strh_at + 4 : strh_at + 8] = b"XVID"
+    strf_at = xvid.index(b"strf") + 8
+    xvid[strf_at + 16 : strf_at + 20] = b"XVID"
     rows = [
         (1, bytearray(encode_mjpeg_avi(frames))),
         (2, bytearray(b"garbage bytes")),
@@ -262,3 +266,19 @@ def test_clean_job_vphash_stage(spark, tmp_path):
     }
     assert kept_ids == {1, 3, 4}
     spark.catalog.clearCache()
+
+
+def test_binary_col_validate_at_entry(spark):
+    """Swapped id/binary arguments must fail loudly at entry, not yield
+    silent all-null hashes (round-9 review drive finding)."""
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "vid bigint, raw binary")
+    from jsonl_schema_validator_spark.operators.multimodal import (
+        audio_phash,
+        image_phash,
+        media_container_metadata,
+    )
+
+    for fn in (video_phash, image_phash, audio_phash,
+               media_container_metadata):
+        with pytest.raises(ValueError, match="must be BINARY"):
+            fn(df, "vid", "vid")
