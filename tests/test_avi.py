@@ -387,3 +387,31 @@ def test_avi_fps_validate_at_entry():
         encode_mjpeg_avi(_frames(n=1), fps=29.97)
     with pytest.raises(ValueError, match="integer"):
         encode_dib_avi(_frames(n=1), fps=7.5)
+
+def test_avi_mutation_fuzz_never_raises():
+    """Ingest robustness: random byte flips, truncations and splices of
+    a valid AVI must never raise out of parse_avi/decode_avi_frame (the
+    None contract) — at 100 TB the walker sees every corruption the
+    internet can produce. 400 seeded mutants, every movi frame probed."""
+    rng = np.random.RandomState(11)
+    base = bytearray(encode_mjpeg_avi(_frames(n=4), quality=90))
+    dib = bytearray(encode_dib_avi(_frames(n=3, h=15, w=17)))
+    for trial in range(400):
+        src = base if trial % 2 == 0 else dib
+        raw = bytearray(src)
+        op = trial % 4
+        if op == 0:  # flip 1-8 random bytes
+            for _ in range(int(rng.randint(1, 9))):
+                raw[int(rng.randint(0, len(raw)))] = int(rng.randint(0, 256))
+        elif op == 1:  # truncate anywhere
+            raw = raw[: int(rng.randint(0, len(raw)))]
+        elif op == 2:  # splice a random block over a random offset
+            off = int(rng.randint(0, len(raw)))
+            raw[off : off + 32] = rng.bytes(32)
+        else:  # corrupt a size field hard
+            off = int(rng.randint(4, max(5, len(raw) - 4)))
+            raw[off : off + 4] = b"\xff\xff\xff\x7f"
+        info = parse_avi(bytes(raw))  # must not raise
+        if info is not None:
+            for k in range(len(info["frames"])):
+                decode_avi_frame(bytes(raw), info, k)  # must not raise
