@@ -37,10 +37,12 @@ audio_phash_duplicates clusters re-encodes of the same recording (gain
 change, mono/stereo, resample) by spectral-hash Hamming distance; the
 report gains audio_phash / audio_cluster_id columns and dropped copies
 append 'audio_duplicate' (after 'image_duplicate' when both run).
---vphash-dedup (requires --video-col, a binary MJPEG-AVI column) is the
-same stage for VIDEO: video_phash_duplicates clusters re-encodes of the
-same footage (per-frame quality changes, re-mux) by the majority-folded
-frame-pHash Hamming distance, sampling every --vphash-every-n-th frame;
+--vphash-dedup (requires --video-col, a binary AVI column — MJPEG incl.
+the AVI1 omit-DHT convention, or raw 24-bpp DIB) is the same stage for
+VIDEO: video_phash_duplicates clusters re-encodes of the same footage
+(per-frame quality changes, re-mux, cross-codec MJPEG<->DIB) by the
+majority-folded frame-pHash Hamming distance, sampling every
+--vphash-every-n-th frame;
 the report gains video_phash / video_cluster_id columns and dropped
 copies append 'video_duplicate' (after 'audio_duplicate'). Unreadable /
 non-MJPEG rows keep a NULL video_phash and are never dropped. With
@@ -98,7 +100,7 @@ def parse_args(argv):
         help="drop near-duplicate audio clips (spectral-hash Hamming clusters keep the min-id member); requires --audio-col",
     )
     p.add_argument("--aphash-max-hamming", type=int, default=3)
-    p.add_argument("--video-col", default=None, help="binary MJPEG-AVI column for --vphash-dedup")
+    p.add_argument("--video-col", default=None, help="binary AVI column (MJPEG or raw DIB) for --vphash-dedup")
     p.add_argument(
         "--vphash-dedup", action="store_true",
         help="drop near-duplicate videos (majority-folded frame-pHash Hamming clusters keep the min-id member); requires --video-col",
@@ -155,7 +157,7 @@ def parse_args(argv):
     if args.aphash_max_hamming < 0:
         p.error("--aphash-max-hamming must be >= 0")
     if args.vphash_dedup and not args.video_col:
-        p.error("--vphash-dedup requires --video-col (the binary MJPEG-AVI column)")
+        p.error("--vphash-dedup requires --video-col (the binary AVI column)")
     if args.video_col and not args.vphash_dedup:
         p.error("--video-col is only used by --vphash-dedup (pass both)")
     if args.vphash_max_hamming < 0:

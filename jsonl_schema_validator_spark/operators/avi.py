@@ -56,9 +56,16 @@ def _check_frames(frames, fps, who):
 
     if not frames:
         raise ValueError(f"{who}: need at least one frame")
-    if not isinstance(fps, int) or fps < 1:
-        # validate-at-entry: a float fps (29.97) would otherwise die in
-        # struct.pack with an opaque 'not an integer'
+    # validate-at-entry: a float fps (29.97) would otherwise die in
+    # struct.pack with an opaque 'not an integer'. operator.index keeps
+    # numpy integers working (isinstance(np.int64, int) is False).
+    import operator
+
+    try:
+        fps = operator.index(fps)
+    except TypeError:
+        raise ValueError(f"{who}: fps must be an integer >= 1") from None
+    if fps < 1:
         raise ValueError(f"{who}: fps must be an integer >= 1")
     first = np.asarray(frames[0])
     if first.ndim != 3 or first.shape[2] != 3:
@@ -249,6 +256,7 @@ def _parse_avi_inner(raw: bytes):
     fps = 0.0
     codec = None
     bit_count = compression = None
+    strf_w = strf_h = None
     top_down = False
     vid_stream = None  # index of the 'vids' strl within hdrl
     frames: list[tuple[int, int]] = []
@@ -281,7 +289,7 @@ def _parse_avi_inner(raw: bytes):
                     strl_idx += 1
                     fcc_type = handler = None
                     scale = rate = 0
-                    s_bits = s_comp = s_height = None
+                    s_bits = s_comp = s_height = s_width = None
                     for c3, b3, s3 in _walk_riff(raw, b2, b2 + s2):
                         if c3 == b"strh" and s3 >= 28:
                             fcc_type = raw[b3 : b3 + 4]
@@ -290,12 +298,13 @@ def _parse_avi_inner(raw: bytes):
                                 "<II", raw[b3 + 20 : b3 + 28]
                             )
                         elif c3 == b"strf" and s3 >= 20:
-                            # BITMAPINFOHEADER: biHeight (SIGNED; negative
-                            # = top-down raster) at body offset 8,
-                            # biBitCount at 14, biCompression at 16 (raw
-                            # 4-byte field — b'MJPG', or zeros for BI_RGB)
-                            (s_height,) = struct.unpack(
-                                "<i", raw[b3 + 8 : b3 + 12]
+                            # BITMAPINFOHEADER: biWidth at body offset 4,
+                            # biHeight (SIGNED; negative = top-down
+                            # raster) at 8, biBitCount at 14,
+                            # biCompression at 16 (raw 4-byte field —
+                            # b'MJPG', or zeros for BI_RGB)
+                            s_width, s_height = struct.unpack(
+                                "<ii", raw[b3 + 4 : b3 + 12]
                             )
                             (s_bits,) = struct.unpack(
                                 "<H", raw[b3 + 14 : b3 + 16]
@@ -308,13 +317,19 @@ def _parse_avi_inner(raw: bytes):
                             fps = rate / scale
                         bit_count, compression = s_bits, s_comp
                         top_down = s_height is not None and s_height < 0
+                        # strf dims are NORMATIVE for the raster (the
+                        # avih pair is advisory display size and may be
+                        # zero or wrong in foreign files — the same
+                        # advisory-vs-normative split as the codec field)
+                        if s_width and s_height:
+                            strf_w, strf_h = s_width, abs(s_height)
         elif cc == b"LIST:movi":
             scan_movi(body, body + size)
     if codec is None and not frames:
         return None
     return {
-        "width": width,
-        "height": height,
+        "width": strf_w or width,
+        "height": strf_h or height,
         "fps": fps,
         "n_frames": n_frames or len(frames),
         "n_streams": n_streams,

@@ -934,16 +934,53 @@ def _parse_pcm_audio(raw: bytes):
     return rate, samples.shape[1], samples
 
 
+def _field_of(df: DataFrame, col: str):
+    """Schema field for `col` under Spark's default case-INSENSITIVE
+    resolution (df.schema[name] alone is case-sensitive and raises);
+    None when unknown or ambiguous — callers then skip their type check
+    and let Spark's own resolution error surface at select time."""
+    fields = [f for f in df.schema.fields if f.name == col]
+    if not fields:
+        fields = [f for f in df.schema.fields if f.name.lower() == col.lower()]
+    return fields[0] if len(fields) == 1 else None
+
+
+def _require_integral_id(df: DataFrame, id_col: str, who: str) -> None:
+    """Validate-at-entry that id_col is an integral type (the round-6
+    convention) — case-insensitively, like _require_binary."""
+    f = _field_of(df, id_col)
+    if f is not None and not isinstance(
+        f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"{who}: id column {id_col!r} must be an integral type "
+            f"(got {f.dataType.simpleString()}); cast or re-key upstream"
+        )
+
+
 def _require_binary(df: DataFrame, binary_col: str, who: str) -> None:
     """Validate-at-entry that binary_col really is BINARY (round-9
     review drive: an id column passed by mistake coerces through
     bytes(int) into n zero bytes and every row decodes to NULL —
-    silent all-null output where the call site has the args swapped)."""
-    col_type = df.schema[binary_col].dataType
-    if not isinstance(col_type, T.BinaryType):
+    silent all-null output where the call site has the args swapped).
+    Resolution mirrors Spark's default case-INSENSITIVE column lookup
+    (df.schema[name] alone is case-sensitive and raises KeyError);
+    unknown or ambiguous names fall through to Spark's own resolution
+    error at select time."""
+    fields = [f for f in df.schema.fields if f.name == binary_col]
+    if not fields:
+        fields = [
+            f
+            for f in df.schema.fields
+            if f.name.lower() == binary_col.lower()
+        ]
+    if len(fields) != 1:
+        return
+    if not isinstance(fields[0].dataType, T.BinaryType):
         raise ValueError(
             f"{who}: binary column {binary_col!r} must be BINARY "
-            f"(got {col_type.simpleString()}); check the argument order"
+            f"(got {fields[0].dataType.simpleString()}); "
+            "check the argument order"
         )
 
 
@@ -1165,16 +1202,9 @@ def image_phash(
     near-duplicate e2e tests instead (tests/test_multimodal.py)."""
     if backend != "raw":
         raise ValueError("image_phash requires backend='raw' (needs pixels)")
-    id_type = df.schema[id_col].dataType
-    if not isinstance(
-        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        # validate-at-entry (round-6 convention): a non-integral id would
-        # otherwise fail deep inside the Arrow batch with an opaque cast
-        raise ValueError(
-            f"image_phash: id column {id_col!r} must be an integral type "
-            f"(got {id_type.simpleString()}); cast or re-key upstream"
-        )
+    # validate-at-entry (round-6 convention): a non-integral id would
+    # otherwise fail deep inside the Arrow batch with an opaque cast
+    _require_integral_id(df, id_col, "image_phash")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -1429,14 +1459,7 @@ def audio_phash(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     parquet tables carry no audio column, so correctness is pinned by a
     pure-python reference and planted near-duplicate e2e tests (the
     image_phash precedent)."""
-    id_type = df.schema[id_col].dataType
-    if not isinstance(
-        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        raise ValueError(
-            f"audio_phash: id column {id_col!r} must be an integral type "
-            f"(got {id_type.simpleString()}); cast or re-key upstream"
-        )
+    _require_integral_id(df, id_col, "audio_phash")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -1721,23 +1744,9 @@ def video_sample_frames(
     id/frame, never a task crash (the frame_sample convention). phash
     is NULL only when the chunk slice fails to decode but the container
     entry exists."""
-    from jsonl_schema_validator_spark.operators.avi import (
-        avi_decodable,
-        decode_avi_frame,
-        parse_avi,
-    )
-
     if every_n < 1:
         raise ValueError("video_sample_frames: every_n must be >= 1")
-    id_type = df.schema[id_col].dataType
-    if not isinstance(
-        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        # validate-at-entry (the image_phash convention)
-        raise ValueError(
-            f"video_sample_frames: id column {id_col!r} must be an "
-            f"integral type (got {id_type.simpleString()})"
-        )
+    _require_integral_id(df, id_col, "video_sample_frames")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -1758,44 +1767,29 @@ def video_sample_frames(
         for pdf in batches:
             ids, idxs, ws, hs, phs, shas = [], [], [], [], [], []
             for i, raw in zip(pdf["id"], pdf["raw"]):
-                # per-row blanket guard (the image_phash convention —
-                # review finding: this was the one decode loop without
-                # it): a row that defeats the walk/hash math yields no
-                # rows, never a task abort. Rows accumulate LOCALLY so a
-                # mid-frame failure cannot desync the output columns.
-                r_ids, r_idxs, r_ws, r_hs, r_phs, r_shas = (
-                    [], [], [], [], [], []
-                )
+                # per-row blanket guard (the image_phash convention):
+                # a row that defeats the walk/hash math yields no rows,
+                # never a task abort. The sampled walk is computed FULLY
+                # before any column append, so a mid-frame failure
+                # cannot desync the output columns.
                 try:
                     b = bytes(raw) if raw is not None else None
-                    info = parse_avi(b)
-                    if not avi_decodable(info):
+                    sampled = _avi_sampled_phashes(b, every_n, np)
+                    if sampled is None:
                         continue
-                    for k in range(0, len(info["frames"]), every_n):
-                        decoded = decode_avi_frame(b, info, k)
-                        off, size = info["frames"][k]
-                        r_ids.append(i)
-                        r_idxs.append(k)
-                        r_shas.append(
-                            hashlib.sha256(b[off : off + size]).hexdigest()
-                        )
-                        if decoded is None:
-                            r_ws.append(None)
-                            r_hs.append(None)
-                            r_phs.append(None)
-                        else:
-                            w, h, flat = decoded
-                            r_ws.append(w)
-                            r_hs.append(h)
-                            r_phs.append(_phash64_from_rgb(flat, w, h, np))
+                    row_shas = [
+                        hashlib.sha256(b[off : off + size]).hexdigest()
+                        for _, off, size, _, _, _ in sampled
+                    ]
                 except Exception:
                     continue
-                ids.extend(r_ids)
-                idxs.extend(r_idxs)
-                ws.extend(r_ws)
-                hs.extend(r_hs)
-                phs.extend(r_phs)
-                shas.extend(r_shas)
+                for (k, _, _, w, h, ph), sha in zip(sampled, row_shas):
+                    ids.append(i)
+                    idxs.append(k)
+                    ws.append(w)
+                    hs.append(h)
+                    phs.append(ph)
+                    shas.append(sha)
             yield pd.DataFrame(
                 {
                     "id": pd.array(ids, dtype="Int64"),
@@ -1808,6 +1802,34 @@ def video_sample_frames(
             )
 
     return cols.mapInPandas(run, out_schema)
+
+
+def _avi_sampled_phashes(b, every_n, np):
+    """The ONE per-row AVI walk shared by video_sample_frames and
+    video_phash (review finding: the two had near-verbatim copies of
+    the parse -> gate -> sample -> decode -> pHash chain): None when the
+    container is unreadable or codec-bound (avi_decodable), else a list
+    of (frame_idx, off, size, width, height, phash_or_None) for every
+    every_n-th frame — phash None when that chunk fails to decode."""
+    from jsonl_schema_validator_spark.operators.avi import (
+        avi_decodable,
+        decode_avi_frame,
+        parse_avi,
+    )
+
+    info = parse_avi(b)
+    if not avi_decodable(info):
+        return None
+    out = []
+    for k in range(0, len(info["frames"]), every_n):
+        off, size = info["frames"][k]
+        decoded = decode_avi_frame(b, info, k)
+        if decoded is None:
+            out.append((k, off, size, None, None, None))
+        else:
+            w, h, flat = decoded
+            out.append((k, off, size, w, h, _phash64_from_rgb(flat, w, h, np)))
+    return out
 
 
 def _vphash64_majority(phashes, np) -> int | None:
@@ -1868,22 +1890,9 @@ def video_phash(
     contributed. No DuckDB oracle — the shared parquet tables carry no
     video column, so correctness is pinned by a pure-python reference
     and planted re-encode e2e tests (the image_phash precedent)."""
-    from jsonl_schema_validator_spark.operators.avi import (
-        avi_decodable,
-        decode_avi_frame,
-        parse_avi,
-    )
-
     if every_n < 1:
         raise ValueError("video_phash: every_n must be >= 1")
-    id_type = df.schema[id_col].dataType
-    if not isinstance(
-        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        raise ValueError(
-            f"video_phash: id column {id_col!r} must be an integral type "
-            f"(got {id_type.simpleString()}); cast or re-key upstream"
-        )
+    _require_integral_id(df, id_col, "video_phash")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -1903,17 +1912,12 @@ def video_phash(
             for raw in pdf["raw"]:
                 try:
                     b = bytes(raw) if raw is not None else None
-                    info = parse_avi(b)
-                    if not avi_decodable(info):
-                        out.append(None)
-                        nf.append(0)
-                        continue
-                    phs = []
-                    for k in range(0, len(info["frames"]), every_n):
-                        decoded = decode_avi_frame(b, info, k)
-                        if decoded is not None:
-                            w, h, flat = decoded
-                            phs.append(_phash64_from_rgb(flat, w, h, np))
+                    sampled = _avi_sampled_phashes(b, every_n, np)
+                    phs = (
+                        []
+                        if sampled is None
+                        else [s[5] for s in sampled if s[5] is not None]
+                    )
                     out.append(_vphash64_majority(phs, np))
                     nf.append(len(phs))
                 except Exception:
@@ -2287,17 +2291,7 @@ def media_container_metadata(
     count), and RIFF/AVI (round-9: hdrl walk; MJPEG sample decode is
     ALSO real now — video_sample_frames). Undecodable rows yield
     metadata nulls, never a crash."""
-    id_type = df.schema[id_col].dataType
-    if not isinstance(
-        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        # validate-at-entry (the image_phash convention): a non-integral
-        # id would otherwise fail deep inside the Arrow batch with an
-        # opaque cast error
-        raise ValueError(
-            f"media_container_metadata: id column {id_col!r} must be an "
-            f"integral type (got {id_type.simpleString()})"
-        )
+    _require_integral_id(df, id_col, "media_container_metadata")
     out_schema = T.StructType(
         [T.StructField("id", T.LongType())]
         + list(MEDIA_CONTAINER_SCHEMA.fields)

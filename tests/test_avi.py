@@ -415,3 +415,28 @@ def test_avi_mutation_fuzz_never_raises():
         if info is not None:
             for k in range(len(info["frames"])):
                 decode_avi_frame(bytes(raw), info, k)  # must not raise
+
+def test_strf_dims_are_normative_over_avih():
+    """Review finding #2 pass: a foreign DIB AVI whose avih dims are
+    zero (or wrong) but whose strf BITMAPINFOHEADER carries the real
+    raster dims must decode correctly — strf is normative, avih is the
+    advisory display size."""
+    frames = _frames(n=2, h=16, w=20)
+    raw = bytearray(encode_dib_avi(frames))
+    avih_at = raw.index(b"avih") + 8
+    struct.pack_into("<II", raw, avih_at + 32, 0, 0)  # zero avih dims
+    info = parse_avi(bytes(raw))
+    assert (info["width"], info["height"]) == (20, 16)  # from strf
+    w, h, flat = decode_avi_frame(bytes(raw), info, 0)
+    assert np.array_equal(flat.reshape(16, 20, 3), frames[0])
+    # wrong (not just zero) avih dims must not change the raster either
+    struct.pack_into("<II", raw, avih_at + 32, 64, 48)
+    info = parse_avi(bytes(raw))
+    assert (info["width"], info["height"]) == (20, 16)
+    w, h, flat = decode_avi_frame(bytes(raw), info, 0)
+    assert np.array_equal(flat.reshape(16, 20, 3), frames[0])
+
+
+def test_numpy_integer_fps_accepted():
+    raw = encode_mjpeg_avi(_frames(n=1), fps=np.int64(10))
+    assert parse_avi(raw)["fps"] == 10.0

@@ -282,3 +282,19 @@ def test_binary_col_validate_at_entry(spark):
                media_container_metadata):
         with pytest.raises(ValueError, match="must be BINARY"):
             fn(df, "vid", "vid")
+
+
+def test_binary_col_check_is_case_insensitive(spark):
+    """Spark's default column resolution is case-insensitive; the
+    binary validate-at-entry must mirror that (review finding: a
+    case-sensitive schema lookup raised KeyError on 'IMG' vs 'img')."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00"))], "vid bigint, clip binary"
+    )
+    # different case on a real binary column: passes the check (and the
+    # operator proceeds to Spark's own resolution)
+    out = video_phash(df, "CLIP", "vid").collect()
+    assert out[0].phash is None  # 1 junk byte: null, but no KeyError
+    # different case on a NON-binary column: still the loud ValueError
+    with pytest.raises(ValueError, match="must be BINARY"):
+        video_phash(df, "VID", "vid")
