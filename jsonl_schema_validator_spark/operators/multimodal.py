@@ -1669,8 +1669,9 @@ def frame_sample(
             "ffmpeg is not available in this container; compressed video "
             "frame sampling plugs into the same mapInPandas plumbing "
             "(backend='raw' already segments WAV PCM16 audio, and "
-            "video_sample_frames REALLY decodes MJPEG-in-AVI — only "
-            "inter-frame codecs like H.26x/VP8 remain codec-bound)"
+            "video_sample_frames REALLY decodes MJPEG-in-AVI incl. the "
+            "AVI1 omit-DHT convention AND uncompressed 24-bpp DIB AVIs "
+            "— only inter-frame codecs like H.26x/VP8 remain codec-bound)"
         )
     if backend not in ("fake", "raw"):
         raise ValueError(f"unknown backend: {backend}")
