@@ -343,6 +343,18 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, "doc_id", "text", min_line_chars=15)
 
 
+def q_dedup_lines_in_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document line dedup (round 9): repeated lines within one doc
+    keep their first occurrence; lines under 15 chars are structural and
+    exempt (the dedup_lines convention). Row-local — no shuffle; the
+    min_line_chars>0 positional path is the one exercised here (the
+    min=0 codegen path is plan-pinned + fuzz-equivalent in tests)."""
+    from jsonl_schema_validator_spark.operators import dedup_lines_in_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_lines_in_doc(docs, "doc_id", "text", min_line_chars=15)
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee-et-al-style span REMOVAL: every verbatim 8-token span keeps only
     its first corpus-wide (doc_id, pos) occurrence; covered tokens of later
@@ -1432,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "cosine_pairs": q_cosine_pairs,
+        # round-9 append (tail per the contract): intra-doc line dedup
+        "dedup_lines_in_doc": q_dedup_lines_in_doc,
     }
 
 
@@ -1889,6 +1903,33 @@ SELECT b.doc_id AS id,
        CASE WHEN b.had_text THEN coalesce(r.text, '') END AS text,
        b.n_lines,
        CAST(b.n_lines - coalesce(r.kept_n, 0) AS BIGINT) AS n_lines_removed
+FROM base b LEFT JOIN reb r ON r.doc_id IS NOT DISTINCT FROM b.doc_id
+"""
+
+
+_DEDUP_LINES_IN_DOC_SQL = """
+WITH lx AS (
+  SELECT doc_id, i AS pos, t[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+f AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn,
+         length(line) < 15 AS short
+  FROM lx),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS kept_n
+  FROM f WHERE short OR rn = 1 GROUP BY doc_id),
+base AS (SELECT doc_id, text IS NOT NULL AS had_text,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         FROM documents)
+SELECT b.doc_id AS id,
+       CASE WHEN b.had_text THEN coalesce(r.text, '') END AS text,
+       CASE WHEN b.had_text THEN b.n_lines END AS n_lines,
+       CASE WHEN b.had_text
+            THEN CAST(b.n_lines - coalesce(r.kept_n, 0) AS BIGINT)
+       END AS n_lines_removed
 FROM base b LEFT JOIN reb r ON r.doc_id IS NOT DISTINCT FROM b.doc_id
 """
 
@@ -2627,6 +2668,7 @@ WHERE round(i.inter / (na.n + nb.n - i.inter), 6) >= 0.8
         "span_pairs": _SPAN_PAIRS_SQL,
         "decontam": _DECONTAM_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
+        "dedup_lines_in_doc": _DEDUP_LINES_IN_DOC_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "clean_docs": _clean_docs_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"

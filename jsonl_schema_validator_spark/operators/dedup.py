@@ -531,6 +531,74 @@ def dedup_lines(
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_chars: int = 0,
+) -> DataFrame:
+    """INTRA-document line dedup — the row-local complement of
+    `dedup_lines`' corpus-wide pass (Gopher/RefinedWeb trim repeated
+    lines within a page before any cross-document work): every repeated
+    line inside one doc keeps only its first occurrence, order
+    preserved. Returns (id, text, n_lines, n_lines_removed) — the same
+    shape as dedup_lines, so the two compose; null-text docs pass
+    through with null text/counts.
+
+    Scale shape: NO SHUFFLE AT ALL — one per-row projection. With the
+    default min_line_chars=0 it is a single whole-stage-codegen
+    expression (split -> array_distinct, which keeps first occurrences
+    in order -> array_join; plan pinned Exchange-free). min_line_chars>0
+    exempts short structural lines (blanks, braces, bullets — the
+    dedup_lines convention) even when repeated; that needs positions, so
+    it runs the documented interpreted-HOF shape (filter over an index
+    sequence, array_position = first occurrence — O(lines²) per doc,
+    still row-local). Run this BEFORE dedup_lines at scale: it shrinks
+    the per-line shuffle the corpus pass pays for. Idempotent on its own
+    output for either setting."""
+    if min_line_chars < 0:
+        raise ValueError("min_line_chars must be >= 0")
+    col = F.col(text_col)
+    lines = F.split(col, "\n")
+    if min_line_chars == 0:
+        kept = F.array_distinct(lines)
+    else:
+        # ONE lambda total: filter over arrays_zip(line, position), then
+        # extract the field WITHOUT a second HOF (getField maps over the
+        # struct array). transform(filter(...)) compositions mis-bind
+        # their nested lambda variables (the round-1 trap), and ANSI
+        # element_at throws on any index slip — this shape has neither.
+        idx = F.sequence(F.lit(1), F.size(lines))
+        zipped = F.arrays_zip(lines.alias("ln"), idx.alias("ix"))
+        kept = F.filter(
+            zipped,
+            lambda s: (F.length(s["ln"]) < min_line_chars)
+            | (F.array_position(lines, s["ln"]) == s["ix"].cast("long")),
+        ).getField("ln")
+    # two-step projection: `kept` is used by BOTH text and the count —
+    # two unresolved copies of the same lambda in one select collide
+    # their lambda variables (the round-1 nested-transform trap, seen
+    # here as size() disagreeing with array_join over the same array).
+    # Resolving it once and letting Catalyst duplicate the RESOLVED
+    # expression is safe; the plan still collapses to one projection.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        col.isNotNull().alias("__jsv_had"),
+        lines.alias("__jsv_lines"),
+        kept.alias("__jsv_kept"),
+    )
+    had = F.col("__jsv_had")
+    n_lines = F.size("__jsv_lines").cast("long")
+    return staged.select(
+        "id",
+        F.when(had, F.array_join("__jsv_kept", "\n")).alias("text"),
+        F.when(had, n_lines).alias("n_lines"),
+        F.when(had, n_lines - F.size("__jsv_kept").cast("long")).alias(
+            "n_lines_removed"
+        ),
+    )
+
+
 def benchmark_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -925,3 +925,83 @@ def test_hamming_guard_recall_gauge(spark):
 
     with pytest.raises(ValueError, match="None"):
         hamming_guard_recall(packed, max_block_size=None)
+
+
+def test_dedup_lines_in_doc(spark):
+    """Intra-doc line dedup (round 9): both paths vs a python reference,
+    path equivalence where the exemption is moot, null/empty contracts,
+    idempotence, and the min=0 plan staying shuffle-free codegen."""
+    from jsonl_schema_validator_spark.operators import dedup_lines_in_doc
+
+    long_a = "this line is definitely long enough"
+    long_b = "another sufficiently long line here"
+    rows = [
+        (1, f"{long_a}\n--\n{long_a}\n--\n{long_b}"),
+        (2, "short\nshort\nshort"),
+        (3, None),
+        (4, ""),
+        (5, long_a),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def ref(text, min_len):
+        if text is None:
+            return None, None, None
+        lines = text.split("\n")
+        kept, seen = [], set()
+        for ln in lines:
+            if len(ln) < min_len or ln not in seen:
+                kept.append(ln)
+            seen.add(ln)
+        return "\n".join(kept), len(lines), len(lines) - len(kept)
+
+    for min_len in (0, 15):
+        got = {
+            r.id: r
+            for r in dedup_lines_in_doc(
+                df, "doc_id", "text", min_line_chars=min_len
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}
+        for i, text in rows:
+            t, n, rm = ref(text, min_len)
+            assert (got[i].text, got[i].n_lines, got[i].n_lines_removed) == (
+                t, n, rm
+            ), (min_len, i)
+        # idempotent: re-running on the output removes nothing
+        again = dedup_lines_in_doc(
+            dedup_lines_in_doc(df, "doc_id", "text", min_line_chars=min_len)
+            .select("id", "text")
+            .withColumnRenamed("id", "doc_id"),
+            "doc_id", "text", min_line_chars=min_len,
+        )
+        assert all(
+            r.n_lines_removed in (0, None) for r in again.collect()
+        ), min_len
+
+    # path equivalence fuzz: when every line clears the exemption length,
+    # the positional HOF path must equal the codegen array_distinct path
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"line number {k} padded to clear fifteen chars" for k in range(6)]
+    fuzz_rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    fdf = spark.createDataFrame(fuzz_rows, "doc_id bigint, text string")
+    a = {r.id: r.text for r in dedup_lines_in_doc(fdf, "doc_id", "text", 0).collect()}
+    b = {r.id: r.text for r in dedup_lines_in_doc(fdf, "doc_id", "text", 15).collect()}
+    assert a == b
+
+    # plan pin: the min=0 default is ONE shuffle-free codegen projection
+    plan = (
+        dedup_lines_in_doc(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    # the '*(n)' star marks whole-stage codegen in executedPlan toString
+    assert plan.lstrip().startswith("*(")
+
+    with pytest.raises(ValueError, match="min_line_chars"):
+        dedup_lines_in_doc(df, "doc_id", "text", min_line_chars=-1)
