@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "semantic_dup",
     "span_pairs",
     "dedup_lines",
+    "dedup_lines_in_doc",
     "dedup_spans",
     "decontam",
     "clean_docs",
