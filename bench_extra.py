@@ -1,0 +1,74 @@
+"""Extra benchmarks for optimization work (round 10).
+
+NOT the driver's bench (bench.py is frozen): this harness times individual
+declared queries with the SAME methodology as bench.py (fn() inside the
+timer, collect(), best-of-N with a per-trial literal so Spark 4's result
+cache cannot serve reruns) at an arbitrary sf dir, and can dump
+.explain("formatted") plans for the judged plans/r10/ evidence.
+
+Usage:
+  python bench_extra.py [--sf DIR] [--trials N] [--explain OUT.txt] q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jsonl_schema_validator_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--explain", default=None, help="dump explain('formatted') of each query to DIR/<q>.txt")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    cpus = int(args.cpus)
+    spark = get_spark(app_name="bench-extra", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries = entry_mod.queries()
+
+    # same warmup as bench.py: Arrow path + fused codegen
+    queries["token_count"](spark, args.sf).collect()
+    queries["validate_lineitem"](spark, "/root/testdata/sf0.001").collect()
+
+    results = {}
+    for name in args.queries:
+        fn = queries[name]
+        if args.explain:
+            df = fn(spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+            os.makedirs(args.explain, exist_ok=True)
+            with open(os.path.join(args.explain, f"{name}.txt"), "w") as f:
+                f.write(plan)
+        trial_times = []
+        n_rows = 0
+        for i in range(args.trials):
+            spark.sparkContext.setJobDescription(f"{name} trial {i}")
+            t0 = time.time()
+            df = fn(spark, args.sf).select("*", F.lit(i).alias("__bench_trial"))
+            rows = df.collect()
+            trial_times.append(time.time() - t0)
+            n_rows = len(rows)
+        results[name] = round(min(trial_times), 3)
+        print(
+            f"[bench_extra] {name}: {results[name]}s best-of-{args.trials} "
+            f"{[round(t, 3) for t in trial_times]} ({n_rows} rows)",
+            flush=True,
+        )
+    print({"sf": args.sf, "queries": results})
+
+
+if __name__ == "__main__":
+    main()

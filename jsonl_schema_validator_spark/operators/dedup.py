@@ -1048,6 +1048,119 @@ def _cc_star(
 DEFAULT_MAX_CELL_SIZE = 4096
 
 
+def _spark_round6(d: float) -> float:
+    """Replicate Spark's round(double, 6) exactly: HALF_UP over the
+    double's shortest decimal repr (java.math.BigDecimal.valueOf ->
+    setScale(6, HALF_UP) -> doubleValue). Python's repr() is the same
+    shortest round-trip decimal as Java's Double.toString, so
+    Decimal(repr(d)) reproduces BigDecimal.valueOf(d) digit-for-digit.
+    Pinned against F.round in tests/test_dedup.py."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(d)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _intra_cell_pairs_numpy(
+    assigned: DataFrame, join_keys: list[str], threshold: float
+) -> DataFrame:
+    """Intra-cell cosine pairs (id_a, id_b) with round(dot, 6) >= threshold,
+    computed with numpy inside ONE applyInPandas pass per (cell[, sub])
+    group — BIT-EQUIVALENT to the former self-join +
+    round(aggregate(zip_with(va, vb, x*y), 0.0, acc+v), 6) plan (guide
+    §4.2: the interpreted per-pair HOF dot made this O(sum |cell|^2 * dim)
+    interpreted work; numpy does the identical IEEE arithmetic vectorized).
+
+    Equivalence argument, piece by piece:
+    - dot: products va[k]*vb[k] and the left-to-right fold from 0.0 are
+      replicated exactly (acc = zeros; acc += va[k]*vb[k] for k in order)
+      — identical IEEE-754 double ops in the identical order, so the raw
+      dot is bit-identical, including inf/NaN propagation.
+    - round-then-threshold: Spark rounds to 6 dp (HALF_UP on the shortest
+      decimal repr) then compares >= lit(threshold). A 6-dp round moves a
+      value by <= 5e-7 (+1 ulp of repr ambiguity), so any dot outside
+      threshold +/- 1e-5 decides identically on the raw value; only dots
+      inside that band go through _spark_round6 (exact emulation).
+    - NaN: Spark's ordering puts NaN above every double, so a NaN dot
+      (NaN element, inf-inf) PASSES >= threshold — replicated explicitly
+      (numpy's NaN >= x is False, Spark's is True).
+    - nulls: a null vector or any null element nulls every product and
+      therefore the whole fold -> no pairs (the JVM-computed `ok` flag
+      excludes those rows before they reach numpy); a length-mismatched
+      pair zip-pads with nulls -> no pairs (only same-dim rows pair).
+    - id_a < id_b: each unordered pair is emitted once, oriented
+      (min, max); equal-id row pairs are dropped (id_a < id_b is strict).
+
+    The dense-cell guard bounds every group at ~max_cell_size rows, so the
+    per-task matrix stays capped at scale; blockwise accumulation bounds
+    the temporary at BLOCK x |cell| doubles."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = assigned.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}"
+    thr = float(threshold)
+    lo, hi = thr - 1e-5, thr + 1e-5
+    BLOCK = 1024
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["ok"]]
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids_all = pdf["id"].to_numpy()
+        vecs = pdf["v"].to_numpy()
+        dims = np.fromiter((len(x) for x in vecs), dtype=np.int64, count=len(vecs))
+        out_a: list = []
+        out_b: list = []
+        for d in np.unique(dims):
+            sel = np.nonzero(dims == d)[0]
+            n = len(sel)
+            if n < 2 or d == 0:
+                continue
+            V = np.empty((n, d), dtype=np.float64)
+            for r, j in enumerate(sel):
+                V[r] = np.asarray(vecs[j], dtype=np.float64)
+            ids = ids_all[sel]
+            cols = np.arange(n)
+            for s in range(0, n, BLOCK):
+                e = min(s + BLOCK, n)
+                # exact fold order: 0.0 + p0 + p1 + ... per pair
+                acc = np.zeros((e - s, n), dtype=np.float64)
+                for k in range(d):
+                    acc += V[s:e, k, None] * V[None, :, k]
+                mask = cols[None, :] > np.arange(s, e)[:, None]
+                isnan = np.isnan(acc)
+                keep = mask & (isnan | (acc >= hi))
+                band = mask & ~isnan & (acc >= lo) & (acc < hi)
+                for bi, bj in zip(*np.nonzero(band)):
+                    if _spark_round6(acc[bi, bj]) >= thr:
+                        keep[bi, bj] = True
+                ki, kj = np.nonzero(keep)
+                if len(ki):
+                    a, b = ids[s + ki], ids[kj]
+                    neq = a != b
+                    a, b = a[neq], b[neq]
+                    out_a.append(np.minimum(a, b))
+                    out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    ok = F.coalesce(
+        ~F.exists(F.col("v"), lambda x: x.isNull()), F.lit(False)
+    ).alias("ok")
+    return (
+        assigned.select(*join_keys, "id", "v", ok)
+        .groupBy(*join_keys)
+        .applyInPandas(emit_pairs, out_schema)
+    )
+
+
 def semantic_duplicates(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1193,23 +1306,15 @@ def semantic_duplicates(
                 ).otherwise(sub)
             assigned = assigned.withColumn("sub", sub.cast("int"))
             join_keys = ["cell", "sub"]
-    a = assigned.select(
-        *join_keys, F.col("id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        *join_keys, F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, join_keys)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
-        .where(F.col("cos") >= F.lit(threshold))
-    )
+    # round-10 optimization: the former cell-keyed self-join computed one
+    # interpreted zip_with/aggregate dot PER PAIR — O(sum |cell|^2 * dim)
+    # interpreted work that made this the battery's most expensive query at
+    # sf1.0 (193s for ~12.5M pairs x 64 dims). _intra_cell_pairs_numpy does
+    # the identical arithmetic (bit-equivalent: same fold order, Spark-round
+    # emulation in a +/-1e-5 band, same null/NaN semantics — see its
+    # docstring and the fuzz pin in tests/test_dedup.py) with numpy inside
+    # one applyInPandas pass per (cell[, sub]) group: sf1.0 193s -> ~3s.
+    pairs = _intra_cell_pairs_numpy(assigned, join_keys, threshold)
     clusters = duplicate_clusters(
         pairs, driver_threshold=driver_threshold
     )

@@ -1005,3 +1005,93 @@ def test_dedup_lines_in_doc(spark):
 
     with pytest.raises(ValueError, match="min_line_chars"):
         dedup_lines_in_doc(df, "doc_id", "text", min_line_chars=-1)
+
+
+def test_spark_round6_emulation(spark):
+    """_spark_round6 (the band-rounding helper in the numpy pair path) must
+    match F.round(double, 6) exactly, including repr-boundary cases where
+    the shortest decimal repr sits ON a half boundary while the binary
+    double is off it (the class that makes naive emulations diverge)."""
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.dedup import _spark_round6
+
+    vals = [
+        0.3499995, 0.35000049999, 0.34999950000001, 0.3500005,
+        0.1234565, 0.1234575, 0.0009765625, 1 / 3, 2 / 3, 0.515,
+        -0.3499995, -0.1234565, 0.0, 1e-12, 5e-7, 4.9999999e-7,
+        123456.4999999999, 0.9999995, 1.0000005,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "d double")
+    got = {r.d: r.r for r in df.select("d", F.round("d", 6).alias("r")).collect()}
+    for v in vals:
+        assert _spark_round6(v) == got[v], (v, _spark_round6(v), got[v])
+
+
+def test_intra_cell_pairs_numpy_equals_hof_fuzz(spark):
+    """The round-10 numpy pair path must emit EXACTLY the pair set of the
+    round-9 self-join + round(aggregate(zip_with), 6) >= threshold plan it
+    replaced, on adversarial inputs: NaN elements (NaN dot PASSES under
+    Spark's NaN ordering), null elements / null vectors (dot nulls -> no
+    pairs), length-mismatched vectors (zip-pad nulls -> no pairs),
+    duplicate ids (strict id_a < id_b drops them), multi-cell + sub-block
+    keys, and dots engineered near the 6-dp threshold boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _intra_cell_pairs_numpy,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    rid = 0
+    # random unit-ish vectors across 3 cells, dims 4 and 6
+    for cell in (0, 1, 2):
+        for _ in range(25):
+            d = 4 if rng.random() < 0.7 else 6
+            rows.append((rid, cell, [rng.gauss(0, 1) for _ in range(d)]))
+            rid += 1
+    # boundary engineering: cos of (1,0,0,0)x(a,b,0,0) = a exactly -> plant
+    # normalized dots right at 6-dp half boundaries
+    for a in (0.3499995, 0.35000049999, 0.3499994999, 0.123456, 0.515):
+        b = (1 - a * a) ** 0.5
+        rows.append((rid, 3, [1.0, 0.0, 0.0, 0.0])); rid += 1
+        rows.append((rid, 3, [a, b, 0.0, 0.0])); rid += 1
+    # adversarial: NaN element, null element, null vector, zero vector,
+    # duplicate id in one cell
+    nan_id = rid
+    rows.append((rid, 4, [float("nan"), 1.0, 0.0, 0.0])); rid += 1
+    rows.append((rid, 4, [1.0, 0.0, 0.0, 0.0])); rid += 1
+    rows.append((rid, 4, None)); rid += 1
+    rows.append((rid, 4, [None, 1.0, 0.0, 0.0])); rid += 1
+    rows.append((rid, 4, [0.5, 0.5, 0.5])); rid += 1
+    dup_id = rid
+    rows.append((dup_id, 4, [1.0, 0.0, 0.0, 0.0]))
+    rows.append((dup_id, 4, [0.99, 0.01, 0.0, 0.0]))
+    assigned = spark.createDataFrame(
+        rows, "id bigint, cell int, v array<double>"
+    ).withColumn("sub", (F.col("id") % 2).cast("int"))
+
+    for join_keys, thr in ((["cell"], 0.35), (["cell", "sub"], 0.1), (["cell"], -0.2)):
+        a = assigned.select(*join_keys, F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = assigned.select(*join_keys, F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        old = (
+            a.join(b, join_keys)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+            .where(F.col("cos") >= F.lit(thr))
+        ).collect()
+        new = _intra_cell_pairs_numpy(assigned, join_keys, thr).collect()
+        oldset = {(r.id_a, r.id_b) for r in old}
+        newset = {(r.id_a, r.id_b) for r in new}
+        assert oldset == newset, (join_keys, thr, oldset ^ newset)
+        # the NaN-element vector must pair with its cell mates (NaN passes)
+        if thr == 0.35 and join_keys == ["cell"]:
+            assert any(nan_id in (r.id_a, r.id_b) for r in new)
