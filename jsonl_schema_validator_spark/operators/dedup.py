@@ -1341,42 +1341,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
     hashed = toks.select("id", F.md5(F.col("tok").cast("binary")).alias("h"))
-    # one row per (id, token, hex-digit-position 0..15); the 4 bits of each
-    # digit are aggregated as 4 conditional sums in ONE groupBy — 4x fewer
-    # exploded rows than a per-bit explode, same math
-    digits = hashed.select(
+    # round-10 shape (guide §2.3 — shuffle/aggregate fewer rows): parse the
+    # 16 hex digits ONCE into two 32-bit halves (2 conv casts per token,
+    # replacing 16 substring+instr string ops), then explode only 2 rows per
+    # token and take the 32 per-bit signed sums in one groupBy(id, hpos).
+    # Same math: output char position 32*hpos + b is bit (31-b) of the
+    # half, exactly the old dpos*4+bit ordering. Measured at sf1.0
+    # (2.7M tokens): old 16-row digit explode 12.6s -> conv-halves 16-row
+    # 8.4s -> 2-row x 32 sums 5.8s; the round-3 negative result (1 row x 64
+    # sums in ONE groupBy(id)) still holds in the new shape (6.4-7.5s) —
+    # 2 x 32 is the measured optimum, keep the explode.
+    halves = hashed.select(
         "id",
-        F.posexplode(
-            F.array(*[F.substring("h", i + 1, 1) for i in range(16)])
-        ).alias("dpos", "ch"),
-    ).select(
-        "id",
-        "dpos",
-        (F.instr(F.lit("0123456789abcdef"), F.col("ch")) - 1).alias("v"),
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("v2"),
     )
-    bit_sums = digits.groupBy("id", "dpos").agg(
+    bit_sums = halves.select(
+        "id",
+        F.posexplode(F.array(F.col("v1"), F.col("v2"))).alias("hpos", "v"),
+    ).groupBy("id", "hpos").agg(
         *[
-            F.sum(F.shiftright(F.col("v"), 3 - b) % 2 * 2 - 1).alias(f"s{b}")
-            for b in range(4)
+            F.sum(F.shiftright(F.col("v"), 31 - b) % 2 * 2 - 1).alias(f"s{b}")
+            for b in range(32)
         ]
     )
-    digit_chars = bit_sums.select(
+    half_chars = bit_sums.select(
         "id",
-        "dpos",
+        "hpos",
         F.concat(
             *[
                 F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-                for b in range(4)
+                for b in range(32)
             ]
-        ).alias("quad"),
+        ).alias("bits"),
     )
-    return digit_chars.groupBy("id").agg(
+    return half_chars.groupBy("id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("dpos"), F.col("quad")))
+                    F.collect_list(F.struct(F.col("hpos"), F.col("bits")))
                 ),
-                lambda x: x["quad"],
+                lambda x: x["bits"],
             ),
             "",
         ).alias("simhash")
@@ -1539,7 +1544,19 @@ def _packed_hamming_pairs(
         )
         join_keys = join_keys & (F.col("a.sub") == F.col("b.sub"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # round-10 (guide §2.3 — shuffle fewer bytes): the hamming verification
+    # is 4 xor+bit_count integer ops, so apply it INSIDE the join's output
+    # projection and dedup only the SURVIVING (id_a, id_b, hamming) rows.
+    # The old shape dropDuplicates'd the raw candidates first, shuffling
+    # every candidate occurrence (up to 4 per pair, most failing the
+    # hamming test) at 10 columns wide; now the distinct's exchange carries
+    # only passing pairs at 3 columns. hamming is identical across a pair's
+    # duplicate occurrences, so filter-then-distinct is the same set.
+    hamming = sum(
+        F.bit_count(F.col(f"a.p{c}").bitwiseXOR(F.col(f"b.p{c}")))
+        for c in range(4)
+    ).cast("int")
+    return (
         a.join(
             b,
             join_keys & (F.col("a.id") < F.col("b.id")),
@@ -1547,18 +1564,11 @@ def _packed_hamming_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            *[F.col(f"a.p{c}").alias(f"pa{c}") for c in range(4)],
-            *[F.col(f"b.p{c}").alias(f"pb{c}") for c in range(4)],
+            hamming.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = sum(
-        F.bit_count(F.col(f"pa{c}").bitwiseXOR(F.col(f"pb{c}")))
-        for c in range(4)
-    ).cast("int")
-    return cand.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def hamming_guard_recall(
