@@ -82,14 +82,47 @@ def _tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (space-joined)."""
-    toks = _tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    """Distinct word n-gram shingles of a text column (space-joined).
+
+    Round-10 shape: arrays_zip of n shifted slices + ONE concat_ws lambda,
+    replacing the transform(sequence, slice+array_join) lambda — the
+    per-element slice/array_join lambda was the measured hot loop of every
+    shingle consumer (sf1.0, 2.25M shingles: n=8 18.0s -> 8.4s, n=3
+    14.0s -> 3.4s for the exploded table; exceptAll diff 0 both ways).
+    Semantics preserved exactly, including the quirks:
+    - docs with <= n tokens emit ONE short shingle (m clamps to 1; the
+      missing zip fields are null and concat_ws skips nulls, reproducing
+      array_join over the clamped slice);
+    - null text emits [null] (explicit arm — size(null) nulls the zip);
+    - empty-string tokens from repeated separators survive (concat_ws
+      keeps '' and skips only null, matching array_join).
+    This keeps the per-row array_distinct (the round-3 negative result:
+    moving dedup to a table-level dropDuplicates made minhash_lsh_pairs
+    ~10% slower end-to-end) — only the element construction changed."""
+    zipped = _shingle_structs(col, n)
+    return F.when(
+        col.isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                zipped,
+                lambda x: F.concat_ws(" ", *[x[f"{i}"] for i in range(n)]),
+            )
         )
     )
+
+
+def _shingle_structs(col: Column, n: int) -> Column:
+    """The n-gram token windows of `col` as an array of n-field structs
+    (arrays_zip of n shifted slices) — the ONE definition of a token
+    window, shared by word_shingles (which stringifies per row) and
+    benchmark_overlap (which stringifies post-explode, pure codegen).
+    m clamps to 1 so docs with <= n tokens emit one short window whose
+    missing fields are null (concat_ws skips null, reproducing array_join
+    over a clamped slice); null text yields null (callers choose the arm)."""
+    toks = _tokens(col)
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    return F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -628,24 +661,39 @@ def benchmark_overlap(
     """
     bid = bench_id_col or id_col
     btx = bench_text_col or text_col
-    bsh = (
-        benchmark.select(
-            F.col(bid).alias("bench_id"),
-            F.explode(word_shingles(F.col(btx), n)).alias("g"),
+    # round-10 shape (guide §4.1 — prefer codegen over interpreted HOFs):
+    # explode the RAW token-window structs and stringify AFTER the explode
+    # with concat_ws (whole-stage codegen), instead of word_shingles' per-row
+    # transform lambda + array_distinct. The per-row distinct moves into the
+    # aggregate as countDistinct(g): identical counts (each distinct gram of
+    # a doc matching a bench doc counts once) without the interpreted
+    # per-element work — measured 16.4s -> ~6s for the decontam query's
+    # corpus side at sf1.0. Null text explodes to nothing (the old null-g
+    # rows never matched the equi-join); short docs still emit their one
+    # clamped window (concat_ws skips the null pad fields).
+    def _grams(src: DataFrame, idc: str, txc: str, alias: str) -> DataFrame:
+        return src.select(
+            F.col(idc).alias(alias),
+            F.explode(_shingle_structs(F.col(txc), n)).alias("w"),
+        ).select(
+            alias,
+            F.concat_ws(" ", *[F.col("w")[f"{i}"] for i in range(n)]).alias("g"),
         )
+
+    bsh = (
+        _grams(benchmark, bid, btx, "bench_id")
         .select("bench_id", F.md5(F.col("g").cast("binary")).alias("h"))
         .dropDuplicates()
     )
-    csh = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    ).select("id", F.md5(F.col("g").cast("binary")).alias("h"))
+    csh = _grams(corpus, id_col, text_col, "id").select(
+        "id", "g", F.md5(F.col("g").cast("binary")).alias("h")
+    )
     if broadcast_benchmark:
         bsh = F.broadcast(bsh)
     return (
         csh.join(bsh, "h")
         .groupBy("id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .agg(F.countDistinct("g").alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= F.lit(min_overlap))
     )
 
