@@ -52,6 +52,7 @@ def column_stats(
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     pctl_aggs = []  # see the exact-distinct note below
+    pctl_literals: list[tuple[str, object]] = []  # (alias, literal array col)
     emit: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
     pctl_emit: list[tuple[str, str, str, int]] = []  # (col, metric, alias, idx)
 
@@ -75,23 +76,48 @@ def column_stats(
             add(c, "avg", F.avg(col).cast("double"))
             add(c, "stddev", F.stddev(col).cast("double"))
             if percentiles:
-                # ONE buffer per column (array of quantiles), not one per
-                # quantile. When exact COUNT DISTINCT is also requested the
-                # percentile aggregates go into a SEPARATE single-row
-                # aggregation: the distinct rewrite Expands every input row
-                # once per distinct aggregate, and dragging value-buffering
-                # percentile aggregates through that Expand measured 12s vs
-                # ~2s split (sf0.1 lineitem). The two 1-row results are
-                # cross-joined back — still no shuffle wider than the agg.
-                qarr = F.array(*[F.lit(float(q)) for q in percentiles])
-                expr = (
-                    F.percentile(col, qarr)
-                    if percentile_mode == "exact"
-                    else F.percentile_approx(col, qarr, F.lit(10000))
-                )
                 alias = f"{c}__pctls"
-                target = pctl_aggs if distinct_mode == "exact" else aggs
-                target.append(expr.alias(alias))
+                if percentile_mode == "exact":
+                    # round-10: exact percentiles are computed by the
+                    # DISTRIBUTED rank pass (_exact_percentile_values,
+                    # bit-equal to F.percentile) at plan time and injected
+                    # as literals — F.percentile's value->count buffer
+                    # merged 4.5M distinct values on ONE reducer (16s at
+                    # sf1.0); the rank pass keeps every aggregate
+                    # map-side-combinable. This also supersedes the
+                    # round-6 Expand-split (no percentile buffer exists to
+                    # drag through the distinct rewrite's Expand anymore).
+                    vals = _exact_percentile_values(
+                        df, c, [float(q) for q in percentiles]
+                    )
+                    pctl_literals.append(
+                        (
+                            alias,
+                            F.array(
+                                *[
+                                    F.lit(v)
+                                    if v is not None
+                                    else F.lit(None).cast("double")
+                                    for v in vals
+                                ]
+                            ),
+                        )
+                    )
+                else:
+                    # ONE buffer per column (array of quantiles), not one
+                    # per quantile. When exact COUNT DISTINCT is also
+                    # requested the percentile aggregates go into a
+                    # SEPARATE single-row aggregation: the distinct
+                    # rewrite Expands every input row once per distinct
+                    # aggregate, and dragging value-buffering percentile
+                    # aggregates through that Expand measured 12s vs ~2s
+                    # split (sf0.1 lineitem). The two 1-row results are
+                    # cross-joined back — still no shuffle wider than the
+                    # agg.
+                    qarr = F.array(*[F.lit(float(q)) for q in percentiles])
+                    expr = F.percentile_approx(col, qarr, F.lit(10000))
+                    target = pctl_aggs if distinct_mode == "exact" else aggs
+                    target.append(expr.alias(alias))
                 for i, q in enumerate(percentiles):
                     pctl_emit.append((c, f"p{q * 100:g}", alias, i))
         elif isinstance(dt, T.StringType):
@@ -103,6 +129,8 @@ def column_stats(
     wide = df.agg(*aggs)
     if pctl_aggs:
         wide = wide.crossJoin(df.agg(*pctl_aggs))
+    for alias, lit_arr in pctl_literals:
+        wide = wide.withColumn(alias, lit_arr)
     if pctl_emit:
         # flatten the per-column quantile arrays to one column per metric,
         # slotted right after that column's stddev row for stable ordering
@@ -140,6 +168,137 @@ def column_stats(
     if round_to is not None:
         long = long.withColumn("value", F.round(F.col("value"), round_to))
     return long
+
+
+def _exact_percentile_values(
+    df: DataFrame, col_name: str, qs: list[float], n_buckets: int = 1024
+) -> list:
+    """Distributed exact percentiles of one column, replicating
+    F.percentile (Percentile.getPercentile) BIT-FOR-BIT: with the N
+    non-null values sorted ascending and position = q * (N-1),
+    lower/higher = floor/ceil(position), the result is v[lower] when they
+    coincide and (higher-position)*v[lower] + (position-lower)*v[higher]
+    otherwise — fuzz-pinned against F.percentile including NaN, ties,
+    nulls and single-row frames (tests/test_operators.py).
+
+    Why not F.percentile (round-10, guide §2.3/§5): its buffer is a
+    value->count map merged on ONE final reducer — 4.5M distinct values at
+    sf1.0 made the merge a 16s single-threaded straggler. Here the heavy
+    work stays distributed: one codegen pass computes per-bucket row
+    counts over uniform value bins (any monotone binning is correct —
+    balance only affects speed), the driver prefix-sums the <= n_buckets
+    totals to locate the ranks' buckets, and a second filtered pass
+    resolves the <= 2*len(qs) exact rank values from only those buckets'
+    distinct counts. NaNs sort above every value (Spark ordering) via an
+    explicit top bin; +-inf collapse bins degenerately but stay ordered.
+
+    Jobs: 1 min/max/count pass + 1 bucket-count pass + 1 filtered rank
+    pass — all map-side-combinable aggregates, no single big merge."""
+    import math
+
+    col = F.col(col_name)
+    for q in qs:
+        if not (0.0 <= float(q) <= 1.0):
+            raise ValueError(f"percentile must be in [0, 1], got {q!r}")
+    nn = df.select(col.alias("v")).where(col.isNotNull())
+    dt = df.schema[col_name].dataType
+    is_float = isinstance(dt, (T.DoubleType, T.FloatType))
+    vd = F.col("v").cast("double")
+    finite = ~F.isnan(vd) if is_float else F.lit(True)
+    head = nn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(finite, vd)).alias("mn"),
+        F.max(F.when(finite, vd)).alias("mx"),
+    ).collect()[0]
+    n_total = int(head["n"])
+    if n_total == 0:
+        return [None for _ in qs]
+    mn, mx = head["mn"], head["mx"]
+    span = (mx - mn) if (mn is not None and mx is not None) else None
+    span_ok = (
+        span is not None and span > 0 and math.isfinite(span)
+        and math.isfinite(mn)
+    )
+    if span_ok:
+        raw = F.floor((vd - F.lit(mn)) / F.lit(span) * F.lit(n_buckets))
+        num_bucket = F.when(vd <= F.lit(mn), F.lit(0)).otherwise(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+        )
+    else:
+        num_bucket = F.lit(0)
+    bucket = (
+        F.when(~finite, F.lit(n_buckets)).otherwise(num_bucket)
+        if is_float
+        else num_bucket
+    ).cast("int")
+    totals = {
+        r["bk"]: r["t"]
+        for r in nn.withColumn("bk", bucket)
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    ks = set()
+    for q in qs:
+        pos = float(q) * float(n_total - 1)
+        ks.add(math.floor(pos))
+        ks.add(math.ceil(pos))
+    targets = set()
+    for k in ks:
+        for b in sorted(totals):
+            if offsets[b] <= k < offsets[b] + totals[b]:
+                targets.add(b)
+                break
+    wk = (
+        nn.withColumn("bk", bucket)
+        .where(F.col("bk").isin(*[int(b) for b in targets]))
+        .groupBy("bk", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("bk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_map = {int(b): offsets[b] for b in targets}
+    bks = sorted(off_map)
+    off_arr = F.array(*[F.lit(off_map[b]).cast("long") for b in bks])
+    bk_arr = F.array(*[F.lit(b) for b in bks])
+    cum = F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.element_at(
+        off_arr, F.array_position(bk_arr, F.col("bk")).cast("int")
+    )
+    wk = wk.withColumn("cb", cum)
+    cond = None
+    for k in sorted(ks):
+        c = (F.col("cb") <= F.lit(k)) & (F.lit(k) < F.col("cb") + F.col("cnt"))
+        cond = c if cond is None else (cond | c)
+    rows = wk.where(cond).select("v", "cb", "cnt").collect()
+
+    def lookup(k: int):
+        for r in rows:
+            if r.cb <= k < r.cb + r.cnt:
+                return r.v
+        raise RuntimeError(
+            f"exact percentile rank {k} not resolved (internal invariant)"
+        )
+
+    out = []
+    for q in qs:
+        pos = float(q) * float(n_total - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        vlo = float(lookup(lo))
+        if hi == lo:
+            out.append(vlo)
+        else:
+            vhi = float(lookup(hi))
+            out.append((hi - pos) * vlo + (pos - lo) * vhi)
+    return out
 
 
 def range_violations(

@@ -1292,3 +1292,51 @@ def test_prefix_sum_packing_fuzz_vs_python(spark):
             ).collect()
         }
         assert gotp == exp_pack, (trial, W, nb)
+
+
+def test_exact_percentile_values_equals_f_percentile_fuzz(spark):
+    """The round-10 distributed rank pass must replicate F.percentile
+    BIT-FOR-BIT (repr-equal doubles): random values, heavy ties, NaN
+    (sorts above everything), nulls, single row, all-null, integer and
+    decimal columns, and interpolated positions."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.stats import (
+        _exact_percentile_values,
+    )
+
+    rng = random.Random(21)
+    qs = [0.0, 0.25, 1 / 3, 0.5, 0.95, 1.0]
+    cases = [
+        ("double", [(rng.uniform(-100, 100),) for _ in range(997)]),
+        ("double", [(round(rng.uniform(0, 10), 1),) for _ in range(500)]),
+        ("double", [(float(rng.randint(0, 3)),) for _ in range(301)]),
+        ("double", [(1.25,)]),
+        ("double", [(float("nan"),), (2.0,), (1.0,), (float("nan"),)]),
+        ("double", [(None,), (5.0,), (None,), (3.0,)]),
+        ("double", [(None,)]),
+        ("bigint", [(rng.randint(-50, 50),) for _ in range(400)]),
+        (
+            "decimal(10,2)",
+            [(Decimal(rng.randint(0, 9999)) / 100,) for _ in range(300)],
+        ),
+    ]
+    for typ, data in cases:
+        df = spark.createDataFrame(data, f"v {typ}")
+        ref = df.agg(
+            F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("p")
+        ).collect()[0]["p"]
+        ref = list(ref) if ref is not None else [None] * len(qs)
+        got = _exact_percentile_values(df, "v", qs, n_buckets=16)
+        for q, a, b in zip(qs, ref, got):
+            if a is None or b is None:
+                assert a is None and b is None, (typ, q, a, b)
+            else:
+                assert repr(float(a)) == repr(float(b)), (typ, q, a, b)
+    with pytest.raises(ValueError, match="percentile"):
+        _exact_percentile_values(
+            spark.createDataFrame([(1.0,)], "v double"), "v", [1.5]
+        )
