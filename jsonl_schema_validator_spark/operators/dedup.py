@@ -303,7 +303,12 @@ def shared_span_pairs(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), k)).alias("span"),
         )
-        .select("id", F.md5(F.col("span").cast("binary")).alias("span_hash"))
+        # unhex (round 10): the 16-byte binary md5 is bijective with the
+        # hex string, halving the self-join / hot-cap / count shuffle keys
+        .select(
+            "id",
+            F.unhex(F.md5(F.col("span").cast("binary"))).alias("span_hash"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spans = _apply_hot_cap(spans, "span_hash", max_span_freq, "shared_span_pairs")
@@ -356,9 +361,9 @@ def dedup_spans(
     docs partial-aggregates, never sorts); each occurrence then joins its
     span's single first-row (linear), covered positions explode k-wide,
     and ONLY affected docs are re-tokenized and rebuilt — the untouched
-    bulk of the corpus never shuffles at all. Nothing here is persisted:
-    the codegen span build is cheaper to recompute per consumer than to
-    cache (measured 2.2x — see the negative-result note below).
+    bulk of the corpus never shuffles at all. The positional span table is
+    persisted for its two consumers (round-10 re-A/B reversed the round-5
+    negative result — see the note at the build site).
     """
     if keep != "first":
         raise ValueError("only keep='first' is supported")
@@ -376,11 +381,19 @@ def dedup_spans(
     # per-span hashing inside codegen, where the word_shingles-style
     # transform(sequence, slice+join+md5) lambda runs interpreted (the
     # round-3 bigram lesson; measured 1.7x on this operator at sf0.1).
-    # Negative result (round 5): persisting this table (the shingle-family
-    # persist-once rule) measured 2.2x SLOWER here — once the explode is
-    # codegen-cheap, recomputing it per consumer beats paying cache
-    # serialization and losing the fused scan pipeline. A/B the full
-    # operator before adding persists.
+    # span_hash is the UNHEXED md5 (16-byte binary, round 10): bijective
+    # with the hex string, so grouping/joining is unchanged while the agg
+    # and join keys halve (guide §2.3 — narrower types).
+    # Round-10 REVERSAL of the round-5 negative result: the table IS
+    # persisted now. Round 5 measured persisting 2.2x slower at sf0.1
+    # (600k cheap rows); at sf1.0 the 2.4M-row build is md5-bound and the
+    # re-A/B measured 20.8s unpersisted vs 11.8-13.6s persisted for the
+    # two-consumer pipeline — the crossover is the hash work, the same
+    # lesson as dsir_log_weights. A/B the full operator when touching
+    # this. CACHE LIFECYCLE: not unpersisted (the returned frame
+    # references it); release with spark.catalog.clearCache().
+    from pyspark.storagelevel import StorageLevel
+
     n_spans = n_tok - k + 1
     slices = [F.slice(toks, j + 1, n_spans).alias(f"t{j}") for j in range(k)]
     spans = (
@@ -392,12 +405,15 @@ def dedup_spans(
         .select(
             "id",
             "pos",
-            F.md5(
-                F.concat_ws(
-                    " ", *[F.col(f"s.t{j}") for j in range(k)]
-                ).cast("binary")
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.col(f"s.t{j}") for j in range(k)]
+                    ).cast("binary")
+                )
             ).alias("span_hash"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # first occurrences of DUPLICATED spans only: a hash seen once can never
     # yield a removal (its only occurrence IS f), so the count>1 filter is

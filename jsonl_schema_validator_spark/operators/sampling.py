@@ -227,9 +227,14 @@ def dsir_log_weights(
 
     Scale shape: the (id, bucket) occurrence table (codegen
     unigram+bigram explode) feeds two consumers — the source bucket
-    counts and the scoring join — and is deliberately NOT persisted:
-    re-running a codegen explode is cheaper than caching it (the
-    dedup_spans persist A/B lesson). The counts agg is map-side
+    counts and the scoring join — and is PERSISTED once (round-10 A/B at
+    sf1.0, 5.4M occurrence rows: ~7.7-12s unpersisted vs ~4.7-5.3s
+    persisted; the md5-per-occurrence bucket hash makes recomputing this
+    explode expensive, unlike dedup_spans' plain-token span table where
+    the same A/B measured persisting 2.2x SLOWER — the hash is the
+    difference). CACHE LIFECYCLE: not unpersisted (the returned frame
+    references it); release with spark.catalog.clearCache(), see
+    ngram_jaccard_pairs. The counts agg is map-side
     combinable (its exchange carries at most num_buckets rows per task);
     the per-bucket log-ratio table is at most num_buckets rows (default
     10k) and broadcasts into the scoring join, so corpus-scale data
@@ -251,7 +256,11 @@ def dsir_log_weights(
             "target must contain at least one non-null text row"
         )
 
-    src = _dsir_features(df, id_col, text_col, num_buckets)
+    from pyspark.storagelevel import StorageLevel
+
+    src = _dsir_features(df, id_col, text_col, num_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tgt = _dsir_features(target, None, tcol, num_buckets)
     src_counts = src.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
     tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
