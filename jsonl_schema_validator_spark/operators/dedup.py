@@ -1295,7 +1295,6 @@ def semantic_duplicates(
         )
     from jsonl_schema_validator_spark.operators.similarity import (
         _fit_centroids,
-        _ivf_exprs,
         _norm,
     )
     from pyspark.storagelevel import StorageLevel
@@ -1303,7 +1302,6 @@ def semantic_duplicates(
     centroids, cent_norms = _fit_centroids(
         corpus, id_col, vec_col, num_centroids, seed, lloyd_iters, init
     )
-    cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
     # three consumers (both join sides + the singleton re-join) — persist
     # the assignment once; at warehouse scale this is the materialized
     # cell-assignment table (same lifecycle note as the shingle table).
@@ -1318,15 +1316,28 @@ def semantic_duplicates(
     # cosine and falsely merge the zero vector's whole cell into one
     # cluster. Instead its normalized vector is null (null dot -> no pairs)
     # and it lands in sentinel cell -1, so it always keeps itself.
-    nrm = _norm(F.col(vec_col))
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
+    from jsonl_schema_validator_spark.operators.similarity import (
+        with_argmax_cell_arrow,
+    )
+
+    # cell assignment via the numpy mapInArrow pass (round 10) —
+    # bit-equivalent to when(nrm > 0, argmax_cell(cell_scores(vec)))
+    # .otherwise(-1), the interpreted HOF argmax was ~half the remaining
+    # query cost after the pair-stage rewrite; normalization stays a JVM
+    # projection (one pass over the vector per row, cheap)
+    assigned = with_argmax_cell_arrow(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__jsv_v")),
+        "__jsv_v",
+        centroids,
+        cent_norms,
+        guard_norm_sentinel=-1,
+    ).select(
+        "id",
         F.transform(
-            F.col(vec_col), lambda x: F.try_divide(x.cast("double"), nrm)
+            F.col("__jsv_v"),
+            lambda x: F.try_divide(x.cast("double"), _norm(F.col("__jsv_v"))),
         ).alias("v"),
-        F.when(
-            nrm > 0, argmax_cell(cell_scores(F.col(vec_col)))
-        ).otherwise(F.lit(-1)).alias("cell"),
+        "cell",
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # dense-cell guard: one bounded collect (<= num_centroids+2 rows, and

@@ -25,6 +25,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _peek_dim(df: DataFrame, vec_col: str) -> int:
@@ -196,6 +197,192 @@ def _fit_centroids(
     return centroids, cent_norms
 
 
+def _spark_round6_py(d: float) -> float:
+    """Spark round(double, 6) replica (HALF_UP over the shortest decimal
+    repr) — shared convention with dedup._spark_round6; non-finite values
+    pass through (Spark's Round returns them unchanged)."""
+    import decimal
+    import math
+
+    if not math.isfinite(d):
+        return d
+    return float(
+        decimal.Decimal(repr(d)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def with_argmax_cell_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    cent_norms: list[float],
+    cell_name: str = "cell",
+    guard_norm_sentinel: int | None = None,
+):
+    """Append `cell_name` = argmax_cell(cell_scores(vec)) — or, when
+    guard_norm_sentinel is given, the semantic_duplicates variant
+    when(nrm > 0, argmax).otherwise(sentinel) — computed with numpy inside
+    ONE mapInArrow pass instead of the interpreted per-row HOF tree
+    (num_centroids x dim lambda steps per row; the measured dominant cost
+    of ivf_topk / semantic_dup cell assignment at sf1.0; a pure-codegen
+    Add-chain rewrite measured 3x WORSE — the 16x-duplicated norm chain
+    blows up the expression tree, see OPTIMIZATION_r10.md).
+
+    BIT-EQUIVALENT to the JVM expressions (fuzz-pinned in
+    tests/test_similarity_assign.py):
+    - dot and norm replicate the zip_with/aggregate fold order exactly
+      (acc = 0.0; acc += v[k]*w[k] left-to-right, vectorized over rows);
+      score_i = dot_i / (norm * nc_i), then Spark-round6 — emulated
+      exactly in a +/-2e-6 band around the raw argmax (outside the band
+      the rounded comparison cannot flip).
+    - argmax = array_sort(zip(-score, idx))[0].cell semantics: highest
+      ROUNDED score wins, ties to the LOWEST cell; NaN scores lose to
+      every real score (ns = -NaN sorts last); all-null / all-NaN scores
+      (null vec, null element, length != dim, NaN element) give cell 0.
+    - ANSI loud-fail preserved: a zero divisor (zero-norm vector reaching
+      the division, or nc underflow) raises, like Spark's DIVIDE_BY_ZERO
+      — except rows the nrm > 0 guard routes to the sentinel first (the
+      semantic_duplicates contract; NaN norms pass the guard as in Spark,
+      where NaN > 0 is true).
+    Arrow-level access (not pandas) preserves element nulls exactly.
+    """
+    import pyarrow as pa
+
+    dim = len(centroids[0]) if centroids else 0
+    C = [list(map(float, c)) for c in centroids]
+    NC = [float(x) for x in cent_norms]
+    n_cent = len(C)
+    guarded = guard_norm_sentinel is not None
+    sentinel = int(guard_norm_sentinel) if guarded else 0
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(cell_name, T.IntegerType())]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def assign(batches):
+        import numpy as np
+
+        Cm = np.array(C, dtype=np.float64) if n_cent else None
+        NCv = np.array(NC, dtype=np.float64)
+        for batch in batches:
+            n = batch.num_rows
+            cell = np.zeros(n, dtype=np.int32)
+            if n and n_cent:
+                vec = batch.column(vec_idx)
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                offs = np.asarray(vec.offsets)
+                starts, ends = offs[:-1], offs[1:]
+                lens = ends - starts
+                row_null = np.zeros(n, dtype=bool)
+                if vec.null_count:
+                    row_null = np.asarray(vec.is_null())
+                vals = vec.values
+                elem_null_flat = (
+                    np.asarray(vals.is_null())
+                    if vals.null_count
+                    else None
+                )
+                flat = np.asarray(
+                    vals.cast(pa.float64()).fill_null(np.nan)
+                    if vals.null_count
+                    else vals.cast(pa.float64())
+                )
+                has_elem_null = np.zeros(n, dtype=bool)
+                if elem_null_flat is not None:
+                    cs_null = np.concatenate(
+                        [[0], np.cumsum(elem_null_flat)]
+                    )
+                    has_elem_null = (cs_null[ends] - cs_null[starts]) > 0
+                clean = ~row_null & ~has_elem_null
+                mass = clean & (lens == dim)
+                if guarded:
+                    # null vec / null element -> null norm -> sentinel
+                    cell[row_null | has_elem_null] = sentinel
+                # clean rows with len != dim: the JVM still evaluates the
+                # score divisions (null dot / (norm * nc)) — Spark's ANSI
+                # Divide raises on a ZERO divisor even with a null
+                # numerator, so a zero/underflowing norm raises here too
+                # (unless the nrm > 0 guard routes it to the sentinel
+                # first); otherwise all scores are null -> cell 0
+                odd = np.nonzero(clean & (lens != dim))[0]
+                for i in odd:
+                    acc = 0.0
+                    for x in flat[starts[i]:ends[i]]:
+                        acc = acc + x * x
+                    nrm = np.sqrt(acc)
+                    if guarded and not (nrm > 0 or np.isnan(nrm)):
+                        cell[i] = sentinel
+                        continue
+                    for nc in NC:
+                        if nrm * nc == 0.0:
+                            raise ArithmeticError(
+                                "[DIVIDE_BY_ZERO] zero-norm vector in IVF "
+                                "cell scoring (cosine over a zero vector "
+                                "is undefined) — clean zero/underflow-norm "
+                                "sentinels upstream"
+                            )
+                    # cell stays 0 (all scores null)
+                ridx = np.nonzero(mass)[0]
+                m = len(ridx)
+                if m and dim:
+                    gather = starts[ridx, None] + np.arange(dim)[None, :]
+                    M = flat[gather]
+                    acc = np.zeros(m, dtype=np.float64)
+                    for k in range(dim):
+                        acc = acc + M[:, k] * M[:, k]
+                    nrm = np.sqrt(acc)
+                    if guarded:
+                        ok = (nrm > 0) | np.isnan(nrm)
+                        cell[ridx[~ok]] = sentinel
+                        ridx, M, nrm = ridx[ok], M[ok], nrm[ok]
+                        m = len(ridx)
+                    if m:
+                        S = np.empty((m, n_cent), dtype=np.float64)
+                        with np.errstate(all="ignore"):
+                            for j in range(n_cent):
+                                dot = np.zeros(m, dtype=np.float64)
+                                for k in range(dim):
+                                    dot = dot + M[:, k] * Cm[j, k]
+                                div = nrm * NCv[j]
+                                if np.any(div == 0.0):
+                                    raise ArithmeticError(
+                                        "[DIVIDE_BY_ZERO] zero-norm vector "
+                                        "in IVF cell scoring (cosine over a "
+                                        "zero vector is undefined) — clean "
+                                        "zero/underflow-norm sentinels "
+                                        "upstream"
+                                    )
+                                S[:, j] = dot / div
+                            nanrow = np.isnan(S)
+                            Sx = np.where(nanrow, -np.inf, S)
+                            mx = Sx.max(axis=1)
+                            all_nan = ~np.isfinite(mx) & (mx < 0)
+                            cand = Sx >= (mx[:, None] - 2e-6)
+                            for r in range(m):
+                                if all_nan[r] and nanrow[r].all():
+                                    cell[ridx[r]] = 0
+                                    continue
+                                best_s, best_j = None, 0
+                                for j in np.nonzero(cand[r])[0]:
+                                    s = _spark_round6_py(S[r, j])
+                                    if best_s is None or s > best_s:
+                                        best_s, best_j = s, j
+                                cell[ridx[r]] = best_j
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(cell, type=pa.int32())],
+                schema=pa.schema(
+                    list(batch.schema)
+                    + [pa.field(cell_name, pa.int32())]
+                ),
+            )
+
+    return df.mapInArrow(assign, out_schema)
+
+
 def _ivf_exprs(centroids: list[list[float]], cent_norms: list[float]):
     """(cell_scores, argmax_cell) expression builders for a fitted IVF."""
 
@@ -334,10 +521,16 @@ def ivf_topk(
     )
     cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
 
-    c_assign = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
+    # corpus cell assignment via the numpy mapInArrow pass (bit-equivalent
+    # to argmax_cell(cell_scores(cv)) — see with_argmax_cell_arrow): the
+    # interpreted HOF argmax was the dominant ivf_topk cost at sf1.0
+    c_assign = with_argmax_cell_arrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv",
+        centroids,
+        cent_norms,
     )
     ranked = _ivf_probe(queries, id_col, vec_col, nprobe, centroids, cell_scores)
     return _ivf_score_topk(ranked, c_assign, k)
@@ -410,16 +603,22 @@ def ivf_build_index(
     )
     cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
     cv = F.col(vec_col)
+    # cell assignment via the numpy mapInArrow pass (bit-equivalent to
+    # argmax_cell(cell_scores(cv)) incl. the zero-norm loud failure); the
+    # quantization/store projection runs AFTER it on the appended frame
+    c_assign = with_argmax_cell_arrow(
+        corpus.select(F.col(id_col).alias("neighbor_id"), cv.alias("__jsv_v")),
+        "__jsv_v",
+        centroids,
+        cent_norms,
+    )
+    cv = F.col("__jsv_v")
     if quantize == "int8":
         cq, cscale = _q8_exprs(cv)
         store = [cq.alias("cq"), cscale.cast("float").alias("cscale")]
     else:
         store = [cv.alias("cv")]
-    c_assign = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        *store,
-        argmax_cell(cell_scores(cv)).alias("cell"),
-    )
+    c_assign = c_assign.select("neighbor_id", *store, "cell")
     (
         c_assign.repartition("cell")
         .sortWithinPartitions("neighbor_id")

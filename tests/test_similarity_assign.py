@@ -1,0 +1,95 @@
+"""Pin with_argmax_cell_arrow (the round-10 numpy cell assignment) to the
+JVM argmax_cell(cell_scores(...)) expressions it replaced — bit-equivalent
+cell ids on adversarial inputs, both the bare (IVF) variant and the
+nrm>0-guarded (semantic_duplicates) variant."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonl_schema_validator_spark.operators.similarity import (
+    _ivf_exprs,
+    _norm,
+    with_argmax_cell_arrow,
+)
+
+
+def _jvm_cells(spark, rows, centroids, cent_norms, guarded):
+    cs, am = _ivf_exprs(centroids, cent_norms)
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    if guarded:
+        nrm = _norm(F.col("v"))
+        cell = F.when(nrm > 0, am(cs(F.col("v")))).otherwise(F.lit(-1))
+    else:
+        cell = am(cs(F.col("v")))
+    return {r.id: r.c for r in df.select("id", cell.alias("c")).collect()}
+
+
+def _arrow_cells(spark, rows, centroids, cent_norms, guarded):
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    out = with_argmax_cell_arrow(
+        df, "v", centroids, cent_norms,
+        guard_norm_sentinel=-1 if guarded else None,
+    )
+    return {r.id: r.cell for r in out.collect()}
+
+
+def test_argmax_cell_arrow_equals_jvm_fuzz(spark):
+    rng = random.Random(17)
+    dim = 6
+    centroids = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(5)
+    ]
+    # a duplicated centroid forces exact rounded-score ties -> lowest cell
+    centroids.append(list(centroids[0]))
+    cent_norms = [
+        max(math.sqrt(sum(x * x for x in c)), 1e-12) for c in centroids
+    ]
+    rows = []
+    rid = 0
+    for _ in range(60):
+        rows.append((rid, [rng.gauss(0, 1) for _ in range(dim)])); rid += 1
+    # vectors ON centroid directions (near-tie rounded scores)
+    for c in centroids:
+        rows.append((rid, [2.0 * x for x in c])); rid += 1
+        rows.append((rid, [x + 1e-9 for x in c])); rid += 1
+    # adversarial: null vec, null element, short/long vecs, NaN, inf, tiny
+    rows += [
+        (rid, None), (rid + 1, [None] * dim),
+        (rid + 2, [1.0] * (dim - 1)), (rid + 3, [1.0] * (dim + 1)),
+        (rid + 4, [float("nan")] + [1.0] * (dim - 1)),
+        (rid + 5, [float("inf")] + [1.0] * (dim - 1)),
+        (rid + 8, [0.5, None] + [1.0] * (dim - 2)),
+        (rid + 9, [-1e308] + [1e308] * (dim - 1)),
+    ]
+    # underflow-norm and empty vectors RAISE in the unguarded variant
+    # (Spark's ANSI Divide raises on a zero divisor even under a null
+    # numerator) — compared in the guarded run only, raise-pinned below
+    raise_rows = [(rid + 6, [1e-300] + [0.0] * (dim - 1)), (rid + 7, [])]
+    for guarded in (False, True):
+        r = rows + raise_rows if guarded else rows
+        jvm = _jvm_cells(spark, r, centroids, cent_norms, guarded)
+        arrow = _arrow_cells(spark, r, centroids, cent_norms, guarded)
+        diffs = {k: (jvm[k], arrow[k]) for k in jvm if jvm[k] != arrow[k]}
+        assert not diffs, (guarded, diffs)
+    for engine in (_jvm_cells, _arrow_cells):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+            engine(spark, rows + raise_rows, centroids, cent_norms, False)
+
+
+def test_argmax_cell_arrow_zero_vector_raises_unguarded(spark):
+    """The IVF contract: a zero-norm vector reaching cell scoring fails
+    loudly (the ANSI DIVIDE_BY_ZERO analog), it never lands in a cell."""
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    out = with_argmax_cell_arrow(df, "v", centroids, [1.0, 1.0])
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+        out.collect()
+    # the guarded variant routes it to the sentinel instead
+    got = {r.id: r.cell for r in with_argmax_cell_arrow(
+        df, "v", centroids, [1.0, 1.0], guard_norm_sentinel=-1
+    ).collect()}
+    assert got == {1: -1, 2: 0}
