@@ -773,7 +773,13 @@ def minhash_lsh_pairs(
     sig_aggs = _minhash_sig_aggs(num_hashes, seed, hash_family) + [
         F.count(F.lit(1)).alias("n_shingles")  # sizes folded into same agg
     ]
-    sig = sh.groupBy("id").agg(*sig_aggs)
+    # the signature table feeds TWO consumers (the band explode and the
+    # verification sizes join) — persist it like the shingle table (round
+    # 10: each recompute re-runs the S-min agg over the full shingle
+    # table, ~2.5s at sf1.0; the table itself is one narrow row per doc)
+    sig = sh.groupBy("id").agg(*sig_aggs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
