@@ -463,7 +463,19 @@ def _distributed_cum_before(
     the distributed exclusive prefix sum shared by shard_assign and
     pack_sequences (see shard_assign's docstring for the scale argument).
     All input columns pass through; the bucket scaffold column does not.
-    PRECONDITION: a numeric unique non-null `id` column (caller-checked)."""
+    PRECONDITION: a numeric unique non-null `id` column (caller-checked).
+
+    The input is PERSISTED here (round 10): the core evaluates `w` three
+    times (the percentile_approx boundary probe, the bucket-totals
+    collect, and the final windowed projection), and every caller's `w`
+    carries the regexp_extract_all token count — re-running the regex per
+    pass tripled the cost (pack_sequences sf1.0: 6.8s cold / 2.8s warm ->
+    2.5s / 1.8s persisted). CACHE LIFECYCLE: not unpersisted (the
+    returned frame references it); release with
+    spark.catalog.clearCache(), see ngram_jaccard_pairs."""
+    from pyspark.storagelevel import StorageLevel
+
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = (
         w.agg(F.percentile_approx("id", qs).alias("b")).collect()[0]["b"]
