@@ -1421,7 +1421,6 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
-    hashed = toks.select("id", F.md5(F.col("tok").cast("binary")).alias("h"))
     # round-10 shape (guide §2.3 — shuffle/aggregate fewer rows): parse the
     # 16 hex digits ONCE into two 32-bit halves (2 conv casts per token,
     # replacing 16 substring+instr string ops), then explode only 2 rows per
@@ -1432,11 +1431,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # 8.4s -> 2-row x 32 sums 5.8s; the round-3 negative result (1 row x 64
     # sums in ONE groupBy(id)) still holds in the new shape (6.4-7.5s) —
     # 2 x 32 is the measured optimum, keep the explode.
-    halves = hashed.select(
-        "id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("v1"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("v2"),
-    )
+    def _tok_halves(tok: Column) -> list[Column]:
+        h = F.md5(tok.cast("binary"))
+        return [
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("v1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("v2"),
+        ]
+
+    # adaptive dispatch (the size-dispatched-CC house pattern): on a
+    # small-vocabulary corpus the md5+conv per token OCCURRENCE is pure
+    # redundancy — hash each DISTINCT token once and broadcast-join the
+    # tiny dictionary (identical halves per token, inner join on a
+    # never-null key; measured 5.6s -> 2.9s at sf1.0, whose synthetic
+    # corpus has 31 distinct tokens). The probe is one cheap
+    # approx_count_distinct pass; big vocabularies (where the dictionary
+    # would blow the broadcast) keep the scale-safe inline hash.
+    n_vocab = toks.agg(
+        F.approx_count_distinct("tok").alias("v")
+    ).collect()[0]["v"]
+    if n_vocab <= 100_000:
+        vocab = toks.select("tok").distinct().select(
+            "tok", *_tok_halves(F.col("tok"))
+        )
+        halves = toks.join(F.broadcast(vocab), "tok").select("id", "v1", "v2")
+    else:
+        halves = toks.select("id", *_tok_halves(F.col("tok")))
     bit_sums = halves.select(
         "id",
         F.posexplode(F.array(F.col("v1"), F.col("v2"))).alias("hpos", "v"),
