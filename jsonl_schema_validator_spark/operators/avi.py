@@ -77,7 +77,11 @@ def _check_frames(frames, fps, who):
                 f"{who}: all frames must share the first frame's dims "
                 f"({h}x{w}x3); got {np.asarray(f).shape}"
             )
-    return h, w
+    # return the NORMALIZED fps too (ADVICE r9): callers must mux with the
+    # operator.index-validated value, not the original object, so the
+    # numpy-int acceptance does not silently rely on struct.pack's own
+    # __index__ handling
+    return h, w, fps
 
 
 def encode_mjpeg_avi(
@@ -94,7 +98,7 @@ def encode_mjpeg_avi(
         encode_jpeg_baseline,
     )
 
-    h, w = _check_frames(frames, fps, "encode_mjpeg_avi")
+    h, w, fps = _check_frames(frames, fps, "encode_mjpeg_avi")
     jpegs = [
         encode_jpeg_baseline(f, quality=quality, subsampling=subsampling)
         for f in frames
@@ -111,7 +115,7 @@ def encode_dib_avi(frames, fps: int = 10) -> bytes:
     the one video format whose pixels survive the container bit-for-bit."""
     import numpy as np
 
-    h, w = _check_frames(frames, fps, "encode_dib_avi")
+    h, w, fps = _check_frames(frames, fps, "encode_dib_avi")
     stride = (w * 3 + 3) & ~3
     dibs = []
     for f in frames:

@@ -890,6 +890,11 @@ def inject_standard_dht(raw: bytes) -> bytes:
             return raw  # carries its own tables
         if marker == 0xDA:  # first SOS with no DHT seen: splice
             return raw[:pos] + standard_dht_segment() + raw[pos:]
+        if marker == 0xD9:
+            # EOI before any SOS: malformed torso — stop the walk rather
+            # than reading two garbage payload bytes as a segment length
+            # and wandering (ADVICE r9)
+            return raw
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers have no length field
             continue

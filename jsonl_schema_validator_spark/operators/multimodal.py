@@ -963,23 +963,15 @@ def _require_binary(df: DataFrame, binary_col: str, who: str) -> None:
     review drive: an id column passed by mistake coerces through
     bytes(int) into n zero bytes and every row decodes to NULL —
     silent all-null output where the call site has the args swapped).
-    Resolution mirrors Spark's default case-INSENSITIVE column lookup
-    (df.schema[name] alone is case-sensitive and raises KeyError);
+    Resolution rides _field_of (the one case-insensitive lookup, shared
+    with _require_integral_id — ADVICE r9: the inline copy would drift);
     unknown or ambiguous names fall through to Spark's own resolution
     error at select time."""
-    fields = [f for f in df.schema.fields if f.name == binary_col]
-    if not fields:
-        fields = [
-            f
-            for f in df.schema.fields
-            if f.name.lower() == binary_col.lower()
-        ]
-    if len(fields) != 1:
-        return
-    if not isinstance(fields[0].dataType, T.BinaryType):
+    f = _field_of(df, binary_col)
+    if f is not None and not isinstance(f.dataType, T.BinaryType):
         raise ValueError(
             f"{who}: binary column {binary_col!r} must be BINARY "
-            f"(got {fields[0].dataType.simpleString()}); "
+            f"(got {f.dataType.simpleString()}); "
             "check the argument order"
         )
 
