@@ -1121,12 +1121,19 @@ DEFAULT_MAX_CELL_SIZE = 4096
 def _spark_round6(d: float) -> float:
     """Replicate Spark's round(double, 6) exactly: HALF_UP over the
     double's shortest decimal repr (java.math.BigDecimal.valueOf ->
-    setScale(6, HALF_UP) -> doubleValue). Python's repr() is the same
-    shortest round-trip decimal as Java's Double.toString, so
-    Decimal(repr(d)) reproduces BigDecimal.valueOf(d) digit-for-digit.
-    Pinned against F.round in tests/test_dedup.py."""
+    setScale(6, HALF_UP) -> doubleValue); non-finite values pass through
+    unchanged (Spark's Round returns them as-is; Decimal(repr(inf)) would
+    raise). Python's repr() is the same shortest round-trip decimal as
+    Java's Double.toString, so Decimal(repr(d)) reproduces
+    BigDecimal.valueOf(d) digit-for-digit. THE one emulation shared by
+    the numpy pair stage and with_argmax_cell_arrow (round-9 lesson:
+    collapse shared logic before it drifts). Pinned against F.round in
+    tests/test_dedup.py."""
     import decimal
+    import math
 
+    if not math.isfinite(d):
+        return d
     return float(
         decimal.Decimal(repr(d)).quantize(
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
@@ -1188,7 +1195,11 @@ def _intra_cell_pairs_numpy(
         for d in np.unique(dims):
             sel = np.nonzero(dims == d)[0]
             n = len(sel)
-            if n < 2 or d == 0:
+            # d == 0 is NOT skipped: two empty vectors zip to an empty
+            # fold = dot 0.0, which PASSES thresholds <= 0 (review repro
+            # against the old self-join plan) — the zeros-acc path below
+            # reproduces that with no k-loop iterations
+            if n < 2:
                 continue
             V = np.empty((n, d), dtype=np.float64)
             for r, j in enumerate(sel):
@@ -1445,7 +1456,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # never-null key; measured 5.6s -> 2.9s at sf1.0, whose synthetic
     # corpus has 31 distinct tokens). The probe is one cheap
     # approx_count_distinct pass; big vocabularies (where the dictionary
-    # would blow the broadcast) keep the scale-safe inline hash.
+    # would blow the broadcast) keep the scale-safe inline hash — there
+    # the probe is a pure extra narrow scan, the price of the dispatch.
+    # NOTE the probe is a construction-time collect (the fit-centroids /
+    # guard-sizing house pattern), so repeat constructions of the same
+    # plan are served by Spark 4's result cache like every other
+    # construction collect in the repo (review note, round 10).
     n_vocab = toks.agg(
         F.approx_count_distinct("tok").alias("v")
     ).collect()[0]["v"]

@@ -197,22 +197,6 @@ def _fit_centroids(
     return centroids, cent_norms
 
 
-def _spark_round6_py(d: float) -> float:
-    """Spark round(double, 6) replica (HALF_UP over the shortest decimal
-    repr) — shared convention with dedup._spark_round6; non-finite values
-    pass through (Spark's Round returns them unchanged)."""
-    import decimal
-    import math
-
-    if not math.isfinite(d):
-        return d
-    return float(
-        decimal.Decimal(repr(d)).quantize(
-            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
-
-
 def with_argmax_cell_arrow(
     df: DataFrame,
     vec_col: str,
@@ -241,14 +225,21 @@ def with_argmax_cell_arrow(
       ROUNDED score wins, ties to the LOWEST cell; NaN scores lose to
       every real score (ns = -NaN sorts last); all-null / all-NaN scores
       (null vec, null element, length != dim, NaN element) give cell 0.
-    - ANSI loud-fail preserved: a zero divisor (zero-norm vector reaching
-      the division, or nc underflow) raises, like Spark's DIVIDE_BY_ZERO
-      — except rows the nrm > 0 guard routes to the sentinel first (the
-      semantic_duplicates contract; NaN norms pass the guard as in Spark,
+    - ANSI loud-fail preserved EXACTLY: Spark's ANSI Divide raises on a
+      zero divisor only when the NUMERATOR is non-null (review-pinned:
+      null/0.0 is NULL, not an error) — so a zero/underflow-norm vector
+      raises only on the full-dim path where the dot is a real number;
+      length-mismatched/empty vectors (null dots) give cell 0, and the
+      nrm > 0 guard routes zero-norm rows to the sentinel first in the
+      semantic_duplicates variant (NaN norms pass the guard as in Spark,
       where NaN > 0 is true).
     Arrow-level access (not pandas) preserves element nulls exactly.
     """
     import pyarrow as pa
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _spark_round6 as _round6,
+    )
 
     dim = len(centroids[0]) if centroids else 0
     C = [list(map(float, c)) for c in centroids]
@@ -301,30 +292,23 @@ def with_argmax_cell_arrow(
                 if guarded:
                     # null vec / null element -> null norm -> sentinel
                     cell[row_null | has_elem_null] = sentinel
-                # clean rows with len != dim: the JVM still evaluates the
-                # score divisions (null dot / (norm * nc)) — Spark's ANSI
-                # Divide raises on a ZERO divisor even with a null
-                # numerator, so a zero/underflowing norm raises here too
-                # (unless the nrm > 0 guard routes it to the sentinel
-                # first); otherwise all scores are null -> cell 0
-                odd = np.nonzero(clean & (lens != dim))[0]
-                for i in odd:
-                    acc = 0.0
-                    for x in flat[starts[i]:ends[i]]:
-                        acc = acc + x * x
-                    nrm = np.sqrt(acc)
-                    if guarded and not (nrm > 0 or np.isnan(nrm)):
-                        cell[i] = sentinel
-                        continue
-                    for nc in NC:
-                        if nrm * nc == 0.0:
-                            raise ArithmeticError(
-                                "[DIVIDE_BY_ZERO] zero-norm vector in IVF "
-                                "cell scoring (cosine over a zero vector "
-                                "is undefined) — clean zero/underflow-norm "
-                                "sentinels upstream"
-                            )
-                    # cell stays 0 (all scores null)
+                # clean rows with len != dim: every score's NUMERATOR is
+                # null (the zip pads), and Spark's ANSI Divide returns
+                # NULL for a null numerator WITHOUT checking the divisor
+                # (review-pinned: null/0.0 is NULL, not an error), so
+                # these rows NEVER raise — all-null scores give cell 0,
+                # except the guarded variant's nrm <= 0 rows (empty vec)
+                # which the guard routes to the sentinel first
+                if guarded:
+                    odd = np.nonzero(clean & (lens != dim))[0]
+                    for i in odd:
+                        acc = 0.0
+                        for x in flat[starts[i]:ends[i]]:
+                            acc = acc + x * x
+                        nrm = np.sqrt(acc)
+                        if not (nrm > 0 or np.isnan(nrm)):
+                            cell[i] = sentinel
+                        # else cell stays 0 (all scores null)
                 ridx = np.nonzero(mass)[0]
                 m = len(ridx)
                 if m and dim:
@@ -367,7 +351,7 @@ def with_argmax_cell_arrow(
                                     continue
                                 best_s, best_j = None, 0
                                 for j in np.nonzero(cand[r])[0]:
-                                    s = _spark_round6_py(S[r, j])
+                                    s = _round6(S[r, j])
                                     if best_s is None or s > best_s:
                                         best_s, best_j = s, j
                                 cell[ridx[r]] = best_j

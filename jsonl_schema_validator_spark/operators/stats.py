@@ -253,17 +253,29 @@ def _exact_percentile_values(
             if offsets[b] <= k < offsets[b] + totals[b]:
                 targets.add(b)
                 break
+    # signed-zero parity (review finding): groupBy normalizes -0.0 to 0.0
+    # while Percentile's value->count buffer keeps them DISTINCT with
+    # Double.compare ordering (-0.0 < 0.0). A string side-key separates
+    # the two zero groups ("-0.0" < "0.0" lexicographically reproduces
+    # the ordering) and lets lookup() recover the -0.0 the grouped key
+    # itself lost; every other value gets the constant ''.
+    zk = (
+        F.when(vd == 0.0, F.col("v").cast("string")).otherwise(F.lit(""))
+        if is_float
+        else F.lit("")
+    )
     wk = (
         nn.withColumn("bk", bucket)
+        .withColumn("zk", zk)
         .where(F.col("bk").isin(*[int(b) for b in targets]))
-        .groupBy("bk", "v")
+        .groupBy("bk", "v", "zk")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     from pyspark.sql.window import Window
 
     w = (
         Window.partitionBy("bk")
-        .orderBy("v")
+        .orderBy("v", "zk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off_map = {int(b): offsets[b] for b in targets}
@@ -278,12 +290,12 @@ def _exact_percentile_values(
     for k in sorted(ks):
         c = (F.col("cb") <= F.lit(k)) & (F.lit(k) < F.col("cb") + F.col("cnt"))
         cond = c if cond is None else (cond | c)
-    rows = wk.where(cond).select("v", "cb", "cnt").collect()
+    rows = wk.where(cond).select("v", "zk", "cb", "cnt").collect()
 
     def lookup(k: int):
         for r in rows:
             if r.cb <= k < r.cb + r.cnt:
-                return r.v
+                return -0.0 if r.zk == "-0.0" else r.v
         raise RuntimeError(
             f"exact percentile rank {k} not resolved (internal invariant)"
         )
@@ -297,7 +309,14 @@ def _exact_percentile_values(
             out.append(vlo)
         else:
             vhi = float(lookup(hi))
-            out.append((hi - pos) * vlo + (pos - lo) * vhi)
+            # Percentile short-circuits on VALUE equality (Java ==, where
+            # -0.0 == 0.0) returning the lower key — review-pinned: the
+            # interpolation would launder -0.0 into +0.0 otherwise. NaN
+            # keys fail == and interpolate to NaN in both engines.
+            if vlo == vhi:
+                out.append(vlo)
+            else:
+                out.append((hi - pos) * vlo + (pos - lo) * vhi)
     return out
 
 

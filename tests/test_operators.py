@@ -1316,6 +1316,7 @@ def test_exact_percentile_values_equals_f_percentile_fuzz(spark):
         ("double", [(float(rng.randint(0, 3)),) for _ in range(301)]),
         ("double", [(1.25,)]),
         ("double", [(float("nan"),), (2.0,), (1.0,), (float("nan"),)]),
+        ("double", [(-0.0,), (0.0,), (-0.0,), (1.0,)]),
         ("double", [(None,), (5.0,), (None,), (3.0,)]),
         ("double", [(None,)]),
         ("bigint", [(rng.randint(-50, 50),) for _ in range(400)]),

@@ -64,10 +64,12 @@ def test_argmax_cell_arrow_equals_jvm_fuzz(spark):
         (rid + 8, [0.5, None] + [1.0] * (dim - 2)),
         (rid + 9, [-1e308] + [1e308] * (dim - 1)),
     ]
-    # underflow-norm and empty vectors RAISE in the unguarded variant
-    # (Spark's ANSI Divide raises on a zero divisor even under a null
-    # numerator) — compared in the guarded run only, raise-pinned below
-    raise_rows = [(rid + 6, [1e-300] + [0.0] * (dim - 1)), (rid + 7, [])]
+    # empty vectors do NOT raise (null numerators: ANSI Divide returns
+    # NULL without checking the divisor — review-pinned) -> cell 0
+    # unguarded / sentinel guarded; only FULL-DIM zero/underflow norms
+    # raise in the unguarded variant (real numerator over zero divisor)
+    rows.append((rid + 7, []))
+    raise_rows = [(rid + 6, [1e-300] + [0.0] * (dim - 1))]
     for guarded in (False, True):
         r = rows + raise_rows if guarded else rows
         jvm = _jvm_cells(spark, r, centroids, cent_norms, guarded)
