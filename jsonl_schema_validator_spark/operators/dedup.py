@@ -1134,11 +1134,16 @@ def _spark_round6(d: float) -> float:
 
     if not math.isfinite(d):
         return d
-    return float(
+    r = float(
         decimal.Decimal(repr(d)).quantize(
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )
+    # java.math.BigDecimal has NO signed zero, so Spark's round launders
+    # -0.0 (and any value rounding to zero) into +0.0; Python's Decimal
+    # keeps the sign — canonicalize (review-pinned via an emitted
+    # -0.0-cosine repro)
+    return r + 0.0 if r == 0.0 else r
 
 
 def _intra_cell_pairs_numpy(

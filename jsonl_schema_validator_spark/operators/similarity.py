@@ -84,29 +84,194 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_driver_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, score, rank).
 
     Excludes self-matches. Ranking on (round(score,6) desc, neighbor_id) for
     cross-engine determinism.
-    """
+
+    Round-10 scoring path: the query batch (small by contract — it was
+    always broadcast) is collected once (bounded limit probe) and the
+    corpus is scored in ONE mapInArrow pass (_score_queries_arrow), numpy
+    arithmetic bit-equivalent to round(cosine(qv, cv), 6) — the
+    interpreted per-pair HOF dot was the whole cost of this operator.
+    Query batches beyond `max_driver_queries` fall back to the former
+    broadcast crossJoin plan (collecting them to the driver would trade
+    an executor broadcast for driver memory). Self-match filtering and
+    the top-k window are unchanged JVM."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    qrows = q.limit(max_driver_queries + 1).collect()
+    if len(qrows) <= max_driver_queries:
+        scored = _score_queries_arrow(
+            c, "cv", "neighbor_id", qrows, q.schema["query_id"].dataType
         )
-    )
+    else:
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            )
+        )
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     return _topk_by_score(scored, k)
+
+
+def _score_queries_arrow(
+    c: DataFrame, vec_col: str, nid_col: str, qrows, qid_dtype
+) -> DataFrame:
+    """(query_id, neighbor_id, score) for every (collected query, corpus
+    row) pair — score numpy-computed in one mapInArrow pass,
+    BIT-EQUIVALENT to F.round(cosine(qv, cv), 6) (fuzz-pinned in
+    tests/test_similarity_assign.py):
+    - dot and both norms replicate the zip_with/aggregate fold order
+      (acc = 0.0; += products left-to-right; query norms computed with the
+      same fold in plain-Python IEEE doubles);
+    - score = dot / (norm_q * norm_c), then the shared _spark_round6
+      (non-finite passthrough); NaN propagates;
+    - null vectors, null elements (either side) and length mismatches
+      null the dot (zip-pad) -> null score;
+    - ANSI Divide parity: a zero divisor raises ONLY under a non-null
+      numerator (zero-norm full-length pairs fail loudly, null dots
+      don't).
+    Arrow-level access preserves element nulls exactly."""
+    import pyarrow as pa
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _spark_round6 as _round6,
+    )
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(qid_dtype)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_dtype),
+            T.StructField("neighbor_id", c.schema[nid_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    # materialize the query set as plain python (ids + vectors + norms)
+    Q = []
+    for r in qrows:
+        qv = r["qv"]
+        if qv is None:
+            Q.append((r["query_id"], None, None, None))
+            continue
+        has_null = any(x is None for x in qv)
+        vec = [float(x) for x in qv] if not has_null else None
+        nrm = None
+        if vec is not None:
+            acc = 0.0
+            for x in vec:
+                acc = acc + x * x
+            nrm = acc ** 0.5 if acc >= 0 else float("nan")
+        Q.append((r["query_id"], vec, nrm, len(qv)))
+    vec_idx = c.columns.index(vec_col)
+    nid_idx = c.columns.index(nid_col)
+
+    def score(batches):
+        import math
+
+        import numpy as np
+
+        for batch in batches:
+            n = batch.num_rows
+            nid = batch.column(nid_idx)
+            out_qid, out_nid, out_score = [], [], []
+            if n:
+                vec = batch.column(vec_idx)
+                offs = np.asarray(vec.offsets)
+                starts, ends = offs[:-1], offs[1:]
+                lens = ends - starts
+                row_null = (
+                    np.asarray(vec.is_null())
+                    if vec.null_count
+                    else np.zeros(n, dtype=bool)
+                )
+                vals = vec.values
+                if vals.null_count:
+                    elem_null_flat = np.asarray(vals.is_null())
+                    cs = np.concatenate([[0], np.cumsum(elem_null_flat)])
+                    has_elem_null = (cs[ends] - cs[starts]) > 0
+                    flat = np.asarray(
+                        vals.cast(pa.float64()).fill_null(np.nan)
+                    )
+                else:
+                    has_elem_null = np.zeros(n, dtype=bool)
+                    flat = np.asarray(vals.cast(pa.float64()))
+                clean = ~row_null & ~has_elem_null
+                # corpus norms per distinct length (exact fold)
+                nb = np.full(n, np.nan)
+                len_groups = {}
+                for d in np.unique(lens[clean]):
+                    sel = np.nonzero(clean & (lens == d))[0]
+                    gather = starts[sel, None] + np.arange(d)[None, :]
+                    M = flat[gather]
+                    acc = np.zeros(len(sel))
+                    for kk in range(d):
+                        acc = acc + M[:, kk] * M[:, kk]
+                    nb[sel] = np.sqrt(acc)
+                    len_groups[int(d)] = (sel, M)
+                for qid, qvec, qn, qlen in Q:
+                    s = np.full(n, np.nan)
+                    null_mask = np.ones(n, dtype=bool)
+                    if qvec is not None:
+                        d = qlen
+                        if d in len_groups:
+                            sel, M = len_groups[d]
+                            dot = np.zeros(len(sel))
+                            for kk in range(d):
+                                dot = dot + M[:, kk] * qvec[kk]
+                            with np.errstate(all="ignore"):
+                                div = qn * nb[sel]
+                                # ANSI parity: the numerator here is always
+                                # non-null (NaN included — NaN is not
+                                # null), so ANY zero divisor raises
+                                if np.any(div == 0.0):
+                                    raise ArithmeticError(
+                                        "[DIVIDE_BY_ZERO] zero-norm vector "
+                                        "in cosine scoring — clean zero-"
+                                        "norm sentinels upstream"
+                                    )
+                                raw = dot / div
+                            s[sel] = [_round6(x) for x in raw]
+                            null_mask[sel] = False
+                    out_qid.extend([qid] * n)
+                    out_nid.append(nid)
+                    out_score.append(
+                        pa.array(
+                            [None if m else v for m, v in zip(null_mask, s)],
+                            type=pa.float64(),
+                        )
+                    )
+            if out_nid:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_qid, type=qid_pa),
+                        pa.concat_arrays(
+                            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_nid]
+                        ),
+                        pa.concat_arrays(out_score),
+                    ],
+                    schema=pa.schema(
+                        [
+                            pa.field("query_id", qid_pa),
+                            pa.field("neighbor_id", nid.type),
+                            pa.field("score", pa.float64()),
+                        ]
+                    ),
+                )
+
+    return c.select(nid_col, vec_col).mapInArrow(score, out_schema)
 
 
 def embedding_cosine_pairs(

@@ -1021,7 +1021,7 @@ def test_spark_round6_emulation(spark):
         0.1234565, 0.1234575, 0.0009765625, 1 / 3, 2 / 3, 0.515,
         -0.3499995, -0.1234565, 0.0, 1e-12, 5e-7, 4.9999999e-7,
         123456.4999999999, 0.9999995, 1.0000005,
-        float("inf"), float("-inf"),
+        float("inf"), float("-inf"), -0.0, -4.9e-7,
     ]
     df = spark.createDataFrame([(v,) for v in vals], "d double")
     got = {r.d: r.r for r in df.select("d", F.round("d", 6).alias("r")).collect()}

@@ -95,3 +95,84 @@ def test_argmax_cell_arrow_zero_vector_raises_unguarded(spark):
         df, "v", centroids, [1.0, 1.0], guard_norm_sentinel=-1
     ).collect()}
     assert got == {1: -1, 2: 0}
+
+
+def test_score_queries_arrow_equals_jvm_fuzz(spark):
+    """_score_queries_arrow (round-10 brute_force_topk scoring) must emit
+    EXACTLY the (query_id, neighbor_id, score) rows of the JVM
+    round(cosine(qv, cv), 6) crossJoin on adversarial inputs: NaN/inf
+    elements, null vectors/elements, length mismatches, huge values, and
+    repr-boundary cosines."""
+    import random
+
+    from jsonl_schema_validator_spark.operators.similarity import (
+        _score_queries_arrow,
+        cosine,
+    )
+
+    rng = random.Random(23)
+    dim = 5
+    crows = []
+    rid = 0
+    for _ in range(40):
+        crows.append((rid, [rng.gauss(0, 1) for _ in range(dim)])); rid += 1
+    crows += [
+        (rid, None), (rid + 1, [None] * dim),
+        (rid + 2, [1.0] * (dim - 1)), (rid + 3, [1.0] * (dim + 1)),
+        (rid + 4, [float("nan")] + [1.0] * (dim - 1)),
+        (rid + 5, [float("inf")] + [1.0] * (dim - 1)),
+        (rid + 6, [1e200] * dim), (rid + 7, [0.5, None, 1.0, 1.0, 1.0]),
+    ]
+    qrows_data = [
+        (1000, [rng.gauss(0, 1) for _ in range(dim)]),
+        (1001, [1.0] * (dim - 1)),              # len-mismatch vs most
+        (1002, None),                           # null query vector
+        (1003, [float("nan")] + [0.0] * (dim - 1)),
+        (1004, [None] + [1.0] * (dim - 1)),     # null element
+        (1005, [1e200] * dim),                  # overflow dots
+    ]
+    c = spark.createDataFrame(crows, "neighbor_id bigint, cv array<double>")
+    q = spark.createDataFrame(qrows_data, "query_id bigint, qv array<double>")
+    jvm = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    ).collect()
+    got = _score_queries_arrow(
+        c, "cv", "neighbor_id", q.collect(),
+        q.schema["query_id"].dataType,
+    ).collect()
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            s = r.score
+            out[(r.query_id, r.neighbor_id)] = (
+                "nan" if (s is not None and s != s) else repr(s)
+            )
+        return out
+
+    a, b = key(jvm), key(got)
+    assert a == b, {k: (a.get(k), b.get(k)) for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
+
+def test_score_queries_arrow_zero_norm_raises(spark):
+    """A zero-norm corpus vector scored against a real query raises (ANSI
+    Divide parity: non-null numerator over zero divisor)."""
+    from jsonl_schema_validator_spark.operators.similarity import (
+        _score_queries_arrow,
+    )
+
+    c = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "neighbor_id bigint, cv array<double>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 1.0])], "query_id bigint, qv array<double>")
+    out = _score_queries_arrow(
+        c, "cv", "neighbor_id", q.collect(), q.schema["query_id"].dataType
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+        out.collect()
