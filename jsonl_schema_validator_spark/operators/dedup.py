@@ -1134,16 +1134,55 @@ def _spark_round6(d: float) -> float:
 
     if not math.isfinite(d):
         return d
-    r = float(
-        decimal.Decimal(repr(d)).quantize(
-            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+    # java.math.BigDecimal is arbitrary-precision; Python's default
+    # 28-digit context raises InvalidOperation quantizing |d| >= ~1e22
+    # (review-pinned against F.round at 1e300) — widen to cover any
+    # double's integer digits (<= 309) plus the 6-dp scale
+    with decimal.localcontext() as ctx:
+        ctx.prec = 340
+        r = float(
+            decimal.Decimal(repr(d)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
         )
-    )
     # java.math.BigDecimal has NO signed zero, so Spark's round launders
     # -0.0 (and any value rounding to zero) into +0.0; Python's Decimal
     # keeps the sign — canonicalize (review-pinned via an emitted
     # -0.0-cosine repro)
     return r + 0.0 if r == 0.0 else r
+
+
+def _spark_round6_vec(raw):
+    """Vectorized _spark_round6 over a float64 ndarray: floor(v*1e6 + 0.5)
+    for every value provably FAR from a 6-dp HALF_UP boundary, the exact
+    Decimal emulation only inside the ambiguity band. The band is where
+    (a) the scaled value's distance to the .5 rounding boundary is within
+    a few ulps of the float error of computing v*1e6 plus the
+    shortest-repr slack (both O(ulp(y)) — np.spacing), or (b) |v*1e6|
+    has reached 2^52, where doubles can no longer resolve fractions at
+    all. Outside the band both semantics provably agree (the float error
+    cannot carry the value across the boundary); signed zeros cannot
+    escape the band (floor(y+0.5) is -0.0 only at y == -0.5 exactly,
+    which is ON the boundary), so the +0.0 canonicalization is
+    preserved. Pinned against the scalar _spark_round6 (itself pinned
+    against F.round) in tests/test_dedup.py."""
+    import numpy as np
+
+    out = np.array(raw, dtype=np.float64, copy=True)
+    finite = np.isfinite(out)
+    if not finite.any():
+        return out
+    v = out[finite]
+    y = v * 1e6
+    dist = np.abs((y - np.floor(y)) - 0.5)
+    band = (dist <= 4.0 * np.spacing(np.abs(y)) + 1e-9) | (
+        np.abs(y) >= 2.0**52
+    )
+    res = np.floor(y + 0.5) / 1e6
+    if band.any():
+        res[band] = [_spark_round6(x) for x in v[band]]
+    out[finite] = res
+    return out
 
 
 def _intra_cell_pairs_numpy(
@@ -1175,6 +1214,12 @@ def _intra_cell_pairs_numpy(
       pair zip-pads with nulls -> no pairs (only same-dim rows pair).
     - id_a < id_b: each unordered pair is emitted once, oriented
       (min, max); equal-id row pairs are dropped (id_a < id_b is strict).
+    - null ids: the old join's id_a < id_b evaluated NULL for any pair
+      touching a null id, dropping it — replicated by filtering null ids
+      JVM-side BEFORE the pandas boundary (which also keeps int64 ids
+      int64: pandas would promote a nullable int column to float64,
+      corrupting ids beyond 2^53 and turning the nulls themselves into
+      NaN pair endpoints).
 
     The dense-cell guard bounds every group at ~max_cell_size rows, so the
     per-task matrix stays capped at scale; blockwise accumulation bounds
@@ -1242,6 +1287,7 @@ def _intra_cell_pairs_numpy(
     ).alias("ok")
     return (
         assigned.select(*join_keys, "id", "v", ok)
+        .where(F.col("id").isNotNull())
         .groupBy(*join_keys)
         .applyInPandas(emit_pairs, out_schema)
     )

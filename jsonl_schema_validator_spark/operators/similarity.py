@@ -78,6 +78,41 @@ def _topk_by_score(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _unpack_arrow_list_f64(vec, n):
+    """Decompose an Arrow list<numeric> column of n rows into the numpy
+    pieces the round-10 emulations consume: (starts, ends, lens,
+    row_null, has_elem_null, flat) — flat the float64 child values with
+    element nulls replaced by NaN (row_null/has_elem_null carry the real
+    null information; the NaN fill only pads positions those masks
+    already exclude). ChunkedArray inputs are combined first. THE one
+    list-column walk shared by with_argmax_cell_arrow and
+    _score_queries_arrow (round-9 lesson: when two map passes share a
+    walk, extract it the day the second one lands)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(vec, pa.ChunkedArray):
+        vec = vec.combine_chunks()
+    offs = np.asarray(vec.offsets)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    row_null = (
+        np.asarray(vec.is_null())
+        if vec.null_count
+        else np.zeros(n, dtype=bool)
+    )
+    vals = vec.values
+    if vals.null_count:
+        elem_null_flat = np.asarray(vals.is_null())
+        cs = np.concatenate([[0], np.cumsum(elem_null_flat)])
+        has_elem_null = (cs[ends] - cs[starts]) > 0
+        flat = np.asarray(vals.cast(pa.float64()).fill_null(np.nan))
+    else:
+        has_elem_null = np.zeros(n, dtype=bool)
+        flat = np.asarray(vals.cast(pa.float64()))
+    return starts, ends, lens, row_null, has_elem_null, flat
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,8 +133,12 @@ def brute_force_topk(
     interpreted per-pair HOF dot was the whole cost of this operator.
     Query batches beyond `max_driver_queries` fall back to the former
     broadcast crossJoin plan (collecting them to the driver would trade
-    an executor broadcast for driver memory). Self-match filtering and
-    the top-k window are unchanged JVM."""
+    an executor broadcast for driver memory). The top-k window is
+    unchanged JVM; the self-match filter is replicated INSIDE the arrow
+    pass, before scoring, exactly where the old plan's filter pushdown
+    put it (so both arms agree that a self-only zero-norm pair returns
+    empty instead of raising) — the JVM `.where` below stays as the
+    fallback arm's filter and is a no-op on the arrow arm's output."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -129,24 +168,33 @@ def _score_queries_arrow(
     c: DataFrame, vec_col: str, nid_col: str, qrows, qid_dtype
 ) -> DataFrame:
     """(query_id, neighbor_id, score) for every (collected query, corpus
-    row) pair — score numpy-computed in one mapInArrow pass,
-    BIT-EQUIVALENT to F.round(cosine(qv, cv), 6) (fuzz-pinned in
-    tests/test_similarity_assign.py):
+    row) pair PASSING `query_id != neighbor_id` — score numpy-computed in
+    one mapInArrow pass, BIT-EQUIVALENT to the former
+    broadcast-crossJoin + round(cosine(qv, cv), 6) + self-filter plan
+    (fuzz-pinned in tests/test_similarity_assign.py):
     - dot and both norms replicate the zip_with/aggregate fold order
       (acc = 0.0; += products left-to-right; query norms computed with the
       same fold in plain-Python IEEE doubles);
-    - score = dot / (norm_q * norm_c), then the shared _spark_round6
-      (non-finite passthrough); NaN propagates;
+    - score = dot / (norm_q * norm_c), then the shared Spark-round6
+      (vectorized band emulation, non-finite passthrough); NaN propagates;
     - null vectors, null elements (either side) and length mismatches
       null the dot (zip-pad) -> null score;
-    - ANSI Divide parity: a zero divisor raises ONLY under a non-null
-      numerator (zero-norm full-length pairs fail loudly, null dots
-      don't).
-    Arrow-level access preserves element nulls exactly."""
+    - the self-filter is applied BEFORE scoring, as the old plan's filter
+      pushdown did (review-pinned): pairs whose ids are equal (Spark
+      equality — NaN = NaN true for float ids) or carry a NULL id on
+      either side are never scored, so e.g. a zero-norm query whose only
+      same-dim corpus row is itself returns instead of raising;
+    - ANSI Divide parity on the pairs that ARE scored: a zero divisor
+      raises ONLY under a non-null numerator (zero-norm full-length pairs
+      fail loudly, null dots don't).
+    Arrow-level access preserves element nulls exactly. Output is flushed
+    in bounded chunks (the full |Q| x batch product is never materialized
+    at once — memory stays O(batch + chunk) at the max_driver_queries
+    cap)."""
     import pyarrow as pa
 
     from jsonl_schema_validator_spark.operators.dedup import (
-        _spark_round6 as _round6,
+        _spark_round6_vec as _round6_vec,
     )
 
     from pyspark.sql.pandas.types import to_arrow_type
@@ -159,9 +207,12 @@ def _score_queries_arrow(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    # materialize the query set as plain python (ids + vectors + norms)
+    # materialize the query set as plain python (ids + vectors + norms);
+    # a NULL query id never survives the != filter -> skip the query
     Q = []
     for r in qrows:
+        if r["query_id"] is None:
+            continue
         qv = r["qv"]
         if qv is None:
             Q.append((r["query_id"], None, None, None))
@@ -177,99 +228,122 @@ def _score_queries_arrow(
         Q.append((r["query_id"], vec, nrm, len(qv)))
     vec_idx = c.columns.index(vec_col)
     nid_idx = c.columns.index(nid_col)
+    FLUSH_ROWS = 1 << 16
 
     def score(batches):
-        import math
-
         import numpy as np
+        import pyarrow.compute as pc
+
+        out_fields = None
+
+        def make_flush(buf_qid, buf_nid, buf_score):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays(buf_qid),
+                    pa.concat_arrays(buf_nid),
+                    pa.concat_arrays(buf_score),
+                ],
+                schema=out_fields,
+            )
 
         for batch in batches:
             n = batch.num_rows
             nid = batch.column(nid_idx)
-            out_qid, out_nid, out_score = [], [], []
-            if n:
-                vec = batch.column(vec_idx)
-                offs = np.asarray(vec.offsets)
-                starts, ends = offs[:-1], offs[1:]
-                lens = ends - starts
-                row_null = (
-                    np.asarray(vec.is_null())
-                    if vec.null_count
-                    else np.zeros(n, dtype=bool)
+            if out_fields is None:
+                out_fields = pa.schema(
+                    [
+                        pa.field("query_id", qid_pa),
+                        pa.field("neighbor_id", nid.type),
+                        pa.field("score", pa.float64()),
+                    ]
                 )
-                vals = vec.values
-                if vals.null_count:
-                    elem_null_flat = np.asarray(vals.is_null())
-                    cs = np.concatenate([[0], np.cumsum(elem_null_flat)])
-                    has_elem_null = (cs[ends] - cs[starts]) > 0
-                    flat = np.asarray(
-                        vals.cast(pa.float64()).fill_null(np.nan)
+            if not n:
+                continue
+            nid_valid = (
+                ~np.asarray(nid.is_null())
+                if nid.null_count
+                else np.ones(n, dtype=bool)
+            )
+            nid_is_float = pa.types.is_floating(nid.type)
+            starts, _ends, lens, row_null, has_elem_null, flat = (
+                _unpack_arrow_list_f64(batch.column(vec_idx), n)
+            )
+            clean = ~row_null & ~has_elem_null
+            # corpus norms per distinct length (exact fold)
+            nb = np.full(n, np.nan)
+            len_groups = {}
+            for d in np.unique(lens[clean]):
+                sel = np.nonzero(clean & (lens == d))[0]
+                gather = starts[sel, None] + np.arange(d)[None, :]
+                M = flat[gather]
+                acc = np.zeros(len(sel))
+                for kk in range(d):
+                    acc = acc + M[:, kk] * M[:, kk]
+                nb[sel] = np.sqrt(acc)
+                len_groups[int(d)] = (sel, M)
+            buf_qid, buf_nid, buf_score, buf_rows = [], [], [], 0
+            for qid, qvec, qn, qlen in Q:
+                # Spark-equality self mask, computed Arrow-side (a
+                # nullable int64 detours through float64 in to_numpy,
+                # which would conflate ids beyond 2^53): NaN = NaN is
+                # TRUE for float ids (Spark normalizes NaN in
+                # comparisons, IEEE equal does not); -0.0 == 0.0 holds
+                # in both; NULL ids never pass !=
+                if nid_is_float and isinstance(qid, float) and qid != qid:
+                    eq_self = np.isnan(
+                        nid.cast(pa.float64())
+                        .fill_null(0.0)
+                        .to_numpy(zero_copy_only=False)
                     )
                 else:
-                    has_elem_null = np.zeros(n, dtype=bool)
-                    flat = np.asarray(vals.cast(pa.float64()))
-                clean = ~row_null & ~has_elem_null
-                # corpus norms per distinct length (exact fold)
-                nb = np.full(n, np.nan)
-                len_groups = {}
-                for d in np.unique(lens[clean]):
-                    sel = np.nonzero(clean & (lens == d))[0]
-                    gather = starts[sel, None] + np.arange(d)[None, :]
-                    M = flat[gather]
-                    acc = np.zeros(len(sel))
-                    for kk in range(d):
-                        acc = acc + M[:, kk] * M[:, kk]
-                    nb[sel] = np.sqrt(acc)
-                    len_groups[int(d)] = (sel, M)
-                for qid, qvec, qn, qlen in Q:
-                    s = np.full(n, np.nan)
-                    null_mask = np.ones(n, dtype=bool)
-                    if qvec is not None:
-                        d = qlen
-                        if d in len_groups:
-                            sel, M = len_groups[d]
-                            dot = np.zeros(len(sel))
-                            for kk in range(d):
-                                dot = dot + M[:, kk] * qvec[kk]
-                            with np.errstate(all="ignore"):
-                                div = qn * nb[sel]
-                                # ANSI parity: the numerator here is always
-                                # non-null (NaN included — NaN is not
-                                # null), so ANY zero divisor raises
-                                if np.any(div == 0.0):
-                                    raise ArithmeticError(
-                                        "[DIVIDE_BY_ZERO] zero-norm vector "
-                                        "in cosine scoring — clean zero-"
-                                        "norm sentinels upstream"
-                                    )
-                                raw = dot / div
-                            s[sel] = [_round6(x) for x in raw]
-                            null_mask[sel] = False
-                    out_qid.extend([qid] * n)
-                    out_nid.append(nid)
-                    out_score.append(
-                        pa.array(
-                            [None if m else v for m, v in zip(null_mask, s)],
-                            type=pa.float64(),
-                        )
+                    eq_self = (
+                        pc.fill_null(pc.equal(nid, pa.scalar(qid)), False)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(bool)
                     )
-            if out_nid:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(out_qid, type=qid_pa),
-                        pa.concat_arrays(
-                            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_nid]
-                        ),
-                        pa.concat_arrays(out_score),
-                    ],
-                    schema=pa.schema(
-                        [
-                            pa.field("query_id", qid_pa),
-                            pa.field("neighbor_id", nid.type),
-                            pa.field("score", pa.float64()),
-                        ]
-                    ),
+                keep = nid_valid & ~eq_self
+                m_out = int(keep.sum())
+                if not m_out:
+                    continue
+                s = np.full(n, np.nan)
+                null_mask = np.ones(n, dtype=bool)
+                if qvec is not None and qlen in len_groups:
+                    sel, M = len_groups[qlen]
+                    ksel = keep[sel]
+                    sel2, M2 = sel[ksel], M[ksel]
+                    if len(sel2):
+                        dot = np.zeros(len(sel2))
+                        for kk in range(qlen):
+                            dot = dot + M2[:, kk] * qvec[kk]
+                        with np.errstate(all="ignore"):
+                            div = qn * nb[sel2]
+                            # ANSI parity: the numerator here is always
+                            # non-null (NaN included — NaN is not null),
+                            # so ANY zero divisor raises
+                            if np.any(div == 0.0):
+                                raise ArithmeticError(
+                                    "[DIVIDE_BY_ZERO] zero-norm vector "
+                                    "in cosine scoring — clean zero-"
+                                    "norm sentinels upstream"
+                                )
+                            raw = dot / div
+                        s[sel2] = _round6_vec(raw)
+                        null_mask[sel2] = False
+                keep_pa = pa.array(keep)
+                buf_qid.append(
+                    pa.repeat(pa.scalar(qid, type=qid_pa), m_out)
                 )
+                buf_nid.append(nid.filter(keep_pa))
+                sk, mk = s[keep], null_mask[keep]
+                buf_score.append(
+                    pa.Array.from_pandas(sk, mask=mk, type=pa.float64())
+                )
+                buf_rows += m_out
+                if buf_rows >= FLUSH_ROWS:
+                    yield make_flush(buf_qid, buf_nid, buf_score)
+                    buf_qid, buf_nid, buf_score, buf_rows = [], [], [], 0
+            if buf_rows:
+                yield make_flush(buf_qid, buf_nid, buf_score)
 
     return c.select(nid_col, vec_col).mapInArrow(score, out_schema)
 
@@ -426,32 +500,9 @@ def with_argmax_cell_arrow(
             n = batch.num_rows
             cell = np.zeros(n, dtype=np.int32)
             if n and n_cent:
-                vec = batch.column(vec_idx)
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                offs = np.asarray(vec.offsets)
-                starts, ends = offs[:-1], offs[1:]
-                lens = ends - starts
-                row_null = np.zeros(n, dtype=bool)
-                if vec.null_count:
-                    row_null = np.asarray(vec.is_null())
-                vals = vec.values
-                elem_null_flat = (
-                    np.asarray(vals.is_null())
-                    if vals.null_count
-                    else None
+                starts, ends, lens, row_null, has_elem_null, flat = (
+                    _unpack_arrow_list_f64(batch.column(vec_idx), n)
                 )
-                flat = np.asarray(
-                    vals.cast(pa.float64()).fill_null(np.nan)
-                    if vals.null_count
-                    else vals.cast(pa.float64())
-                )
-                has_elem_null = np.zeros(n, dtype=bool)
-                if elem_null_flat is not None:
-                    cs_null = np.concatenate(
-                        [[0], np.cumsum(elem_null_flat)]
-                    )
-                    has_elem_null = (cs_null[ends] - cs_null[starts]) > 0
                 clean = ~row_null & ~has_elem_null
                 mass = clean & (lens == dim)
                 if guarded:
@@ -516,7 +567,18 @@ def with_argmax_cell_arrow(
                                     continue
                                 best_s, best_j = None, 0
                                 for j in np.nonzero(cand[r])[0]:
-                                    s = _round6(S[r, j])
+                                    sj = S[r, j]
+                                    # NaN candidates exist only when mx
+                                    # is -inf (NaN maps to -inf in Sx,
+                                    # so the band can only admit it
+                                    # there); Spark ranks ns = -NaN LAST,
+                                    # so any real score — including a
+                                    # real -inf — beats NaN
+                                    # (review-pinned: seeding best_s
+                                    # with a NaN froze the comparison)
+                                    if np.isnan(sj):
+                                        continue
+                                    s = _round6(sj)
                                     if best_s is None or s > best_s:
                                         best_s, best_j = s, j
                                 cell[ridx[r]] = best_j

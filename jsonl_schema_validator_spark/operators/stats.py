@@ -193,15 +193,36 @@ def _exact_percentile_values(
     explicit top bin; +-inf collapse bins degenerately but stay ordered.
 
     Jobs: 1 min/max/count pass + 1 bucket-count pass + 1 filtered rank
-    pass — all map-side-combinable aggregates, no single big merge."""
-    import math
+    pass — all map-side-combinable aggregates, no single big merge; the
+    narrow (v) frame is persisted for exactly those three passes
+    (round-10 review: each pass re-scanned the full input per numeric
+    column — the same §5 pattern as _distributed_cum_before) and
+    released before returning."""
+    from pyspark import StorageLevel
 
     col = F.col(col_name)
     for q in qs:
         if not (0.0 <= float(q) <= 1.0):
             raise ValueError(f"percentile must be in [0, 1], got {q!r}")
-    nn = df.select(col.alias("v")).where(col.isNotNull())
-    dt = df.schema[col_name].dataType
+    nn = df.select(col.alias("v")).where(col.isNotNull()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _exact_percentile_resolve(
+            nn, df.schema[col_name].dataType, qs, n_buckets
+        )
+    finally:
+        nn.unpersist()
+
+
+def _exact_percentile_resolve(
+    nn: DataFrame, dt, qs: list[float], n_buckets: int
+) -> list:
+    """The rank-resolution passes of _exact_percentile_values, over the
+    persisted single-column frame `nn` (see its docstring for the full
+    semantics/equivalence contract)."""
+    import math
+
     is_float = isinstance(dt, (T.DoubleType, T.FloatType))
     vd = F.col("v").cast("double")
     finite = ~F.isnan(vd) if is_float else F.lit(True)

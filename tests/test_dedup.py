@@ -1022,11 +1022,57 @@ def test_spark_round6_emulation(spark):
         -0.3499995, -0.1234565, 0.0, 1e-12, 5e-7, 4.9999999e-7,
         123456.4999999999, 0.9999995, 1.0000005,
         float("inf"), float("-inf"), -0.0, -4.9e-7,
+        # magnitudes past the default Decimal context (latent
+        # InvalidOperation class, review-pinned) and past 2^52 scaled
+        1e300, -1e300, 1e22, 4503599627.370496, 4503599627.3704967,
+        9.007199254740992e15, -9.007199254740993e15,
     ]
     df = spark.createDataFrame([(v,) for v in vals], "d double")
     got = {r.d: r.r for r in df.select("d", F.round("d", 6).alias("r")).collect()}
     for v in vals:
         assert _spark_round6(v) == got[v], (v, _spark_round6(v), got[v])
+
+
+def test_spark_round6_vec_matches_scalar_fuzz():
+    """_spark_round6_vec (the vectorized band rounding used by the arrow
+    cosine scorer) must agree with the scalar _spark_round6 — itself
+    pinned against F.round above — on every value class: random
+    magnitudes across 12 decades, dense sweeps AROUND .5 boundaries,
+    exact boundary multiples, signed zeros, values past 2^52 scaled
+    (where floor can no longer resolve fractions), non-finites. repr
+    equality so signed-zero canonicalization is part of the pin."""
+    import random as _random
+
+    import numpy as np
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _spark_round6,
+        _spark_round6_vec,
+    )
+
+    rng = _random.Random(31)
+    vals = [
+        0.0, -0.0, 5e-7, -5e-7, 4.9999999e-7, -4.9999999e-7, 1e-12,
+        0.3499995, -0.3499995, 0.1234565, 0.1234575, 123456.4999999999,
+        0.9999995, 1.0000005, -1.0000005, 2.5e-6, -2.5e-6, 1.5e-6,
+        4503599627.370496, 4503599627.3704958, 9.007199254740992e15,
+        1e300, -1e300, float("inf"), float("-inf"), float("nan"),
+    ]
+    for _ in range(5000):
+        vals.append(rng.uniform(-2.0, 2.0))
+    for exp in range(-8, 4):
+        for _ in range(500):
+            vals.append(rng.uniform(-1.0, 1.0) * 10.0 ** exp)
+    # dense jitter straight onto .5 boundaries at the 6-dp scale
+    for _ in range(3000):
+        k = rng.randrange(-2_000_000, 2_000_000)
+        vals.append((k + 0.5) * 1e-6 + rng.gauss(0, 1e-13))
+        vals.append((k + 0.5) * 1e-6)
+    got = _spark_round6_vec(np.array(vals, dtype=np.float64))
+    for v, g in zip(vals, got):
+        e = _spark_round6(v)
+        ok = repr(e) == repr(float(g)) or (e != e and g != g)
+        assert ok, (v, e, float(g))
 
 
 def test_intra_cell_pairs_numpy_equals_hof_fuzz(spark):
@@ -1071,6 +1117,10 @@ def test_intra_cell_pairs_numpy_equals_hof_fuzz(spark):
     dup_id = rid
     rows.append((dup_id, 4, [1.0, 0.0, 0.0, 0.0]))
     rows.append((dup_id, 4, [0.99, 0.01, 0.0, 0.0]))
+    # null ids: the old join's id_a < id_b is NULL for any pair touching
+    # them -> dropped (review-pinned; these vectors WOULD pair on value)
+    rows.append((None, 4, [1.0, 0.0, 0.0, 0.0]))
+    rows.append((None, 4, [0.995, 0.005, 0.0, 0.0]))
     assigned = spark.createDataFrame(
         rows, "id bigint, cell int, v array<double>"
     ).withColumn("sub", (F.col("id") % 2).cast("int"))
@@ -1096,3 +1146,41 @@ def test_intra_cell_pairs_numpy_equals_hof_fuzz(spark):
         # the NaN-element vector must pair with its cell mates (NaN passes)
         if thr == 0.35 and join_keys == ["cell"]:
             assert any(nan_id in (r.id_a, r.id_b) for r in new)
+        # no null (or float64-laundered INT64_MIN) endpoint ever escapes
+        for r in new:
+            assert r.id_a is not None and r.id_b is not None
+
+
+def test_intra_cell_pairs_numpy_string_and_large_ids(spark):
+    """String ids (incl. NULL) and int64 ids beyond 2^53 must survive the
+    pandas boundary exactly: a nullable int64 column detours through
+    float64 in pandas, which corrupts large ids and turns NULL into a NaN
+    pair endpoint — the JVM-side null filter keeps the column int64 and
+    replicates the old join's NULL-comparison drop (review-pinned)."""
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _intra_cell_pairs_numpy,
+    )
+
+    e1 = [1.0, 0.0]
+    e2 = [0.999, 0.001]
+    srows = [
+        ("a", 0, e1), ("b", 0, e2), (None, 0, e1), ("c", 1, e1),
+    ]
+    sdf = spark.createDataFrame(srows, "id string, cell int, v array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in _intra_cell_pairs_numpy(sdf, ["cell"], 0.9).collect()
+    }
+    assert got == {("a", "b")}
+    big = 2**53 + 1  # adjacent float64-indistinguishable ids
+    irows = [
+        (big, 0, e1), (big + 1, 0, e2), (None, 0, e1),
+    ]
+    idf = spark.createDataFrame(irows, "id bigint, cell int, v array<double>")
+    igot = {
+        (r.id_a, r.id_b)
+        for r in _intra_cell_pairs_numpy(idf, ["cell"], 0.9).collect()
+    }
+    assert igot == {(big, big + 1)}

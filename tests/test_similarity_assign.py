@@ -100,9 +100,11 @@ def test_argmax_cell_arrow_zero_vector_raises_unguarded(spark):
 def test_score_queries_arrow_equals_jvm_fuzz(spark):
     """_score_queries_arrow (round-10 brute_force_topk scoring) must emit
     EXACTLY the (query_id, neighbor_id, score) rows of the JVM
-    round(cosine(qv, cv), 6) crossJoin on adversarial inputs: NaN/inf
-    elements, null vectors/elements, length mismatches, huge values, and
-    repr-boundary cosines."""
+    round(cosine(qv, cv), 6) crossJoin + query_id != neighbor_id filter
+    (the filter is replicated INSIDE the arrow pass, where the old plan's
+    pushdown put it) on adversarial inputs: NaN/inf elements, null
+    vectors/elements, null ids on either side, id overlap (self pairs),
+    length mismatches, huge values, and repr-boundary cosines."""
     import random
 
     from jsonl_schema_validator_spark.operators.similarity import (
@@ -122,6 +124,12 @@ def test_score_queries_arrow_equals_jvm_fuzz(spark):
         (rid + 4, [float("nan")] + [1.0] * (dim - 1)),
         (rid + 5, [float("inf")] + [1.0] * (dim - 1)),
         (rid + 6, [1e200] * dim), (rid + 7, [0.5, None, 1.0, 1.0, 1.0]),
+        # id overlap with the query set: a true self pair (1005) and a
+        # same-id-different-vector pair (1000) — both dropped by !=
+        (1005, [1e200] * dim),
+        (1000, [1.0] * dim),
+        # null corpus id: every pair with it fails != (NULL), dropped
+        (None, [1.0] * dim),
     ]
     qrows_data = [
         (1000, [rng.gauss(0, 1) for _ in range(dim)]),
@@ -130,6 +138,7 @@ def test_score_queries_arrow_equals_jvm_fuzz(spark):
         (1003, [float("nan")] + [0.0] * (dim - 1)),
         (1004, [None] + [1.0] * (dim - 1)),     # null element
         (1005, [1e200] * dim),                  # overflow dots
+        (None, [1.0] * dim),                    # null query id, dropped
     ]
     c = spark.createDataFrame(crows, "neighbor_id bigint, cv array<double>")
     q = spark.createDataFrame(qrows_data, "query_id bigint, qv array<double>")
@@ -141,6 +150,7 @@ def test_score_queries_arrow_equals_jvm_fuzz(spark):
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
         )
+        .where(F.col("query_id") != F.col("neighbor_id"))
     ).collect()
     got = _score_queries_arrow(
         c, "cv", "neighbor_id", q.collect(),
@@ -176,3 +186,51 @@ def test_score_queries_arrow_zero_norm_raises(spark):
     )
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
         out.collect()
+
+
+def test_brute_force_topk_self_only_zero_norm_both_arms(spark):
+    """A zero-norm vector whose ONLY same-dim corpus row is itself must
+    return (empty) on BOTH dispatch arms, not raise: the old crossJoin
+    plan's pushed query_id != neighbor_id filter excluded the self pair
+    before the ANSI divide ever evaluated, and the arrow arm replicates
+    the filter before scoring (review-pinned — the first arrow cut scored
+    self pairs and raised where the fallback arm returned)."""
+    from jsonl_schema_validator_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    # arrow arm (query fits the driver cap)
+    assert brute_force_topk(df, df, k=3).collect() == []
+    # fallback crossJoin arm (cap forced to 0)
+    assert brute_force_topk(df, df, k=3, max_driver_queries=0).collect() == []
+    # but a zero-norm NON-self pair still raises on the arrow arm
+    df2 = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+        brute_force_topk(df2, df2, k=3).collect()
+
+
+def test_argmax_cell_arrow_nan_vs_neginf(spark):
+    """A row whose cell scores mix NaN with a real -inf must give the
+    -inf cell, exactly as the JVM array_sort semantics do (ns = -NaN
+    ranks LAST, so any real score beats NaN) — review-pinned: the arrow
+    candidate loop used to seed its best with the NaN and `-inf > NaN`
+    is False forever after. Scores engineered via the passed cent_norms:
+    cell 0's dot is NaN (inf + -inf partial sums), cell 1's real dot
+    over a denormal-scale norm divides to -inf."""
+    centroids = [[1e308, 1e308, -1e308], [-1.0, -1.0, -1.0]]
+    cent_norms = [float("inf"), 1e-310]
+    rows = [
+        (1, [2.0, 2.0, 2.0]),   # dot0 = inf + inf - inf = NaN; dot1 = -6
+        (2, [1.0, 0.0, 0.0]),   # sanity: real scores in both cells
+    ]
+    for guarded in (False, True):
+        jvm = _jvm_cells(spark, rows, centroids, cent_norms, guarded)
+        arrow = _arrow_cells(spark, rows, centroids, cent_norms, guarded)
+        assert jvm == arrow, (guarded, jvm, arrow)
+        assert arrow[1] == 1, arrow  # the -inf cell, not the NaN cell
