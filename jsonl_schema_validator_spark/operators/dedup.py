@@ -1220,6 +1220,14 @@ def _intra_cell_pairs_numpy(
       int64: pandas would promote a nullable int column to float64,
       corrupting ids beyond 2^53 and turning the nulls themselves into
       NaN pair endpoints).
+    - float/double id columns dispatch to the ORIGINAL join plan
+      (_intra_cell_pairs_join): a NaN id cannot round-trip the pandas
+      output boundary (pandas treats float NaN as missing, so the old
+      plan's (real, NaN) pairs would come back (real, NULL)) and Spark's
+      id ordering (NaN = NaN equal, NaN above every real) differs from
+      IEEE — exactness over speed for this exotic id type
+      (review-pinned against the join in
+      test_intra_cell_pairs_numpy_float_nan_ids).
 
     The dense-cell guard bounds every group at ~max_cell_size rows, so the
     per-task matrix stays capped at scale; blockwise accumulation bounds
@@ -1227,6 +1235,10 @@ def _intra_cell_pairs_numpy(
     import numpy as np
     import pandas as pd
 
+    if isinstance(
+        assigned.schema["id"].dataType, (T.DoubleType, T.FloatType)
+    ):
+        return _intra_cell_pairs_join(assigned, join_keys, threshold)
     id_t = assigned.schema["id"].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}"
     thr = float(threshold)
@@ -1271,6 +1283,9 @@ def _intra_cell_pairs_numpy(
                         keep[bi, bj] = True
                 ki, kj = np.nonzero(keep)
                 if len(ki):
+                    # IEEE != / minimum are Spark-ordering-correct here
+                    # because float ids never reach this path (the
+                    # dispatch above routes them to the join)
                     a, b = ids[s + ki], ids[kj]
                     neq = a != b
                     a, b = a[neq], b[neq]
@@ -1290,6 +1305,34 @@ def _intra_cell_pairs_numpy(
         .where(F.col("id").isNotNull())
         .groupBy(*join_keys)
         .applyInPandas(emit_pairs, out_schema)
+    )
+
+
+def _intra_cell_pairs_join(
+    assigned: DataFrame, join_keys: list[str], threshold: float
+) -> DataFrame:
+    """The pre-round-10 intra-cell pair plan (cell-keyed self-join +
+    interpreted HOF dot), kept as the float-id dispatch target of
+    _intra_cell_pairs_numpy — NaN ids cannot round-trip the pandas
+    boundary, so this exotic id type pays the interpreted cost for exact
+    Spark ordering semantics instead."""
+    a = assigned.select(
+        *join_keys, F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        *join_keys, F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b")
     )
 
 

@@ -226,8 +226,11 @@ def _score_queries_arrow(
                 acc = acc + x * x
             nrm = acc ** 0.5 if acc >= 0 else float("nan")
         Q.append((r["query_id"], vec, nrm, len(qv)))
-    vec_idx = c.columns.index(vec_col)
-    nid_idx = c.columns.index(nid_col)
+    # indices into the PROJECTED frame the pass actually maps over (the
+    # caller's column order is irrelevant after the select below —
+    # review-pinned: indexing c.columns silently swaps id and vector for
+    # any caller whose frame orders them differently)
+    nid_idx, vec_idx = 0, 1
     FLUSH_ROWS = 1 << 16
 
     def score(batches):
@@ -730,7 +733,7 @@ def ivf_topk(
     centroids, cent_norms = _fit_centroids(
         corpus, id_col, vec_col, num_centroids, seed, lloyd_iters, init
     )
-    cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
+    cell_scores, _ = _ivf_exprs(centroids, cent_norms)
 
     # corpus cell assignment via the numpy mapInArrow pass (bit-equivalent
     # to argmax_cell(cell_scores(cv)) — see with_argmax_cell_arrow): the
@@ -812,13 +815,14 @@ def ivf_build_index(
     centroids, cent_norms = _fit_centroids(
         corpus, id_col, vec_col, num_centroids, seed, lloyd_iters, init
     )
-    cell_scores, argmax_cell = _ivf_exprs(centroids, cent_norms)
-    cv = F.col(vec_col)
     # cell assignment via the numpy mapInArrow pass (bit-equivalent to
     # argmax_cell(cell_scores(cv)) incl. the zero-norm loud failure); the
     # quantization/store projection runs AFTER it on the appended frame
     c_assign = with_argmax_cell_arrow(
-        corpus.select(F.col(id_col).alias("neighbor_id"), cv.alias("__jsv_v")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__jsv_v"),
+        ),
         "__jsv_v",
         centroids,
         cent_norms,

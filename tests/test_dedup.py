@@ -1184,3 +1184,53 @@ def test_intra_cell_pairs_numpy_string_and_large_ids(spark):
         for r in _intra_cell_pairs_numpy(idf, ["cell"], 0.9).collect()
     }
     assert igot == {(big, big + 1)}
+
+
+def test_intra_cell_pairs_numpy_float_nan_ids(spark):
+    """Float id columns need SPARK ordering, not IEEE (review-pinned):
+    the replaced join's id_a < id_b treats NaN = NaN as equal (pair
+    dropped) and NaN as GREATER than every real id (a (3.0, NaN) pair is
+    emitted oriented (3.0, NaN)) — np.minimum/np.maximum would NaN-launder
+    both endpoints. Compared directly against the old self-join plan."""
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.dedup import (
+        _intra_cell_pairs_numpy,
+    )
+
+    e1 = [1.0, 0.0]
+    e2 = [0.999, 0.001]
+    nan = float("nan")
+    rows = [
+        (3.0, 0, e1), (nan, 0, e2), (nan, 0, e1),
+        (1.5, 0, e2), (None, 0, e1), (-0.0, 1, e1), (0.0, 1, e2),
+    ]
+    df = spark.createDataFrame(rows, "id double, cell int, v array<double>")
+    a = df.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = df.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    old = (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+        .where(F.col("cos") >= F.lit(0.9))
+    ).collect()
+    new = _intra_cell_pairs_numpy(df, ["cell"], 0.9).collect()
+
+    def key(rs):
+        return sorted(
+            (repr(r.id_a), repr(r.id_b)) for r in rs
+        )
+
+    assert key(old) == key(new), (key(old), key(new))
+    # the old plan DOES emit real-vs-NaN pairs oriented (real, NaN) —
+    # make sure the equivalence above isn't vacuous
+    assert any(r.id_b != r.id_b for r in new)
+    # and never a NaN-NaN or -0.0/0.0 pair (Spark equality drops both)
+    for r in new:
+        assert not (r.id_a != r.id_a and r.id_b != r.id_b)
+        assert not (r.id_a == 0.0 and r.id_b == 0.0)
