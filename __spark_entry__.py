@@ -51,8 +51,74 @@ from jsonl_schema_validator_spark.operators.textops import (
 )
 
 
+def _parquet_footprint(path: str) -> tuple[int, int]:
+    """(total_bytes, total_rows) of a parquet file or directory, from file
+    sizes + footer metadata only (no data read). rows=0 when a footer
+    cannot be read (callers treat that as 'unknown — do nothing')."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    bts = sum(os.path.getsize(f) for f in files)
+    rows = 0
+    for f in files:
+        try:
+            rows += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return bts, 0
+    return bts, rows
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table, repartitioning ONLY when the file layout
+    caps parallelism on a table whose rows amplify downstream (guide §2:
+    derive partitioning from the input, never a constant). The
+    driver-generated tables are SINGLE-row-group parquet — Spark cannot
+    split below a row group, so every fused map stage over such a scan
+    (shingle explodes, signature builds, the arrow passes) ran on 1-2
+    cores of 32: the 50k-doc corpus gram explode measured 3.6s
+    single-task vs ~0.5s repartitioned, and the 50k-doc battery entries
+    dropped 1.3-6x (decontam 8.0->1.3s, doc_quality 5.0->2.8s,
+    dedup_spans 6.8->4.3s — OPTIMIZATION_r10.md).
+
+    Three gates, all from file metadata, keep it scale-adaptive and
+    no-op everywhere the shuffle cannot pay for itself (a BLANKET
+    repartition measured a systematic +0.3-1.5s per query at sf0.1 —
+    the shuffle re-runs per job inside multi-job queries):
+    - >= 2 MB total: below that, single-core map work is already
+      sub-second — the tiny sfs (correctness gates, the default bench)
+      are untouched entirely, so r9-comparability holds.
+    - >= 64 bytes/row: only text/vector tables (documents ~119 B/row,
+      embeddings ~300-400) amplify per-row work 50-100x downstream;
+      narrow numeric fact tables (lineitem/orders/events, ~18-21 B/row)
+      are codegen-scan-bound and lose to the added exchange.
+    - scan partitions < cores/2: a warehouse input with real splits
+      (or a 100 TB table) is returned untouched.
+    Results are partition-independent: sums are decimal-exact or
+    integral where oracle-compared, samples/centroid prefixes are
+    id-ordered, hashes are md5-keyed (re-validated: full 66-query
+    oracle at all three sfs with the repartition FORCED ON, plus the
+    normal gated seal)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        bts, rows = _parquet_footprint(path)
+    except OSError:
+        return df
+    if bts >= 2_000_000 and rows and bts / rows >= 64:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
+    return df
 
 
 def _ship_package(spark: SparkSession) -> None:
