@@ -51,10 +51,15 @@ from jsonl_schema_validator_spark.operators.textops import (
 )
 
 
-def _parquet_footprint(path: str) -> tuple[int, int]:
-    """(total_bytes, total_rows) of a parquet file or directory, from file
-    sizes + footer metadata only (no data read). rows=0 when a footer
-    cannot be read (callers treat that as 'unknown — do nothing')."""
+def _parquet_footprint(path: str) -> tuple[int, int, int]:
+    """(total_bytes, total_rows, total_row_groups) of a parquet file or
+    directory, from file sizes + footer metadata only (no data read).
+    rows=0 when a footer cannot be read (callers treat that as 'unknown
+    — do nothing'). Row groups are the TRUE splittability bound: Spark
+    plans byte-range splits, but a row group is read by exactly one
+    task, so a large single-group file planes into many zero-row tasks
+    (review-pinned — a split-count gate would skip the repartition
+    exactly where it matters most)."""
     import os
 
     import pyarrow.parquet as pq
@@ -69,13 +74,18 @@ def _parquet_footprint(path: str) -> tuple[int, int]:
     else:
         files = [path]
     bts = sum(os.path.getsize(f) for f in files)
-    rows = 0
+    rows = groups = 0
     for f in files:
         try:
-            rows += pq.ParquetFile(f).metadata.num_rows
+            md = pq.ParquetFile(f).metadata
         except Exception:
-            return bts, 0
-    return bts, rows
+            return bts, 0, 0
+        rows += md.num_rows
+        groups += md.num_row_groups
+    return bts, rows, groups
+
+
+_T_REPART_CACHE: dict[tuple[str, int], bool] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -87,37 +97,55 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (shingle explodes, signature builds, the arrow passes) ran on 1-2
     cores of 32: the 50k-doc corpus gram explode measured 3.6s
     single-task vs ~0.5s repartitioned, and the 50k-doc battery entries
-    dropped 1.3-6x (decontam 8.0->1.3s, doc_quality 5.0->2.8s,
-    dedup_spans 6.8->4.3s — OPTIMIZATION_r10.md).
+    dropped 1.4-6.3x (decontam 8.0->1.3s, doc_quality 5.0->1.8s,
+    dedup_spans 6.8->4.1s — OPTIMIZATION_r10.md §12).
 
-    Three gates, all from file metadata, keep it scale-adaptive and
-    no-op everywhere the shuffle cannot pay for itself (a BLANKET
-    repartition measured a systematic +0.3-1.5s per query at sf0.1 —
-    the shuffle re-runs per job inside multi-job queries):
+    Three gates, all from file FOOTER metadata (no Spark planning, one
+    footer read per table per session — memoized), keep it
+    scale-adaptive and no-op everywhere the shuffle cannot pay for
+    itself (a BLANKET repartition measured a systematic +0.3-1.5s per
+    query at sf0.1 — the shuffle re-runs per job inside multi-job
+    queries):
     - >= 2 MB total: below that, single-core map work is already
       sub-second — the tiny sfs (correctness gates, the default bench)
       are untouched entirely, so r9-comparability holds.
     - >= 64 bytes/row: only text/vector tables (documents ~119 B/row,
-      embeddings ~300-400) amplify per-row work 50-100x downstream;
-      narrow numeric fact tables (lineitem/orders/events, ~18-21 B/row)
-      are codegen-scan-bound and lose to the added exchange.
-    - scan partitions < cores/2: a warehouse input with real splits
-      (or a 100 TB table) is returned untouched.
+      embeddings ~300-400) amplify per-row work 50-100x downstream
+      (measured gated A/B at 50k docs: decontam 8.0->1.3s, clean_docs
+      6.2->2.4s, doc_quality 5.0->1.8s, dedup_spans 6.8->4.1s); narrow
+      numeric fact tables (lineitem/orders/events, ~18-21 B/row) are
+      codegen-scan-bound and lose to the added exchange.
+    - ROW GROUPS < cores/2 (and >= 4 cores, so repartition(par) always
+      adds real parallelism): row groups, not planned splits, bound how
+      many tasks can do work — Spark's byte-range splits over a large
+      single-group file all map to one group. A warehouse input with
+      real groups (or a 100 TB table) is returned untouched.
     Results are partition-independent: sums are decimal-exact or
     integral where oracle-compared, samples/centroid prefixes are
     id-ordered, hashes are md5-keyed (re-validated: full 66-query
     oracle at all three sfs with the repartition FORCED ON, plus the
-    normal gated seal)."""
+    normal gated seal). A missing pyarrow or unreadable footer degrades
+    to 'do nothing', never an error."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    try:
-        bts, rows = _parquet_footprint(path)
-    except OSError:
-        return df
-    if bts >= 2_000_000 and rows and bts / rows >= 64:
-        par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, par // 2):
-            df = df.repartition(par)
+    par = spark.sparkContext.defaultParallelism
+    key = (path, par)
+    hit = _T_REPART_CACHE.get(key)
+    if hit is None:
+        try:
+            bts, rows, groups = _parquet_footprint(path)
+        except (OSError, ImportError):
+            bts, rows, groups = 0, 0, 0
+        hit = _T_REPART_CACHE[key] = bool(
+            bts >= 2_000_000
+            and rows
+            and bts / rows >= 64
+            and par >= 4
+            and groups
+            and groups < max(2, par // 2)
+        )
+    if hit:
+        df = df.repartition(par)
     return df
 
 
