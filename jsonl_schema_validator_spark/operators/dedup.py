@@ -1302,7 +1302,13 @@ def _intra_cell_pairs_numpy(
     ).alias("ok")
     return (
         assigned.select(*join_keys, "id", "v", ok)
-        .where(F.col("id").isNotNull())
+        # null ids AND never-pairable rows (null vec / null element)
+        # filter JVM-side: emit_pairs would drop them as its first
+        # statement anyway, so shipping their vectors through the
+        # Arrow/pandas boundary was pure serialization waste (the
+        # in-function pdf["ok"] filter stays — the function remains
+        # correct stand-alone)
+        .where(F.col("id").isNotNull() & F.col("ok"))
         .groupBy(*join_keys)
         .applyInPandas(emit_pairs, out_schema)
     )
@@ -1556,10 +1562,19 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # guard-sizing house pattern), so repeat constructions of the same
     # plan are served by Spark 4's result cache like every other
     # construction collect in the repo (review note, round 10).
-    n_vocab = toks.agg(
-        F.approx_count_distinct("tok").alias("v")
-    ).collect()[0]["v"]
-    if n_vocab <= 100_000:
+    probe = toks.agg(
+        F.approx_count_distinct("tok").alias("v"),
+        F.avg(F.length("tok")).alias("avg_len"),
+    ).collect()[0]
+    n_vocab = probe["v"]
+    # byte-bound the broadcast too (review-pinned): 100k DISTINCT long
+    # tokens (URLs / hex blobs in dirty web text) pass a count-only gate
+    # but build a count-bounded, byte-UNBOUNDED dictionary. avg occurrence
+    # length upper-bounds nothing per-token, but vocab bytes ~= n_vocab *
+    # E[len | distinct] and occurrence-weighted avg_len is the cheap
+    # same-pass proxy; the 16 MB cap sits well under the broadcast limit.
+    est_bytes = n_vocab * ((probe["avg_len"] or 0.0) + 24.0)
+    if n_vocab <= 100_000 and est_bytes <= 16_000_000:
         vocab = toks.select("tok").distinct().select(
             "tok", *_tok_halves(F.col("tok"))
         )

@@ -224,7 +224,12 @@ def _score_queries_arrow(
             acc = 0.0
             for x in vec:
                 acc = acc + x * x
-            nrm = acc ** 0.5 if acc >= 0 else float("nan")
+            # math.sqrt IS Java's Math.sqrt (IEEE-correct); `acc ** 0.5`
+            # is libm pow, which differs by 1 ulp on ~0.1% of doubles
+            # (review-pinned with a measured divergence) — enough to
+            # flip a 6-dp rounding at a half boundary. acc is a sum of
+            # squares: >= 0 or NaN, and math.sqrt passes NaN through.
+            nrm = math.sqrt(acc)
         Q.append((r["query_id"], vec, nrm, len(qv)))
     # indices into the PROJECTED frame the pass actually maps over (the
     # caller's column order is irrelevant after the select below —

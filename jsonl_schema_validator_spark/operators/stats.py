@@ -171,7 +171,11 @@ def column_stats(
 
 
 def _exact_percentile_values(
-    df: DataFrame, col_name: str, qs: list[float], n_buckets: int = 1024
+    df: DataFrame,
+    col_name: str,
+    qs: list[float],
+    n_buckets: int = 1024,
+    rebin_rows: int = 1_000_000,
 ) -> list:
     """Distributed exact percentiles of one column, replicating
     F.percentile (Percentile.getPercentile) BIT-FOR-BIT: with the N
@@ -209,14 +213,14 @@ def _exact_percentile_values(
     )
     try:
         return _exact_percentile_resolve(
-            nn, df.schema[col_name].dataType, qs, n_buckets
+            nn, df.schema[col_name].dataType, qs, n_buckets, rebin_rows
         )
     finally:
         nn.unpersist()
 
 
 def _exact_percentile_resolve(
-    nn: DataFrame, dt, qs: list[float], n_buckets: int
+    nn: DataFrame, dt, qs: list[float], n_buckets: int, rebin_rows: int
 ) -> list:
     """The rank-resolution passes of _exact_percentile_values, over the
     persisted single-column frame `nn` (see its docstring for the full
@@ -274,6 +278,72 @@ def _exact_percentile_resolve(
             if offsets[b] <= k < offsets[b] + totals[b]:
                 targets.add(b)
                 break
+    # level-2 re-bin (review finding): ±inf or one extreme outlier
+    # collapses the uniform level-1 binning (span non-finite -> every
+    # finite value in bucket 0; outlier -> ~all distincts in one bin),
+    # and the rank window would then sort (nearly) all distinct values
+    # in ONE task — the exact single-reducer straggler this function
+    # exists to remove. Oversized TARGET buckets get a second uniform
+    # binning over their WITHIN-BUCKET finite span (±inf pinned to edge
+    # sub-bins — any monotone refinement stays correct); a bucket whose
+    # finite span is itself degenerate (fmx-fmn overflows, or one
+    # distinct value) falls back to the single window partition, which
+    # is never worse than F.percentile's one merge. The NaN top bin
+    # never re-bins (NaN groups to ONE distinct key).
+    n_sub = n_buckets
+    big = sorted(
+        int(b)
+        for b in targets
+        if totals[b] > rebin_rows and not (is_float and int(b) == n_buckets)
+    )
+    finite2 = (
+        finite & (vd > F.lit(float("-inf"))) & (vd < F.lit(float("inf")))
+        if is_float
+        else finite
+    )
+    sbk = F.lit(0)
+    if big:
+        sub_stats = {
+            r["bk"]: (r["fmn"], r["fmx"])
+            for r in nn.withColumn("bk", bucket)
+            .where(F.col("bk").isin(*big))
+            .groupBy("bk")
+            .agg(
+                F.min(F.when(finite2, vd)).alias("fmn"),
+                F.max(F.when(finite2, vd)).alias("fmx"),
+            )
+            .collect()
+        }
+        expr = None
+        for b in big:
+            fmn, fmx = sub_stats.get(b, (None, None))
+            sspan = (fmx - fmn) if (fmn is not None and fmx is not None) else None
+            sub_ok = (
+                sspan is not None and sspan > 0 and math.isfinite(sspan)
+                and math.isfinite(fmn)
+            )
+            if sub_ok:
+                sraw = F.floor(
+                    (vd - F.lit(fmn)) / F.lit(sspan) * F.lit(n_sub)
+                )
+                fin_sub = F.lit(1) + F.when(
+                    vd <= F.lit(fmn), F.lit(0)
+                ).otherwise(F.least(F.greatest(sraw, F.lit(0)), F.lit(n_sub - 1)))
+            else:
+                fin_sub = F.lit(1)
+            arm = (
+                F.when(vd == F.lit(float("-inf")), F.lit(0))
+                .when(vd == F.lit(float("inf")), F.lit(n_sub + 1))
+                .otherwise(fin_sub)
+                if is_float
+                else fin_sub
+            )
+            branch = F.when(F.col("bk") == F.lit(b), arm)
+            expr = branch if expr is None else expr.when(
+                F.col("bk") == F.lit(b), arm
+            )
+        sbk = expr.otherwise(F.lit(0))
+    sbk = sbk.cast("int")
     # signed-zero parity (review finding): groupBy normalizes -0.0 to 0.0
     # while Percentile's value->count buffer keeps them DISTINCT with
     # Double.compare ordering (-0.0 < 0.0). A string side-key separates
@@ -287,24 +357,50 @@ def _exact_percentile_resolve(
     )
     wk = (
         nn.withColumn("bk", bucket)
+        .withColumn("sbk", sbk)
         .withColumn("zk", zk)
         .where(F.col("bk").isin(*[int(b) for b in targets]))
-        .groupBy("bk", "v", "zk")
+        .groupBy("bk", "sbk", "v", "zk")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     from pyspark.sql.window import Window
 
     w = (
-        Window.partitionBy("bk")
+        Window.partitionBy("bk", "sbk")
         .orderBy("v", "zk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off_map = {int(b): offsets[b] for b in targets}
-    bks = sorted(off_map)
-    off_arr = F.array(*[F.lit(off_map[b]).cast("long") for b in bks])
-    bk_arr = F.array(*[F.lit(b) for b in bks])
+    # per-(bk, sbk) rank offsets: non-big buckets keep their level-1
+    # offset at sbk 0; big buckets prefix-sum their sub-totals
+    off_map = {
+        (int(b), 0): offsets[b] for b in targets if int(b) not in big
+    }
+    if big:
+        sub_totals = {
+            (r["bk"], r["sbk"]): r["t"]
+            for r in nn.withColumn("bk", bucket)
+            .withColumn("sbk", sbk)
+            .where(F.col("bk").isin(*big))
+            .groupBy("bk", "sbk")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .collect()
+        }
+        for b in big:
+            acc2 = offsets[b]
+            for s in sorted(s for (bb, s) in sub_totals if bb == b):
+                off_map[(b, s)] = acc2
+                acc2 += sub_totals[(b, s)]
+    K = n_sub + 2  # > max sbk, so bk*K + sbk is injective
+    pair_keys = sorted(off_map)
+    off_arr = F.array(
+        *[F.lit(off_map[p]).cast("long") for p in pair_keys]
+    )
+    key_arr = F.array(*[F.lit(b * K + s) for b, s in pair_keys])
+    pos = F.array_position(
+        key_arr, F.col("bk") * F.lit(K) + F.col("sbk")
+    ).cast("int")
     cum = F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.element_at(
-        off_arr, F.array_position(bk_arr, F.col("bk")).cast("int")
+        off_arr, pos
     )
     wk = wk.withColumn("cb", cum)
     cond = None

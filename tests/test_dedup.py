@@ -152,6 +152,31 @@ def test_simhash64_matches_python(spark):
         assert got[doc_id] == _py_simhash(texts[doc_id]), doc_id
 
 
+def test_simhash64_vocab_dispatch_byte_bound(spark):
+    """The broadcast-vocabulary dispatch is bounded in BYTES, not just
+    distinct count (review finding: ~100k long distinct tokens — URLs /
+    hex blobs — pass a count-only probe but build an arbitrarily large
+    broadcast). A long-token corpus must take the inline-hash plan (no
+    BroadcastExchange) while producing the identical signature, since
+    both arms hash each token with the same md5."""
+    import hashlib
+
+    long_toks = [hashlib.sha256(str(i).encode()).hexdigest() * 40 for i in range(60)]
+    big_toks = [t * 3 for t in long_toks]  # ~7.7 KB per token
+    many = [(i, " ".join(big_toks[j] + str(i * 977 + j) for j in range(60)))
+            for i in range(40)]  # 2400 distinct ~7.7 KB tokens -> est ~18 MB
+    df2 = spark.createDataFrame(many, "doc_id bigint, text string")
+    out2 = simhash64(df2, "doc_id", "text")
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan2, "byte gate must force inline hash"
+    # and the small corpus still broadcasts (count and bytes both small)
+    small = spark.createDataFrame(
+        [(i, "a b c d") for i in range(6)], "doc_id bigint, text string"
+    )
+    plan3 = simhash64(small, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan3
+
+
 def test_simhash_near_pairs(spark):
     df, texts = _corpus(spark)
     s100, s101 = _py_simhash(texts[100]), _py_simhash(texts[101])

@@ -1341,3 +1341,48 @@ def test_exact_percentile_values_equals_f_percentile_fuzz(spark):
         _exact_percentile_values(
             spark.createDataFrame([(1.0,)], "v double"), "v", [1.5]
         )
+
+
+def test_exact_percentile_rebin_degenerate_spans(spark):
+    """±inf and extreme outliers collapse the uniform level-1 binning
+    (span non-finite / ~all distincts in one bin); the level-2 re-bin
+    (review finding) must keep results BIT-equal to F.percentile while
+    splitting the oversized bucket's rank window. rebin_rows is forced
+    tiny so the re-bin path actually executes; a no-rebin run
+    (rebin_rows huge) cross-checks that the refinement is value-neutral."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsonl_schema_validator_spark.operators.stats import (
+        _exact_percentile_values,
+    )
+
+    rng = random.Random(37)
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    cases = [
+        # +inf rows: span -> inf, every finite value lands in bucket 0
+        [(float("inf"),)] * 3 + [(rng.uniform(-5, 5),) for _ in range(400)],
+        # -inf and +inf together, plus NaN and signed zeros
+        [(float("-inf"),), (float("inf"),), (float("nan"),), (-0.0,), (0.0,)]
+        + [(rng.gauss(0, 1),) for _ in range(300)],
+        # one extreme outlier: ~all distincts collapse into one level-1 bin
+        [(1e18,)] + [(rng.uniform(0, 1),) for _ in range(400)],
+        # sub-span itself degenerate: two huge opposite-sign masses (fmx-fmn
+        # overflows) -> documented fallback to the single window partition
+        [(-1.6e308,)] * 5 + [(1.6e308,)] * 7 + [(rng.uniform(-1, 1),) for _ in range(50)],
+    ]
+    for data in cases:
+        df = spark.createDataFrame(data, "v double")
+        ref = df.agg(
+            F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("p")
+        ).collect()[0]["p"]
+        rebinned = _exact_percentile_values(
+            df, "v", qs, n_buckets=16, rebin_rows=10
+        )
+        plain = _exact_percentile_values(
+            df, "v", qs, n_buckets=16, rebin_rows=1 << 60
+        )
+        for q, a, b, c in zip(qs, list(ref), rebinned, plain):
+            sa, sb, sc = (repr(float(x)) for x in (a, b, c))
+            assert sa == sb == sc, (q, a, b, c)

