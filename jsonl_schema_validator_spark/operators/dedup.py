@@ -1564,16 +1564,18 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # construction collect in the repo (review note, round 10).
     probe = toks.agg(
         F.approx_count_distinct("tok").alias("v"),
-        F.avg(F.length("tok")).alias("avg_len"),
+        F.max(F.length("tok")).alias("max_len"),
     ).collect()[0]
     n_vocab = probe["v"]
     # byte-bound the broadcast too (review-pinned): 100k DISTINCT long
     # tokens (URLs / hex blobs in dirty web text) pass a count-only gate
-    # but build a count-bounded, byte-UNBOUNDED dictionary. avg occurrence
-    # length upper-bounds nothing per-token, but vocab bytes ~= n_vocab *
-    # E[len | distinct] and occurrence-weighted avg_len is the cheap
-    # same-pass proxy; the 16 MB cap sits well under the broadcast limit.
-    est_bytes = n_vocab * ((probe["avg_len"] or 0.0) + 24.0)
+    # but build a count-bounded, byte-UNBOUNDED dictionary. The bound
+    # must be SOUND (second review: an occurrence-weighted average is
+    # dominated by short stop words exactly in the dirty-web case), so
+    # use n_vocab * max token length — over-rejecting only costs the
+    # always-scale-safe inline hash. 4x: length() counts characters,
+    # UTF-8 is up to 4 bytes each.
+    est_bytes = n_vocab * (4.0 * float(probe["max_len"] or 0) + 24.0)
     if n_vocab <= 100_000 and est_bytes <= 16_000_000:
         vocab = toks.select("tok").distinct().select(
             "tok", *_tok_halves(F.col("tok"))

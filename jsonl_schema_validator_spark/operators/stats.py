@@ -197,11 +197,13 @@ def _exact_percentile_values(
     explicit top bin; +-inf collapse bins degenerately but stay ordered.
 
     Jobs: 1 min/max/count pass + 1 bucket-count pass + 1 filtered rank
-    pass — all map-side-combinable aggregates, no single big merge; the
-    narrow (v) frame is persisted for exactly those three passes
-    (round-10 review: each pass re-scanned the full input per numeric
-    column — the same §5 pattern as _distributed_cum_before) and
-    released before returning."""
+    pass — all map-side-combinable aggregates, no single big merge —
+    plus 2 MORE passes (per-bucket finite min/max, sub-bucket totals)
+    ONLY when a target bucket exceeds rebin_rows and the level-2 re-bin
+    triggers (±inf / extreme-outlier degenerate spans). The narrow (v)
+    frame is persisted for all of them (round-10 review: each pass
+    re-scanned the full input per numeric column — the same §5 pattern
+    as _distributed_cum_before) and released before returning."""
     from pyspark import StorageLevel
 
     col = F.col(col_name)
@@ -390,18 +392,31 @@ def _exact_percentile_resolve(
             for s in sorted(s for (bb, s) in sub_totals if bb == b):
                 off_map[(b, s)] = acc2
                 acc2 += sub_totals[(b, s)]
-    K = n_sub + 2  # > max sbk, so bk*K + sbk is injective
-    pair_keys = sorted(off_map)
-    off_arr = F.array(
-        *[F.lit(off_map[p]).cast("long") for p in pair_keys]
-    )
-    key_arr = F.array(*[F.lit(b * K + s) for b, s in pair_keys])
-    pos = F.array_position(
-        key_arr, F.col("bk") * F.lit(K) + F.col("sbk")
-    ).cast("int")
-    cum = F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.element_at(
-        off_arr, pos
-    )
+    if big:
+        # with sub-buckets the key set can reach |big| * (n_sub + 2);
+        # an array_position literal scan would be O(#keys) PER ROW over
+        # the very bucket the re-bin un-straggles (second review) — a
+        # broadcast equi-join on the tiny offsets frame is O(1)
+        off_df = F.broadcast(
+            nn.sparkSession.createDataFrame(
+                [(b, s, off_map[(b, s)]) for b, s in sorted(off_map)],
+                "bk int, sbk int, __off long",
+            )
+        )
+        wk = wk.join(off_df, ["bk", "sbk"])
+        cum = F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("__off")
+    else:
+        # common path: <= 2*len(qs) target buckets, the literal-array
+        # lookup stays (house pattern, no extra join in the plan)
+        pair_keys = sorted(off_map)
+        off_arr = F.array(
+            *[F.lit(off_map[p]).cast("long") for p in pair_keys]
+        )
+        key_arr = F.array(*[F.lit(b) for b, _s in pair_keys])
+        pos = F.array_position(key_arr, F.col("bk")).cast("int")
+        cum = F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.element_at(
+            off_arr, pos
+        )
     wk = wk.withColumn("cb", cum)
     cond = None
     for k in sorted(ks):

@@ -169,6 +169,12 @@ def test_simhash64_vocab_dispatch_byte_bound(spark):
     out2 = simhash64(df2, "doc_id", "text")
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in plan2, "byte gate must force inline hash"
+    # the inline arm's OUTPUT must equal the python reference (it was
+    # previously only reachable via huge vocabularies, so no test
+    # exercised its signatures)
+    got = {r.id: r.simhash for r in out2.collect()}
+    for i in (0, 39):
+        assert got[i] == _py_simhash(many[i][1]), i
     # and the small corpus still broadcasts (count and bytes both small)
     small = spark.createDataFrame(
         [(i, "a b c d") for i in range(6)], "doc_id bigint, text string"

@@ -232,17 +232,13 @@ def test_query_norm_uses_ieee_sqrt():
     src = inspect.getsource(similarity._score_queries_arrow)
     assert "nrm = math.sqrt(acc)" in src
     assert "nrm = acc ** 0.5" not in src
-    diverged = 0
-    import random
-
-    rng = random.Random(41)
-    for _ in range(200_000):
-        x = rng.uniform(0.5, 2.0)
-        if math.sqrt(x) != x ** 0.5:
-            diverged += 1
-    # informational: on hosts where libm pow is correctly rounded this
-    # is 0 and the grep arm above carries the pin
-    assert diverged >= 0
+    # the divergence itself is host-dependent (a correctly-rounded libm
+    # pow makes it vanish), so the source-form assertion above is THE
+    # enforced pin; this value reproduced the 1-ulp split on the host
+    # where the bug was found and documents the class
+    x = 1.3558923880898808
+    assert math.sqrt(x) == math.sqrt(x)  # determinism sanity
+    _ = x ** 0.5  # may or may not equal math.sqrt(x) — see above
 
 
 def test_argmax_cell_arrow_nan_vs_neginf(spark):
